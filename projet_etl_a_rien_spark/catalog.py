@@ -1,0 +1,54 @@
+"""Table access for the driver-generated parquet fixtures (TESTDATA.md).
+
+One loader, schema-normalizing at the edge, so every operator downstream
+sees stable types at any scale factor:
+
+- ``events.ts`` is parquet TIMESTAMP(NANOS) → read as long (nanosAsLong)
+  and truncated to microseconds as ``timestamp_ntz``, matching what a
+  microsecond-native engine (e.g. the DuckDB oracle) sees.
+- everything else passes through untouched — parquet column pruning and
+  filter pushdown stay fully effective because this is a plain
+  ``spark.read.parquet`` with a projection, no UDFs, no materialization.
+
+At the 100 TB design point this module is where partition discovery /
+bucketed-table metadata would live; the loader deliberately returns lazy
+DataFrames so Catalyst sees the full lineage from scan to sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``, normalized."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs: integer division (exact; values are positive so this is
+        # floor, identical to a ns→µs timestamp cast in µs-native engines).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
