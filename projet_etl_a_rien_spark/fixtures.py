@@ -90,6 +90,29 @@ def airports_messages_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted exact duplicates (every 50th doc re-appears
+    with doc_id+1_000_000) — the fixture corpus has no natural exact
+    dups, so dedup operators need these to produce non-trivial output.
+    Deterministic at every scale factor; oracle mirror below.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dups = d.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return d.unionByName(dups)
+
+
+DOCUMENTS_WITH_DUPS_ORACLE_CTE = """
+docs_dup AS (
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+
 AIRPORTS_MESSAGES_NUMERIC_ORACLE_CTE = """
 airports_msgs_num AS (
     SELECT CAST(c_custkey // 10 AS VARCHAR) AS id,

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the raw media as a
+``binary`` column (or a pointer to object storage) next to a typed
+metadata struct; run decode / feature-extract / resize / frame-sample as
+Arrow-batched Python stages (``mapInPandas``) so bytes cross the
+JVM↔Python boundary once per batch, never per row.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
+handed a registered fake decoder. Everything Spark-side — schema,
+partition sizing, UDF signatures, Arrow batch shapes — is real and
+tested: ``byte_features`` runs the identical mapInPandas plumbing with a
+pure-bytes feature extractor, and the fixture text column stands in for
+a payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BYTE_FEATURE_SCHEMA = (
+    "doc_id bigint, byte_len bigint, head_byte int, tail_byte int"
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct) — the canonical
+    multimodal row shape. ``encode`` is JVM-side; no Python involved."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct("lang", "source", "n_chars").alias("meta"),
+    )
+
+
+def byte_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched per-payload feature extraction via mapInPandas.
+
+    The features themselves (length, first/last byte) are deliberately
+    computable in SQL too — that is what lets the DuckDB oracle verify
+    that the Arrow round-trip preserves every byte, which is the actual
+    point of this operator: prove the multimodal batch plumbing.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
+                        "int32"
+                    ),
+                    "tail_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        extract, schema=BYTE_FEATURE_SCHEMA
+    )
+
+
+# ------------------------------------------------------------------ stubs ----
+
+_DECODERS: dict[str, Callable[[bytes], Any]] = {}
+
+
+def register_decoder(modality: str, fn: Callable[[bytes], Any]) -> None:
+    """Register a decoder (tests register deterministic fakes)."""
+    _DECODERS[modality] = fn
+
+
+def decode_payloads(
+    df: DataFrame,
+    modality: str,
+    out_schema: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode binary payloads with the registered decoder for ``modality``.
+
+    STUB GATE: the sandbox ships no media codecs. Without a registered
+    decoder this raises ``NotImplementedError`` at plan-build time (fail
+    fast, not per-task). With one (e.g. a test fake returning
+    ``{"width": .., "height": ..}``) the mapInPandas stage is fully real.
+    """
+    decoder = _DECODERS.get(modality)
+    if decoder is None:
+        raise NotImplementedError(
+            f"no decoder registered for modality {modality!r}: media codecs "
+            "are not available in this environment; register_decoder() a "
+            "real or fake implementation"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf[payload_col].map(decoder)
+            out = pd.DataFrame(list(decoded))
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is built on JVM-side ``pyspark.sql.functions`` (split /
+higher-order array functions / md5) — no Python UDFs — so the hot path
+stays inside whole-stage codegen and scales linearly with partitions.
+Tokenization is single-space split: the ``documents`` fixture is
+space-separated word soup, and keeping the tokenizer trivial keeps every
+downstream operator exactly mirrorable in the DuckDB oracle.
+
+Design notes for 100 TB: all operators are per-row projections (no
+shuffle) except the frequency/grouping ones, which aggregate with
+map-side partial aggregation. Language-ID and quality scoring are
+heuristics-as-columns — the scale path for a real pipeline swaps the
+marker lists for a fastText-style model behind the same column contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny and deterministic; mirrored in oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "de", "et"),
+    "de": ("der", "die", "das", "und"),
+    "zh": ("de", "le", "shi", "bu"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens (single-space split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def unique_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("long")
+
+
+def _member_test(words: tuple[str, ...]):
+    """Single-arg lambda factory for higher-order functions.
+
+    NB: PySpark's lambda binding passes as many arguments as the Python
+    callable has *parameters* — including defaulted ones — so the usual
+    ``lambda t, w=words:`` closure idiom silently binds the array index
+    to ``w``. A closure factory keeps the arity at exactly 1.
+    """
+    return lambda t: t.isin(*words)
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(col)
+    return F.size(F.filter(toks, _member_test(stopwords))).cast("long")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 over canonicalized text.
+
+    Canonicalization = lowercase + trim + collapse whitespace runs, the
+    standard exact-dedup key. md5 (not xxhash64) so the DuckDB oracle and
+    any other engine compute the identical key.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), " +", " "))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features, one narrow projection.
+
+    - n_tokens / n_uniq: size + distinct size of the token array
+    - uniq_ratio: lexical diversity (near-1 for natural text, low for
+      boilerplate/spam repeats)
+    - mean_token_len: (chars - spaces) / tokens
+    - stopword_ratio: fraction of tokens in the stopword list
+
+    All double ratios are single deterministic fp divisions of exact
+    integers — engine-order independent.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_uniq = unique_token_count(t)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        (n_uniq / n_tok).alias("uniq_ratio"),
+        ((F.length(t) - (n_tok - 1)) / n_tok).alias("mean_token_len"),
+        (stopword_count(t) / n_tok).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-4 quality score from thresholded features.
+
+    Mirrors the shape of published heuristic filters (Gopher/C4-style
+    length + diversity + stopword gates) with fixture-appropriate bounds.
+    """
+    feats = quality_features(df, text_col)
+    score = (
+        (F.col("n_tokens") >= 20).cast("int")
+        + (F.col("n_tokens") <= 2000).cast("int")
+        + (F.col("uniq_ratio") >= 0.2).cast("int")
+        + (F.col("stopword_ratio") >= 0.01).cast("int")
+    )
+    return feats.select("doc_id", "n_tokens", score.alias("quality_score"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language ID: argmax of per-language marker hits.
+
+    Ties (including all-zero) resolve to the lexicographically first
+    language among the winners, 'und' when no marker hits at all — a
+    total, deterministic rule both engines apply identically.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = {
+        lang: F.size(F.filter(toks, _member_test(markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # build CASE from last to first so earlier (lexicographic) langs win ties
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token frequency: explode → count. The one shuffling op here;
+    partial aggregation makes it a word-count, the canonical scalable shape."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )

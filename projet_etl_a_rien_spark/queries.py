@@ -560,8 +560,16 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def _load_extensions() -> None:
+    """Import sibling registration modules (idempotent; avoids circular
+    imports at module-load time — they import ``register`` from here)."""
+    from . import queries_llm  # noqa: F401

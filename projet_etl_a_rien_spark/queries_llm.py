@@ -1,0 +1,349 @@
+"""LLM-data-pipeline query registrations: text analysis, dedup, similarity,
+multimodal plumbing — the north-star extension surface (SURVEY.md §2.10,
+§7 step 5) over the ``documents`` / ``embeddings`` fixtures.
+
+Imported for its registration side effects by ``queries.py``; every entry
+follows the same parity rules (adjacent DuckDB oracle, identical aliases,
+deterministic math). MinHash/LSH oracles replicate the *entire*
+construction (same md5 seeds, same banding) so Spark and DuckDB agree on
+candidate generation, not just on final Jaccard — LSH recall misses match
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .fixtures import DOCUMENTS_WITH_DUPS_ORACLE_CTE, documents_with_dups
+from .operators import dedup, multimodal, similarity, text
+from .queries import register
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------- text ----
+
+
+@register(
+    "doc_token_stats",
+    """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+    doc="Corpus token statistics per language tag.",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count("text")).alias("sum_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+
+
+@register(
+    "doc_quality_features",
+    """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio,
+       (length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) AS mean_token_len,
+       len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+""",
+    doc="Per-document quality features (row-level parity): lexical diversity, token length, stopword ratio.",
+)
+def q_doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_quality_score",
+    """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+      + CASE WHEN len(string_split(text, ' ')) <= 2000 THEN 1 ELSE 0 END
+      + CASE WHEN len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) >= 0.2 THEN 1 ELSE 0 END
+      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) / len(string_split(text, ' ')) >= 0.01 THEN 1 ELSE 0 END
+       ) AS quality_score
+FROM documents
+""",
+    doc="Composite heuristic quality gate (Gopher/C4-style thresholded features).",
+)
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+_LANG_SCORE = {
+    lang: "len(list_filter(list_distinct(string_split(text, ' ')), t -> t IN ({})))".format(
+        ",".join(f"'{m}'" for m in markers)
+    )
+    for lang, markers in sorted(text.LANG_MARKERS.items())
+}
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN {_LANG_SCORE[lang]} > 0 AND {_LANG_SCORE[lang]} = g.best THEN '{lang}'"
+    for lang in sorted(_LANG_SCORE)
+) + " ELSE 'und' END"
+
+
+@register(
+    "doc_lang_id",
+    f"""
+SELECT doc_id, {_LANG_CASE} AS pred_lang
+FROM documents,
+     LATERAL (SELECT greatest({", ".join(_LANG_SCORE[lang] for lang in sorted(_LANG_SCORE))}) AS best) g
+""",
+    doc="Marker-stopword language ID heuristic; deterministic lexicographic tie-break.",
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "token_frequency_top20",
+    """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 20
+""",
+    doc="Corpus token frequency (word-count shape) with deterministic top-k.",
+)
+def q_token_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        text.token_frequencies(_docs(spark, sf_dir))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# -------------------------------------------------------------- dedup ----
+
+
+@register(
+    "doc_fingerprint_dups",
+    f"""
+WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE}
+SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_id
+FROM docs_dup
+GROUP BY 1
+HAVING COUNT(*) > 1
+""",
+    doc="Exact-dup clusters by canonicalized md5 fingerprint (portable rolling-hash analogue).",
+)
+def q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_clusters(documents_with_dups(spark, sf_dir))
+
+
+@register(
+    "dedup_exact_keepers",
+    f"""
+WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE}
+SELECT doc_id FROM docs_dup
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+    ORDER BY doc_id) = 1
+""",
+    doc="Exact dedup: deterministic min-id keeper per fingerprint cluster.",
+)
+def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(documents_with_dups(spark, sf_dir)).select("doc_id")
+
+
+def _minhash_oracle() -> str:
+    k, bands = MINHASH_K, MINHASH_BANDS
+    rows = k // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+base AS (
+    SELECT doc_id AS id,
+           list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' '))) AS sh
+    FROM docs_dup
+    WHERE len(string_split(text, ' ')) >= 3
+),
+sig AS (SELECT id, [{sig_items}] AS sig FROM base),
+banded AS ({band_rows}),
+cand AS (
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(a.sh, b.sh))
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
+FROM cand c
+JOIN base a ON c.id_a = a.id
+JOIN base b ON c.id_b = b.id
+WHERE len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+"""
+
+
+@register(
+    "minhash_near_dup_pairs",
+    _minhash_oracle(),
+    doc="MinHash(16) + LSH(4 bands) near-dup pairs, exact-Jaccard verified; oracle replicates the full LSH construction.",
+)
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_dup_pairs(
+        documents_with_dups(spark, sf_dir),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=0.7,
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+toks AS (
+    SELECT source AS blk, doc_id AS id,
+           unnest(list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')))) AS token
+    FROM docs_dup
+),
+sizes AS (SELECT blk, id, COUNT(*) AS sz FROM toks GROUP BY blk, id),
+inter AS (
+    SELECT l.blk AS blk, l.id AS id_a, r.id AS id_b, COUNT(*) AS n_common
+    FROM toks l JOIN toks r
+      ON l.blk = r.blk AND l.token = r.token AND l.id < r.id
+    GROUP BY l.blk, l.id, r.id
+)
+SELECT i.id_a, i.id_b,
+       i.n_common / (sa.sz + sb.sz - i.n_common) AS jacc
+FROM inter i
+JOIN sizes sa ON i.blk = sa.blk AND i.id_a = sa.id
+JOIN sizes sb ON i.blk = sb.blk AND i.id_b = sb.id
+WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= 0.2
+""",
+    doc="Exact 3-gram-set Jaccard pairs within source blocks (inverted-index join).",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        documents_with_dups(spark, sf_dir), threshold=0.2
+    )
+
+
+@register(
+    "simhash_near_dup_pairs",
+    None,  # engine-native xxhash64 → no cross-engine oracle; rows-only check
+    doc="SimHash-64 near-dup pairs (Hamming <= 3) within source blocks.",
+)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(documents_with_dups(spark, sf_dir))
+
+
+# --------------------------------------------------------- similarity ----
+
+_COS = (
+    "list_dot_product(b.vec, q.qvec)"
+    " / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))"
+)
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 7),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings WHERE vec_id != 7)
+SELECT b.vec_id, ROUND({_COS}, 6) AS cos_sim
+FROM b, q
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 10
+""",
+    doc="Brute-force exact cosine top-k (baseline ANN): broadcast query vector, TakeOrdered top-k.",
+)
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), query_id=7, k=10
+    )
+
+
+@register(
+    "embedding_ann_pruned_topk",
+    f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec, label AS qlabel
+           FROM embeddings WHERE vec_id = 7),
+b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings WHERE vec_id != 7)
+SELECT b.vec_id, ROUND({_COS}, 6) AS cos_sim
+FROM b JOIN q ON b.label = q.qlabel
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 10
+""",
+    doc="IVF-style ANN: scan pruned to the query's coarse cluster (label = inverted-list id).",
+)
+def q_embedding_ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_partition_pruned(
+        load_table(spark, sf_dir, "embeddings"), query_id=7, k=10
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    """
+WITH b AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       ROUND(list_dot_product(l.vec, r.vec)
+             / (sqrt(list_dot_product(l.vec, l.vec)) * sqrt(list_dot_product(r.vec, r.vec))), 6) AS cos_sim
+FROM b l JOIN b r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE ROUND(list_dot_product(l.vec, r.vec)
+            / (sqrt(list_dot_product(l.vec, l.vec)) * sqrt(list_dot_product(r.vec, r.vec))), 6) >= 0.4
+""",
+    doc="Embedding-cosine near-dup pairs within label blocks (threshold calibrated to fixture cosine spread).",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------- multimodal ----
+
+
+@register(
+    "multimodal_byte_features",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
+       CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS tail_byte
+FROM documents
+""",
+    doc="Multimodal plumbing proof: binary payload → Arrow-batched mapInPandas features; oracle verifies byte-exact round-trip.",
+)
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.byte_features(
+        multimodal.with_binary_payload(_docs(spark, sf_dir))
+    )

@@ -1,0 +1,151 @@
+"""Unit tests: text analysis, dedup, similarity, multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from projet_etl_a_rien_spark.operators import dedup, multimodal, similarity, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+DOCS = [
+    (1, "the fast cat sat on the mat", "en", "s1", 27),
+    (2, "the fast cat sat on the mat", "en", "s1", 27),  # exact dup of 1
+    (3, "the fast cat sat on a mat", "en", "s1", 25),  # near dup
+    (4, "completely different words here entirely", "en", "s1", 40),
+    (5, "el la de que hola mundo", "es", "s2", 23),
+]
+
+
+def test_token_stats(spark):
+    df = _docs(spark, DOCS)
+    row = df.select(
+        text.token_count("text").alias("n"),
+        text.unique_token_count("text").alias("u"),
+    ).collect()[0]
+    assert row.n == 7 and row.u == 6  # 'the' twice
+
+
+def test_fingerprint_canonicalization(spark):
+    df = spark.createDataFrame(
+        [(1, "The  Fast   Cat"), (2, "the fast cat"), (3, " THE FAST CAT  ")],
+        "doc_id long, text string",
+    )
+    fps = df.select(text.fingerprint("text").alias("fp")).collect()
+    assert len({r.fp for r in fps}) == 1
+
+
+def test_lang_id_markers(spark):
+    df = _docs(spark, DOCS)
+    got = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[5] == "es"  # el/la/que outnumber fr's le/la/de... tie rules
+    assert got[4] == "und"
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, DOCS)
+    clusters = dedup.exact_dup_clusters(df).collect()
+    assert len(clusters) == 1
+    assert clusters[0].n_docs == 2 and clusters[0].keeper_id == 1
+    keepers = dedup.dedup_exact(df)
+    assert keepers.count() == 4
+    assert 2 not in {r.doc_id for r in keepers.collect()}
+
+
+def test_shingles_short_text_guard(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "id long, text string")
+    out = df.select(dedup.shingles("text", 3).alias("sh")).collect()
+    assert out[0].sh == []
+    assert out[1].sh == ["a b c", "b c d"]
+
+
+def test_minhash_near_dup_pairs(spark):
+    df = _docs(spark, DOCS)
+    pairs = dedup.minhash_near_dup_pairs(df, threshold=0.99).collect()
+    # exact dup pair (1,2) must be caught: identical shingle sets → identical
+    # signatures → same buckets → J=1.0
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    loose = dedup.minhash_near_dup_pairs(df, threshold=0.3).collect()
+    assert {(p.id_a, p.id_b) for p in loose} >= {(1, 2)}
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = _docs(spark, DOCS)
+    pairs = {
+        (p.id_a, p.id_b): p.jacc
+        for p in dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] < 1
+    assert (1, 4) not in pairs  # no shared shingles
+
+
+def test_simhash_identical_and_different(spark):
+    df = _docs(spark, DOCS)
+    pairs = dedup.simhash_near_dup_pairs(df, max_hamming=0).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} >= {(1, 2)}
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [1.0, 0.05, 0.0], 1),  # same direction as 0 but other label
+        (4, [-1.0, 0.0, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk(spark):
+    df = _vectors(spark)
+    top = similarity.cosine_topk(df, query_id=0, k=2).collect()
+    assert [r.vec_id for r in top] == [3, 1]
+    assert top[0].cos_sim == pytest.approx(1 / math.sqrt(1 + 0.05**2), abs=1e-6)
+
+
+def test_cosine_topk_partition_pruned(spark):
+    df = _vectors(spark)
+    top = similarity.cosine_topk_partition_pruned(df, query_id=0, k=2).collect()
+    # label pruning excludes vec 3 despite higher cosine
+    assert [r.vec_id for r in top] == [1, 2]
+
+
+def test_embedding_near_dup_pairs(spark):
+    df = _vectors(spark)
+    pairs = {
+        (p.id_a, p.id_b)
+        for p in similarity.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert pairs == {(0, 1)}  # (0,3) blocked by label; (0,4) anti-parallel
+
+
+def test_multimodal_byte_features(spark):
+    df = _docs(spark, DOCS)
+    feats = {
+        r.doc_id: r
+        for r in multimodal.byte_features(multimodal.with_binary_payload(df)).collect()
+    }
+    assert feats[1].byte_len == 27
+    assert feats[1].head_byte == ord("t") and feats[1].tail_byte == ord("t")
+
+
+def test_decode_stub_gates(spark):
+    df = multimodal.with_binary_payload(_docs(spark, DOCS))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payloads(df, "image", "doc_id long, width int")
+    multimodal.register_decoder("fake", lambda b: {"width": len(b) % 7, "height": 2})
+    out = multimodal.decode_payloads(
+        df, "fake", "doc_id bigint, width bigint, height bigint"
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].width == 27 % 7 and rows[1].height == 2
