@@ -1,0 +1,110 @@
+"""Structured Streaming query registrations.
+
+Each query executes a REAL streaming job — file-replayed events through
+``readStream`` → windowed stateful aggregation → memory sink with
+``Trigger.AvailableNow`` — and returns the final result table. COMPLETE
+output mode over a bounded replay makes the streaming result equal the
+batch equivalent, which is what the DuckDB oracles assert (SURVEY.md §7
+hard part 2: streaming-state testability without a broker).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import register
+from .streaming.windows import (
+    replay_events_stream,
+    run_bounded,
+    session_windows,
+    sliding_counts,
+    streaming_global_count,
+    tumbling_counts,
+)
+
+
+@register(
+    "streaming_event_count",
+    "SELECT COUNT(*) AS n_events FROM events",
+    doc="Reference streaming-job parity: stateful global COUNT(*) in complete mode (spark_kafka_direct.py:35-40).",
+)
+def q_streaming_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_bounded(streaming_global_count(replay_events_stream(spark, sf_dir)))
+
+
+@register(
+    "streaming_event_type_counts",
+    "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+    doc="Keyed streaming aggregation (generalizes the reference's global-only state).",
+)
+def q_streaming_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = replay_events_stream(spark, sf_dir)
+    return run_bounded(ev.groupBy("event_type").agg(F.count("*").alias("n_events")))
+
+
+@register(
+    "streaming_hourly_windows",
+    """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling 1-hour event-time windows over the replayed stream (epoch-aligned = date_trunc).",
+)
+def q_streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_bounded(tumbling_counts(replay_events_stream(spark, sf_dir), "1 hour"))
+
+
+@register(
+    "streaming_sliding_windows",
+    """
+SELECT window_start, COUNT(*) AS n_events
+FROM (
+    SELECT date_trunc('hour', ts) AS window_start FROM events
+    UNION ALL
+    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start FROM events
+)
+GROUP BY window_start
+""",
+    doc="Sliding 2h/1h windows: every event lands in two windows; oracle materializes both memberships.",
+)
+def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_bounded(
+        sliding_counts(replay_events_stream(spark, sf_dir), "2 hours", "1 hour")
+    )
+
+
+@register(
+    "streaming_session_windows",
+    """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+    doc="Per-user session windows (30-min gap merge); oracle is the gaps-and-islands formulation — session end = last event + gap, new session iff gap >= threshold (session_window merge rule).",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_bounded(
+        session_windows(replay_events_stream(spark, sf_dir), "30 minutes")
+    )

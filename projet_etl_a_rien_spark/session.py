@@ -31,6 +31,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Runtime re-planning: partition coalescing + skew-join handling.
     "spark.sql.adaptive.enabled": "true",
+    # Right-sized for the local[32] test/driver environment (the default 200
+    # means 200 streaming state stores per agg). Cluster deployments override
+    # to ~2-3x total cores; AQE coalescing absorbs the difference.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

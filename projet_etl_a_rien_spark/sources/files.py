@@ -1,0 +1,48 @@
+"""File-format sources and sinks (parquet / json / csv / orc).
+
+The engine's primary scale path: parquet scans get filter pushdown,
+column pruning, and partition pruning from Catalyst for free; writes
+support directory partitioning — the layout primitives a 100 TB table
+actually relies on (partition columns prune whole directories before any
+I/O; ``maxRecordsPerFile`` bounds file sizes for downstream readers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import apply_runtime_confs
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Lazy scan of a file-based table; schema explicit where inference
+    would be a correctness trap (csv/json), inferred from footers for
+    parquet/orc."""
+    apply_runtime_confs(spark)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    **options: str,
+) -> None:
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)

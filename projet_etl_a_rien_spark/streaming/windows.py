@@ -1,0 +1,125 @@
+"""Structured Streaming: event-time windows over a file-replayed stream.
+
+Generalizes the reference's single streaming capability — a global
+``COUNT(*)`` in complete mode with no watermark or checkpoint
+(``/root/reference/spark_kafka_direct.py:21-44``) — into the full
+windowed-aggregation family (SURVEY.md §7 step 4):
+
+- global running count (A6 parity),
+- tumbling / sliding event-time windows,
+- session windows (gap-merged, per key),
+- watermarked append-mode variants for production use.
+
+Broker-free testing: the ``events`` fixture replays through the file
+stream source (the driver has no Kafka; swapping ``kafka_stream_source``
+for ``replay_events_stream`` is a one-line change because both return a
+plain streaming DataFrame — sources are pluggable edges, SURVEY.md §7).
+
+Bounded runs use ``Trigger.AvailableNow`` + a memory sink in COMPLETE
+mode: every window is emitted at end-of-replay, so the result equals the
+batch computation over the same data — which is exactly what the DuckDB
+oracles check. Production notes encoded here: complete mode's unbounded
+state is only for bounded replays/demos; the live path is
+``watermarked=True`` → append mode + checkpoint (the reference's
+no-checkpoint in-memory state is documented as a defect, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+_REPLAY_IDS = count()
+
+
+def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded stream (ns→µs normalized like catalog)."""
+    apply_runtime_confs(spark)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return src.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def run_bounded(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation over the bounded replay and return
+    the final result as a batch DataFrame (memory sink, availableNow)."""
+    spark = stream_df.sparkSession
+    name = f"replay_result_{next(_REPLAY_IDS)}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_global_count(events: DataFrame) -> DataFrame:
+    """Reference A6 parity: stateful running COUNT(*) (spark_kafka_direct.py:35-38)."""
+    return events.selectExpr("COUNT(*) AS n_events")
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling event-time window counts + exact-cents value sum."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows: events merge while gaps < ``gap``;
+    window end = last event + gap (Spark session_window semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
