@@ -14,10 +14,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from projet_etl_a_rien_spark.queries import REGISTRY
+from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
 from projet_etl_a_rien_spark.session import get_spark
 
-# Headline set: flagship pipeline + heaviest relational/analytic shapes.
+_load_extensions()
+
+# Headline set: flagship pipeline + heaviest relational, LLM-pipeline and
+# streaming shapes.
 HEADLINE = [
     "airports_flagship",
     "tpch_q1_pricing_summary",
@@ -27,6 +30,11 @@ HEADLINE = [
     "customer_running_order_total",
     "events_json_kpi",
     "events_hourly",
+    "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "doc_quality_score",
+    "streaming_hourly_windows",
 ]
 
 
@@ -35,8 +43,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm the JVM/codegen path once with a trivial action.
+    # Warm the JVM: codegen path + parquet reader/filesystem init, so the
+    # first measured query doesn't pay one-time session costs.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -572,5 +572,6 @@ def oracle_sql() -> dict[str, str]:
 def _load_extensions() -> None:
     """Import sibling registration modules (idempotent; avoids circular
     imports at module-load time — they import ``register`` from here)."""
+    from . import queries_extra  # noqa: F401
     from . import queries_llm  # noqa: F401
     from . import queries_streaming  # noqa: F401

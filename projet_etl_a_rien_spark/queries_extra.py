@@ -1,0 +1,137 @@
+"""Additional relational-surface registrations: pivot, cube, grouping
+sets (via the SQL entry point), ordered-arg aggregates, approximate
+distinct — completing the generalized analytics surface of SURVEY.md
+§2.10 beyond what queries.py covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.exactmath import sum_money
+from .queries import register
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+SELECT o_orderpriority,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS F,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS O,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Pivot (explicit value list → conditional aggregation); absent cells coalesced to 0.",
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "cube_returnflag_status",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE super-aggregates (all 4 grouping sets).",
+)
+def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), sum_money("l_extendedprice").alias("sum_price")
+    )
+
+
+@register(
+    "sql_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+    doc="Explicit GROUPING SETS through the engine's SQL entry point (spark.sql over temp views).",
+)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "nation_customer_extremes",
+    """
+SELECT c_nationkey,
+       arg_max(c_name, c_custkey) AS last_customer,
+       arg_min(c_name, c_custkey) AS first_customer,
+       MAX(c_acctbal) AS max_acctbal
+FROM customer
+GROUP BY c_nationkey
+""",
+    doc="Ordered-argument aggregates max_by/min_by (↔ arg_max/arg_min) on a unique key.",
+)
+def q_nation_customer_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_custkey").alias("last_customer"),
+        F.min_by("c_name", "c_custkey").alias("first_customer"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    None,  # HLL sketch values are engine-specific → rows-only check
+    doc="approx_count_distinct (HLL): the 100 TB substitute for exact distinct over wide key sets (SURVEY.md §4.2).",
+)
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+    )
+
+
+@register(
+    "orders_lag_lead_gap",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(EXTRACT(EPOCH FROM o_orderdate
+            - LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)) AS BIGINT)
+         AS gap_seconds
+FROM orders
+""",
+    doc="lag/lead analytic windows: inter-order gap per customer in seconds.",
+)
+def q_orders_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # unix_micros needs TIMESTAMP; the ntz→ts cast is exact because the
+    # session timezone is pinned UTC (session.RUNTIME_CONFS).
+    as_ts = F.col("o_orderdate").cast("timestamp")
+    prev = F.lag(as_ts).over(w)
+    gap = (F.unix_micros(as_ts) - F.unix_micros(prev)) / F.lit(1_000_000)
+    return o.select(
+        "o_custkey", "o_orderkey", gap.cast("long").alias("gap_seconds")
+    )
