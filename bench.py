@@ -2,7 +2,11 @@
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is timed end-to-end
-(plan + execute + collect-to-count) on a warmed session.
+(plan + execute + full-projection materialization) on a warmed session.
+The materializing action is a ``noop``-format write, not ``count()`` —
+under count() Catalyst prunes every unused projection, which under-measures
+narrow per-row queries (doc_quality_score, multimodal_byte_features); the
+noop sink executes the complete plan and discards rows executor-side.
 """
 
 from __future__ import annotations
@@ -55,9 +59,8 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -99,14 +99,38 @@ def q_nation_customer_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    None,  # HLL sketch values are engine-specific → rows-only check
-    doc="approx_count_distinct (HLL): the 100 TB substitute for exact distinct over wide key sets (SURVEY.md §4.2).",
+    """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+       TRUE AS parts_within_5pct,
+       TRUE AS suppliers_within_5pct
+FROM lineitem
+""",
+    doc="approx_count_distinct (HLL): the 100 TB substitute for exact distinct "
+    "(SURVEY.md §4.2). HLL sketches are engine-specific, so the cross-engine "
+    "contract is an error-bound assertion: the query runs the HLL estimate AND "
+    "the exact count, returning the exact counts plus within-5%% booleans; the "
+    "oracle asserts the booleans are TRUE. The hash still fails if Spark's "
+    "estimate drifts outside the bound, so the sketch is genuinely exercised.",
 )
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+
+    def within(approx: str, exact: str):
+        a, e = F.col(approx).cast("double"), F.col(exact)
+        return F.abs(a - e) / e <= 0.05
+
+    agg = li.agg(
+        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+        F.count_distinct(F.col("l_suppkey")).alias("exact_suppliers"),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.approx_count_distinct("l_suppkey").alias("_as"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_suppliers",
+        within("_ap", "exact_parts").alias("parts_within_5pct"),
+        within("_as", "exact_suppliers").alias("suppliers_within_5pct"),
     )
 
 
