@@ -260,33 +260,59 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash over distinct tokens (xxhash64 token hashes).
+    """64-bit SimHash over distinct tokens — engine-portable, single fold.
 
-    For each bit b: sum over tokens of ±1 by bit value; fingerprint bit =
-    sign of the sum. Pure column math via higher-order functions; uses
-    engine-native xxhash64, so near-dup detection is in-engine only (no
-    cross-engine oracle — the driver records a rows-only check).
+    Token hash = first 16 hex digits of md5 (64 bits), so any engine
+    computes the identical fingerprint (the DuckDB oracle replicates the
+    whole construction digit-by-digit). Classic SimHash: for each bit b,
+    sum ±1 votes over tokens by the token-hash bit; fingerprint bit b =
+    sign of the vote.
+
+    One pass over the token array: each token expands to a 64-element
+    0/1 bit vector (LSB-first; nibble = hex digit via ``conv``), and a
+    single ``aggregate`` folds them into an array of 64 vote counters
+    with ``zip_with`` adds — not 64 separate folds, which would build a
+    codegen-hostile expression tree and traverse the array 64 times.
     """
     toks = F.array_distinct(tokens(col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def bit_vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def bitvec(t: Column) -> Column:
+        h = F.md5(t)
+        # hex digits read right-to-left (pos 16..1) = LSB nibble first
+        digits = F.transform(
+            F.sequence(F.lit(16), F.lit(1), F.lit(-1)),
+            lambda p: F.conv(F.substr(h, p, F.lit(1)), 16, 10).cast("int"),
+        )
+        return F.flatten(
+            F.transform(
+                digits,
+                lambda d: F.array(
+                    d % 2,
+                    F.shiftright(d, 1) % 2,
+                    F.shiftright(d, 2) % 2,
+                    F.shiftright(d, 3) % 2,
+                ),
+            )
+        )
 
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        votes = F.aggregate(hashes, F.lit(0), bit_vote(b))
-        if b < 63:
-            out = out + F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
+    votes = F.aggregate(
+        F.transform(toks, bitvec),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, bv: F.zip_with(acc, bv, lambda a, x: a + x * 2 - 1),
+    )
+    # Reassemble the signed 64-bit fingerprint: +2^b per positive-vote bit,
+    # the sign bit as the negative two's-complement term. pow(2.0, b) is a
+    # power of two — exactly representable as a double, exact long cast.
+    terms = F.zip_with(
+        votes,
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda v, b: F.when(v <= 0, F.lit(0).cast("long")).otherwise(
+            F.when(b == 63, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.pow(F.lit(2.0), b.cast("double")).cast("long")
             )
-        else:  # sign bit: long min, added as the negative two's-complement term
-            out = out + F.when(votes > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-    return out
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash_near_dup_pairs(
@@ -294,23 +320,50 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    block_col: str | None = "source",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance within a block.
+    """Near-dup pairs by SimHash Hamming distance — chunk-banded LSH.
 
-    The scale path replaces blocking with the standard rotate-and-sort
-    multi-index; here block-join + bit_count keeps it declarative.
+    The 64-bit fingerprint splits into 4 chunks of 16 bits; by pigeonhole,
+    any pair with Hamming distance <= 3 agrees on at least one full chunk,
+    so the equality join on (chunk_index, chunk_value) has guaranteed
+    recall for ``max_hamming`` <= 3 — no blocking column, no O(n²) pairs.
+    This is the standard multi-index for Hamming-space dedup (the
+    practical form of the rotate-and-sort index); shuffle volume is 4
+    narrow rows per doc, independent of document length. Candidates are
+    verified with exact ``bit_count(xor)``.
     """
-    base = df.select(
-        F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"),
-        F.col(id_col).alias("id"),
-        simhash64(text_col).alias("sh"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par)
+        .select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+        .persist()
     )
-    l, r = base.alias("l"), base.alias("r")
+    chunks = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        # arithmetic shift sign-extends, but the low 16 bits
+                        # of the shifted value are fill-independent once masked
+                        F.shiftright(F.col("sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(
             r,
-            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")),
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.id") < F.col("r.id")),
         )
         .select(
             F.col("l.id").alias("id_a"),
@@ -318,4 +371,5 @@ def simhash_near_dup_pairs(
             F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may agree on several chunks; hamming is pair-determined
     )

@@ -258,8 +258,47 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_dup_pairs",
-    None,  # engine-native xxhash64 → no cross-engine oracle; rows-only check
-    doc="SimHash-64 near-dup pairs (Hamming <= 3) within source blocks.",
+    f"""
+WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+    FROM docs_dup
+),
+bits AS (
+    -- bit b of the md5-prefix 64-bit token hash: hex digit (b//4) from the
+    -- right = position 16 - b//4 from the left, then bit (b%4) of the digit
+    SELECT doc_id, bb.b,
+           ((strpos('0123456789abcdef', substr(md5(t), 16 - (bb.b // 4), 1)) - 1)
+             >> (bb.b % 4)) & 1 AS bit
+    FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+),
+votes AS (
+    SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+    FROM bits GROUP BY doc_id, b
+),
+fp AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN
+                  CASE WHEN b = 63 THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+                ELSE 0 END) AS BIGINT) AS sh
+    FROM votes GROUP BY doc_id
+),
+chunks AS (
+    SELECT doc_id, sh, ii.i AS ci,
+           (sh >> CAST(16 * ii.i AS INTEGER)) & 65535 AS cv
+    FROM fp CROSS JOIN (SELECT unnest(range(4)) AS i) ii
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+FROM chunks l JOIN chunks r
+  ON l.ci = r.ci AND l.cv = r.cv AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sh, r.sh)) <= 3
+""",
+    doc="SimHash-64 near-dup pairs (Hamming <= 3) via 4x16-bit chunk-banded "
+    "LSH (pigeonhole-guaranteed recall, no blocking column); md5-derived "
+    "portable token hashes — the oracle replicates the full construction "
+    "bit-for-bit.",
 )
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(documents_with_dups(spark, sf_dir))
