@@ -20,11 +20,17 @@ read-back verify. Differences from the reference, by design (SURVEY.md
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.airports import airport_stats, clean_coords, parse_json_messages
+from .operators.airports import (
+    AIRPORT_SCHEMA_PERMISSIVE,
+    airport_stats,
+    clean_coords,
+    parse_json_messages,
+)
 
 
 @dataclass
@@ -33,6 +39,7 @@ class PipelineResult:
     clean_count: int
     stats: DataFrame
     verified_count: int
+    readback: Optional[DataFrame] = None  # the sink's own scan (verify leg)
 
 
 def airports_batch_pipeline(
@@ -51,7 +58,43 @@ def airports_batch_pipeline(
         stats = airport_stats(clean)  # (ref :67-74)
         clean.write.mode("overwrite").parquet(sink_path)  # (ref :77-86, K1)
         # read-your-writes verification through an independent scan (ref :91-101)
-        verified_count = spark.read.parquet(sink_path).count()
+        readback = spark.read.parquet(sink_path)
+        verified_count = readback.count()
     finally:
         clean.unpersist()
-    return PipelineResult(raw_count, clean_count, stats, verified_count)
+    return PipelineResult(raw_count, clean_count, stats, verified_count, readback)
+
+
+def airports_permissive_pipeline(
+    spark: SparkSession, messages: DataFrame, sink_path: str
+) -> PipelineResult:
+    """Variant-B full pipeline: typed-at-parse, NO cleaning step.
+
+    The reference's second batch job
+    (``/root/reference/spark-jars/spark_airports_final.py:75-84``) writes
+    the *unclean* parsed rows to the sink — malformed coordinates become
+    silent field-level nulls in ``from_json`` and pass straight through
+    (SURVEY.md §2.11, documented permissive mode). Stats use variant-B's
+    ``icao`` distinct key over the raw ``lat``/``lon`` columns, and the
+    read-back verify leg (ref ``:86-98``) is preserved.
+    """
+    raw_count = messages.count()  # guard action (ref :31-34)
+    parsed = parse_json_messages(messages, schema=AIRPORT_SCHEMA_PERMISSIVE)
+    if raw_count == 0:
+        empty_stats = airport_stats(
+            parsed, distinct_key="icao", lat_col="lat", lon_col="lon"
+        )
+        return PipelineResult(0, 0, empty_stats, 0)
+
+    parsed.persist()
+    try:
+        parsed_count = parsed.count()
+        stats = airport_stats(
+            parsed, distinct_key="icao", lat_col="lat", lon_col="lon"
+        )
+        parsed.write.mode("overwrite").parquet(sink_path)  # unclean rows (ref :75-84)
+        readback = spark.read.parquet(sink_path)
+        verified_count = readback.count()
+    finally:
+        parsed.unpersist()
+    return PipelineResult(raw_count, parsed_count, stats, verified_count, readback)

@@ -140,6 +140,29 @@ def q_airports_stats_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "airports_permissive_roundtrip",
+    f"""
+WITH {AIRPORTS_MESSAGES_NUMERIC_ORACLE_CTE}
+SELECT id, name, icao, lat, lon FROM airports_msgs_num
+""",
+    doc="Variant-B FULL pipeline parity: unclean typed-at-parse rows written "
+    "to the sink and read back through its own scan (ref spark-jars/"
+    "spark_airports_final.py:75-98) — row-level check that silent "
+    "field-level nulls survive the write/read roundtrip untouched.",
+)
+def q_airports_permissive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .pipelines import airports_permissive_pipeline
+
+    msgs = airports_messages_numeric(spark, sf_dir)
+    # fixed per-process sink path + overwrite mode → idempotent, no growth
+    sink = os.path.join(tempfile.gettempdir(), "etl_permissive_sink")
+    return airports_permissive_pipeline(spark, msgs, sink).readback
+
+
 # --------------------------------------------------------------------------
 # 2. Generalized relational analytics (SURVEY.md §2.10 / §7 step 2)
 # --------------------------------------------------------------------------

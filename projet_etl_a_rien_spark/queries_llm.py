@@ -373,12 +373,22 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_byte_features",
+    # Byte-wise, not codepoint-wise: head/tail bytes come from the hex dump
+    # of the UTF-8 encoding (ascii() would return a codepoint, diverging
+    # from Spark's byte view on any non-ASCII document), with the Spark
+    # side's -1 empty-payload sentinel mirrored.
     """
-SELECT doc_id,
-       octet_length(encode(text)) AS byte_len,
-       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
-       CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS tail_byte
-FROM documents
+WITH hx AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                   hex(encode(text)) AS h
+            FROM documents)
+SELECT doc_id, byte_len,
+       CASE WHEN byte_len = 0 THEN -1
+            ELSE (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) END AS head_byte,
+       CASE WHEN byte_len = 0 THEN -1
+            ELSE (strpos('0123456789ABCDEF', substr(h, length(h) - 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(h, length(h), 1)) - 1) END AS tail_byte
+FROM hx
 """,
     doc="Multimodal plumbing proof: binary payload → Arrow-batched mapInPandas features; oracle verifies byte-exact round-trip.",
 )

@@ -60,6 +60,33 @@ def q_streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_watermarked_append",
+    """
+WITH m AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events, m
+GROUP BY 1, 2, m.wm
+HAVING window_end <= m.wm
+""",
+    doc="Production streaming shape: watermarked tumbling windows in APPEND "
+    "mode — each window emitted exactly once when the watermark (max event "
+    "time - 2h) passes its end; the unfinalized tail is withheld. This is "
+    "the reference's streaming defect (no watermark/checkpoint, "
+    "spark_kafka_direct.py:43-44, SURVEY.md §4.2) actually fixed; the "
+    "oracle encodes the emission rule window_end <= max(ts) - delay, "
+    "verified against Spark's eviction semantics.",
+)
+def q_streaming_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = replay_events_stream(spark, sf_dir)
+    return run_bounded(
+        tumbling_counts(ev, "1 hour", watermark="2 hours"), mode="append"
+    )
+
+
+@register(
     "streaming_sliding_windows",
     """
 SELECT window_start, COUNT(*) AS n_events

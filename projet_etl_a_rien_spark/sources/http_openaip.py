@@ -23,6 +23,7 @@ import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..observability import observed_edge
 from ..operators.airports import ingest_openaip_response
 
 OPENAIP_URL = "https://api.core.openaip.net/api/airports"
@@ -43,4 +44,6 @@ def fetch_openaip(
         ) from e
     json.loads(body)  # fail fast on non-JSON before shipping to executors
     responses = spark.createDataFrame([(body,)], "json string")
-    return ingest_openaip_response(responses)
+    # N6 LogAttribute equivalent: passive row/null metrics on the edge
+    out, _ = observed_edge(ingest_openaip_response(responses), "openaip_ingest")
+    return out

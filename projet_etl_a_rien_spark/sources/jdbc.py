@@ -48,6 +48,13 @@ def jdbc_source(
         .option("driver", driver)
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach Spark's JDBC reader as the literal
+            # 'None' and fail with an opaque parse error — reject here.
+            raise ValueError(
+                "partition_column requires explicit lower_bound and "
+                "upper_bound (and ideally num_partitions) for parallel reads"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

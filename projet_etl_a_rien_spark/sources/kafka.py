@@ -24,6 +24,17 @@ _MISSING = (
 )
 
 
+def _raise_if_classpath_error(e: Exception) -> None:
+    """Rewrap ONLY the missing-connector failure; let real connectivity /
+    auth / topic errors propagate unmodified (they would otherwise be
+    misdiagnosed as 'jar absent'). Streaming reads mostly fail lazily at
+    query start, so this guard fires on the classpath lookup itself."""
+    msg = str(e)
+    if "Failed to find data source" in msg or "ClassNotFoundException" in msg:
+        raise RuntimeError(_MISSING) from e
+    raise e
+
+
 def _reader(spark: SparkSession, streaming: bool):
     return spark.readStream if streaming else spark.read
 
@@ -50,7 +61,7 @@ def kafka_source(
             .load()
         )
     except Exception as e:  # connector jar absent in this sandbox
-        raise RuntimeError(_MISSING) from e
+        _raise_if_classpath_error(e)
 
 
 def decode_values(df: DataFrame) -> DataFrame:
@@ -80,4 +91,4 @@ def kafka_sink(
             .save()
         )
     except Exception as e:
-        raise RuntimeError(_MISSING) from e
+        _raise_if_classpath_error(e)

@@ -26,8 +26,8 @@ no-checkpoint in-memory state is documented as a defect, SURVEY.md §4.2).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
-from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,8 +38,6 @@ EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint,"
     " event_type string, value double, props string"
 )
-
-_REPLAY_IDS = count()
 
 
 def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,19 +55,48 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_bounded(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation over the bounded replay and return
-    the final result as a batch DataFrame (memory sink, availableNow)."""
+    the final result as a batch DataFrame (memory sink, availableNow).
+
+    Resource discipline for long-lived sessions (bench loops, repeated
+    oracle checks): the checkpoint dir is deleted once the query
+    terminates (the bounded result needs no recovery), and the memory
+    sink reuses one table name per output mode, so re-registration
+    releases the previous run's sink rows instead of accumulating a new
+    table per call.
+    """
     spark = stream_df.sparkSession
-    name = f"replay_result_{next(_REPLAY_IDS)}"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    name = f"replay_result_{mode}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def run_console(stream_df: DataFrame, mode: str = "complete", bounded: bool = True):
+    """Literal K2 form: console sink in complete mode
+    (ref ``spark_kafka_direct.py:35-40``). ``bounded=True`` adds an
+    availableNow trigger so replay tests terminate; the reference's
+    unbounded form is ``bounded=False`` + ``awaitTermination(timeout)``.
+    Unlike the reference, a checkpoint is always set (SURVEY.md §4.2)."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt_console_")
+    writer = (
+        stream_df.writeStream.format("console")
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+    )
+    if bounded:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def streaming_global_count(events: DataFrame) -> DataFrame:
@@ -80,8 +107,21 @@ def streaming_global_count(events: DataFrame) -> DataFrame:
 def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str | None = None
 ) -> DataFrame:
-    """Tumbling event-time window counts + exact-cents value sum."""
-    src = events.withWatermark("ts", watermark) if watermark else events
+    """Tumbling event-time window counts + exact-cents value sum.
+
+    With ``watermark`` set this is the production append-mode shape: late
+    events beyond the delay are dropped and windows are emitted exactly
+    once, when the watermark passes their end. Spark watermarks require
+    TIMESTAMP (not TIMESTAMP_NTZ); the session timezone is pinned UTC
+    (session.RUNTIME_CONFS) so the cast is wall-clock exact, and the
+    window bounds are cast back to ntz for schema parity with the
+    non-watermarked variant.
+    """
+    src = events
+    if watermark:
+        src = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
     return (
         src.groupBy(F.window("ts", width).alias("w"))
         .agg(
@@ -91,8 +131,8 @@ def tumbling_counts(
             ),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
             "n_events",
             "sum_value",
         )

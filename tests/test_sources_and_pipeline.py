@@ -4,12 +4,17 @@ from __future__ import annotations
 
 import pytest
 
-from projet_etl_a_rien_spark.fixtures import airports_messages
-from projet_etl_a_rien_spark.pipelines import airports_batch_pipeline
-from projet_etl_a_rien_spark.sources import files, kafka
+from projet_etl_a_rien_spark.fixtures import airports_messages, airports_messages_numeric
+from projet_etl_a_rien_spark.observability import observed_edge
+from projet_etl_a_rien_spark.pipelines import (
+    airports_batch_pipeline,
+    airports_permissive_pipeline,
+)
+from projet_etl_a_rien_spark.sources import files, jdbc, kafka
 from projet_etl_a_rien_spark.streaming.windows import (
     replay_events_stream,
     run_bounded,
+    run_console,
     streaming_global_count,
 )
 
@@ -65,3 +70,35 @@ def test_airports_batch_pipeline_empty_guard(spark, tmp_path):
 def test_streaming_replay_global_count(spark, sf_dir):
     out = run_bounded(streaming_global_count(replay_events_stream(spark, sf_dir)))
     assert out.collect()[0].n_events == 1000
+
+
+def test_airports_permissive_pipeline_keeps_unclean_rows(spark, sf_dir, tmp_path):
+    msgs = airports_messages_numeric(spark, sf_dir)
+    res = airports_permissive_pipeline(spark, msgs, str(tmp_path / "permissive"))
+    # variant B writes EVERY parsed row — silent nulls included, nothing dropped
+    assert res.clean_count == res.raw_count
+    assert res.verified_count == res.raw_count
+    back = res.readback
+    assert back.where("lat IS NULL").count() > 0  # the silent nulls survived
+    assert set(back.columns) == {"id", "name", "icao", "lat", "lon"}
+
+
+def test_jdbc_partition_bounds_validated(spark):
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc.jdbc_source(
+            spark, "jdbc:postgresql://x/db", "t", "u", "p", partition_column="id"
+        )
+
+
+def test_observed_edge_metrics(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, s string")
+    instrumented, obs = observed_edge(df, "test_edge")
+    assert instrumented.count() == 2
+    m = obs.get
+    assert m["rows"] == 2 and m["null_s"] == 1 and m["null_id"] == 0
+
+
+def test_console_sink_bounded_run(spark, sf_dir):
+    q = run_console(streaming_global_count(replay_events_stream(spark, sf_dir)))
+    q.awaitTermination()
+    assert not q.isActive

@@ -28,7 +28,18 @@ def normalize(rows, colnames):
     for row in rows:
         out.append(tuple(row[i] for i in order))
     def key(t):
-        return tuple("\x00" if v is None else str(v) for v in t)
+        # Floats sort on a rounded form: two cells equal within the compare
+        # tolerance must land in the same sort position on both engines, or
+        # the pairwise diff walks misaligned rows.
+        parts = []
+        for v in t:
+            if v is None:
+                parts.append("\x00")
+            elif isinstance(v, float):
+                parts.append(f"{v:.9g}")
+            else:
+                parts.append(str(v))
+        return tuple(parts)
     return sorted(out, key=key), [colnames[i] for i in order]
 
 
