@@ -104,6 +104,201 @@ def cosine_topk_partition_pruned(
     return sim.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def quantize(vec: Column | str, scale: int = 100_000) -> Column:
+    """Embedding quantized to an integer grid (``round(x*scale)`` per
+    element). All k-means arithmetic happens on this grid in exact int64,
+    so cluster assignments are bit-identical across engines and partition
+    orders — float-sum nondeterminism never enters the control path."""
+    return F.transform(as_double(vec), lambda x: F.round(x * scale).cast("long"))
+
+
+def _sq_dist(q: Column, centroid: list[int]) -> Column:
+    """Exact integer squared distance to a literal centroid."""
+    m = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(q, m, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(q_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """argmin over literal centroids; ties break to the smallest cluster id
+    via array_min over (dist, cluster) structs (lexicographic order)."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_dist(F.col("q"), m).alias("d"), F.lit(c).alias("c"))
+            for c, m in enumerate(centroids)
+        ]
+    )
+    return q_df.select("id", "q", F.array_min(pairs)["c"].alias("cluster"))
+
+
+def _round_half_away(x: float) -> int:
+    # Spark ROUND / DuckDB round() semantics (half away from zero);
+    # Python's built-in round is banker's and would diverge on exact .5
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means assignment — the missing half of IVF.
+
+    Produces the inverted-list id (``cluster``) that
+    ``cosine_topk_partition_pruned`` assumes pre-exists; at scale the
+    table is then partitioned/bucketed by it. DataFrame-only per
+    iteration: broadcast literal centroids → exact-int argmin →
+    driver-side mean update (k×dim longs — the only data that ever
+    reaches the driver, exactly like MLlib's aggregate step).
+
+    Determinism contract (the DuckDB oracle replicates it exactly):
+    seed = the k vectors with smallest id, cluster c = rank order;
+    centroid update = elementwise ``round(sum/n)`` back onto the integer
+    grid (sums are exact int64, the single division is one deterministic
+    double op); ties in argmin break to the smallest cluster id.
+    """
+    q_all = df.select(
+        F.col(id_col).alias("id"), quantize(vec_col, scale).alias("q")
+    ).persist()
+    seed_rows = q_all.orderBy("id").limit(k).collect()
+    centroids = [list(r.q) for r in seed_rows]
+
+    for _ in range(iters):
+        assigned = _assign(q_all, centroids)
+        stats = (
+            assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = (r.s, r.n)
+        centroids = [
+            [
+                _round_half_away(sn[pos][0] / sn[pos][1])
+                for pos in range(len(centroids[c]))
+            ]
+            if (sn := by_cluster.get(c))
+            else centroids[c]  # empty cluster keeps its previous centroid
+            for c in range(k)
+        ]
+
+    return _assign(q_all, centroids).select(
+        F.col("id").alias(id_col), "cluster"
+    )
+
+
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplane matrix (md5-derived).
+
+    Computed driver-side with hashlib — engine-independent by
+    construction: the same literals are embedded in the Spark plan and in
+    the SQL oracle text, so there is nothing to keep in sync."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{j}:{i}".encode()).digest()[0] & 1 else -1
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def embedding_lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 18,
+    band_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+    dim: int = 64,
+) -> DataFrame:
+    """UNBLOCKED near-dup pairs via random-hyperplane LSH.
+
+    The scale path ``embedding_near_dup_pairs`` deliberately defers to:
+    no blocking column, no O(n²) join. Each vector gets an ``n_planes``-bit
+    sketch (bit j = sign of the dot product with hyperplane j); sketches
+    are banded and candidates share a full band, then verified with exact
+    cosine. Standard SimHash-for-cosine recall semantics: a pair at angle
+    θ matches one band with prob (1-θ/π)^band_bits.
+
+    Dot products run on the integer-quantized grid (exact int64, order
+    independent), so sketch bits — the control path — are bit-identical
+    across engines; only the verify cosine is float, and it is rounded.
+    Shuffle volume: n_bands narrow rows per vector.
+    """
+    signs = hyperplane_signs(n_planes, dim)
+    n_bands = n_planes // band_bits
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par).select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("vec"),
+        quantize(vec_col, scale).alias("q"),
+    )
+
+    def plane_bit(row: list[int]) -> Column:
+        dot_q = F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(s) for s in row]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (dot_q > 0).cast("int")
+
+    sketch = sum(
+        (plane_bit(row) * F.lit(1 << j) for j, row in enumerate(signs)),
+        F.lit(0),
+    )
+    sk = base.select("id", "vec", sketch.alias("sketch"))
+    bands = sk.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sketch"), band_bits * b)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "vec", F.col("c.band").alias("band"), F.col("c.bv").alias("bv"))
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()  # a pair may collide in several bands
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

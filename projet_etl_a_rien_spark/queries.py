@@ -597,4 +597,5 @@ def _load_extensions() -> None:
     imports at module-load time — they import ``register`` from here)."""
     from . import queries_extra  # noqa: F401
     from . import queries_llm  # noqa: F401
+    from . import queries_relational  # noqa: F401
     from . import queries_streaming  # noqa: F401

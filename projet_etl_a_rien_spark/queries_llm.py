@@ -368,6 +368,165 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DIM = 64
+QUANT_SCALE = 100_000  # embedding → integer grid (see similarity.quantize)
+
+LSH_PLANES = 18
+LSH_BAND_BITS = 6
+LSH_THRESHOLD = 0.4
+
+
+def _lsh_oracle() -> str:
+    signs = similarity.hyperplane_signs(LSH_PLANES, _EMB_DIM)
+    n_bands = LSH_PLANES // LSH_BAND_BITS
+    mask = (1 << LSH_BAND_BITS) - 1
+    bit_terms = " + ".join(
+        "(CASE WHEN CAST(list_sum(list_transform(range(1, {d}), "
+        "i -> q[i] * ({s}::BIGINT[])[i])) AS BIGINT) > 0 "
+        "THEN {w} ELSE 0 END)".format(d=_EMB_DIM + 1, s=row, w=1 << j)
+        for j, row in enumerate(signs)
+    )
+    cos = (
+        "list_dot_product(l.vec, r.vec)"
+        " / (sqrt(list_dot_product(l.vec, l.vec)) * sqrt(list_dot_product(r.vec, r.vec)))"
+    )
+    return f"""
+WITH b0 AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x * {QUANT_SCALE}) AS BIGINT)) AS q
+    FROM embeddings
+),
+sk AS (SELECT id, vec, {bit_terms} AS sketch FROM b0),
+bands AS (
+    SELECT id, vec, bb.b AS band,
+           (sketch >> CAST({LSH_BAND_BITS} * bb.b AS INTEGER)) & {mask} AS bv
+    FROM sk CROSS JOIN (SELECT unnest(range({n_bands})) AS b) bb
+)
+SELECT DISTINCT l.id AS id_a, r.id AS id_b, ROUND({cos}, 6) AS cos_sim
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+WHERE ROUND({cos}, 6) >= {LSH_THRESHOLD}
+"""
+
+
+@register(
+    "embedding_lsh_near_dup_pairs",
+    _lsh_oracle(),
+    doc="UNBLOCKED embedding near-dup via random-hyperplane LSH (18 planes, "
+    "3x6-bit bands): sketch bits computed on the integer grid (exact "
+    "cross-engine), candidates banded, exact-cosine verified. Closes the "
+    "case embedding_near_dup_pairs defers to blocking for.",
+)
+def q_embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=LSH_THRESHOLD,
+        n_planes=LSH_PLANES,
+        band_bits=LSH_BAND_BITS,
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_SCALE = QUANT_SCALE
+
+
+def _kmeans_oracle_cte(k: int, iters: int, scale: int, dim: int) -> tuple[str, str]:
+    """DuckDB CTE chain replicating operators.similarity.kmeans_assign
+    exactly: integer-grid quantization, min-id seeds, exact-int argmin
+    with smallest-cluster tie-break, round(sum/n) centroid updates.
+    Returns (cte_sql, final_assignment_cte_name)."""
+    rng = f"range(1, {dim + 1})"
+    parts = [
+        f"""q AS (SELECT vec_id AS id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {scale}) AS BIGINT)) AS q
+      FROM embeddings)""",
+        f"""c0 AS (SELECT rn - 1 AS c, q AS m
+       FROM (SELECT q, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM q)
+       WHERE rn <= {k})""",
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"""a{t + 1} AS (SELECT id, q, c AS cluster FROM (
+         SELECT q.id, q.q, c{t}.c,
+                CAST(list_sum(list_transform({rng},
+                     i -> (q.q[i] - c{t}.m[i]) * (q.q[i] - c{t}.m[i]))) AS BIGINT) AS dist
+         FROM q CROSS JOIN c{t})
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, c) = 1)"""
+        )
+        if t == iters:
+            break
+        parts.append(
+            f"""u{t + 1} AS (SELECT cluster AS c,
+              list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS m
+       FROM (SELECT cluster, pp.i AS pos, SUM(q[pp.i]) AS s, COUNT(*) AS n
+             FROM a{t + 1} CROSS JOIN (SELECT unnest({rng}) AS i) pp
+             GROUP BY cluster, pp.i)
+       GROUP BY cluster)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS (SELECT c{t}.c, COALESCE(u{t + 1}.m, c{t}.m) AS m
+       FROM c{t} LEFT JOIN u{t + 1} ON c{t}.c = u{t + 1}.c)"""
+        )
+    return ",\n".join(parts), f"a{iters + 1}"
+
+
+_KM_CTE, _KM_FINAL = _kmeans_oracle_cte(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE, _EMB_DIM)
+
+
+@register(
+    "embedding_kmeans_assign",
+    f"""
+WITH {_KM_CTE}
+SELECT id AS vec_id, cluster FROM {_KM_FINAL}
+""",
+    doc="Deterministic quantized Lloyd's k-means (k=8, 2 iterations): the "
+    "IVF index-build half that embedding_ann_pruned_topk previously assumed "
+    "pre-existed. Integer-grid arithmetic end to end, so the DuckDB oracle "
+    "reproduces every assignment bit-for-bit.",
+)
+def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        scale=KMEANS_SCALE,
+    )
+
+
+@register(
+    "embedding_ann_kmeans_topk",
+    f"""
+WITH {_KM_CTE},
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 7),
+qc AS (SELECT cluster FROM {_KM_FINAL} WHERE id = 7),
+b AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec
+      FROM embeddings e
+      JOIN {_KM_FINAL} af ON e.vec_id = af.id
+      JOIN qc ON af.cluster = qc.cluster
+      WHERE e.vec_id != 7)
+SELECT b.vec_id, ROUND({_COS}, 6) AS cos_sim
+FROM b, qv q
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 10
+""",
+    doc="End-to-end IVF ANN: k-means builds the inverted lists, the search "
+    "prunes to the query's cell, exact cosine top-k inside it — the full "
+    "index-build + search path with a bit-exact cross-engine oracle.",
+)
+def q_embedding_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+    with_cells = emb.join(assign, "vec_id")
+    return similarity.cosine_topk_partition_pruned(
+        with_cells, query_id=7, k=10, list_col="cluster"
+    )
+
+
 # ---------------------------------------------------------- multimodal ----
 
 

@@ -129,6 +129,16 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs == {(0, 1)}  # (0,3) blocked by label; (0,4) anti-parallel
 
 
+def test_kmeans_assign_separates_directions(spark):
+    df = _vectors(spark)
+    got = {r.vec_id: r.cluster for r in similarity.kmeans_assign(df, k=2, iters=2).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert all(0 <= c < 2 for c in got.values())
+    # colinear vectors land together; the anti-parallel one lands elsewhere
+    assert got[0] == got[3]
+    assert got[0] != got[4]
+
+
 def test_multimodal_byte_features(spark):
     df = _docs(spark, DOCS)
     feats = {
