@@ -73,6 +73,52 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), " +", " "))
 
 
+SUBWORD_PATTERN = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def subword_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: alphanumeric runs + individual punctuation
+    marks over lowercased text — the standard cheap proxy for subword
+    tokenizer counts when the real vocab isn't available. Same RE2/Java-
+    compatible pattern runs verbatim in the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(SUBWORD_PATTERN), F.lit(0))
+    ).cast("long")
+
+
+def winnow_fingerprints(
+    col: Column | str, k: int = 8, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (the rolling-hash fingerprint the
+    reference surface lists under text analysis): hash every character
+    k-gram (md5-prefix 32-bit value — engine-portable), slide a window of
+    w consecutive hashes, keep each window's minimum, dedupe and sort.
+    Standard plagiarism/near-copy signature (Schleimer et al., MOSS);
+    guarantees any shared substring of length >= k + w - 1 contributes a
+    shared fingerprint.
+
+    Pure column algebra, one pass per document; documents shorter than
+    k + w - 1 (no full window) yield an empty fingerprint set.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_grams = F.length(c) - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.substr(c, i, F.lit(k))
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substr(F.md5(g), F.lit(1), F.lit(8)), 16, 10).cast("long"),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), n_grams - w + 1),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return F.when(
+        F.length(c) >= k + w - 1, F.array_sort(F.array_distinct(mins))
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features, one narrow projection.
 

@@ -133,6 +133,69 @@ def q_token_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_subword_token_stats",
+    f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{text.SUBWORD_PATTERN}')) AS BIGINT) AS n_subword_tokens
+FROM documents
+""",
+    doc="BPE-ish regex token counting (alnum runs + punctuation marks) next "
+    "to the whitespace count — the cheap subword-cost estimate a training "
+    "pipeline budgets with; identical RE2/Java-compatible pattern both sides.",
+)
+def q_doc_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_ws_tokens"),
+        text.subword_token_count("text").alias("n_subword_tokens"),
+    )
+
+
+WINNOW_K = 8
+WINNOW_W = 4
+# 32-bit value of the first 8 hex digits of md5(<g>) — portable rolling hash
+_H32 = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5({{g}}), {p}, 1)) - 1) * {16 ** (8 - p)}"
+    for p in range(1, 9)
+) + ")"
+
+
+@register(
+    "doc_winnow_fingerprints",
+    f"""
+WITH pos AS (
+    SELECT doc_id, text, unnest(range(1, length(text) - {WINNOW_K} + 2)) AS i
+    FROM documents WHERE length(text) >= {WINNOW_K}
+),
+g AS (SELECT doc_id, i, {_H32.format(g=f"substr(text, i, {WINNOW_K})")} AS h FROM pos),
+wm AS (
+    SELECT doc_id, i,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS m,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n
+    FROM g
+),
+f AS (SELECT doc_id, list_sort(list_distinct(list(m))) AS fingerprints
+      FROM wm WHERE i <= n - {WINNOW_W} + 1 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(f.fingerprints, []) AS fingerprints
+FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+""",
+    doc="Winnowing rolling-hash document fingerprints (MOSS construction: "
+    "char 8-gram md5-prefix hashes, window-4 minima, dedupe+sort) — any "
+    "shared substring of length >= 11 yields a shared fingerprint. Full "
+    "per-document fingerprint arrays compared against the oracle.",
+)
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.winnow_fingerprints("text", k=WINNOW_K, w=WINNOW_W).alias("fingerprints"),
+    )
+
+
 # -------------------------------------------------------------- dedup ----
 
 

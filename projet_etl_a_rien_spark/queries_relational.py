@@ -307,6 +307,31 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_segment_revenue",
+    """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Skew-salted join (operators/joins.py): the orders->customer join "
+    "run through an 8-way salt — hot keys spread over 8 reducers, right "
+    "side replicated 8x. The oracle is the PLAIN join: result must be "
+    "invariant to the physical salting.",
+)
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, "o_custkey", "c_custkey", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        sum_money("o_totalprice").alias("sum_totalprice"),
+    )
+
+
+@register(
     "events_orders_asof",
     """
 WITH u AS (

@@ -129,6 +129,40 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs == {(0, 1)}  # (0,3) blocked by label; (0,4) anti-parallel
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    # two docs sharing a >= k+w-1 char substring must share a fingerprint;
+    # an unrelated doc shares none with either
+    rows = [
+        (1, "aaaa the quick brown fox jumped over zzzz"),
+        (2, "bbbb the quick brown fox jumped over yyyy"),
+        (3, "entirely different content with no overlap"),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.f)
+        for r in df.select("doc_id", text.winnow_fingerprints("text").alias("f")).collect()
+    }
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+    assert fps[4] == set()  # shorter than k+w-1 -> empty
+
+
+def test_salted_join_matches_plain_join(spark):
+    from projet_etl_a_rien_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z"), (3, "w")], "k long, v string")
+    right = spark.createDataFrame([(1, 10), (2, 20)], "rk long, p long")
+    got = sorted(
+        (r.k, r.v, r.p) for r in salted_join(left, right, "k", "rk", n_salt=4).collect()
+    )
+    exp = sorted(
+        (r.k, r.v, r.p)
+        for r in left.join(right, left.k == right.rk).collect()
+    )
+    assert got == exp
+
+
 def test_kmeans_assign_separates_directions(spark):
     df = _vectors(spark)
     got = {r.vec_id: r.cluster for r in similarity.kmeans_assign(df, k=2, iters=2).collect()}

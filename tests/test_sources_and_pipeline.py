@@ -30,9 +30,9 @@ def test_file_roundtrip_partitioned(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in one._jdf.queryExecution().toString() or one.count() > 0
 
 
-def test_csv_json_roundtrip(spark, tmp_path):
+def test_csv_json_orc_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         path = str(tmp_path / fmt)
         files.write(df, path, fmt=fmt, header="true")
         back = files.scan(spark, path, fmt=fmt, schema="id long, s string", header="true")
