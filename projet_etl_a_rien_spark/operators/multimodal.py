@@ -70,6 +70,46 @@ def byte_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    stride: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling: view the payload as fixed-size frames, emit every
+    ``stride``-th frame as its own row — the video-keyframe access shape
+    (decode only the frames you keep). Pure JVM column algebra: sequence
+    over sampled frame indices → explode → binary substring; frames are
+    emitted hex-encoded (cross-engine comparable) with their true frame
+    index. No Python, no shuffle — a narrow projection however large the
+    corpus.
+    """
+    c = F.col(payload_col)
+    n_frames = F.ceil(F.length(c) / F.lit(frame_bytes)).cast("long")
+    idx = df.select(
+        id_col,
+        c.alias("_payload"),
+        F.explode(
+            F.when(
+                n_frames > 0,
+                F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(stride).cast("long")),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("frame_no"),
+    )
+    return idx.select(
+        id_col,
+        "frame_no",
+        F.hex(
+            F.substr(
+                F.col("_payload"),
+                (F.col("frame_no") * frame_bytes + 1).cast("int"),
+                F.lit(frame_bytes),
+            )
+        ).alias("frame_hex"),
+    )
+
+
 # ------------------------------------------------------------------ stubs ----
 
 _DECODERS: dict[str, Callable[[bytes], Any]] = {}

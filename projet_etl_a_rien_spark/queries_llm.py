@@ -618,3 +618,31 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_features(
         multimodal.with_binary_payload(_docs(spark, sf_dir))
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n FROM documents),
+idx AS (
+    SELECT doc_id, hx,
+           unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT), 4)) AS frame_no
+    FROM p WHERE n > 0
+)
+-- DuckDB has no BLOB substring: slice the hex dump at 2x offsets instead
+-- (2 hex chars per byte) — byte-identical to Spark's binary substr + hex
+SELECT doc_id, frame_no,
+       substr(hx, CAST(frame_no * 32 + 1 AS INTEGER), 32) AS frame_hex
+FROM idx
+""",
+    doc="Frame sampling over binary payloads: every 4th 16-byte frame as its "
+    "own row, hex-encoded — the decode-only-what-you-keep keyframe access "
+    "shape, pure JVM projection (no Python, no shuffle); byte-exact oracle.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample(
+        multimodal.with_binary_payload(_docs(spark, sf_dir)),
+        frame_bytes=16,
+        stride=4,
+    )

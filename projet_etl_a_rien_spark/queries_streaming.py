@@ -13,12 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .catalog import load_table
 from .queries import register
 from .streaming.windows import (
     replay_events_stream,
     run_bounded,
     session_windows,
     sliding_counts,
+    stateful_user_totals,
     streaming_global_count,
     tumbling_counts,
 )
@@ -103,6 +105,45 @@ def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(
         sliding_counts(replay_events_stream(spark, sf_dir), "2 hours", "1 hour")
     )
+
+
+@register(
+    "streaming_static_join_segments",
+    """
+SELECT c.c_mktsegment, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Stream-static join: the replayed event stream enriched against the "
+    "static customer dimension (stateless, broadcast on the static side), "
+    "then a keyed streaming aggregation — the canonical streaming-enrichment "
+    "shape the reference's streaming job lacked entirely (SURVEY.md §2.9).",
+)
+def q_streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = replay_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    return run_bounded(
+        joined.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "streaming_stateful_user_totals",
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY user_id
+""",
+    doc="Custom stateful operator (applyInPandasWithState): per-user running "
+    "totals in explicit GroupState, Arrow-batched, update output mode — over "
+    "the bounded replay the final emission equals the batch groupBy, which "
+    "the oracle asserts.",
+)
+def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = replay_events_stream(spark, sf_dir)
+    return run_bounded(stateful_user_totals(ev), mode="update")
 
 
 @register(

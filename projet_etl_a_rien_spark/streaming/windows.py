@@ -150,6 +150,43 @@ def sliding_counts(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``.
+
+    Per-user running (event count, exact-cents value total) held in an
+    explicit ``GroupState`` — the escape hatch for stateful logic the
+    built-in windowed aggregations can't express (per-key counters,
+    session carry-over, model state). Arrow-batched: state transitions
+    run once per (key, batch), not per row.
+
+    Update output mode: each micro-batch emits the keys it touched. Over
+    a single-batch ``availableNow`` replay that equals the batch groupBy
+    — which is what the oracle asserts. Exact cents in state (bigint) so
+    the totals are order-independent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session windows: events merge while gaps < ``gap``;
     window end = last event + gap (Spark session_window semantics)."""

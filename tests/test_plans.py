@@ -1,0 +1,81 @@
+"""Physical-plan audits — the 100 TB design assertions, executable.
+
+The brief's discipline ("after each operator works, explain the plan and
+iterate until it's the plan you'd want") pinned as regression tests:
+filter/column pushdown reaches the parquet scan, star joins broadcast
+their dims and shuffle the fact exactly once, top-k plans use
+TakeOrderedAndProject (never a full sort), Python appears ONLY as
+Arrow-batched MapInPandas stages, and the as-of join costs one shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+_load_extensions()
+
+# Queries whose fn() is eager (runs streaming jobs, driver-side k-means
+# iterations, or pipeline writes) — planned-only audits skip them.
+EAGER = {name for name in REGISTRY if name.startswith("streaming_")} | {
+    "embedding_kmeans_assign",
+    "embedding_ann_kmeans_topk",
+    "airports_permissive_roundtrip",
+}
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_scan_prunes_and_pushes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # column pruning: only the 4 referenced columns reach the scan
+    assert "l_shipdate" in scan and "l_discount" in scan
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan
+    # predicate pushdown: the shipdate/discount/quantity filters hit the scan
+    assert "isnotnull(l_shipdate" in plan and "l_shipdate" in plan.split("DataFilters")[1][:200]
+
+
+def test_q3_topk_is_take_ordered_with_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3_top_orders")
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert "BroadcastHashJoin" in plan  # the selective dim side broadcasts
+
+
+def test_regional_star_join_single_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "regional_revenue")
+    assert plan.count("BroadcastHashJoin") == 4  # all four dims broadcast
+    # the only hash exchange is the groupBy agg — the fact shuffles once
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_asof_join_costs_one_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_orders_asof")
+    assert plan.count("Exchange hashpartitioning") == 1  # union -> one key shuffle
+    assert "Window" in plan
+
+
+def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
+    """Python in the hot path only as Arrow-batched stages, never per-row."""
+    offenders = []
+    for name in sorted(set(REGISTRY) - EAGER):
+        plan = _plan(spark, sf_dir, name)
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_multimodal_is_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_byte_features")
+    assert "MapInPandas" in plan
+
+
+@pytest.mark.parametrize("name", ["doc_quality_score", "doc_lang_id"])
+def test_narrow_projections_have_no_exchange(spark, sf_dir, name):
+    """Per-row feature queries must be shuffle-free narrow projections."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan
