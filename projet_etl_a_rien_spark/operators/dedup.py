@@ -79,18 +79,56 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _seeded_md5(seed: int):
-    # single-arg lambda factory: PySpark lambda binding counts defaulted
-    # params, so ``lambda s, j=j:`` would bind the array index to j.
-    return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+# Mersenne prime 2^31-1: base hashes and permutation params live in
+# [0, P), so a*x + b < 2^62 never overflows signed 64-bit on either
+# engine — the classic universal-hash family (a*x + b) mod p.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(k: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) permutation constants, a_j != 0. Baked as
+    literals into both the Spark plan and the generated oracle SQL, so
+    cross-engine parity is by construction."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MINHASH_P), rnd.randrange(0, MINHASH_P))
+        for _ in range(k)
+    ]
+
+
+def shingle_hashes(col: Column | str) -> Column:
+    """One 32-bit base hash per shingle: first 8 md5 hex chars → bigint,
+    reduced mod MINHASH_P. The ONE cryptographic hash per shingle — the k
+    minhash permutations are multiply-adds over this array, not k more
+    md5 passes (16× less hashing than the naive per-seed-md5 form)."""
+    sh = col if isinstance(col, Column) else F.col(col)
+    return F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        % MINHASH_P,
+    )
 
 
 def minhash_signature(col: Column | str, k: int = 16) -> Column:
-    """k-element MinHash signature: per seed j, min over shingles of
-    md5('j:' + shingle). Hex-string lexicographic min — engine-portable."""
-    sh = col if isinstance(col, Column) else F.col(col)
+    """k-element MinHash signature over a pre-hashed int array (see
+    ``shingle_hashes``): element j = min over shingles of
+    (a_j*x + b_j) mod p. All-integer column algebra, engine-portable."""
+    xs = col if isinstance(col, Column) else F.col(col)
+    params = minhash_params(k)
     return F.array(
-        *[F.array_min(F.transform(sh, _seeded_md5(j))) for j in range(k)]
+        *[
+            F.array_min(
+                F.transform(
+                    xs,
+                    (lambda ab: (lambda x: (x * F.lit(ab[0]) + F.lit(ab[1])) % MINHASH_P))(
+                        (a, b)
+                    ),
+                )
+            )
+            for (a, b) in params
+        ]
     )
 
 
@@ -137,7 +175,13 @@ def minhash_near_dup_pairs(
         .where(F.size("sh") > 0)
         .persist()
     )
-    sig = base.select("id", minhash_signature(F.col("sh"), k).alias("sig"))
+    # Two physical steps: hash every shingle ONCE (md5 → 32-bit int),
+    # then k multiply-add permutation folds over the int array. The
+    # intermediate select materializes `xs` so the md5 subtree isn't
+    # duplicated into each of the k transforms by codegen.
+    sig = base.select("id", shingle_hashes(F.col("sh")).alias("xs")).select(
+        "id", minhash_signature(F.col("xs"), k).alias("sig")
+    )
 
     # Shuffle only (id, band, bucket) — never the shingle arrays. The
     # verify step re-joins the (narrow) candidate pairs back to the
@@ -151,7 +195,13 @@ def minhash_near_dup_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.md5(
-                            F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)

@@ -233,14 +233,18 @@ def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     k, bands = MINHASH_K, MINHASH_BANDS
+    p = dedup.MINHASH_P
     rows = k // bands
     sig_items = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(k)
+        f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {p}))"
+        for (a, b) in dedup.minhash_params(k)
     )
     band_rows = " UNION ALL ".join(
         "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)),
+            expr=" || '|' || ".join(
+                f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
@@ -254,7 +258,12 @@ base AS (
     FROM docs_dup
     WHERE len(string_split(text, ' ')) >= 3
 ),
-sig AS (SELECT id, [{sig_items}] AS sig FROM base),
+hashed AS (
+    SELECT id, list_transform(
+        sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {p}) AS xs
+    FROM base
+),
+sig AS (SELECT id, [{sig_items}] AS sig FROM hashed),
 banded AS ({band_rows}),
 cand AS (
     SELECT DISTINCT l.id AS id_a, r.id AS id_b
