@@ -1,0 +1,476 @@
+"""TPC-H completion: the remaining canonical query *shapes* (Q2, Q4, Q8,
+Q9, Q12, Q13, Q16, Q17, Q19, Q21), adapted to the fixture's TPC-H-lite
+schema. With queries.py / queries_relational.py (Q1, Q3, Q5, Q6, Q7, Q10,
+Q14, Q15, Q18, Q22) this covers 20 of the 22 TPC-H patterns; Q11 and Q20
+are the two whose semantics are *about* the ``partsupp`` table
+(ps_availqty / ps_supplycost), which the fixtures do not ship — there is
+no faithful adaptation without inventing data, so they are deliberately
+out of scope rather than faked.
+
+Fixture adaptations (the structural pattern each query exists to
+exercise is preserved; only missing columns are substituted):
+
+- Q2: no ``partsupp`` → lineitem is the part↔supplier bridge and
+  "supply cost" is min(l_extendedprice / l_quantity); the correlated-MIN
+  scalar subquery + join-back shape is intact.
+- Q4: no l_commitdate/l_receiptdate → "late" = shipped ≥ 60 days after
+  the order date; correlated EXISTS with a non-equi predicate intact.
+- Q8: market share by supplier nation needs no missing column — full
+  8-relation join, two roles for ``nation``.
+- Q9: no ps_supplycost → profit is revenue-only; LIKE filter +
+  two-role-nation + year rollup intact.
+- Q12: no l_shipmode/l_commitdate → groups by l_linestatus over a
+  shipdate year; the conditional-priority-count pivot intact.
+- Q13: no o_comment → the order-exclusion predicate is a priority
+  filter; outer-join + double aggregation intact.
+- Q16: no ``partsupp`` → distinct suppliers via lineitem; no s_comment →
+  the NOT IN supplier exclusion keys on negative account balance.
+- Q17: no p_container → brand-only part filter; the per-part 0.2·avg
+  correlated scalar intact (quantities are whole numbers stored as
+  double, so AVG is fp-exact and order-independent).
+- Q19: no l_shipinstruct/l_shipmode/p_container → the OR-of-ANDs uses
+  (brand, size range, quantity range) triples; disjunctive
+  join-predicate pushdown intact.
+- Q21: no receipt/commit dates → "the one at fault" = the only supplier
+  with a returned line on a multi-supplier finished order; the
+  EXISTS + NOT EXISTS double correlation intact.
+
+Money math follows functions/exactmath.py (exact cents); ratio results
+divide identically-computed int64 sums so both engines produce the same
+double. Plans: dims broadcast, fact shuffles once per agg key, top-k via
+orderBy+limit with total tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.exactmath import sum_money, sum_product_money
+from .queries import register
+
+_REV = "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0"
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH costs AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+eu_costs AS (
+    SELECT c.partkey, c.suppkey, c.unit_cost, e.s_name, e.n_name
+    FROM costs c JOIN eu e ON c.suppkey = e.s_suppkey
+),
+best AS (SELECT partkey, MIN(unit_cost) AS best_cost FROM eu_costs GROUP BY partkey)
+SELECT p.p_partkey, p.p_name, ec.s_name, ec.n_name AS nation, ec.unit_cost
+FROM part p
+JOIN eu_costs ec ON p.p_partkey = ec.partkey
+JOIN best b ON ec.partkey = b.partkey AND ec.unit_cost = b.best_cost
+WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+""",
+    doc="TPC-H Q2 shape: min-cost supplier per part via a correlated-MIN "
+    "scalar (rewritten as agg + join-back, Catalyst's own decorrelation); "
+    "lineitem bridges part and supplier since the fixtures ship no "
+    "partsupp. Region-filtered supplier dim broadcasts.",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where("p_size = 15 AND p_type = 'ECONOMY'")
+    costs = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eu_costs = costs.join(F.broadcast(eu), costs.suppkey == eu.s_suppkey)
+    best = eu_costs.groupBy("partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        eu_costs.join(
+            best,
+            (eu_costs.partkey == best.partkey)
+            & (eu_costs.unit_cost == best.best_cost),
+        )
+        .drop(best.partkey)
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", F.col("n_name").alias("nation"), "unit_cost")
+    )
+
+
+@register(
+    "tpch_q4_late_order_priority",
+    """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+    doc="TPC-H Q4 shape: correlated EXISTS with a non-equi predicate "
+    "(shipped >= 60 days after order date stands in for the missing "
+    "commit/receipt dates) → left-semi join on the order key, then a "
+    "priority rollup. Quarter filter pushes to the orders scan.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP_NTZ'1997-04-01 00:00:00'"
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate >= F.expr("o_orderdate + INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+WITH flat AS (
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents,
+           sn.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+         / SUM(cents) AS mkt_share
+FROM flat GROUP BY o_year
+""",
+    doc="TPC-H Q8 shape: national market share — the 8-relation join with "
+    "nation in two roles (customer market vs supplier origin) and a "
+    "conditional-share aggregate. All dims broadcast; the share divides "
+    "two exact int64 cent sums so the double is engine-identical.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+    )
+    c = _t(spark, sf_dir, "customer")
+    cn = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    flat = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_nationkey"))
+        .select(F.year("o_orderdate").alias("o_year"), cents.alias("cents"), "supp_nation")
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(0))
+            / F.sum("cents")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    f"""
+SELECT sn.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+       {_REV} AS amount
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY sn.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER)
+""",
+    doc="TPC-H Q9 shape: profit by (supplier nation, order year) for parts "
+    "matching a LIKE pattern — revenue-only since the fixtures ship no "
+    "ps_supplycost. LIKE-filtered part dim broadcasts; one fact shuffle.",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(sum_product_money("l_extendedprice", 1 - F.col("l_discount")).alias("amount"))
+    )
+
+
+@register(
+    "tpch_q12_priority_by_linestatus",
+    """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+    doc="TPC-H Q12 shape: conditional priority counts per line status "
+    "(l_linestatus stands in for the missing l_shipmode). The shipdate "
+    "range pushes to the lineitem scan before the join.",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'"
+        " AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+WITH c_orders AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: customer-order-count distribution — outer join "
+    "with an ON-clause exclusion (priority stands in for the missing "
+    "o_comment NOT LIKE), then the double aggregation. COUNT(column) "
+    "over the null-extended side makes order-less customers count 0.",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16 shape: distinct-supplier counts per (brand, type, size) "
+    "with a NOT IN supplier exclusion (negative balance stands in for the "
+    "complaints comment; lineitem bridges part↔supplier without partsupp). "
+    "NOT IN → broadcast left-anti join on a never-null key.",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = _t(spark, sf_dir, "supplier").where("s_acctbal < 0.0").select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+    doc="TPC-H Q17 shape: per-part correlated scalar (0.2 x avg quantity) "
+    "gating a revenue sum — decorrelated as a per-part aggregate joined "
+    "back, computed only for the brand's parts via a semi join. Quantities "
+    "are whole numbers in double, so AVG is fp-exact either engine.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    avg_q = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+        .withColumnRenamed("l_partkey", "a_partkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((sum_money("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_or_of_ands",
+    """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#6' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+    doc="TPC-H Q19 shape: disjunction of conjunctive (brand, size, "
+    "quantity) triples across the join — the OR-of-ANDs predicate-pushdown "
+    "case: Catalyst extracts the brand/size disjunction to the part side "
+    "and the quantity disjunction to the lineitem scan.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1) & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#6")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20) & (q <= 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(sum_product_money("l_extendedprice", 1 - F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q21_sole_return_supplier",
+    """
+SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    doc="TPC-H Q21 shape: the only supplier with a returned line on a "
+    "multi-supplier finished order (returnflag stands in for the missing "
+    "receipt/commit lateness) — correlated EXISTS + NOT EXISTS on the same "
+    "relation → left-semi and left-anti joins with non-equi supplier "
+    "inequality, then top-20 with a total tie-break.",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l1 = l.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        l.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    waiting = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct(F.col("l1.l_orderkey")).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -72,9 +72,11 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures, skipped = [], []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         if name not in oracles:
             df = fn(spark, sf_dir)
             n = df.count()
@@ -117,8 +119,9 @@ def main() -> int:
             print(f"  ✓ {name}: {len(s_norm)} rows")
 
     print(
-        f"\n{len(qs) - len(failures) - len(skipped)} ok, "
+        f"\n{n_run - len(failures) - len(skipped)} ok, "
         f"{len(skipped)} rows-only, {len(failures)} failed"
+        + (f" (subset: {n_run} of {len(qs)} queries)" if only else "")
     )
     spark.stop()
     return 1 if failures else 0
