@@ -1,4 +1,5 @@
-"""Skew-mitigation join strategies.
+"""Join strategies Spark doesn't pick on its own: skew salting and
+bucketized range joins.
 
 AQE's skew-join splitting (enabled in session.py) handles most skew at
 runtime by splitting oversized shuffle partitions, but it cannot split a
@@ -41,3 +42,48 @@ def salted_join(
         F.col("_salt_l") == F.col("_salt_r")
     )
     return l.join(r, cond, how).drop("_salt_l", "_salt_r")
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equality key, made shuffle-joinable.
+
+    A bare ``p BETWEEN start AND end`` predicate gives Catalyst no equi
+    key, so the plan degenerates to BroadcastNestedLoopJoin — O(|points|
+    × |ranges|) comparisons, a non-starter at scale. The classic fix
+    (Flink interval join / Databricks RANGE_JOIN hint semantics):
+    discretize time into coarse buckets, explode each interval onto every
+    bucket it overlaps, bucket each point once, equi-join on the bucket id,
+    then re-apply the exact predicate. Each (point, range) pair can meet
+    in at most one bucket — the point's — so no dedup is needed.
+
+    Cost: ranges are replicated ceil(len/bucket)+1×; points shuffle once
+    on the bucket id. Pick ``bucket_seconds`` near the typical interval
+    length so replication stays O(1) per range. Skewed buckets (rush-hour
+    points) are AQE-split like any other shuffle skew.
+
+    Both time columns may be timestamp or timestamp_ntz; epoch extraction
+    is exact under the session's pinned-UTC timezone.
+    """
+    p_epoch = F.unix_micros(F.col(point_col).cast("timestamp"))
+    s_epoch = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_epoch = F.unix_micros(F.col(end_col).cast("timestamp"))
+    us = F.lit(bucket_seconds * 1_000_000)
+
+    pb = points.withColumn("_rj_bucket", F.floor(p_epoch / us))
+    rb = ranges.withColumn(
+        "_rj_bucket",
+        F.explode(F.sequence(F.floor(s_epoch / us), F.floor(e_epoch / us))),
+    )
+    cond = (
+        (pb["_rj_bucket"] == rb["_rj_bucket"])
+        & (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return pb.join(rb, cond).drop("_rj_bucket")

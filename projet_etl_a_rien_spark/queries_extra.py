@@ -159,3 +159,27 @@ def q_orders_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey", "o_orderkey", gap.cast("long").alias("gap_seconds")
     )
+
+
+@register(
+    "order_price_percentiles",
+    """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.90) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Exact order statistics per group: Spark's `percentile` aggregate "
+    "and DuckDB's quantile_cont share the linear-interpolation definition "
+    "(rank = p*(n-1)), so the doubles match bit-for-bit — the exact "
+    "baseline approx_percentile trades against at 100 TB (exact needs the "
+    "per-group value multiset; approx_percentile is a mergeable sketch).",
+)
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = F.expr("percentile(o_totalprice, array(0.25, 0.50, 0.90, 0.99))")
+    return o.groupBy("o_orderpriority").agg(
+        p[0].alias("p25"), p[1].alias("p50"), p[2].alias("p90"), p[3].alias("p99")
+    )

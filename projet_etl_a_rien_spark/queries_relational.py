@@ -365,3 +365,45 @@ def q_events_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["o_orderkey"],
     )
     return out.select("event_id", "user_id", "ts", "asof_o_orderkey")
+
+
+@register(
+    "events_in_hot_windows",
+    """
+WITH big AS (
+    SELECT event_id AS window_id,
+           ts - INTERVAL 30 MINUTE AS w_start,
+           ts + INTERVAL 30 MINUTE AS w_end
+    FROM events ORDER BY value DESC, event_id LIMIT 20
+)
+SELECT b.window_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events e JOIN big b ON e.ts >= b.w_start AND e.ts <= b.w_end
+GROUP BY b.window_id
+""",
+    doc="Bucketized range join (operators/joins.py range_join): all events "
+    "inside the hour-wide window around each of the 20 highest-value "
+    "events — no equality key, so the naive plan is a nested-loop scan; "
+    "the operator explodes each interval onto hour buckets and equi-joins "
+    "on the bucket id (each pair meets in exactly one bucket: the "
+    "point's). Oracle is the plain non-equi join DuckDB runs directly.",
+)
+def q_events_in_hot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events").select("ts", "value")
+    big = (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.expr("ts - INTERVAL 30 MINUTES").alias("w_start"),
+            F.expr("ts + INTERVAL 30 MINUTES").alias("w_end"),
+        )
+    )
+    joined = range_join(e, big, "ts", "w_start", "w_end", bucket_seconds=3_600)
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+    )

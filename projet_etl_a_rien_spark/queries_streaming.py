@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .queries import register
 from .streaming.windows import (
+    dedup_within_watermark,
     replay_events_stream,
     run_bounded,
+    run_foreach_batch_parquet,
     session_windows,
     sliding_counts,
     stateful_user_totals,
@@ -144,6 +146,55 @@ GROUP BY user_id
 def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = replay_events_stream(spark, sf_dir)
     return run_bounded(stateful_user_totals(ev), mode="update")
+
+
+@register(
+    "streaming_dedup_event_counts",
+    """
+SELECT event_type, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="Streaming exactly-once repair: the replay UNIONed with itself "
+    "(simulating at-least-once redelivery, every event twice) is deduped "
+    "by dropDuplicatesWithinWatermark on event_id — bounded state, keys "
+    "evicted as the watermark passes — so per-type counts equal the "
+    "single-copy batch counts, which the oracle asserts.",
+)
+def q_streaming_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = replay_events_stream(spark, sf_dir).unionAll(
+        replay_events_stream(spark, sf_dir)
+    )
+    deduped = run_bounded(
+        dedup_within_watermark(doubled, keys=("event_id",), watermark="1 hour"),
+        mode="append",
+    )
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "streaming_foreachbatch_sink_totals",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events GROUP BY event_type
+""",
+    doc="foreachBatch idempotent file sink: each micro-batch overwrites its "
+    "own batch_id=N parquet directory (checkpoint-recovery reprocessing "
+    "rewrites, never duplicates — the generalized JDBC-overwrite contract, "
+    "ref spark_airports_final.py:75-84); totals over the re-read sink equal "
+    "the batch aggregate.",
+)
+def q_streaming_foreachbatch_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    sink = os.path.join(tempfile.gettempdir(), "etl_feb_sink")
+    readback = run_foreach_batch_parquet(replay_events_stream(spark, sf_dir), sink)
+    return readback.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+    )
 
 
 @register(

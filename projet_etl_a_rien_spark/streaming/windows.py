@@ -82,6 +82,59 @@ def run_bounded(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     return spark.table(name)
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
+    until the event-time watermark passes it — the at-least-once →
+    exactly-once repair stage every replayed/retried ingest pipeline
+    needs (a Kafka redelivery arrives within the delay bound and is
+    dropped; state for keys older than the watermark is evicted, so
+    state size tracks the watermark window, not the stream's history).
+    Plain ``dropDuplicates`` on a stream would grow state forever."""
+    # dropDuplicatesWithinWatermark requires TIMESTAMP event time (ntz is
+    # rejected); the ntz→ts cast is exact under the session's pinned-UTC
+    # timezone (session.RUNTIME_CONFS).
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
+def run_foreach_batch_parquet(stream_df: DataFrame, path: str) -> DataFrame:
+    """``foreachBatch`` file sink: each micro-batch lands as its own
+    parquet directory partition keyed by ``batch_id``, written with
+    overwrite — re-processing a batch after a checkpoint recovery
+    rewrites the same directory instead of appending duplicates, which
+    is the standard idempotent-sink contract foreachBatch requires
+    (batch transactionality is on the sink, not the engine). This is the
+    generalized form of the reference's JDBC overwrite sink
+    (spark_airports_final.py:75-84) for sinks with no native streaming
+    writer. Returns the re-read table (scan sees every batch dir)."""
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.option("basePath", path).parquet(path).drop("batch_id")
+
+
 def run_console(stream_df: DataFrame, mode: str = "complete", bounded: bool = True):
     """Literal K2 form: console sink in complete mode
     (ref ``spark_kafka_direct.py:35-40``). ``bounded=True`` adds an

@@ -1,0 +1,68 @@
+"""Bucketed co-located join: the write-once-shuffle-never contract.
+
+Proves the 100 TB design claim in sources/bucketed.py executes as
+claimed: two tables bucketed by the join key into the same bucket count
+join with ZERO Exchange operators in the physical plan (broadcast
+disabled so the shuffle would otherwise be forced), and the joined
+result matches the plain join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.sources.bucketed import read_bucketed, write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(o, "orders_b", str(tmp_path / "orders_b"), 4, ["o_orderkey"],
+                   sort_cols=["o_orderkey"])
+    write_bucketed(l, "lineitem_b", str(tmp_path / "lineitem_b"), 4, ["l_orderkey"],
+                   sort_cols=["l_orderkey"])
+
+    ob, lb = read_bucketed(spark, "orders_b"), read_bucketed(spark, "lineitem_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself is exchange-free; the only allowed exchange is
+        # the final groupBy on a DIFFERENT key
+        assert "SortMergeJoin" in plan
+        join_part = plan.split("SortMergeJoin")[1]
+        assert "Exchange" not in join_part, plan
+        # correctness: equals the plain (unbucketed) join
+        expected = {
+            tuple(r)
+            for r in l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert {tuple(r) for r in joined.collect()} == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucket_pruning_on_point_predicate(spark, sf_dir, tmp_path):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(o, "orders_bp", str(tmp_path / "orders_bp"), 8, ["o_orderkey"])
+    try:
+        # the planner auto-disables bucketed scans when nothing downstream
+        # needs the distribution; force it so a point predicate can prune
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        key = o.select(F.min("o_orderkey")).first()[0]
+        df = read_bucketed(spark, "orders_bp").where(F.col("o_orderkey") == key)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # bucket pruning reports selected buckets in the scan node
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert df.count() == 1
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS orders_bp")

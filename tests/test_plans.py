@@ -59,6 +59,15 @@ def test_asof_join_costs_one_shuffle(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """Bucketized range join must plan as a hash/merge join on the bucket
+    id — never the O(n*m) BroadcastNestedLoopJoin a bare interval
+    predicate degenerates to."""
+    plan = _plan(spark, sf_dir, "events_in_hot_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
     """Python in the hot path only as Arrow-batched stages, never per-row."""
     offenders = []

@@ -1,0 +1,58 @@
+"""Streaming dedup state semantics + foreachBatch sink idempotency.
+
+The oracle harness already proves end-to-end parity; these tests pin the
+two properties parity alone can't show: (1) dropDuplicatesWithinWatermark
+actually drops redelivered events (and keeps distinct ones), (2) the
+foreachBatch parquet sink rewrites — not duplicates — a reprocessed
+batch, which is the contract that makes checkpoint recovery exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.streaming.windows import (
+    dedup_within_watermark,
+    replay_events_stream,
+    run_bounded,
+    run_foreach_batch_parquet,
+)
+
+
+def test_dedup_drops_redelivered_events(spark, sf_dir):
+    ev = replay_events_stream(spark, sf_dir)
+    doubled = ev.unionAll(replay_events_stream(spark, sf_dir))
+    deduped = run_bounded(
+        dedup_within_watermark(doubled, keys=("event_id",), watermark="1 hour"),
+        mode="append",
+    )
+    n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert deduped.count() == n_unique
+    assert deduped.select("event_id").distinct().count() == n_unique
+
+
+def test_foreachbatch_sink_rewrites_on_reprocess(spark, sf_dir, tmp_path):
+    sink = str(tmp_path / "sink")
+    first = run_foreach_batch_parquet(replay_events_stream(spark, sf_dir), sink)
+    n = first.count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # simulate checkpoint-recovery reprocessing: a fresh run re-lands the
+    # same batch ids into the same sink — overwrite, so counts must not grow
+    again = run_foreach_batch_parquet(replay_events_stream(spark, sf_dir), sink)
+    assert again.count() == n
+    assert spark.read.option("basePath", sink).parquet(sink).count() == n
+
+
+def test_dedup_keeps_distinct_keys(spark, sf_dir):
+    # sanity against over-dropping: no duplicates in the input → identity
+    ev = replay_events_stream(spark, sf_dir)
+    deduped = run_bounded(
+        dedup_within_watermark(ev, keys=("event_id",), watermark="1 hour"),
+        mode="append",
+    )
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert deduped.count() == src.count()
+    assert (
+        deduped.agg(F.sum("event_id")).first()[0]
+        == src.agg(F.sum("event_id")).first()[0]
+    )
