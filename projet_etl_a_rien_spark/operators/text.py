@@ -144,30 +144,42 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score_col(text_col: Column | str = "text") -> Column:
+    """Composite 0-4 quality score as a plain Column — inlineable into a
+    WHERE so a cleanup pipeline filters in the scan projection instead of
+    semi-joining a derived table back to itself."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tok = token_count(t)
+    n_uniq = unique_token_count(t)
+    return (
+        (n_tok >= 20).cast("int")
+        + (n_tok <= 2000).cast("int")
+        + ((n_uniq / n_tok) >= 0.2).cast("int")
+        + ((stopword_count(t) / n_tok) >= 0.01).cast("int")
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite 0-4 quality score from thresholded features.
 
     Mirrors the shape of published heuristic filters (Gopher/C4-style
     length + diversity + stopword gates) with fixture-appropriate bounds.
     """
-    feats = quality_features(df, text_col)
-    score = (
-        (F.col("n_tokens") >= 20).cast("int")
-        + (F.col("n_tokens") <= 2000).cast("int")
-        + (F.col("uniq_ratio") >= 0.2).cast("int")
-        + (F.col("stopword_ratio") >= 0.01).cast("int")
+    return df.select(
+        "doc_id",
+        token_count(F.col(text_col)).alias("n_tokens"),
+        quality_score_col(text_col).alias("quality_score"),
     )
-    return feats.select("doc_id", "n_tokens", score.alias("quality_score"))
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-stopword language ID: argmax of per-language marker hits.
-
-    Ties (including all-zero) resolve to the lexicographically first
-    language among the winners, 'und' when no marker hits at all — a
-    total, deterministic rule both engines apply identically.
-    """
-    toks = F.array_distinct(tokens(F.col(text_col)))
+def lang_pred_col(text_col: Column | str = "text") -> Column:
+    """Marker-stopword language ID as a plain Column: argmax of
+    per-language marker hits. Ties (including all-zero) resolve to the
+    lexicographically first language among the winners, 'und' when no
+    marker hits at all — a total, deterministic rule both engines apply
+    identically."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.array_distinct(tokens(t))
     scores = {
         lang: F.size(F.filter(toks, _member_test(markers)))
         for lang, markers in sorted(LANG_MARKERS.items())
@@ -179,7 +191,12 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
             pred
         )
-    return df.select("doc_id", pred.alias("pred_lang"))
+    return pred
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document language ID projection (see ``lang_pred_col``)."""
+    return df.select("doc_id", lang_pred_col(text_col).alias("pred_lang"))
 
 
 def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -189,4 +206,44 @@ def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Rational idf (score = tf · N / df) instead of tf · ln(N/df): the
+    ordering inside one document is identical (ln is monotonic and N is
+    constant), and the score stays a single division of exact integers —
+    bit-equal across engines, where ln's last ulp is libm-dependent.
+
+    Shuffle shape at scale: explode → (doc, term) count [shuffle 1 on
+    (doc, term)], term document-frequency [shuffle 2 on term, word-count
+    sized], broadcast-join df back onto tf, top-k via per-doc window
+    [shuffle 3 on doc]. Nothing is ever collected; the df table is the
+    vocabulary (small) and broadcasts.
+    """
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    pairs = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = pairs.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = pairs.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("id").alias(id_col), "term", "tf", "df", "score", "rank")
     )

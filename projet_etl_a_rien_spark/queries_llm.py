@@ -655,3 +655,77 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_bytes=16,
         stride=4,
     )
+
+
+_QUALITY_SCORE_SQL = """
+  (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+ + CASE WHEN len(string_split(text, ' ')) <= 2000 THEN 1 ELSE 0 END
+ + CASE WHEN len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) >= 0.2 THEN 1 ELSE 0 END
+ + CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) / len(string_split(text, ' ')) >= 0.01 THEN 1 ELSE 0 END)
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    """
+WITH pairs AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM pairs GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM pairs GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT id AS doc_id, term, tf, df, tf * n_docs / df AS score, rank
+FROM (
+    SELECT t.id, t.term, t.tf, d.df, n.n_docs,
+           ROW_NUMBER() OVER (PARTITION BY t.id
+                              ORDER BY t.tf * n.n_docs / d.df DESC, t.term)
+             AS rank
+    FROM tf t JOIN dfreq d ON t.term = d.term, n
+)
+WHERE rank <= 3
+""",
+    doc="Top-3 characteristic terms per document by TF-IDF with rational "
+    "idf (tf*N/df — same per-doc ordering as ln(N/df), but a single exact "
+    "integer division instead of a libm-dependent transcendental). "
+    "Explode → word-count → broadcast df join → per-doc top-k window.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
+@register(
+    "corpus_clean_lang_stats",
+    f"""
+WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+filtered AS (
+    SELECT * FROM docs_dup WHERE {_QUALITY_SCORE_SQL} >= 3
+),
+keepers AS (
+    SELECT * FROM filtered
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+        ORDER BY doc_id) = 1
+)
+SELECT {_LANG_CASE} AS pred_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+FROM keepers,
+     LATERAL (SELECT greatest({", ".join(_LANG_SCORE[lang] for lang in sorted(_LANG_SCORE))}) AS best) g
+GROUP BY 1
+""",
+    doc="The composed C4-style corpus cleanup: quality-gate filter (inline "
+    "in the scan projection — no self-join) -> exact dedup keepers (one "
+    "fingerprint shuffle) -> language-ID rollup, over the dup-planted "
+    "corpus. One pipeline, two shuffles total; the oracle replays the "
+    "identical three stages in SQL.",
+)
+def q_corpus_clean_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = documents_with_dups(spark, sf_dir)
+    filtered = d.where(text.quality_score_col("text") >= 3)
+    keepers = dedup.dedup_exact(filtered)
+    return keepers.groupBy(
+        text.lang_pred_col("text").alias("pred_lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count("text")).alias("sum_tokens"),
+    )
