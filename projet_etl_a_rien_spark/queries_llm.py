@@ -729,3 +729,48 @@ def q_corpus_clean_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(text.token_count("text")).alias("sum_tokens"),
     )
+
+
+@register(
+    "embedding_ann_recall_at_10",
+    f"""
+WITH {{KM}},
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 7),
+qc AS (SELECT cluster FROM {{KMFINAL}} WHERE id = 7),
+exact AS (
+    SELECT b.vec_id
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+          FROM embeddings WHERE vec_id != 7) b, qv q
+    ORDER BY {{COS}} DESC, b.vec_id LIMIT 10
+),
+ann AS (
+    SELECT b.vec_id
+    FROM (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec
+          FROM embeddings e
+          JOIN {{KMFINAL}} af ON e.vec_id = af.id
+          JOIN qc ON af.cluster = qc.cluster
+          WHERE e.vec_id != 7) b, qv q
+    ORDER BY {{COS}} DESC, b.vec_id LIMIT 10
+)
+SELECT COUNT(*) AS n_hits,
+       COUNT(*) / 10.0 AS recall_at_10
+FROM ann JOIN exact ON ann.vec_id = exact.vec_id
+""".format(KM=_KM_CTE, KMFINAL=_KM_FINAL, COS=_COS),
+    doc="ANN quality metric computed BY the engine: recall@10 of the IVF "
+    "(k-means cell-pruned) search against the exact brute-force top-10 for "
+    "the same query — the overlap join every index tuning loop monitors. "
+    "Both branches and the k-means build replicate in the oracle.",
+)
+def q_embedding_ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, query_id=7, k=10).select("vec_id")
+    assign = similarity.kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+    ann = similarity.cosine_topk_partition_pruned(
+        emb.join(assign, "vec_id"), query_id=7, k=10, list_col="cluster"
+    ).select("vec_id")
+    return ann.join(exact, "vec_id").agg(
+        F.count("*").alias("n_hits"),
+        (F.count("*") / 10.0).alias("recall_at_10"),
+    )

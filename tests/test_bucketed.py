@@ -66,3 +66,21 @@ def test_bucket_pruning_on_point_predicate(spark, sf_dir, tmp_path):
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS orders_bp")
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """files.write(partition_by=...) + a partition-key predicate must show
+    PartitionFilters at the scan — whole directories skipped before any
+    I/O, the coarsest and cheapest pruning tier at 100 TB."""
+    from projet_etl_a_rien_spark.sources.files import scan, write
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    write(o, path, partition_by=["o_orderpriority"])
+
+    df = scan(spark, path).where(F.col("o_orderpriority") == "1-URGENT")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [" in scan_line
+    assert "o_orderpriority" in scan_line.split("PartitionFilters:")[1].split("]")[0]
+    assert df.count() == o.where("o_orderpriority = '1-URGENT'").count()
