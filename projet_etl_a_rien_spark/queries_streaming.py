@@ -17,6 +17,7 @@ from .catalog import load_table
 from .queries import register
 from .streaming.windows import (
     dedup_within_watermark,
+    stream_stream_interval_join,
     replay_events_stream,
     run_bounded,
     run_foreach_batch_parquet,
@@ -194,6 +195,42 @@ def q_streaming_foreachbatch_sink_totals(spark: SparkSession, sf_dir: str) -> Da
     return readback.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+    )
+
+
+@register(
+    "streaming_click_purchase_attribution",
+    """
+SELECT c.user_id, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.event_id) AS n_attributed_purchases
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+GROUP BY c.user_id
+""",
+    doc="Stream-stream interval join (click -> purchase within 2h, same "
+    "user): both streams watermarked so join state is bounded by the time "
+    "range — the production attribution shape the reference's streaming "
+    "job couldn't express. Joined pairs emitted append-mode; per-user "
+    "rollup equals the batch self-join, which the oracle asserts.",
+)
+def q_streaming_click_purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = replay_events_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = replay_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    pairs = run_bounded(
+        stream_stream_interval_join(clicks, purchases, within="2 hours"),
+        mode="append",
+    )
+    return pairs.groupBy(F.col("l_key").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("r_event_id").alias("n_attributed_purchases"),
     )
 
 

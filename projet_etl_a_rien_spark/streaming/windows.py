@@ -53,9 +53,20 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_bounded(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+def run_bounded(
+    stream_df: DataFrame, mode: str = "complete", state_partitions: int = 8
+) -> DataFrame:
     """Execute a streaming aggregation over the bounded replay and return
     the final result as a batch DataFrame (memory sink, availableNow).
+
+    ``state_partitions`` pins the stateful-shuffle width for the run:
+    every shuffle partition of a stateful operator materializes its own
+    state-store instance (RocksDB/HDFS dirs, maintenance threads), so the
+    right number tracks key cardinality and throughput, NOT core count —
+    a bounded test replay wants a handful (32 stores cost ~3.5 s of pure
+    setup at sf0.1); a 100 TB deployment sizes it to keyspace × state
+    size and it becomes the recovery-parallelism unit. The session conf
+    is restored after the query terminates; batch queries are unaffected.
 
     Resource discipline for long-lived sessions (bench loops, repeated
     oracle checks): the checkpoint dir is deleted once the query
@@ -67,7 +78,9 @@ def run_bounded(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     spark = stream_df.sparkSession
     name = f"replay_result_{mode}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         query = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -78,8 +91,47 @@ def run_bounded(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
         )
         query.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "2 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition.
+
+    The canonical attribution shape (click → purchase within N hours,
+    same user): both sides are watermarked so the join STATE is bounded —
+    a left row can be dropped once the right watermark passes
+    ``left.ts + within``, which is exactly the constraint Spark derives
+    from the range predicate. Without the time bound (or without
+    watermarks) stream-stream join state grows forever; this is the
+    production-safe form. Returns append-mode rows (matched pairs).
+
+    Timestamps cast ntz→ts (exact, pinned-UTC session) because
+    stream-stream joins require TIMESTAMP event time columns.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").cast("timestamp").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").cast("timestamp").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    )
 
 
 def dedup_within_watermark(
