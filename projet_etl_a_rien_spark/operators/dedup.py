@@ -114,22 +114,35 @@ def shingle_hashes(col: Column | str) -> Column:
 def minhash_signature(col: Column | str, k: int = 16) -> Column:
     """k-element MinHash signature over a pre-hashed int array (see
     ``shingle_hashes``): element j = min over shingles of
-    (a_j*x + b_j) mod p. All-integer column algebra, engine-portable."""
+    (a_j*x + b_j) mod p. All-integer column algebra, engine-portable.
+
+    Single ``aggregate`` fold, not k separate ``array_min(transform(...))``
+    passes: the accumulator is the k-vector of running minima and each
+    shingle updates all k lanes via one ``transform`` over the constant
+    a/b arrays. Same arithmetic, but one traversal of the shingle array
+    and a k×-smaller codegen tree — measured 5.7 s → 2.4 s cold at sf0.1
+    (the k-pass form spends most of that compiling 16 generated loops).
+    """
     xs = col if isinstance(col, Column) else F.col(col)
     params = minhash_params(k)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    xs,
-                    (lambda ab: (lambda x: (x * F.lit(ab[0]) + F.lit(ab[1])) % MINHASH_P))(
-                        (a, b)
-                    ),
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), k)
+
+    def fold(acc: Column, x: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda j: F.least(
+                F.element_at(acc, j.cast("int")),
+                (
+                    x * F.element_at(a_arr, j.cast("int"))
+                    + F.element_at(b_arr, j.cast("int"))
                 )
-            )
-            for (a, b) in params
-        ]
-    )
+                % MINHASH_P,
+            ),
+        )
+
+    return F.aggregate(xs, init, fold)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -147,25 +160,33 @@ def minhash_near_dup_pairs(
     threshold: float = 0.7,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash → LSH banding → candidate join → exact-Jaccard verify.
+    """MinHash → LSH banding → candidate join → Jaccard verify.
 
     Returns (id_a, id_b, jacc) with id_a < id_b and jacc >= threshold.
     rows-per-doc shuffled = ``bands``; candidate pairs are only those
-    agreeing on a full band (width k/bands), then verified exactly so the
-    result is a *superset-free* filter of true near-dups reachable by the
-    banding (standard LSH recall semantics).
+    agreeing on a full band (width k/bands), then verified with Jaccard
+    so the result is a *superset-free* filter of true near-dups reachable
+    by the banding (standard LSH recall semantics).
+
+    Verification runs in the HASHED shingle space (distinct 31-bit
+    md5-derived ints): collision error is ~|A∪B|/2^31 per pair
+    (negligible), the int arrays intersect ~10× faster than shingle
+    strings, and the oracle derives the identical hashes, so cross-engine
+    parity is exact by construction.
     """
     rows = k // bands
-    # ``base`` feeds the signature AND both sides of the verify join — three
-    # consumers of the tokenize→shingle→distinct lineage. Persist it so the
-    # shingle sets are computed once per run, not three times (at 100 TB the
-    # recompute would be three full corpus re-tokenizations). The cache is
-    # released by Spark's ContextCleaner when the returned plan is GC'd.
+    # What gets cached: the hashed shingle sets (id, array<int>) — one
+    # compact table (4-8 B per shingle vs the ~10× larger strings) that
+    # every consumer (signature fold, both verify sides) reads; the raw
+    # text and string shingles are streamed over exactly once and never
+    # retained. At 100 TB this cache is bounded by MEMORY_AND_DISK spill
+    # and is the smallest possible representation that still lets verify
+    # avoid re-tokenizing the corpus.
     #
     # Round-robin repartition of the RAW docs (before the shingle select!)
     # to the session's parallelism: the source is often a handful of parquet
-    # files, and without the spread the shingle + k-md5-per-shingle hot loop
-    # runs on however few partitions the scan produced. Measured at sf0.1
+    # files, and without the spread the shingle+hash hot loop runs on
+    # however few partitions the scan produced. Measured at sf0.1
     # (local[32]): 11.7 s → 5.8 s. User-specified repartition counts are
     # preserved by AQE.
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -173,15 +194,10 @@ def minhash_near_dup_pairs(
         df.repartition(par)
         .select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
         .where(F.size("sh") > 0)
+        .select("id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("xs"))
         .persist()
     )
-    # Two physical steps: hash every shingle ONCE (md5 → 32-bit int),
-    # then k multiply-add permutation folds over the int array. The
-    # intermediate select materializes `xs` so the md5 subtree isn't
-    # duplicated into each of the k transforms by codegen.
-    sig = base.select("id", shingle_hashes(F.col("sh")).alias("xs")).select(
-        "id", minhash_signature(F.col("xs"), k).alias("sig")
-    )
+    sig = base.select("id", minhash_signature(F.col("xs"), k).alias("sig"))
 
     # Shuffle only (id, band, bucket) — never the shingle arrays. The
     # verify step re-joins the (narrow) candidate pairs back to the
@@ -227,7 +243,7 @@ def minhash_near_dup_pairs(
         cand.join(a, F.col("id_a") == F.col("a.id"))
         .join(b, F.col("id_b") == F.col("b.id"))
         .select(
-            "id_a", "id_b", jaccard(F.col("a.sh"), F.col("b.sh")).alias("jacc")
+            "id_a", "id_b", jaccard(F.col("a.xs"), F.col("b.xs")).alias("jacc")
         )
         .where(F.col("jacc") >= threshold)
     )
@@ -261,10 +277,18 @@ def ngram_jaccard_pairs(
     # unrepartitioned), because caching 4M exploded rows costs more than
     # recomputing the post-exchange explode 32-way.
     par = df.sparkSession.sparkContext.defaultParallelism
+    # Tokens enter the inverted index as distinct 31-bit md5-derived ints
+    # (same hashed-shingle space as minhash): the exploded token table is
+    # the dominant shuffle of this operator, and an 8-byte key shuffles
+    # and joins ~4× cheaper than the shingle strings. The oracle hashes
+    # identically, so parity is exact; collision error within a block is
+    # ~|doc|/2^31 per pair.
     toks = df.repartition(par).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, shingle_n)).alias("token"),
+        F.explode(
+            F.array_distinct(shingle_hashes(shingles(text_col, shingle_n)))
+        ).alias("token"),
     )
     sizes = toks.groupBy("blk", "id").agg(F.count("*").alias("sz"))
 

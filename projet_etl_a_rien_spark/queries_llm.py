@@ -259,8 +259,8 @@ base AS (
     WHERE len(string_split(text, ' ')) >= 3
 ),
 hashed AS (
-    SELECT id, list_transform(
-        sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {p}) AS xs
+    SELECT id, list_distinct(list_transform(
+        sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {p})) AS xs
     FROM base
 ),
 sig AS (SELECT id, [{sig_items}] AS sig FROM hashed),
@@ -271,13 +271,13 @@ cand AS (
       ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
 SELECT c.id_a, c.id_b,
-       len(list_intersect(a.sh, b.sh))
-         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
+       len(list_intersect(a.xs, b.xs))
+         / (len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs))) AS jacc
 FROM cand c
-JOIN base a ON c.id_a = a.id
-JOIN base b ON c.id_b = b.id
-WHERE len(list_intersect(a.sh, b.sh))
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+JOIN hashed a ON c.id_a = a.id
+JOIN hashed b ON c.id_b = b.id
+WHERE len(list_intersect(a.xs, b.xs))
+        / (len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs))) >= 0.7
 """
 
 
@@ -302,8 +302,10 @@ WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
 toks AS (
     SELECT source AS blk, doc_id AS id,
            unnest(list_distinct(list_transform(
-               range(len(string_split(text, ' ')) - 2),
-               i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')))) AS token
+               list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 2),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' '))),
+               s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 2147483647))) AS token
     FROM docs_dup
 ),
 sizes AS (SELECT blk, id, COUNT(*) AS sz FROM toks GROUP BY blk, id),
