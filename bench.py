@@ -47,9 +47,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm the JVM: codegen path + parquet reader/filesystem init, so the
-    # first measured query doesn't pay one-time session costs.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the JVM: codegen paths (agg, join, window, json), the parquet
+    # reader, and the shuffle machinery, so the first measured query
+    # doesn't pay one-time session costs. Everything here touches only a
+    # 1k-row synthetic frame and the 5-row region table.
+    warm = spark.range(1_000)
+    warm.selectExpr("sum(id)").collect()
+    warm.selectExpr("id % 7 AS k", "id AS v").groupBy("k").sum("v").collect()
+    warm.alias("a").join(warm.alias("b"), "id").count()
+    warm.selectExpr(
+        "id", "sum(id) OVER (PARTITION BY id % 7 ORDER BY id) AS r"
+    ).collect()
+    warm.selectExpr(
+        "from_json(to_json(named_struct('x', id)), 'x long') AS s"
+    ).count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}

@@ -183,3 +183,30 @@ def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         p[0].alias("p25"), p[1].alias("p50"), p[2].alias("p90"), p[3].alias("p99")
     )
+
+
+@register(
+    "events_latest_per_user",
+    """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ts AS last_ts
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+    doc="Changelog compaction (SCD-1 / CDC upsert collapse): newest event "
+    "per user with a total tie-break — one key shuffle, no global sort "
+    "(operators/compaction.py latest_by_key).",
+)
+def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compaction import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_by_key(
+        ev, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+    )

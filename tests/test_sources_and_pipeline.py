@@ -102,3 +102,32 @@ def test_console_sink_bounded_run(spark, sf_dir):
     q = run_console(streaming_global_count(replay_events_stream(spark, sf_dir)))
     q.awaitTermination()
     assert not q.isActive
+
+
+def test_latest_by_key_deterministic_tiebreak(spark):
+    from projet_etl_a_rien_spark.operators.compaction import latest_by_key
+
+    df = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 20, 102), (2, 5, 103)],
+        "user_id int, ts int, event_id int",
+    )
+    got = {
+        (r.user_id, r.ts, r.event_id)
+        for r in latest_by_key(df, ["user_id"], "ts", ["event_id"]).collect()
+    }
+    # ts tie (20) resolves to the larger event_id — total, deterministic
+    assert got == {(1, 20, 102), (2, 5, 103)}
+
+
+def test_compact_files_bounds_file_count(spark, sf_dir, tmp_path):
+    import glob
+
+    from projet_etl_a_rien_spark.operators.compaction import compact_files
+
+    src, out = str(tmp_path / "many"), str(tmp_path / "few")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(16).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 16
+    compact_files(spark, src, out, target_files=2)
+    assert len(glob.glob(f"{out}/part-*")) == 2
+    assert spark.read.parquet(out).count() == ev.count()
