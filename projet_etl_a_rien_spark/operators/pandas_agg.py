@@ -1,0 +1,58 @@
+"""Arrow grouped-map custom aggregation (``applyInPandas``).
+
+The batch half of the engine's Python escape hatch (the streaming half is
+``applyInPandasWithState``, streaming/windows.py): when an aggregate
+genuinely isn't expressible in JVM column algebra — robust statistics,
+model scoring, scipy-style numerics — the grouped-map form ships each
+group to Python ONCE as an Arrow batch and returns a result frame, vs a
+per-row UDF's 10-100× serialization tax.
+
+Scale shape: one shuffle on the group key (identical to a built-in
+groupBy), then per-group vectorized pandas. The constraint to respect at
+100 TB is group size — a group must fit in one executor's memory as a
+pandas frame, so key cardinality must be high relative to data volume
+(here: per-language groups of document stats). For unbounded groups,
+pre-aggregate in the JVM or switch to mapInPandas over sorted
+partitions.
+
+Median/MAD are the demonstration because they are *order statistics* —
+the canonical "not a streaming-mergeable aggregate" case built-in aggs
+can't do without exact percentile machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def grouped_robust_stats(
+    df: DataFrame, group_col: str = "lang", value_col: str = "n_chars"
+) -> DataFrame:
+    """Per-group robust location/spread: median and MAD (median absolute
+    deviation) via numpy inside an Arrow grouped-map.
+
+    numpy's median (linear interpolation at the midpoint) matches
+    SQL ``quantile_cont(0.5)`` exactly on integer inputs — midpoints are
+    exact halves in double — so the DuckDB oracle reproduces the floats
+    bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_docs": [len(v)],
+                "median_val": [med],
+                "mad_val": [mad],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        stats,
+        schema=f"{group_col} string, n_docs bigint, median_val double, mad_val double",
+    )

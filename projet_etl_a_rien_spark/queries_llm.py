@@ -776,3 +776,28 @@ def q_embedding_ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hits"),
         (F.count("*") / 10.0).alias("recall_at_10"),
     )
+
+
+@register(
+    "doc_robust_stats_by_lang",
+    """
+WITH m AS (
+    SELECT lang, quantile_cont(n_chars, 0.5) AS med
+    FROM documents GROUP BY lang
+)
+SELECT d.lang, COUNT(*) AS n_docs,
+       ANY_VALUE(m.med) AS median_val,
+       quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad_val
+FROM documents d JOIN m ON d.lang = m.lang
+GROUP BY d.lang
+""",
+    doc="Arrow grouped-map custom aggregate (applyInPandas): per-language "
+    "median + MAD of document length — order statistics no mergeable "
+    "built-in agg computes; one group-key shuffle then vectorized numpy "
+    "per Arrow batch. numpy median == quantile_cont(0.5) bit-for-bit on "
+    "integer inputs.",
+)
+def q_doc_robust_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pandas_agg import grouped_robust_stats
+
+    return grouped_robust_stats(_docs(spark, sf_dir), "lang", "n_chars")
