@@ -190,9 +190,12 @@ FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
 )
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        text.winnow_fingerprints("text", k=WINNOW_K, w=WINNOW_W).alias("fingerprints"),
+    # spread the per-character hash loop across cores — the source is a
+    # single parquet file, and this is the heaviest per-row projection in
+    # the registry
+    par = spark.sparkContext.defaultParallelism
+    return text.winnow_fingerprints(
+        d.repartition(par), k=WINNOW_K, w=WINNOW_W
     )
 
 

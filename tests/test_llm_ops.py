@@ -141,7 +141,7 @@ def test_winnow_shared_substring_guarantee(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     fps = {
         r.doc_id: set(r.f)
-        for r in df.select("doc_id", text.winnow_fingerprints("text").alias("f")).collect()
+        for r in text.winnow_fingerprints(df, out_col="f").collect()
     }
     assert fps[1] & fps[2]
     assert not (fps[1] & fps[3])
