@@ -210,3 +210,38 @@ def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("ts").alias("last_ts"),
     )
+
+
+@register(
+    "events_time_rollup",
+    """
+WITH m AS (
+    SELECT date_trunc('minute', ts) AS bucket_start,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+    FROM events GROUP BY 1
+),
+h AS (
+    SELECT date_trunc('hour', bucket_start) AS bucket_start,
+           SUM(n_events) AS n_events, SUM(sum_cents) AS sum_cents
+    FROM m GROUP BY 1
+),
+d AS (
+    SELECT date_trunc('day', bucket_start) AS bucket_start,
+           SUM(n_events) AS n_events, SUM(sum_cents) AS sum_cents
+    FROM h GROUP BY 1
+)
+SELECT 'minute' AS grain, * FROM m
+UNION ALL SELECT 'hour', * FROM h
+UNION ALL SELECT 'day', * FROM d
+""",
+    doc="Hypertable-style hierarchical time rollup (operators/rollup.py): "
+    "minute/hour/day grains from ONE fact shuffle — each coarser grain "
+    "re-aggregates the previous one (additive count + exact-cent sums), "
+    "the continuous-aggregate pyramid pattern; no Expand row "
+    "multiplication, no per-grain rescans.",
+)
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import time_rollup
+
+    return time_rollup(load_table(spark, sf_dir, "events"))

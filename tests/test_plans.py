@@ -88,3 +88,10 @@ def test_narrow_projections_have_no_exchange(spark, sf_dir, name):
     """Per-row feature queries must be shuffle-free narrow projections."""
     plan = _plan(spark, sf_dir, name)
     assert "Exchange" not in plan
+
+
+def test_time_rollup_reuses_finer_grains(spark, sf_dir):
+    """Hierarchical rollup must read coarser grains from the cached finer
+    aggregate (InMemoryTableScan), not re-scan the fact per grain."""
+    plan = _plan(spark, sf_dir, "events_time_rollup")
+    assert "InMemoryTableScan" in plan
