@@ -266,3 +266,56 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select(F.col("id").alias(id_col), "term", "tf", "df", "score", "rank")
     )
+
+
+def split_bucket(
+    id_col: Column | str = "doc_id",
+    salt: str = "split:",
+    n_buckets: int = 100,
+) -> Column:
+    """Deterministic hash bucket in [0, n_buckets) for reproducible
+    train/val/test assignment: md5 of the salted id — stable across runs,
+    engines, partitionings, and corpus growth (a doc's split never
+    changes when other docs are added, unlike rand(seed) which is
+    partition-order sensitive)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    bins (pretraining context windows) within each group.
+
+    The scalable formulation: a deterministic order (id) per group, a
+    running token cumsum, and bin = floor((cumsum - n_tokens) / budget) —
+    each document starts a new bin exactly when its predecessors filled
+    one. One shuffle on the group key; the window never sorts globally.
+    (First-fit-decreasing packs ~tighter but is inherently sequential;
+    the cumsum split is the standard distributed compromise — documents
+    longer than the budget get a bin of their own and are truncated
+    downstream.)
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = token_count(F.col(text_col))
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        group_col,
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / budget_tokens).cast("long").alias("bin"),
+        (cum - n_tok - F.floor((cum - n_tok) / budget_tokens) * budget_tokens)
+        .cast("long")
+        .alias("bin_offset_tokens"),
+    )

@@ -804,3 +804,61 @@ def q_doc_robust_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pandas_agg import grouped_robust_stats
 
     return grouped_robust_stats(_docs(spark, sf_dir), "lang", "n_chars")
+
+
+@register(
+    "doc_split_assignment",
+    """
+WITH s AS (
+    SELECT lang,
+           CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+             AS bucket
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM s GROUP BY 1, 2
+""",
+    doc="Reproducible train/val/test assignment: salted-md5 hash bucket of "
+    "the doc id (90/5/5) — stable across runs, engines, partitionings, and "
+    "corpus growth, unlike rand(seed) which is partition-order sensitive. "
+    "Counts per (lang, split) cross-checked.",
+)
+def q_doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = text.split_bucket("doc_id")
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", split)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_packing_bins",
+    """
+WITH t AS (
+    SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+           SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM documents
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin,
+       CAST(cum - n_tokens - FLOOR((cum - n_tokens) / 2048) * 2048 AS BIGINT)
+         AS bin_offset_tokens
+FROM t
+""",
+    doc="Greedy sequence packing to 2048-token context windows within each "
+    "source: deterministic order + running cumsum, bin = floor(prefix / "
+    "budget) — the distributed formulation of pretraining document "
+    "packing; one group-key shuffle, no global sort.",
+)
+def q_doc_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pack_documents(_docs(spark, sf_dir), budget_tokens=2048)
