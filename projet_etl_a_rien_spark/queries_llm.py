@@ -234,7 +234,10 @@ def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(documents_with_dups(spark, sf_dir)).select("doc_id")
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The full MinHash-LSH construction as a CTE chain ending in
+    ``pairs`` (verified near-dups) — shared by the pair query and the
+    connected-components clustering query."""
     k, bands = MINHASH_K, MINHASH_BANDS
     p = dedup.MINHASH_P
     rows = k // bands
@@ -251,8 +254,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+    return f"""{DOCUMENTS_WITH_DUPS_ORACLE_CTE},
 base AS (
     SELECT doc_id AS id,
            list_distinct(list_transform(
@@ -272,16 +274,21 @@ cand AS (
     SELECT DISTINCT l.id AS id_a, r.id AS id_b
     FROM banded l JOIN banded r
       ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
-)
-SELECT c.id_a, c.id_b,
-       len(list_intersect(a.xs, b.xs))
-         / (len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs))) AS jacc
-FROM cand c
-JOIN hashed a ON c.id_a = a.id
-JOIN hashed b ON c.id_b = b.id
-WHERE len(list_intersect(a.xs, b.xs))
-        / (len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs))) >= 0.7
-"""
+),
+pairs AS (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.xs, b.xs))
+             / (len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs))) AS jacc
+    FROM cand c
+    JOIN hashed a ON c.id_a = a.id
+    JOIN hashed b ON c.id_b = b.id
+    WHERE len(list_intersect(a.xs, b.xs))
+            / (len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs))) >= 0.7
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()}\nSELECT id_a, id_b, jacc FROM pairs"
 
 
 @register(
@@ -862,3 +869,40 @@ FROM t
 )
 def q_doc_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_documents(_docs(spark, sf_dir), budget_tokens=2048)
+
+
+@register(
+    "minhash_dedup_clusters",
+    f"""
+WITH RECURSIVE {_minhash_ctes()},
+und AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+walk(node, comp) AS (
+    SELECT u, u FROM und
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN und e ON w.node = e.u
+)
+SELECT node AS doc_id, MIN(comp) AS cluster
+FROM walk GROUP BY node
+""",
+    doc="Near-dup CLUSTER formation (operators/graph.py): connected "
+    "components over the verified MinHash pairs via iterative min-label "
+    "propagation (one shuffle per round, driver sees only the "
+    "changed-count — the kmeans_assign loop pattern). Transitivity is the "
+    "point: A~B~C clusters {{A,B,C}} even though A~C was never emitted. "
+    "Oracle walks the same graph with a recursive CTE.",
+)
+def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    pairs = dedup.minhash_near_dup_pairs(
+        documents_with_dups(spark, sf_dir),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=0.7,
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
+    )

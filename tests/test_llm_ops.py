@@ -216,3 +216,17 @@ def test_minhash_scales_with_dup_density(spark, sf_dir):
         F.size(dedup.shingles("text", 3)) > 0
     ).count()
     assert pairs.count() >= exact
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B~C~D chain + isolated pair: min-label propagation must converge
+    to one component per chain regardless of emission order."""
+    from projet_etl_a_rien_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(3, 4), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r.node, r.comp) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
