@@ -906,3 +906,41 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
     )
+
+
+@register(
+    "minhash_dedup_survivors",
+    f"""
+WITH RECURSIVE {_minhash_ctes()},
+und AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+walk(node, comp) AS (
+    SELECT u, u FROM und
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN und e ON w.node = e.u
+),
+clusters AS (SELECT node AS doc_id, MIN(comp) AS cluster FROM walk GROUP BY node)
+SELECT d.doc_id FROM docs_dup d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster = d.doc_id
+""",
+    doc="End-to-end near-dup dedup: every document not in any cluster "
+    "survives, plus the min-id representative per cluster — the composed "
+    "LSH -> verify -> components -> keeper pipeline a 100 TB corpus "
+    "actually runs; survivors = corpus minus transitive near-dups.",
+)
+def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    d = documents_with_dups(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs(
+        d, k=MINHASH_K, bands=MINHASH_BANDS, threshold=0.7
+    )
+    clusters = connected_components(pairs)
+    return (
+        d.join(F.broadcast(clusters), d.doc_id == clusters.node, "left")
+        .where(F.col("node").isNull() | (F.col("comp") == F.col("doc_id")))
+        .select("doc_id")
+    )
