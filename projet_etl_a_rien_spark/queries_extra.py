@@ -245,3 +245,31 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.rollup import time_rollup
 
     return time_rollup(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "order_price_sketch_bounds",
+    """
+SELECT o_orderpriority, true AS p50_ok, true AS p90_ok
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Mergeable percentile sketch with an in-query accuracy contract: "
+    "approx_percentile (KLL-style, map-side combinable — the 100 TB path "
+    "exact percentiles can't take) must land within 2% relative of the "
+    "exact per-group quantile, asserted INSIDE the query so the oracle "
+    "just states the contract holds — same pattern as "
+    "approx_distinct_parts.",
+)
+def q_order_price_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, array(0.5, 0.9))")
+    approx = F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
+
+    def within(i: int):
+        return (
+            F.abs(approx[i] - exact[i]) / exact[i] < 0.02
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        within(0).alias("p50_ok"), within(1).alias("p90_ok")
+    )

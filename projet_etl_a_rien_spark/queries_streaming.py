@@ -235,6 +235,37 @@ def q_streaming_click_purchase_attribution(
 
 
 @register(
+    "streaming_dedup_then_windows",
+    """
+WITH m AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events, m
+GROUP BY 1, 2, m.wm
+HAVING window_end <= m.wm
+""",
+    doc="CHAINED stateful operators (Spark multi-stateful append mode): "
+    "at-least-once replay (stream unioned with itself) -> "
+    "dropDuplicatesWithinWatermark -> watermarked tumbling aggregation, "
+    "one watermark owned by the chain head. Result equals single-copy "
+    "windowed counts under the append emission rule — the "
+    "exactly-once-ingest + rollup pipeline as one streaming job.",
+)
+def q_streaming_dedup_then_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = replay_events_stream(spark, sf_dir).unionAll(
+        replay_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_within_watermark(doubled, keys=("event_id",), watermark="2 hours")
+    # watermark is owned by the dedup stage — re-declaring it downstream is
+    # disallowed for chained stateful operators, so the window agg inherits
+    return run_bounded(
+        tumbling_counts(deduped, "1 hour", watermark=None), mode="append"
+    )
+
+
+@register(
     "streaming_session_windows",
     """
 WITH marked AS (
