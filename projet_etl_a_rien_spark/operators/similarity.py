@@ -325,3 +325,52 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def ann_knn_join(
+    df: DataFrame,
+    assignments: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cluster",
+) -> DataFrame:
+    """Batch kNN self-join: every vector's top-k neighbors, searched
+    within its IVF cell — the corpus-wide form of similarity search
+    (curation, near-dup sweep, retrieval-index build), not the single
+    probe ``cosine_topk`` answers.
+
+    Scale shape: the self-join is an equi-join on the cell id, so the
+    cost is Σ|cell|² instead of n² — the k-means balance determines the
+    exponent's constant, exactly like blocked dedup. One cell shuffle,
+    then a per-query window top-k (shuffle on the query id); no global
+    sort, nothing collected. Recall follows IVF semantics: neighbors in
+    other cells are unreachable (multi-probe = join on an array of the
+    q nearest cells instead of one — same plan, wider fan-out).
+    """
+    from pyspark.sql.window import Window
+
+    with_cell = df.join(assignments, id_col).select(
+        F.col(id_col), F.col(cell_col), as_double(vec_col).alias("vec")
+    )
+    l, r = with_cell.alias("l"), with_cell.alias("r")
+    sims = (
+        l.join(
+            r,
+            (F.col(f"l.{cell_col}") == F.col(f"r.{cell_col}"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("query_id"),
+            F.col(f"r.{id_col}").alias("neighbor_id"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

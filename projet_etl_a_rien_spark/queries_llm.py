@@ -944,3 +944,41 @@ def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node").isNull() | (F.col("comp") == F.col("doc_id")))
         .select("doc_id")
     )
+
+
+@register(
+    "embedding_knn_join_top3",
+    f"""
+WITH {{KM}},
+cells AS (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, af.cluster
+    FROM embeddings e JOIN {{KMFINAL}} af ON e.vec_id = af.id
+),
+sims AS (
+    SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+           ROUND(list_dot_product(l.vec, r.vec)
+                 / (sqrt(list_dot_product(l.vec, l.vec))
+                    * sqrt(list_dot_product(r.vec, r.vec))), 6) AS cos_sim
+    FROM cells l JOIN cells r
+      ON l.cluster = r.cluster AND l.vec_id != r.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+WHERE rank <= 3
+""".format(KM=_KM_CTE, KMFINAL=_KM_FINAL),
+    doc="Batch kNN SELF-join: top-3 neighbors for EVERY vector, searched "
+    "within its k-means IVF cell — the corpus-wide similarity sweep "
+    "(curation / retrieval-index build). Equi-join on the cell id makes "
+    "cost sum(|cell|^2), not n^2; per-query window top-k, no global sort. "
+    "Oracle replays index build + join + ranking.",
+)
+def q_embedding_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+    return similarity.ann_knn_join(emb, assign, k=3)
