@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the engine's determinism
+contracts — the invariants the oracle parity rules rest on, checked over
+generated inputs instead of fixtures:
+
+- exact-cents money aggregation is ORDER-INDEPENDENT (the reason it
+  exists: AQE/partial-agg reordering must not change results)
+- minhash signatures are a pure function of the shingle SET (row order
+  and duplicates must not matter — banding correctness depends on it)
+- split_bucket is a pure function of the id (corpus growth must never
+  reassign a document's split)
+- sequence packing never overfills a bin (except a single over-budget
+  document, which gets its own bin)
+
+Examples are kept small (each runs a real local Spark job).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.functions.exactmath import sum_money
+from projet_etl_a_rien_spark.operators import dedup, text
+
+MONEY = st.lists(
+    st.integers(min_value=-10_000_00, max_value=10_000_00).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(MONEY)
+def test_sum_money_order_independent(spark, xs):
+    a = spark.createDataFrame([(x,) for x in xs], "v double")
+    b = spark.createDataFrame([(x,) for x in reversed(xs)], "v double").repartition(3)
+    sa = a.agg(sum_money("v").alias("s")).first().s
+    sb = b.agg(sum_money("v").alias("s")).first().s
+    assert sa == sb == round(sum(round(x * 100) for x in xs)) / 100.0
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=3, max_size=20
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(WORDS)
+def test_minhash_signature_is_set_function(spark, words):
+    txt = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, txt), (2, txt)], "doc_id long, text string"
+    )
+    sigs = (
+        df.select(
+            "doc_id",
+            dedup.shingles("text", 3).alias("sh"),
+        )
+        .select("doc_id", dedup.shingle_hashes(F.col("sh")).alias("xs"))
+        .select("doc_id", dedup.minhash_signature(F.col("xs"), 16).alias("sig"))
+        .collect()
+    )
+    # identical text -> identical signature, independent of row identity
+    assert sigs[0].sig == sigs[1].sig
+    assert len(sigs[0].sig) == 16
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30))
+def test_split_bucket_pure_function_of_id(spark, ids):
+    rows = [(i,) for i in set(ids)]
+    small = spark.createDataFrame(rows, "doc_id long")
+    grown = spark.createDataFrame(
+        rows + [(10**10 + j,) for j in range(5)], "doc_id long"
+    )
+    b = text.split_bucket("doc_id")
+    m1 = {r.doc_id: r.b for r in small.select("doc_id", b.alias("b")).collect()}
+    m2 = {r.doc_id: r.b for r in grown.select("doc_id", b.alias("b")).collect()}
+    for i in m1:
+        assert m1[i] == m2[i]  # adding docs never moves an existing split
+        assert 0 <= m1[i] < 100
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=25),
+    st.integers(min_value=10, max_value=60),
+)
+def test_packing_never_overfills(spark, token_counts, budget):
+    rows = [
+        (i, " ".join(["w"] * n), "s") for i, n in enumerate(token_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    packed = text.pack_documents(df, budget_tokens=budget).collect()
+    bins: dict[int, int] = {}
+    for r in packed:
+        assert 0 <= r.bin_offset_tokens < budget
+        bins[r.bin] = bins.get(r.bin, 0) + r.n_tokens
+    for b, total in bins.items():
+        docs_in_bin = [r for r in packed if r.bin == b]
+        # a bin exceeds the budget only via its LAST doc straddling out,
+        # never by starting a doc at or past the budget boundary
+        assert min(r.bin_offset_tokens for r in docs_in_bin) < budget
