@@ -1,11 +1,11 @@
 """TPC-H completion: the remaining canonical query *shapes* (Q2, Q4, Q8,
-Q9, Q12, Q13, Q16, Q17, Q19, Q21), adapted to the fixture's TPC-H-lite
-schema. With queries.py / queries_relational.py (Q1, Q3, Q5, Q6, Q7, Q10,
-Q14, Q15, Q18, Q22) this covers 20 of the 22 TPC-H patterns; Q11 and Q20
-are the two whose semantics are *about* the ``partsupp`` table
-(ps_availqty / ps_supplycost), which the fixtures do not ship — there is
-no faithful adaptation without inventing data, so they are deliberately
-out of scope rather than faked.
+Q9, Q11, Q12, Q13, Q16, Q17, Q19, Q20, Q21), adapted to the fixture's
+TPC-H-lite schema. With queries.py / queries_relational.py (Q1, Q3, Q5,
+Q6, Q7, Q10, Q14, Q15, Q18, Q22) this covers all 22 TPC-H patterns.
+Q11/Q20 are *about* the ``partsupp`` table the fixtures don't ship, so
+they run over a partsupp DERIVED from lineitem (see ``_PS_CTE``) — both
+engines derive it identically, keeping the query shapes faithful without
+inventing data.
 
 Fixture adaptations (the structural pattern each query exists to
 exercise is preserved; only missing columns are substituted):
@@ -473,4 +473,141 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("l1.l_orderkey")).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
+    )
+
+
+# Derived partsupp: the fixtures ship no partsupp table, so Q11/Q20 run
+# over the part-supplier relation OBSERVED in lineitem — supplycost =
+# min unit price (exact cents), availqty = 10 x shipped-line count. Both
+# engines derive it identically, so the query SHAPES (grouped-value
+# share vs a scalar threshold; nested-IN subquery chain) are exercised
+# faithfully against shared data.
+_PS_CTE = """
+ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS ps_supplycost_cents,
+           COUNT(*) * 10 AS ps_availqty
+    FROM lineitem GROUP BY 1, 2
+)
+"""
+
+
+def _ps(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+        ).alias("ps_supplycost_cents"),
+        (F.count("*") * 10).alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+WITH {_PS_CTE},
+nat AS (
+    SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_7'
+),
+v AS (
+    SELECT ps.ps_partkey, SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS value_cents
+    FROM ps JOIN nat ON ps.ps_suppkey = nat.s_suppkey
+    GROUP BY ps.ps_partkey
+)
+SELECT ps_partkey, value_cents
+FROM v, (SELECT SUM(value_cents) AS total FROM v) t
+WHERE value_cents > 0.001 * t.total
+""",
+    doc="TPC-H Q11 shape: grouped stock value per part vs a scalar "
+    "fraction-of-total threshold (the HAVING-over-global-aggregate "
+    "pattern) over the lineitem-derived partsupp; all-integer value math "
+    "so the share comparison is engine-exact.",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    v = (
+        _ps(spark, sf_dir)
+        .join(F.broadcast(nat), F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias(
+                "value_cents"
+            )
+        )
+    )
+    total = v.agg(F.sum("value_cents").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") > 0.001 * F.col("total"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q20_excess_stock_suppliers",
+    f"""
+WITH {_PS_CTE},
+shipped AS (
+    SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+),
+redparts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+excess AS (
+    SELECT DISTINCT ps.ps_suppkey
+    FROM ps
+    JOIN redparts rp ON ps.ps_partkey = rp.p_partkey
+    JOIN shipped sh ON ps.ps_partkey = sh.l_partkey AND ps.ps_suppkey = sh.l_suppkey
+    WHERE ps.ps_availqty > 0.5 * sh.qty
+)
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+""",
+    doc="TPC-H Q20 shape: the nested-IN chain (suppliers having excess "
+    "stock of a LIKE-matched part relative to a year's shipments) over "
+    "the lineitem-derived partsupp; quantities are whole-number doubles, "
+    "fp-exact either engine.",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    shipped = (
+        l.where(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    redparts = (
+        _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    ps = _ps(spark, sf_dir)
+    excess = (
+        ps.join(F.broadcast(redparts), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
     )
