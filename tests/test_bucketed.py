@@ -84,3 +84,31 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in scan_line
     assert "o_orderpriority" in scan_line.split("PartitionFilters:")[1].split("]")[0]
     assert df.count() == o.where("o_orderpriority = '1-URGENT'").count()
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
+    """Backfill contract: re-writing ONE partition in dynamic
+    partitionOverwriteMode must replace only that directory and leave
+    every other partition untouched — the idempotent reprocessing
+    pattern for partitioned 100 TB tables (static mode would wipe the
+    whole table)."""
+    from projet_etl_a_rien_spark.sources.files import write
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_dyn")
+    write(o, path, partition_by=["o_orderpriority"])
+    before = spark.read.parquet(path).count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # backfill: re-derive just the URGENT partition (say, a fix-up run)
+        urgent = o.where("o_orderpriority = '1-URGENT'")
+        urgent.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+        after = spark.read.parquet(path)
+        assert after.count() == before  # other partitions survived
+        assert (
+            after.where("o_orderpriority = '1-URGENT'").count() == urgent.count()
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
