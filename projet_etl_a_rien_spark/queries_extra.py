@@ -273,3 +273,58 @@ def q_order_price_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         within(0).alias("p50_ok"), within(1).alias("p90_ok")
     )
+
+
+@register(
+    "events_rolling_hour_value",
+    """
+SELECT event_id,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS roll_cents
+FROM events
+""",
+    doc="Time-RANGE window frame (not ROWS): per-user rolling 1-hour value "
+    "sum — the frame is event-time width, so it is insensitive to event "
+    "density, the property rows-frames can't give. One key shuffle, "
+    "per-partition ordered scan; exact cents keep it order-independent.",
+)
+def q_events_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval RANGE frames are SQL-only (the PySpark Window API's
+    # rangeBetween takes numeric offsets); the ntz->ts cast is exact
+    # under the pinned-UTC session
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_rolling_src"
+    )
+    return spark.sql(
+        """
+SELECT event_id,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS roll_cents
+FROM events_rolling_src"""
+    )
+
+
+@register(
+    "order_price_histogram",
+    """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000 THEN 13
+            ELSE FLOOR(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+""",
+    doc="Equi-width histogram via width_bucket: the one-shuffle "
+    "distribution profile (overflow rows land in bucket n+1 per the SQL "
+    "spec, which both engines implement).",
+)
+def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.expr("CAST(width_bucket(o_totalprice, 0, 600000, 12) AS BIGINT)").alias(
+            "bucket"
+        )
+    ).agg(F.count("*").alias("n_orders"))
