@@ -37,7 +37,7 @@ from .fixtures import (
     airports_messages,
     airports_messages_numeric,
 )
-from .functions.exactmath import avg_money, cents, sum_cents, sum_money, sum_product_money
+from .functions.exactmath import avg_money, cents, sum_money, sum_product_money
 from .operators.airports import (
     AIRPORT_SCHEMA_PERMISSIVE,
     airport_stats,
