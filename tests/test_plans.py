@@ -21,6 +21,10 @@ _load_extensions()
 EAGER = {name for name in REGISTRY if name.startswith("streaming_")} | {
     "embedding_kmeans_assign",
     "embedding_ann_kmeans_topk",
+    "embedding_ann_recall_at_10",
+    "embedding_knn_join_top3",
+    "minhash_dedup_clusters",  # CC driver loop
+    "minhash_dedup_survivors",  # CC driver loop
     "airports_permissive_roundtrip",
 }
 
@@ -95,3 +99,28 @@ def test_time_rollup_reuses_finer_grains(spark, sf_dir):
     aggregate (InMemoryTableScan), not re-scan the fact per grain."""
     plan = _plan(spark, sf_dir, "events_time_rollup")
     assert "InMemoryTableScan" in plan
+
+
+# 1-row scalar-subquery broadcasts legitimately plan as
+# BroadcastNestedLoopJoin (query vector, corpus-size scalar,
+# fraction-of-total, above-average threshold) — everything else must not.
+SCALAR_BNLJ_OK = {
+    "embedding_cosine_topk",
+    "tfidf_top_terms",
+    "tpch_q11_important_stock",
+    "tpch_q22_idle_rich_customers",
+    "order_price_sketch_bounds",
+}
+
+
+def test_no_cartesian_or_unexpected_nested_loops(spark, sf_dir):
+    """No query may plan a true CartesianProduct, and nested-loop joins
+    may appear only where a 1-row scalar broadcast makes them O(n)."""
+    offenders = []
+    for name in sorted(set(REGISTRY) - EAGER):
+        plan = _plan(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_BNLJ_OK:
+            offenders.append((name, "nested-loop"))
+    assert not offenders, offenders
