@@ -52,3 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views so any SQL front end
+    (``spark.sql``, thrift server, a notebook) can query the catalog by
+    name — views stay LAZY (plain scans + the normalizing projection), so
+    pushdown and pruning behave exactly as through ``load_table``."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

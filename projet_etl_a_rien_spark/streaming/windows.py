@@ -305,3 +305,47 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def run_incremental_dedup_sink(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Merge-style EXACT-dedup ingest: each micro-batch keeps only rows
+    whose key is new — deduped within the batch, then anti-joined against
+    the keys already in the sink — and APPENDS them. Unlike
+    ``dropDuplicatesWithinWatermark`` (bounded state, time-local dups)
+    this dedups against ALL history with zero streaming state: the sink
+    itself is the state, which is the right trade when history exceeds
+    what a state store should hold and the sink is indexed/partitioned by
+    the key. Re-running a batch appends nothing (every key already
+    present), so the sink is idempotent under replay.
+
+    Returns the re-read sink.
+    """
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_idem_")
+    keys = list(key_cols)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates(keys)
+        try:
+            existing = batch_df.sparkSession.read.parquet(path).select(*keys)
+            fresh = fresh.join(existing, keys, "left_anti")
+        except Exception:
+            pass  # first batch: sink doesn't exist yet
+        fresh.write.mode("append").parquet(path)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(merge_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(path)

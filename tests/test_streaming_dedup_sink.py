@@ -56,3 +56,37 @@ def test_dedup_keeps_distinct_keys(spark, sf_dir):
         deduped.agg(F.sum("event_id")).first()[0]
         == src.agg(F.sum("event_id")).first()[0]
     )
+
+
+def test_incremental_dedup_sink_idempotent_replay(spark, sf_dir, tmp_path):
+    """The sink-is-the-state exact dedup: a second full replay into the
+    same sink appends NOTHING (every key already present), and a doubled
+    stream lands single copies."""
+    from projet_etl_a_rien_spark.streaming.windows import (
+        run_incremental_dedup_sink,
+    )
+
+    sink = str(tmp_path / "dedup_sink")
+    ev = replay_events_stream(spark, sf_dir)
+    doubled = ev.unionAll(replay_events_stream(spark, sf_dir))
+    out = run_incremental_dedup_sink(doubled, sink)
+    n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == n_unique
+    # full re-replay: nothing new
+    again = run_incremental_dedup_sink(
+        replay_events_stream(spark, sf_dir), sink
+    )
+    assert again.count() == n_unique
+    assert again.select("event_id").distinct().count() == n_unique
+
+
+def test_register_views_sql_access(spark, sf_dir):
+    from projet_etl_a_rien_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "region", "events")
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").first().n == 5
+    # the normalizing projection applied: ts is usable as event time
+    assert (
+        spark.sql("SELECT MAX(date_trunc('hour', ts)) FROM events").first()[0]
+        is not None
+    )
