@@ -46,3 +46,27 @@ def write(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.save(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Totally-ordered export: range-partition on the sort key (sampled
+    range exchange — each output file owns a disjoint, ordered key
+    range) then sort within partitions. File i's max key < file i+1's
+    min key, so downstream range predicates prune to single files and
+    merge-readers get global order without a merge. This is the
+    Z-order-lite layout primitive for a 100 TB sorted export."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
