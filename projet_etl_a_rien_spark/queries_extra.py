@@ -328,3 +328,102 @@ def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         )
     ).agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "data_quality_report",
+    """
+SELECT 'orders_custkey_fk' AS constraint_name,
+       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS violations
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+UNION ALL
+SELECT 'orders_totalprice_nonneg',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0)
+UNION ALL
+SELECT 'customer_name_not_null',
+       (SELECT COUNT(*) FROM customer WHERE c_name IS NULL)
+""",
+    doc="Expectations-style data-quality report (DeeQu/dbt-test shape): "
+    "referential integrity via anti joins, key uniqueness, domain and "
+    "not-null constraints — each one shuffle at most, FK dims broadcast; "
+    "the report is the artifact a 100 TB ingest gate actually blocks on.",
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "orders_custkey_fk",
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count("*").alias("violations")
+            ),
+        ),
+        one(
+            "lineitem_orderkey_fk",
+            l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count("*").alias("violations")
+            ),
+        ),
+        one(
+            "orders_orderkey_unique",
+            o.agg(
+                (F.count("*") - F.count_distinct("o_orderkey")).alias("violations")
+            ),
+        ),
+        one(
+            "orders_totalprice_nonneg",
+            o.where("o_totalprice < 0").agg(F.count("*").alias("violations")),
+        ),
+        one(
+            "customer_name_not_null",
+            c.where("c_name IS NULL").agg(F.count("*").alias("violations")),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+@register(
+    "table_stats_orders",
+    """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(o_orderdate) AS min_date,
+       MAX(o_orderdate) AS max_date,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+""",
+    doc="ANALYZE-style table statistics in one pass (row count, per-column "
+    "distinct counts and min/max) — the CBO/stats-collection shape; a "
+    "single aggregation, partials combined map-side.",
+)
+def q_table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
