@@ -427,3 +427,49 @@ def q_table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.count_distinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+@register(
+    "events_funnel_counts",
+    """
+WITH stages AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_signup) AS reached_signup,
+       SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS signup_then_click,
+       SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                THEN 1 ELSE 0 END) AS full_funnel
+FROM stages
+""",
+    doc="Ordered funnel analysis: per-user first-touch timestamps per "
+    "stage via conditional MIN (one shuffle, no joins, no window sort), "
+    "then strict ordering predicates count stage-to-stage progression — "
+    "the product-analytics shape sessionization doesn't answer.",
+)
+def q_events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    stages = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("reached_signup"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_signup"), 1).otherwise(0)
+        ).alias("signup_then_click"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("full_funnel"),
+    )
