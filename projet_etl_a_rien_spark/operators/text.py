@@ -103,38 +103,52 @@ def winnow_fingerprints(
     guarantees any shared substring of length >= k + w - 1 contributes a
     shared fingerprint.
 
-    DataFrame-level on purpose: the k-gram hash array MUST be its own
-    projection before the sliding-window pass. With both in one Column
-    expression, every window's lambda inlines the full hash-array
-    subtree, and codegen re-evaluates all n md5s per window — O(n²)
-    hashes per document (measured: minutes per 5k docs at sf0.1; this
-    form is O(n) and runs in ~2 s). Documents shorter than k + w - 1
-    yield an empty fingerprint set.
+    Fully RELATIONAL formulation (posexplode → window min → group), not
+    nested array lambdas, on purpose: a Column-expression sliding window
+    that slices a hash array it also builds gets re-inlined by
+    CollapseProject under downstream projections (an added explode
+    multiplied the md5 subtree 5× and turned the operator O(n²) —
+    minutes per 5k docs at sf0.1). Here each k-gram is hashed exactly
+    once as its own ROW, the window min is a real Window operator, and
+    no optimizer rewrite can duplicate work. Cost: one shuffle on the
+    doc id, linear in total characters. Documents shorter than
+    k + w - 1 yield an empty fingerprint set.
     """
+    from pyspark.sql.window import Window
+
     c = F.col(text_col)
-    n_grams = F.length(c) - k + 1
-    hashes = F.transform(
-        F.transform(F.sequence(F.lit(1), n_grams), lambda i: F.substr(c, i, F.lit(k))),
-        lambda g: F.conv(F.substr(F.md5(g), F.lit(1), F.lit(8)), 16, 10).cast("long"),
-    )
-    staged = df.select(
+    grams = df.where(F.length(c) >= k + w - 1).select(
         id_col,
-        F.length(c).alias("_len"),
-        F.when(F.length(c) >= k + w - 1, hashes)
-        .otherwise(F.array().cast("array<long>"))
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - k + 1),
+                lambda i: F.substr(c, i, F.lit(k)),
+            )
+        ).alias("_i", "_g"),
+    )
+    hashed = grams.select(
+        id_col,
+        "_i",
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
+        .cast("long")
         .alias("_h"),
     )
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size("_h") - w + 1),
-        lambda i: F.array_min(F.slice(F.col("_h"), i, w)),
-    )
-    return staged.select(
-        id_col,
-        F.when(
-            F.col("_len") >= k + w - 1, F.array_sort(F.array_distinct(mins))
+    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy(id_col)
+    mins = (
+        hashed.select(
+            id_col,
+            "_i",
+            F.min("_h").over(win).alias("_m"),
+            F.count("*").over(cnt).alias("_n"),
         )
-        .otherwise(F.array().cast("array<long>"))
-        .alias(out_col),
+        .where(F.col("_i") <= F.col("_n") - w)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.array_distinct(F.collect_list("_m"))).alias(out_col))
+    )
+    return df.select(id_col).join(mins, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<long>")).alias(out_col),
     )
 
 

@@ -163,10 +163,11 @@ _H32 = "(" + " + ".join(
 ) + ")"
 
 
-@register(
-    "doc_winnow_fingerprints",
-    f"""
-WITH pos AS (
+# winnow construction as a reusable CTE chain ending in ``f`` =
+# (doc_id, fingerprints) — shared by the fingerprint query and the
+# decontamination query
+_WINNOW_CTES = f"""
+pos AS (
     SELECT doc_id, text, unnest(range(1, length(text) - {WINNOW_K} + 2)) AS i
     FROM documents WHERE length(text) >= {WINNOW_K}
 ),
@@ -179,7 +180,13 @@ wm AS (
     FROM g
 ),
 f AS (SELECT doc_id, list_sort(list_distinct(list(m))) AS fingerprints
-      FROM wm WHERE i <= n - {WINNOW_W} + 1 GROUP BY doc_id)
+      FROM wm WHERE i <= n - {WINNOW_W} + 1 GROUP BY doc_id)"""
+
+
+@register(
+    "doc_winnow_fingerprints",
+    f"""
+WITH {_WINNOW_CTES}
 SELECT d.doc_id, COALESCE(f.fingerprints, []) AS fingerprints
 FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
 """,
@@ -982,3 +989,63 @@ def q_embedding_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
     )
     return similarity.ann_knn_join(emb, assign, k=3)
+
+
+CONTAM_MAX_DF = 5  # fingerprints in more docs than this are boilerplate
+
+
+@register(
+    "train_eval_contamination",
+    f"""
+WITH {_WINNOW_CTES},
+fp AS (SELECT doc_id, unnest(fingerprints) AS fprint FROM f),
+rare AS (
+    SELECT fprint FROM fp GROUP BY fprint
+    HAVING COUNT(DISTINCT doc_id) <= {{max_df}}
+),
+fpr AS (SELECT fp.doc_id, fp.fprint FROM fp JOIN rare USING (fprint)),
+ev AS (SELECT doc_id, fprint FROM fpr WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, fprint FROM fpr WHERE doc_id % 10 != 0)
+SELECT tr.doc_id AS train_doc_id,
+       COUNT(DISTINCT ev.doc_id) AS n_eval_docs_hit,
+       COUNT(DISTINCT tr.fprint) AS n_shared_fingerprints
+FROM tr JOIN ev ON tr.fprint = ev.fprint
+GROUP BY tr.doc_id
+HAVING COUNT(DISTINCT tr.fprint) >= 3
+""".format(max_df=5),
+    doc="Benchmark decontamination: training documents sharing >= 3 RARE "
+    "winnowing fingerprints with any eval-split document (doc_id % 10 "
+    "stands in for the eval set). The document-frequency cap (df <= 5) is "
+    "both the statistical fix — boilerplate n-grams are not contamination "
+    "evidence — and the scale fix: it bounds the inverted-index join "
+    "fan-out at max_df^2 per fingerprint, where the uncapped join is "
+    "quadratic in the corpus for hot fingerprints. The production gate "
+    "before any training run.",
+)
+def q_train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    fp = (
+        text.winnow_fingerprints(
+            _docs(spark, sf_dir).repartition(par), k=WINNOW_K, w=WINNOW_W
+        )
+        .select("doc_id", F.explode("fingerprints").alias("fprint"))
+        .persist()
+    )
+    rare = (
+        fp.groupBy("fprint")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= CONTAM_MAX_DF)
+        .select("fprint")
+    )
+    fpr = fp.join(rare, "fprint")
+    ev = fpr.where(F.col("doc_id") % 10 == 0).alias("ev")
+    tr = fpr.where(F.col("doc_id") % 10 != 0).alias("tr")
+    return (
+        tr.join(ev, F.col("tr.fprint") == F.col("ev.fprint"))
+        .groupBy(F.col("tr.doc_id").alias("train_doc_id"))
+        .agg(
+            F.count_distinct(F.col("ev.doc_id")).alias("n_eval_docs_hit"),
+            F.count_distinct(F.col("tr.fprint")).alias("n_shared_fingerprints"),
+        )
+        .where(F.col("n_shared_fingerprints") >= 3)
+    )
