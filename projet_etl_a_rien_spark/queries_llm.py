@@ -1049,3 +1049,27 @@ def q_train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_shared_fingerprints") >= 3)
     )
+
+
+@register(
+    "doc_lang_confusion",
+    f"""
+SELECT lang AS true_lang, {_LANG_CASE} AS pred_lang, COUNT(*) AS n_docs
+FROM documents,
+     LATERAL (SELECT greatest({", ".join(_LANG_SCORE[lang] for lang in sorted(_LANG_SCORE))}) AS best) g
+GROUP BY 1, 2
+""",
+    doc="Language-ID confusion matrix: predicted vs fixture label counts — "
+    "the heuristic-evaluation artifact a pipeline monitors before trusting "
+    "a classifier gate; single narrow projection + one small rollup.",
+)
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            text.lang_pred_col("text").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
