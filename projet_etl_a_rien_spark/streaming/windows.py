@@ -329,12 +329,18 @@ def run_incremental_dedup_sink(
     keys = list(key_cols)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         fresh = batch_df.dropDuplicates(keys)
         try:
             existing = batch_df.sparkSession.read.parquet(path).select(*keys)
             fresh = fresh.join(existing, keys, "left_anti")
-        except Exception:
-            pass  # first batch: sink doesn't exist yet
+        except AnalysisException as e:
+            # only the sink-not-yet-created case may pass — anything else
+            # (permissions, corrupt files) must fail loudly, or the merge
+            # silently degrades to append-with-duplicates
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
         fresh.write.mode("append").parquet(path)
 
     try:
