@@ -473,3 +473,52 @@ def q_events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("full_funnel"),
     )
+
+
+@register(
+    "events_user_anomalies",
+    """
+WITH s AS (
+    SELECT user_id,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sc,
+           SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS sq
+    FROM events GROUP BY user_id
+),
+z AS (
+    SELECT e.user_id,
+           abs(CAST(ROUND(e.value * 100) AS BIGINT) - s.sc / s.n)
+             / sqrt(GREATEST(s.sq / s.n - (s.sc / s.n) * (s.sc / s.n), 1e-9)) AS zscore
+    FROM events e JOIN s ON e.user_id = s.user_id
+)
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CASE WHEN zscore > 2.5 THEN 1 ELSE 0 END) AS n_anomalies
+FROM z GROUP BY user_id
+""",
+    doc="Per-user anomaly counts by z-score: mean and variance from EXACT "
+    "integer-cent sums (population variance = sq/n - mean^2 — every term "
+    "is a deterministic fp op over identical int64s, so thresholding is "
+    "engine-exact even at the boundary). Two shuffles on the user key; "
+    "the stats join broadcasts the per-user aggregate.",
+)
+def q_events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("sc"),
+        F.sum(c * c).alias("sq"),
+    )
+    mean = F.col("sc") / F.col("n")
+    var = F.greatest(F.col("sq") / F.col("n") - mean * mean, F.lit(1e-9))
+    z = (
+        ev.join(F.broadcast(s), "user_id")
+        .select(
+            "user_id",
+            (F.abs(c - mean) / F.sqrt(var)).alias("zscore"),
+        )
+    )
+    return z.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("zscore") > 2.5, 1).otherwise(0)).alias("n_anomalies"),
+    )
