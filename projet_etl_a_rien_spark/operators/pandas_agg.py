@@ -56,3 +56,60 @@ def grouped_robust_stats(
         stats,
         schema=f"{group_col} string, n_docs bigint, median_val double, mad_val double",
     )
+
+
+def cogrouped_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_col: str,
+    left_cols: tuple[str, ...],
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` — the cogrouped-map
+    Pandas API: both sides are shuffled on the key ONCE, and each key's
+    (left, right) pair of Arrow batches meets one Python call where
+    ``pandas.merge_asof`` (backward) does the per-key work.
+
+    Exists alongside operators/asof.py's pure-JVM union+window form as
+    the escape hatch for as-of variants the window trick can't express
+    (nearest-within-tolerance, interpolation between versions, multi
+    column state carry-forward) — same shuffle cost, batch-level Python.
+    Ties on equal timestamps resolve to the largest payload value,
+    matching asof_join's tie rule (sorted merge takes the last equal
+    row).
+    """
+    import pandas as pd
+
+    lcols = list(left_cols)
+    out_schema = ", ".join(
+        [f"{c} {dict(left.dtypes)[c]}" for c in lcols] + [f"asof_{payload_col} bigint"]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=lcols + [f"asof_{payload_col}"])
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if rpdf.empty:
+            out = lpdf[lcols].copy()
+            out[f"asof_{payload_col}"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        rpdf = rpdf.sort_values(
+            [right_ts, payload_col], kind="mergesort"
+        )[[right_ts, payload_col]]
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf.rename(columns={right_ts: left_ts}),
+            on=left_ts,
+            direction="backward",
+        )
+        out = merged[lcols].copy()
+        out[f"asof_{payload_col}"] = merged[payload_col].astype("Int64")
+        return out
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )

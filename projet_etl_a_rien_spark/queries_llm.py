@@ -1073,3 +1073,74 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "embedding_quantization_error",
+    """
+WITH q AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> ROUND(x * 127) / 127.0) AS dq
+    FROM embeddings
+),
+c AS (
+    SELECT vec_id,
+           list_dot_product(v, dq)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)))
+             AS cos_self
+    FROM q
+)
+SELECT COUNT(*) AS n_vecs,
+       MIN(cos_self) AS worst_cos,
+       SUM(CASE WHEN cos_self < 0.995 THEN 1 ELSE 0 END) AS n_degraded
+FROM c
+""",
+    doc="int8 storage quantization quality gate: cosine of each vector "
+    "against its round(x*127)/127 dequantized self — 4x smaller embedding "
+    "storage at 100 TB; worst-case cosine and degraded count are exact "
+    "(min + comparisons over engine-identical doubles, no fp sums).",
+)
+def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dq = F.transform(v, lambda x: F.round(x * 127) / 127.0)
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    q = emb.select("vec_id", v.alias("v"), dq.alias("dq"))
+    c = q.select(
+        "vec_id",
+        (dot(F.col("v"), F.col("dq"))
+         / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("dq"), F.col("dq"))))
+         ).alias("cos_self"),
+    )
+    return c.agg(
+        F.count("*").alias("n_vecs"),
+        F.min("cos_self").alias("worst_cos"),
+        F.sum(F.when(F.col("cos_self") < 0.995, 1).otherwise(0)).alias("n_degraded"),
+    )
+
+
+@register(
+    "multimodal_meta_stats",
+    """
+SELECT lang AS meta_lang, source AS meta_source,
+       COUNT(*) AS n_payloads,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2
+""",
+    doc="Typed-metadata querying over the multimodal row shape: group by "
+    "struct fields of the (payload, meta) schema — metadata predicates "
+    "and rollups never touch the binary column, so the scan prunes it.",
+)
+def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return mm.groupBy(
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+    ).agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("meta.n_chars").alias("sum_chars"),
+    )

@@ -407,3 +407,49 @@ def q_events_in_hot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
     )
+
+
+@register(
+    "events_orders_asof_cogroup",
+    """
+WITH u AS (
+    SELECT user_id AS k, ts AS t, 1 AS side, event_id, NULL::BIGINT AS o_orderkey
+    FROM events
+    UNION ALL
+    SELECT o_custkey, o_orderdate, 0, NULL, o_orderkey FROM orders
+),
+w AS (
+    SELECT event_id, k, t, side,
+           LAST_VALUE(o_orderkey IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, side, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS asof_o_orderkey
+    FROM u
+)
+SELECT event_id, k AS user_id, t AS ts, asof_o_orderkey
+FROM w WHERE side = 1
+""",
+    doc="The SAME as-of semantics as events_orders_asof, computed via "
+    "cogroup().applyInPandas (pandas merge_asof per key batch) — the "
+    "cogrouped-map escape hatch for as-of variants the union+window trick "
+    "can't express; proven equivalent by sharing the window-form oracle.",
+)
+def q_events_orders_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pandas_agg import cogrouped_asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id"), "ts"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ots"),
+        "o_orderkey",
+    )
+    return cogrouped_asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        payload_col="o_orderkey",
+        left_cols=("event_id", "user_id", "ts"),
+    )
