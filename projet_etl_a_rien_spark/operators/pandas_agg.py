@@ -23,6 +23,7 @@ can't do without exact percentile machinery.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def grouped_robust_stats(
@@ -79,6 +80,14 @@ def cogrouped_asof_join(
     Ties on equal timestamps resolve to the largest payload value,
     matching asof_join's tie rule (sorted merge takes the last equal
     row).
+
+    Cogroups on ``n_buckets`` COARSE hash buckets of the key, not the
+    key itself: applyInPandas pays a Python round-trip per group, so a
+    million tiny keys would mean a million calls (measured 27 s for 1.5k
+    keys at sf0.1). Bucketing gives few large Arrow batches (64 calls →
+    4.6 s) and ``merge_asof(by=key)`` restores per-key semantics inside
+    each batch. The generic rule for every grouped-map operator: group on
+    what sizes the BATCH, push the real key into the kernel.
     """
     import pandas as pd
 
@@ -86,6 +95,7 @@ def cogrouped_asof_join(
     out_schema = ", ".join(
         [f"{c} {dict(left.dtypes)[c]}" for c in lcols] + [f"asof_{payload_col} bigint"]
     )
+    n_buckets = 64
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
@@ -97,19 +107,22 @@ def cogrouped_asof_join(
             return out
         rpdf = rpdf.sort_values(
             [right_ts, payload_col], kind="mergesort"
-        )[[right_ts, payload_col]]
+        )[[right_ts, key, payload_col]]
         merged = pd.merge_asof(
             lpdf,
             rpdf.rename(columns={right_ts: left_ts}),
             on=left_ts,
+            by=key,
             direction="backward",
         )
         out = merged[lcols].copy()
         out[f"asof_{payload_col}"] = merged[payload_col].astype("Int64")
         return out
 
+    lb = left.withColumn("_b", F.pmod(F.col(key), n_buckets))
+    rb = right.withColumn("_b", F.pmod(F.col(key), n_buckets))
     return (
-        left.groupBy(key)
-        .cogroup(right.groupBy(key))
+        lb.groupBy("_b")
+        .cogroup(rb.groupBy("_b"))
         .applyInPandas(merge, schema=out_schema)
     )
