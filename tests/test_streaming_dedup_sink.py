@@ -90,3 +90,29 @@ def test_register_views_sql_access(spark, sf_dir):
         spark.sql("SELECT MAX(date_trunc('hour', ts)) FROM events").first()[0]
         is not None
     )
+
+
+def test_batch_progress_recorder_captures_rows(spark, sf_dir):
+    import time
+
+    from projet_etl_a_rien_spark.observability import BatchProgressRecorder
+    from projet_etl_a_rien_spark.streaming.windows import (
+        run_bounded,
+        streaming_global_count,
+    )
+
+    rec = BatchProgressRecorder().attach(spark)
+    try:
+        out = run_bounded(
+            streaming_global_count(replay_events_stream(spark, sf_dir))
+        )
+        n = out.first()[0]
+        # listener delivery is async; give the bus a moment
+        for _ in range(20):
+            if sum(p["num_input_rows"] for p in rec.progress) >= n:
+                break
+            time.sleep(0.5)
+        assert sum(p["num_input_rows"] for p in rec.progress) == n
+        assert all(p["batch_id"] is not None for p in rec.progress)
+    finally:
+        rec.detach(spark)
