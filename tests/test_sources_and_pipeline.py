@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from projet_etl_a_rien_spark.fixtures import airports_messages, airports_messages_numeric
 from projet_etl_a_rien_spark.observability import observed_edge
@@ -131,3 +132,27 @@ def test_compact_files_bounds_file_count(spark, sf_dir, tmp_path):
     compact_files(spark, src, out, target_files=2)
     assert len(glob.glob(f"{out}/part-*")) == 2
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Lakehouse schema evolution: files written before a column existed
+    must read back null-extended when merged with newer files — the
+    contract that lets a 100 TB table gain columns without rewriting
+    history."""
+    path = str(tmp_path / "evolving")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v1 = o.select("o_orderkey", "o_totalprice").limit(50)
+    v1.write.parquet(path + "/v=1")
+    v2 = (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("discount_pct", F.lit(5.0))
+        .limit(30)
+    )
+    v2.write.parquet(path + "/v=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) >= {"o_orderkey", "o_totalprice", "discount_pct"}
+    assert merged.count() == 80
+    # old files surface the new column as null; new files carry values
+    assert merged.where(F.col("discount_pct").isNull()).count() == 50
+    assert merged.where(F.col("discount_pct") == 5.0).count() == 30
