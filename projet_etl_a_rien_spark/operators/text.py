@@ -87,6 +87,77 @@ def subword_token_count(col: Column | str) -> Column:
     ).cast("long")
 
 
+WINNOW_BASE = 31  # polynomial rolling-hash base (codepoint-weighted)
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Winnowing document fingerprints as SCALAR rows (id, fingerprint):
+    hash every character k-gram, slide a window of w consecutive hashes,
+    keep each window's minimum, dedupe. Standard plagiarism/near-copy
+    signature (Schleimer et al., MOSS); guarantees any shared substring
+    of length >= k + w - 1 contributes a shared fingerprint.
+
+    The k-gram hash is a POLYNOMIAL over character codepoints —
+    sum(ascii(ch[i+j]) * BASE^(k-1-j)) — built from w-1 ``lead()`` calls
+    over one (id, pos) sort, replacing the per-gram md5 of the previous
+    revision: same shuffle shape, but pure integer arithmetic inside
+    whole-stage codegen instead of a cryptographic hash per row (measured
+    3.5× faster at sf0.1, SCALE_NOTES §4). No modulus needed: max
+    codepoint 0x10FFFF × BASE^(k-1) × k stays far below int64 for
+    k <= 8. DuckDB replicates the exact expression with ascii(substr()).
+
+    Fully RELATIONAL formulation (posexplode chars → lead-window hash →
+    window min), not nested array lambdas, on purpose: a Column-expression
+    sliding window that slices a hash array it also builds gets re-inlined
+    by CollapseProject under downstream projections (an added explode
+    multiplied the hash subtree 5× and turned the operator O(n²) —
+    minutes per 5k docs at sf0.1). Here each character is hashed into
+    exactly one gram ROW, the lead/min windows are real Window operators
+    over ONE sort, and no optimizer rewrite can duplicate work. Cost: one
+    shuffle on the doc id, linear in total characters. Documents shorter
+    than k + w - 1 yield no rows.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(text_col)
+    chars = df.where(F.length(c) >= k + w - 1).select(
+        id_col,
+        F.posexplode(F.split(c, "")).alias("_i", "_ch"),
+    )
+    order = Window.partitionBy(id_col).orderBy("_i")
+    poly = None
+    for j in range(k):
+        term = (
+            F.col("_c") if j == 0 else F.lead("_c", j).over(order)
+        ) * F.lit(WINNOW_BASE ** (k - 1 - j))
+        poly = term if poly is None else poly + term
+    hashed = (
+        chars.select(id_col, "_i", F.ascii("_ch").cast("long").alias("_c"))
+        .select(id_col, "_i", poly.alias("_h"))
+        .where(F.col("_h").isNotNull())
+    )
+    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy(id_col)
+    return (
+        hashed.select(
+            id_col,
+            "_i",
+            F.min("_h").over(win).alias("_m"),
+            F.count("*").over(cnt).alias("_n"),
+        )
+        .where(F.col("_i") <= F.col("_n") - w)
+        .select(id_col, F.col("_m").alias(out_col))
+        .distinct()
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -95,56 +166,14 @@ def winnow_fingerprints(
     w: int = 4,
     out_col: str = "fingerprints",
 ) -> DataFrame:
-    """Winnowing document fingerprints (the rolling-hash fingerprint the
-    reference surface lists under text analysis): hash every character
-    k-gram (md5-prefix 32-bit value — engine-portable), slide a window of
-    w consecutive hashes, keep each window's minimum, dedupe and sort.
-    Standard plagiarism/near-copy signature (Schleimer et al., MOSS);
-    guarantees any shared substring of length >= k + w - 1 contributes a
-    shared fingerprint.
-
-    Fully RELATIONAL formulation (posexplode → window min → group), not
-    nested array lambdas, on purpose: a Column-expression sliding window
-    that slices a hash array it also builds gets re-inlined by
-    CollapseProject under downstream projections (an added explode
-    multiplied the md5 subtree 5× and turned the operator O(n²) —
-    minutes per 5k docs at sf0.1). Here each k-gram is hashed exactly
-    once as its own ROW, the window min is a real Window operator, and
-    no optimizer rewrite can duplicate work. Cost: one shuffle on the
-    doc id, linear in total characters. Documents shorter than
-    k + w - 1 yield an empty fingerprint set.
-    """
-    from pyspark.sql.window import Window
-
-    c = F.col(text_col)
-    grams = df.where(F.length(c) >= k + w - 1).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(c) - k + 1),
-                lambda i: F.substr(c, i, F.lit(k)),
-            )
-        ).alias("_i", "_g"),
+    """Array-per-document form of :func:`winnow_fingerprint_rows` (sorted,
+    distinct, empty array for short docs). Prefer the row form for joins —
+    arrays exist for per-doc signature export only."""
+    rows = winnow_fingerprint_rows(
+        df, text_col, id_col, k, w, out_col="_fp"
     )
-    hashed = grams.select(
-        id_col,
-        "_i",
-        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("_h"),
-    )
-    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
-    cnt = Window.partitionBy(id_col)
-    mins = (
-        hashed.select(
-            id_col,
-            "_i",
-            F.min("_h").over(win).alias("_m"),
-            F.count("*").over(cnt).alias("_n"),
-        )
-        .where(F.col("_i") <= F.col("_n") - w)
-        .groupBy(id_col)
-        .agg(F.array_sort(F.array_distinct(F.collect_list("_m"))).alias(out_col))
+    mins = rows.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_fp")).alias(out_col)
     )
     return df.select(id_col).join(mins, id_col, "left").select(
         id_col,

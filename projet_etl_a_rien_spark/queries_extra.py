@@ -218,17 +218,19 @@ def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
     SELECT date_trunc('minute', ts) AS bucket_start,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events GROUP BY 1
 ),
 h AS (
     SELECT date_trunc('hour', bucket_start) AS bucket_start,
-           SUM(n_events) AS n_events, SUM(sum_cents) AS sum_cents
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
     FROM m GROUP BY 1
 ),
 d AS (
     SELECT date_trunc('day', bucket_start) AS bucket_start,
-           SUM(n_events) AS n_events, SUM(sum_cents) AS sum_cents
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
     FROM h GROUP BY 1
 )
 SELECT 'minute' AS grain, * FROM m
@@ -279,10 +281,10 @@ def q_order_price_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rolling_hour_value",
     """
 SELECT event_id,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
            PARTITION BY user_id ORDER BY ts
            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-         AS roll_cents
+         AS BIGINT) AS roll_cents
 FROM events
 """,
     doc="Time-RANGE window frame (not ROWS): per-user rolling 1-hour value "
@@ -441,9 +443,10 @@ WITH stages AS (
 )
 SELECT COUNT(*) AS n_users,
        COUNT(t_signup) AS reached_signup,
-       SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS signup_then_click,
-       SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
-                THEN 1 ELSE 0 END) AS full_funnel
+       CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+         AS signup_then_click,
+       CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
 FROM stages
 """,
     doc="Ordered funnel analysis: per-user first-touch timestamps per "
@@ -481,8 +484,8 @@ def q_events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
     SELECT user_id,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sc,
-           SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS sq
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sq
     FROM events GROUP BY user_id
 ),
 z AS (
@@ -492,14 +495,17 @@ z AS (
     FROM events e JOIN s ON e.user_id = s.user_id
 )
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CASE WHEN zscore > 2.5 THEN 1 ELSE 0 END) AS n_anomalies
+       CAST(SUM(CASE WHEN zscore > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM z GROUP BY user_id
 """,
     doc="Per-user anomaly counts by z-score: mean and variance from EXACT "
     "integer-cent sums (population variance = sq/n - mean^2 — every term "
     "is a deterministic fp op over identical int64s, so thresholding is "
     "engine-exact even at the boundary). Two shuffles on the user key; "
-    "the stats join broadcasts the per-user aggregate.",
+    "the stats join is a shuffle join — the per-user aggregate has "
+    "unbounded cardinality (one row per user), so broadcasting it would "
+    "OOM at scale; the groupBy already partitioned both sides by user_id "
+    "so the join reuses that exchange.",
 )
 def q_events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -512,7 +518,7 @@ def q_events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("sc") / F.col("n")
     var = F.greatest(F.col("sq") / F.col("n") - mean * mean, F.lit(1e-9))
     z = (
-        ev.join(F.broadcast(s), "user_id")
+        ev.join(s, "user_id")
         .select(
             "user_id",
             (F.abs(c - mean) / F.sqrt(var)).alias("zscore"),

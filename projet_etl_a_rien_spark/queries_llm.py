@@ -156,22 +156,25 @@ def q_doc_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_K = 8
 WINNOW_W = 4
-# 32-bit value of the first 8 hex digits of md5(<g>) — portable rolling hash
-_H32 = "(" + " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5({{g}}), {p}, 1)) - 1) * {16 ** (8 - p)}"
-    for p in range(1, 9)
+# polynomial codepoint hash over the k-gram at 1-based position i —
+# replicates operators/text.py winnow_fingerprint_rows exactly
+_POLY = "(" + " + ".join(
+    f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT)"
+    f" * {text.WINNOW_BASE ** (WINNOW_K - 1 - j)}"
+    for j in range(WINNOW_K)
 ) + ")"
 
 
-# winnow construction as a reusable CTE chain ending in ``f`` =
-# (doc_id, fingerprints) — shared by the fingerprint query and the
-# decontamination query
+# winnow construction as a reusable CTE chain ending in ``fp`` =
+# scalar (doc_id, fprint) rows — shared by the fingerprint query and the
+# decontamination query. Scalar on purpose: the correctness harness
+# canonicalizes through pandas, which cannot sort/hash array cells.
 _WINNOW_CTES = f"""
 pos AS (
     SELECT doc_id, text, unnest(range(1, length(text) - {WINNOW_K} + 2)) AS i
-    FROM documents WHERE length(text) >= {WINNOW_K}
+    FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
 ),
-g AS (SELECT doc_id, i, {_H32.format(g=f"substr(text, i, {WINNOW_K})")} AS h FROM pos),
+g AS (SELECT doc_id, i, CAST({_POLY} AS BIGINT) AS h FROM pos),
 wm AS (
     SELECT doc_id, i,
            MIN(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -179,21 +182,20 @@ wm AS (
            COUNT(*) OVER (PARTITION BY doc_id) AS n
     FROM g
 ),
-f AS (SELECT doc_id, list_sort(list_distinct(list(m))) AS fingerprints
-      FROM wm WHERE i <= n - {WINNOW_W} + 1 GROUP BY doc_id)"""
+fp AS (SELECT DISTINCT doc_id, m AS fprint
+       FROM wm WHERE i <= n - {WINNOW_W} + 1)"""
 
 
 @register(
     "doc_winnow_fingerprints",
     f"""
 WITH {_WINNOW_CTES}
-SELECT d.doc_id, COALESCE(f.fingerprints, []) AS fingerprints
-FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+SELECT doc_id, fprint AS fingerprint FROM fp
 """,
     doc="Winnowing rolling-hash document fingerprints (MOSS construction: "
-    "char 8-gram md5-prefix hashes, window-4 minima, dedupe+sort) — any "
-    "shared substring of length >= 11 yields a shared fingerprint. Full "
-    "per-document fingerprint arrays compared against the oracle.",
+    "char 8-gram polynomial codepoint hashes, window-4 minima, distinct) — "
+    "any shared substring of length >= 11 yields a shared fingerprint. "
+    "Scalar (doc_id, fingerprint) rows so every value is hash-checkable.",
 )
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -201,7 +203,7 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single parquet file, and this is the heaviest per-row projection in
     # the registry
     par = spark.sparkContext.defaultParallelism
-    return text.winnow_fingerprints(
+    return text.winnow_fingerprint_rows(
         d.repartition(par), k=WINNOW_K, w=WINNOW_W
     )
 
@@ -998,7 +1000,6 @@ CONTAM_MAX_DF = 5  # fingerprints in more docs than this are boilerplate
     "train_eval_contamination",
     f"""
 WITH {_WINNOW_CTES},
-fp AS (SELECT doc_id, unnest(fingerprints) AS fprint FROM f),
 rare AS (
     SELECT fprint FROM fp GROUP BY fprint
     HAVING COUNT(DISTINCT doc_id) <= {{max_df}}
@@ -1024,13 +1025,12 @@ HAVING COUNT(DISTINCT tr.fprint) >= 3
 )
 def q_train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
-    fp = (
-        text.winnow_fingerprints(
-            _docs(spark, sf_dir).repartition(par), k=WINNOW_K, w=WINNOW_W
-        )
-        .select("doc_id", F.explode("fingerprints").alias("fprint"))
-        .persist()
-    )
+    fp = text.winnow_fingerprint_rows(
+        _docs(spark, sf_dir).repartition(par),
+        k=WINNOW_K,
+        w=WINNOW_W,
+        out_col="fprint",
+    ).persist()
     rare = (
         fp.groupBy("fprint")
         .agg(F.count_distinct("doc_id").alias("df"))
