@@ -252,8 +252,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_by_linestatus",
     """
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -515,12 +515,13 @@ nat AS (
     WHERE n.n_name = 'NATION_7'
 ),
 v AS (
-    SELECT ps.ps_partkey, SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS value_cents
+    SELECT ps.ps_partkey,
+           CAST(SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS BIGINT) AS value_cents
     FROM ps JOIN nat ON ps.ps_suppkey = nat.s_suppkey
     GROUP BY ps.ps_partkey
 )
 SELECT ps_partkey, value_cents
-FROM v, (SELECT SUM(value_cents) AS total FROM v) t
+FROM v, (SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM v) t
 WHERE value_cents > 0.001 * t.total
 """,
     doc="TPC-H Q11 shape: grouped stock value per part vs a scalar "
