@@ -19,6 +19,13 @@ declarative DataFrame lineage (no Python in the hot path):
 - **SimHash**: 64-bit bitwise fingerprint via per-token hash sign sums;
   Hamming-adjacent docs are near-dups.
 
+Cache contract (minhash/simhash): the expensive per-doc representation
+(hashed shingle set / fingerprint) is ``persist``ed because it feeds both
+the band index and the verify join of one returned lineage. The returned
+DataFrame is lazy, so the operator has no action to unpersist after —
+CALLERS own cleanup: run your action, then ``spark.catalog.clearCache()``
+(bench.py and the oracle sweeps do this between queries).
+
 At 100 TB: minhash shuffle volume is (docs × bands) rows of (bucket,
 doc_id) — independent of document length; skewed buckets (boilerplate
 shingles) are handled because verification re-filters by true Jaccard,
@@ -403,8 +410,16 @@ def simhash_near_dup_pairs(
     recall for ``max_hamming`` <= 3 — no blocking column, no O(n²) pairs.
     This is the standard multi-index for Hamming-space dedup (the
     practical form of the rotate-and-sort index); shuffle volume is 4
-    narrow rows per doc, independent of document length. Candidates are
-    verified with exact ``bit_count(xor)``.
+    narrow rows per doc, independent of document length. Candidate
+    id-pairs are ``distinct``ed BEFORE verification (a pair may agree on
+    several chunks), then one exact ``bit_count(xor)`` per unique pair
+    against the cached (id, sh) table — the same dedupe-then-verify
+    ordering as minhash and hyperplane LSH.
+
+    Cache contract: the (id, fingerprint) table is persisted (simhash64
+    is the expensive leg and feeds both the chunk index and the verify
+    join); the caller owns cleanup — run an action, then
+    ``spark.catalog.clearCache()`` (bench.py and the oracle sweep do).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     base = (
@@ -414,7 +429,6 @@ def simhash_near_dup_pairs(
     )
     chunks = base.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -430,20 +444,27 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    ).select("id", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     l, r = chunks.alias("l"), chunks.alias("r")
-    return (
+    candidates = (
         l.join(
             r,
             (F.col("l.ci") == F.col("r.ci"))
             & (F.col("l.cv") == F.col("r.cv"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    ha = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    hb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(ha, "id_a")
+        .join(hb, "id_b")
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair may agree on several chunks; hamming is pair-determined
     )

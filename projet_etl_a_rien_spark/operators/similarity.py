@@ -134,12 +134,85 @@ def _assign(q_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return q_df.select("id", "q", F.array_min(pairs)["c"].alias("cluster"))
 
 
+def _probe_cells(q_df: DataFrame, centroids: list[list[int]], probes: int) -> DataFrame:
+    """The ``probes`` nearest cells per vector (multi-probe IVF): sort the
+    (dist, cluster) struct array — exact int64 distances, ties to the
+    smaller cluster id — and slice the head. Returns (id, q, probe_cells
+    array<int>); element 0 is the home cell, so probes=1 == `_assign`."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_dist(F.col("q"), m).alias("d"), F.lit(c).alias("c"))
+            for c, m in enumerate(centroids)
+        ]
+    )
+    ranked = F.slice(F.array_sort(pairs), 1, probes)
+    return q_df.select(
+        "id", "q", F.transform(ranked, lambda s: s["c"]).alias("probe_cells")
+    )
+
+
 def _round_half_away(x: float) -> int:
     # Spark ROUND / DuckDB round() semantics (half away from zero);
     # Python's built-in round is banker's and would diverge on exact .5
     import math
 
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Deterministic Lloyd's k-means — the index-build half of IVF.
+
+    Returns ``(quantized, centroids)``: the (id, q) quantized table (lazy,
+    no cache held — the training persist is released before returning) and
+    the final centroids as driver-side literals (k×dim longs — the only
+    data that ever reaches the driver, exactly like MLlib's aggregate
+    step). Per iteration: broadcast literal centroids → exact-int argmin →
+    driver-side mean update.
+
+    Determinism contract (the DuckDB oracle replicates it exactly):
+    seed = the k vectors with smallest id, cluster c = rank order;
+    centroid update = elementwise ``round(sum/n)`` back onto the integer
+    grid (sums are exact int64, the single division is one deterministic
+    double op); ties in argmin break to the smallest cluster id.
+    """
+    q_all = df.select(
+        F.col(id_col).alias("id"), quantize(vec_col, scale).alias("q")
+    )
+    cached = q_all.persist()
+    try:
+        seed_rows = cached.orderBy("id").limit(k).collect()
+        centroids = [list(r.q) for r in seed_rows]
+
+        for _ in range(iters):
+            assigned = _assign(cached, centroids)
+            stats = (
+                assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in stats:
+                by_cluster.setdefault(r.cluster, {})[r.pos] = (r.s, r.n)
+            centroids = [
+                [
+                    _round_half_away(sn[pos][0] / sn[pos][1])
+                    for pos in range(len(centroids[c]))
+                ]
+                if (sn := by_cluster.get(c))
+                else centroids[c]  # empty cluster keeps its previous centroid
+                for c in range(k)
+            ]
+    finally:
+        cached.unpersist()
+    return q_all, centroids
 
 
 def kmeans_assign(
@@ -150,50 +223,31 @@ def kmeans_assign(
     vec_col: str = "embedding",
     scale: int = 100_000,
 ) -> DataFrame:
-    """Deterministic Lloyd's k-means assignment — the missing half of IVF.
+    """Home-cell (argmin-centroid) assignment from a deterministic k-means
+    fit: the inverted-list id that ``cosine_topk_partition_pruned``
+    assumes pre-exists; at scale the table is then partitioned/bucketed
+    by it."""
+    q_all, centroids = kmeans_fit(df, k, iters, id_col, vec_col, scale)
+    return _assign(q_all, centroids).select(F.col("id").alias(id_col), "cluster")
 
-    Produces the inverted-list id (``cluster``) that
-    ``cosine_topk_partition_pruned`` assumes pre-exists; at scale the
-    table is then partitioned/bucketed by it. DataFrame-only per
-    iteration: broadcast literal centroids → exact-int argmin →
-    driver-side mean update (k×dim longs — the only data that ever
-    reaches the driver, exactly like MLlib's aggregate step).
 
-    Determinism contract (the DuckDB oracle replicates it exactly):
-    seed = the k vectors with smallest id, cluster c = rank order;
-    centroid update = elementwise ``round(sum/n)`` back onto the integer
-    grid (sums are exact int64, the single division is one deterministic
-    double op); ties in argmin break to the smallest cluster id.
-    """
-    q_all = df.select(
-        F.col(id_col).alias("id"), quantize(vec_col, scale).alias("q")
-    ).persist()
-    seed_rows = q_all.orderBy("id").limit(k).collect()
-    centroids = [list(r.q) for r in seed_rows]
-
-    for _ in range(iters):
-        assigned = _assign(q_all, centroids)
-        stats = (
-            assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in stats:
-            by_cluster.setdefault(r.cluster, {})[r.pos] = (r.s, r.n)
-        centroids = [
-            [
-                _round_half_away(sn[pos][0] / sn[pos][1])
-                for pos in range(len(centroids[c]))
-            ]
-            if (sn := by_cluster.get(c))
-            else centroids[c]  # empty cluster keeps its previous centroid
-            for c in range(k)
-        ]
-
-    return _assign(q_all, centroids).select(
-        F.col("id").alias(id_col), "cluster"
+def kmeans_probe_assign(
+    df: DataFrame,
+    probes: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Multi-probe assignment: each vector's ``probes`` nearest cells
+    (element 0 = home cell), for use on the *query* side of an IVF
+    search. Raises single-probe IVF's recall ceiling — neighbors that
+    fell just across a cell boundary become reachable — at a fan-out
+    cost of ×probes on the query side only."""
+    q_all, centroids = kmeans_fit(df, k, iters, id_col, vec_col, scale)
+    return _probe_cells(q_all, centroids, probes).select(
+        F.col("id").alias(id_col), "probe_cells"
     )
 
 
@@ -236,7 +290,14 @@ def embedding_lsh_near_dup_pairs(
     Dot products run on the integer-quantized grid (exact int64, order
     independent), so sketch bits — the control path — are bit-identical
     across engines; only the verify cosine is float, and it is rounded.
-    Shuffle volume: n_bands narrow rows per vector.
+
+    Shuffle discipline (the 100 TB path): band rows are (id, band, bv)
+    ONLY — three scalars, never the vector — so the candidate join ships
+    n_bands narrow rows per vector. Candidate id-pairs are ``distinct``ed
+    BEFORE any float math (a pair may collide in several bands), then the
+    verify cosine re-joins a persisted (id, vec) table twice: the wide
+    vectors move once into the verify hash join, not through the banded
+    explode, and cosine runs once per unique pair.
     """
     signs = hyperplane_signs(n_planes, dim)
     n_bands = n_planes // band_bits
@@ -246,6 +307,7 @@ def embedding_lsh_near_dup_pairs(
         as_double(vec_col).alias("vec"),
         quantize(vec_col, scale).alias("q"),
     )
+    vecs = base.select("id", "vec").persist()
 
     def plane_bit(row: list[int]) -> Column:
         dot_q = F.aggregate(
@@ -263,10 +325,9 @@ def embedding_lsh_near_dup_pairs(
         (plane_bit(row) * F.lit(1 << j) for j, row in enumerate(signs)),
         F.lit(0),
     )
-    sk = base.select("id", "vec", sketch.alias("sketch"))
+    sk = base.select("id", sketch.alias("sketch"))
     bands = sk.select(
         "id",
-        "vec",
         F.explode(
             F.array(
                 *[
@@ -280,22 +341,29 @@ def embedding_lsh_near_dup_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("id", "vec", F.col("c.band").alias("band"), F.col("c.bv").alias("bv"))
+    ).select("id", F.col("c.band").alias("band"), F.col("c.bv").alias("bv"))
     l, r = bands.alias("l"), bands.alias("r")
-    return (
+    candidates = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bv") == F.col("r.bv"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()  # a pair may collide in several bands — dedupe pre-verify
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
-        .distinct()  # a pair may collide in several bands
     )
 
 
@@ -334,6 +402,8 @@ def ann_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cluster",
+    probe_assignments: DataFrame | None = None,
+    probe_col: str = "probe_cells",
 ) -> DataFrame:
     """Batch kNN self-join: every vector's top-k neighbors, searched
     within its IVF cell — the corpus-wide form of similarity search
@@ -344,16 +414,33 @@ def ann_knn_join(
     cost is Σ|cell|² instead of n² — the k-means balance determines the
     exponent's constant, exactly like blocked dedup. One cell shuffle,
     then a per-query window top-k (shuffle on the query id); no global
-    sort, nothing collected. Recall follows IVF semantics: neighbors in
-    other cells are unreachable (multi-probe = join on an array of the
-    q nearest cells instead of one — same plan, wider fan-out).
+    sort, nothing collected.
+
+    Recall: single-probe IVF cannot see neighbors across a cell boundary.
+    Pass ``probe_assignments`` (from :func:`kmeans_probe_assign`: id →
+    array of the q nearest cells) and the *query* side explodes its probe
+    cells while the neighbor side stays on its unique home cell — same
+    equi-join plan, query-side fan-out ×probes, and each (query,
+    neighbor) pair still appears at most once (a neighbor has one home
+    cell and probe cells are distinct), so no dedupe pass is needed.
     """
     from pyspark.sql.window import Window
 
     with_cell = df.join(assignments, id_col).select(
         F.col(id_col), F.col(cell_col), as_double(vec_col).alias("vec")
     )
-    l, r = with_cell.alias("l"), with_cell.alias("r")
+    if probe_assignments is not None:
+        query_side = (
+            df.join(probe_assignments, id_col)
+            .select(
+                F.col(id_col),
+                F.explode(probe_col).alias(cell_col),
+                as_double(vec_col).alias("vec"),
+            )
+        )
+    else:
+        query_side = with_cell
+    l, r = query_side.alias("l"), with_cell.alias("r")
     sims = (
         l.join(
             r,
@@ -374,3 +461,46 @@ def ann_knn_join(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ann_multiprobe_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    probes: int = 2,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Single-query IVF ANN with multi-probe: fit the deterministic
+    k-means index, restrict the scan to the query's ``probes`` nearest
+    cells (not just its home cell), exact cosine top-k inside the union.
+
+    The probe set is a ``probes``-row broadcast, so the plan is the same
+    pruned scan as single-probe IVF with a wider partition-pruning
+    predicate — recall rises toward exact as probes → n_cells while the
+    scanned fraction stays ~probes/n_cells.
+    """
+    q_all, centroids = kmeans_fit(df, n_cells, iters, id_col, vec_col, scale)
+    home = _assign(q_all, centroids).select(
+        F.col("id").alias("nid"), F.col("cluster")
+    )
+    qcells = (
+        _probe_cells(q_all.where(F.col("id") == query_id), centroids, probes)
+        .select(F.explode("probe_cells").alias("cluster"))
+    )
+    qvec = df.where(F.col(id_col) == query_id).select(
+        as_double(vec_col).alias("qvec")
+    )
+    base = (
+        df.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), as_double(vec_col).alias("vec"))
+        .join(home, F.col(id_col) == F.col("nid"))
+        .join(F.broadcast(qcells), "cluster")
+    )
+    sim = base.crossJoin(F.broadcast(qvec)).select(
+        id_col, F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim")
+    )
+    return sim.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)

@@ -752,12 +752,31 @@ def q_corpus_clean_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_PROBES = 4  # of KMEANS_K=8 cells; 1-probe recall ceiling is 0.8-0.9 here
+
+
+def _probe_cte(probes: int) -> str:
+    """DuckDB CTE ``p``: each vector's ``probes`` nearest k-means cells
+    (exact int64 distance, ties to the smaller cell id) — the SQL replica
+    of operators.similarity._probe_cells over the final centroids."""
+    rng = f"range(1, {_EMB_DIM + 1})"
+    cfin = f"c{KMEANS_ITERS}"
+    return f"""p AS (
+    SELECT id, c AS probe_cell FROM (
+        SELECT q.id, {cfin}.c,
+               CAST(list_sum(list_transform({rng},
+                    i -> (q.q[i] - {cfin}.m[i]) * (q.q[i] - {cfin}.m[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN {cfin})
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, c) <= {probes})"""
+
+
 @register(
     "embedding_ann_recall_at_10",
     f"""
 WITH {{KM}},
+{{PROBE}},
 qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 7),
-qc AS (SELECT cluster FROM {{KMFINAL}} WHERE id = 7),
+qc AS (SELECT probe_cell AS cluster FROM p WHERE id = 7),
 exact AS (
     SELECT b.vec_id
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
@@ -776,20 +795,26 @@ ann AS (
 SELECT COUNT(*) AS n_hits,
        COUNT(*) / 10.0 AS recall_at_10
 FROM ann JOIN exact ON ann.vec_id = exact.vec_id
-""".format(KM=_KM_CTE, KMFINAL=_KM_FINAL, COS=_COS),
-    doc="ANN quality metric computed BY the engine: recall@10 of the IVF "
-    "(k-means cell-pruned) search against the exact brute-force top-10 for "
-    "the same query — the overlap join every index tuning loop monitors. "
-    "Both branches and the k-means build replicate in the oracle.",
+""".format(KM=_KM_CTE, KMFINAL=_KM_FINAL, COS=_COS, PROBE=_probe_cte(ANN_PROBES)),
+    doc="ANN quality metric computed BY the engine: recall@10 of the "
+    "multi-probe IVF search (4 of 8 k-means cells probed) against the "
+    "exact brute-force top-10 for the same query — the overlap join every "
+    "index tuning loop monitors. Single-probe topped out at 0.9 here "
+    "(cell-boundary neighbors unreachable); multi-probe reaches 1.0. "
+    "Both branches, the k-means build, and the probe ranking replicate "
+    "in the oracle.",
 )
 def q_embedding_ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     exact = similarity.cosine_topk(emb, query_id=7, k=10).select("vec_id")
-    assign = similarity.kmeans_assign(
-        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
-    )
-    ann = similarity.cosine_topk_partition_pruned(
-        emb.join(assign, "vec_id"), query_id=7, k=10, list_col="cluster"
+    ann = similarity.ann_multiprobe_topk(
+        emb,
+        query_id=7,
+        k=10,
+        probes=ANN_PROBES,
+        n_cells=KMEANS_K,
+        iters=KMEANS_ITERS,
+        scale=KMEANS_SCALE,
     ).select("vec_id")
     return ann.join(exact, "vec_id").agg(
         F.count("*").alias("n_hits"),
@@ -993,6 +1018,58 @@ def q_embedding_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_knn_join(emb, assign, k=3)
 
 
+KNN_PROBES = 2
+
+
+@register(
+    "embedding_knn_join_multiprobe_top3",
+    """
+WITH {KM},
+{PROBE},
+cells AS (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, af.cluster
+    FROM embeddings e JOIN {KMFINAL} af ON e.vec_id = af.id
+),
+qside AS (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, p.probe_cell AS cluster
+    FROM embeddings e JOIN p ON e.vec_id = p.id
+),
+sims AS (
+    SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+           ROUND(list_dot_product(l.vec, r.vec)
+                 / (sqrt(list_dot_product(l.vec, l.vec))
+                    * sqrt(list_dot_product(r.vec, r.vec))), 6) AS cos_sim
+    FROM qside l JOIN cells r
+      ON l.cluster = r.cluster AND l.vec_id != r.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+WHERE rank <= 3
+""".format(KM=_KM_CTE, KMFINAL=_KM_FINAL, PROBE=_probe_cte(KNN_PROBES)),
+    doc="Multi-probe batch kNN self-join: each QUERY vector fans out to "
+    "its 2 nearest k-means cells while neighbors stay on their unique "
+    "home cell — same equi-join plan as embedding_knn_join_top3 with "
+    "x2 query-side rows, and cell-boundary neighbors become reachable. "
+    "No pair dedupe needed (one home cell per neighbor, distinct probe "
+    "cells). Oracle replays index build, probe ranking, join, ranking.",
+)
+def q_embedding_knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+    probe = similarity.kmeans_probe_assign(
+        emb, probes=KNN_PROBES, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+    return similarity.ann_knn_join(
+        emb, assign, k=3, probe_assignments=probe
+    )
+
+
 CONTAM_MAX_DF = 5  # fingerprints in more docs than this are boilerplate
 
 
@@ -1094,7 +1171,7 @@ c AS (
 )
 SELECT COUNT(*) AS n_vecs,
        MIN(cos_self) AS worst_cos,
-       SUM(CASE WHEN cos_self < 0.995 THEN 1 ELSE 0 END) AS n_degraded
+       CAST(SUM(CASE WHEN cos_self < 0.995 THEN 1 ELSE 0 END) AS BIGINT) AS n_degraded
 FROM c
 """,
     doc="int8 storage quantization quality gate: cosine of each vector "
