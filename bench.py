@@ -34,6 +34,8 @@ HEADLINE = [
     "customer_running_order_total",
     "events_json_kpi",
     "events_hourly",
+    "events_user_anomalies",
+    "tpch_q9_product_type_profit",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
@@ -82,6 +84,10 @@ def main() -> None:
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # Operators that persist intermediates (minhash/simhash/kmeans)
+        # document that the caller owns cache cleanup — release between
+        # queries so caches never accumulate across the loop.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -32,7 +32,14 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
-    node id reachable. Deterministic for any edge order."""
+    node id reachable. Deterministic for any edge order.
+
+    Raises ``RuntimeError`` if labels are still changing when ``max_iter``
+    is exhausted (component diameter > max_iter): silently returning
+    partially-converged labels would let a dedup caller keep several
+    "survivors" from one real cluster. Raise ``max_iter`` or switch to a
+    large-star/small-star variant for such graphs.
+    """
     und = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
@@ -47,6 +54,7 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.v == labels.node)
@@ -74,4 +82,11 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
+    if changed > 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components: {changed} labels still changing after "
+            f"max_iter={max_iter} rounds (component diameter exceeds the "
+            "iteration budget); raise max_iter."
+        )
     return labels

@@ -31,7 +31,23 @@ def salted_join(
     n_salt: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with an ``n_salt``-way salt on the shuffle key."""
+    """Equi-join with an ``n_salt``-way salt on the shuffle key.
+
+    Only inner/left-family joins are valid: the right side is replicated
+    ``n_salt`` times, so a right or full outer join would emit every
+    unmatched right row once per replica — ``n_salt`` phantom rows.
+    Inner and semi/anti drop the replicas via the salt-equality match;
+    left outer matches at most one replica per left row.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is unsupported — the right side is "
+            f"replicated {n_salt}x, so right/full outer joins would emit "
+            "each unmatched right row once per replica. Use inner or a "
+            "left-family join."
+        )
     l = left.withColumn(
         "_salt_l", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
     )

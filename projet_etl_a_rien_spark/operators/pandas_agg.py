@@ -92,8 +92,14 @@ def cogrouped_asof_join(
     import pandas as pd
 
     lcols = list(left_cols)
+    # Payload output type follows the right side's schema (not a hardcoded
+    # bigint); the kernel's nullable-integer cast only applies when the
+    # payload is integral.
+    payload_type = dict(right.dtypes)[payload_col]
+    integral = payload_type in ("tinyint", "smallint", "int", "bigint")
     out_schema = ", ".join(
-        [f"{c} {dict(left.dtypes)[c]}" for c in lcols] + [f"asof_{payload_col} bigint"]
+        [f"{c} {dict(left.dtypes)[c]}" for c in lcols]
+        + [f"asof_{payload_col} {payload_type}"]
     )
     n_buckets = 64
 
@@ -103,7 +109,9 @@ def cogrouped_asof_join(
         lpdf = lpdf.sort_values(left_ts, kind="mergesort")
         if rpdf.empty:
             out = lpdf[lcols].copy()
-            out[f"asof_{payload_col}"] = pd.array([None] * len(out), dtype="Int64")
+            out[f"asof_{payload_col}"] = pd.array(
+                [None] * len(out), dtype="Int64" if integral else "object"
+            )
             return out
         rpdf = rpdf.sort_values(
             [right_ts, payload_col], kind="mergesort"
@@ -116,11 +124,15 @@ def cogrouped_asof_join(
             direction="backward",
         )
         out = merged[lcols].copy()
-        out[f"asof_{payload_col}"] = merged[payload_col].astype("Int64")
+        out[f"asof_{payload_col}"] = (
+            merged[payload_col].astype("Int64") if integral else merged[payload_col]
+        )
         return out
 
-    lb = left.withColumn("_b", F.pmod(F.col(key), n_buckets))
-    rb = right.withColumn("_b", F.pmod(F.col(key), n_buckets))
+    # Hash-then-pmod so string (or any) key types bucket correctly; a bare
+    # pmod(key) would fail analysis for non-numeric keys.
+    lb = left.withColumn("_b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+    rb = right.withColumn("_b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
     return (
         lb.groupBy("_b")
         .cogroup(rb.groupBy("_b"))

@@ -1,0 +1,68 @@
+"""Batch sessionization: gap-based session assignment over an event log.
+
+The batch twin of streaming session windows (streaming/windows.py uses
+``session_window``; Structured Streaming owns the online case): split
+each user's event sequence wherever the gap to the previous event
+exceeds ``gap``, then aggregate per session. The classic two-window
+formulation — mark session starts with ``lag``, number sessions with a
+running sum of start flags — is one shuffle on the user key reused by
+both windows and the final groupBy (same-key windows/aggregations share
+the hash partitioning; no extra exchange at any scale).
+
+Generalizes the reference's keyed-aggregation class (SURVEY.md §2.10,
+spark_airports_final.py:67-74) to ordered event analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup: (user, session ordinal, start, event count,
+    duration, exact-cents value sum).
+
+    Event times compare in exact epoch microseconds (timestamp_ntz cast
+    to UTC timestamp is exact under the session's pinned UTC zone), so
+    the gap predicate and every derived column are engine-identical.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_ord = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_us = F.lit(gap_seconds * 1_000_000)
+
+    flagged = events.select(
+        user_col,
+        F.col(ts_col),
+        us.alias("_us"),
+        F.when(
+            F.lag(us).over(w_ord).isNull() | ((us - F.lag(us).over(w_ord)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_session"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    with_sid = flagged.select(
+        user_col,
+        ts_col,
+        "_us",
+        "_cents",
+        F.sum("_new_session").over(w_ord).alias("session_id"),
+    )
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count("*").alias("n_events"),
+            (F.max("_us") - F.min("_us")).alias("duration_us"),
+            F.sum("_cents").alias("sum_value_cents"),
+        )
+    )

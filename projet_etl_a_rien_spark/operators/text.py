@@ -329,6 +329,129 @@ def split_bucket(
     )
 
 
+def distinct_stopword_count(
+    col: Column | str, stopwords: tuple[str, ...] = STOPWORDS
+) -> Column:
+    """How many DISTINCT stopwords appear — the Gopher-style "contains at
+    least 2 of a small stopword list" signal (presence of several distinct
+    function words separates prose from keyword soup better than a raw
+    stopword count, which one repeated 'the' can satisfy)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(c)), F.array(*[F.lit(s) for s in stopwords])
+        )
+    ).cast("long")
+
+
+def bigrams(col: Column | str) -> Column:
+    """Adjacent word pairs as 'w1 w2' strings (empty array when < 2
+    words). Built by indexing the token array over a 0..n-2 sequence —
+    per-row JVM column algebra, no explode needed to CONSTRUCT the list
+    (callers explode to aggregate)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)  # element_at is 1-based
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style per-document quality gate, JVM-side end to end:
+    word count bounds, mean word length bounds, >= 2 distinct stopwords,
+    unique-word fraction — the standard cheap filters a pretraining
+    pipeline applies before any model-based scoring. Emits the signal
+    columns plus the composite ``passes_quality`` verdict so downstream
+    stages can re-cut thresholds without recomputing."""
+    t = F.col(text_col)
+    n_words = token_count(t)
+    # exact-integer operands; single double division identical cross-engine
+    mean_wl = F.length(F.translate(t, " ", "")).cast("long") / n_words
+    n_stop = distinct_stopword_count(t)
+    uniq_frac = unique_token_count(t) / n_words
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stopword_kinds"),
+        uniq_frac.alias("frac_unique_words"),
+        (
+            (n_words >= 20)
+            & (n_words <= 100_000)
+            & (mean_wl >= 2.0)
+            & (mean_wl <= 12.0)
+            & (n_stop >= 2)
+            & (uniq_frac >= 0.1)
+        ).alias("passes_quality"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition signals: duplicate-token fraction and the most
+    frequent bigram's share of all bigrams (docs stuck in n-gram loops
+    are the classic LM-generated / boilerplate failure mode).
+
+    Relational shape: bigram list built per-row (JVM), exploded once,
+    counted, and the per-doc argmax taken with a window — one shuffle on
+    (doc, bigram), one on doc; no Python, no collect. Ties break to the
+    lexicographically smallest bigram. Docs with < 2 words are excluded
+    (no bigram distribution to measure).
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        token_count(t).alias("n_words"),
+        unique_token_count(t).alias("n_uniq"),
+        bigrams(t).alias("bg"),
+    ).where(F.col("n_words") >= 2)
+    counts = (
+        base.select(id_col, "n_words", "n_uniq", F.explode("bg").alias("bigram"))
+        .groupBy(id_col, "n_words", "n_uniq", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("bigram"))
+    top = counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return top.select(
+        F.col(id_col),
+        (F.lit(1.0) - F.col("n_uniq") / F.col("n_words")).alias("dup_token_frac"),
+        F.col("bigram").alias("top_bigram"),
+        F.col("cnt").alias("top_bigram_count"),
+        (F.col("cnt") / (F.col("n_words") - 1)).alias("top_bigram_frac"),
+    )
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII surface scan + redaction fingerprint: counts of email-shaped
+    and digit-run matches, and the md5 of the digit-redacted text (the
+    cheap pre-redaction audit a curation pipeline runs corpus-wide).
+    Patterns are deliberately RE2-safe (no lookaround, no backrefs) so
+    the identical pattern strings run in Spark (Java regex) and any
+    RE2-based engine."""
+    t = F.col(text_col)
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    digits = "[0-9]+"
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0))).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(digits), F.lit(0))).cast("long").alias(
+            "n_digit_runs"
+        ),
+        F.md5(F.regexp_replace(t, digits, "<NUM>")).alias("redacted_fingerprint"),
+    )
+
+
 def pack_documents(
     df: DataFrame,
     budget_tokens: int = 2048,

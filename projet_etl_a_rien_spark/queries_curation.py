@@ -1,0 +1,242 @@
+"""Corpus-curation registry: quality gates, repetition, PII, sampling,
+mixing, sessionization.
+
+The pretraining-curation slice of the LLM-pipeline surface (the dedup /
+similarity / fingerprinting half lives in queries_llm.py): Gopher/C4-ish
+quality filters, n-gram repetition signals, PII scanning, reproducible
+stratified sampling, source-mix reweighting, and batch sessionization
+over the events log. Same parity rules as queries.py — exact-integer
+aggregates wrapped BIGINT in the oracles, identical aliasing, divisions
+written with identical operand shapes on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import text
+from .operators.sessions import sessionize
+from .queries import register
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+_STOPLIST_SQL = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+@register(
+    "doc_gopher_quality_flags",
+    f"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+           CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                   {_STOPLIST_SQL})) AS BIGINT) AS n_stopword_kinds,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+    FROM documents
+)
+SELECT doc_id, n_words,
+       n_nonspace / n_words AS mean_word_len,
+       n_stopword_kinds,
+       n_uniq / n_words AS frac_unique_words,
+       (n_words >= 20 AND n_words <= 100000
+        AND n_nonspace / n_words >= 2.0 AND n_nonspace / n_words <= 12.0
+        AND n_stopword_kinds >= 2
+        AND n_uniq / n_words >= 0.1) AS passes_quality
+FROM s
+""",
+    doc="Gopher/C4-style per-doc quality gate: word-count bounds, mean "
+    "word length bounds, >=2 distinct stopwords, unique-word fraction, "
+    "composite pass verdict. All-JVM column algebra; exact-int operands "
+    "so every derived double is engine-identical.",
+)
+def q_doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_quality_flags(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_repetition_stats",
+    """
+WITH base AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+           string_split(text, ' ') AS toks
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+    SELECT doc_id, n_words, n_uniq,
+           unnest(list_transform(range(1, CAST(n_words AS INTEGER)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM base
+),
+counts AS (
+    SELECT doc_id, n_words, n_uniq, bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id,
+       1.0 - n_uniq / n_words AS dup_token_frac,
+       bigram AS top_bigram,
+       cnt AS top_bigram_count,
+       cnt / (n_words - 1) AS top_bigram_frac
+FROM counts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) = 1
+""",
+    doc="Gopher repetition signals: duplicate-token fraction and the top "
+    "bigram's share of all bigrams (the n-gram-loop detector). Bigram "
+    "lists built per-row JVM-side, one explode + per-doc window argmax; "
+    "ties to the lexicographically smallest bigram.",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_pii_scan",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+       md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_fingerprint
+FROM documents
+""",
+    doc="PII surface scan: email-shaped and digit-run match counts plus "
+    "the md5 of the digit-redacted text (corpus-wide pre-redaction "
+    "audit). RE2-safe patterns run verbatim in both engines; Spark's "
+    "regexp_replace is global by default = DuckDB's 'g'.",
+)
+def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_scan(_docs(spark, sf_dir))
+
+
+# keep-rates per language, out of 100 hash buckets: downsample the
+# over-represented language, keep the tail intact
+SAMPLE_RATES = {"en": 40, "fr": 80}
+SAMPLE_DEFAULT_RATE = 100
+SAMPLE_SALT = "sample:"
+
+
+@register(
+    "doc_stratified_sample",
+    f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100 AS bucket
+    FROM documents
+)
+SELECT doc_id, lang
+FROM s
+WHERE bucket < CASE lang WHEN 'en' THEN {SAMPLE_RATES["en"]}
+                         WHEN 'fr' THEN {SAMPLE_RATES["fr"]}
+                         ELSE {SAMPLE_DEFAULT_RATE} END
+""",
+    doc="Reproducible stratified downsampling: per-language keep-rate "
+    "applied via salted-md5 hash bucket of the doc id — membership is "
+    "stable across runs, engines, partitionings, and corpus growth "
+    "(rand(seed) is partition-order sensitive and reshuffles every "
+    "plan change). Returns the surviving rows, not just counts.",
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = text.split_bucket("doc_id", salt=SAMPLE_SALT)
+    rate = (
+        F.when(F.col("lang") == "en", SAMPLE_RATES["en"])
+        .when(F.col("lang") == "fr", SAMPLE_RATES["fr"])
+        .otherwise(SAMPLE_DEFAULT_RATE)
+    )
+    return _docs(spark, sf_dir).where(b < rate).select("doc_id", "lang")
+
+
+@register(
+    "source_mixing_weights",
+    """
+WITH per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources
+    FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       n_docs / total_docs AS corpus_share,
+       1.0 / n_sources AS target_share,
+       (1.0 / n_sources) / (n_docs / total_docs) AS mix_weight
+FROM per_source, tot
+""",
+    doc="Domain-mixing reweighting: per-source doc/token counts, corpus "
+    "share, uniform target share, and the sampling weight that equalizes "
+    "the mix (the input every weighted-sampling data loader needs). "
+    "Identical division shapes both engines; one tiny aggregate "
+    "broadcast-joined back.",
+)
+def q_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count("text")).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("total_docs"), F.count("*").alias("n_sources")
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs") / F.col("total_docs")).alias("corpus_share"),
+        (F.lit(1.0) / F.col("n_sources")).alias("target_share"),
+        ((F.lit(1.0) / F.col("n_sources")) / (F.col("n_docs") / F.col("total_docs"))).alias(
+            "mix_weight"
+        ),
+    )
+
+
+SESSION_GAP_SECONDS = 1800
+
+
+@register(
+    "events_sessionization",
+    f"""
+WITH flagged AS (
+    SELECT user_id, ts, epoch_us(ts) AS us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS new_session,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sid AS (
+    SELECT user_id, ts, us, cents,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+FROM sid
+GROUP BY user_id, session_id
+""",
+    doc="Batch gap-sessionization (30 min): lag-flag session starts, "
+    "running-sum session ordinals, per-session rollup — the classic "
+    "two-window form, one user-key shuffle reused by both windows and "
+    "the final groupBy. Gap compares exact epoch microseconds. The "
+    "batch twin of streaming_session_windows.",
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(
+        load_table(spark, sf_dir, "events"), gap_seconds=SESSION_GAP_SECONDS
+    )

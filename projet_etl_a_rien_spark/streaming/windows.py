@@ -73,7 +73,11 @@ def run_bounded(
     terminates (the bounded result needs no recovery), and the memory
     sink reuses one table name per output mode, so re-registration
     releases the previous run's sink rows instead of accumulating a new
-    table per call.
+    table per call. The returned DataFrame is ``localCheckpoint``ed —
+    materialized off the sink — so it stays valid (and unchanged) after
+    a later ``run_bounded`` call reuses the same sink table; without
+    that, the lazy ``spark.table(name)`` would silently re-read the
+    newer query's rows.
     """
     spark = stream_df.sparkSession
     name = f"replay_result_{mode}"
@@ -90,10 +94,10 @@ def run_bounded(
             .start()
         )
         query.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
 
 
 def stream_stream_interval_join(

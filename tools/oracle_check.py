@@ -76,6 +76,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        spark.catalog.clearCache()  # caching operators: caller owns cleanup
         n_run += 1
         if name not in oracles:
             df = fn(spark, sf_dir)
