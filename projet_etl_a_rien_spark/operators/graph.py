@@ -14,9 +14,13 @@ diameter) rounds — near-dup clusters are shallow (dozens of docs linked
 through shared shingles), so this runs in a handful of rounds; the
 large-diameter general case is what the alternating large-star/small-star
 algorithm (Kiveris et al.) optimizes, and this API is the drop-in seam
-for it. Per-round persist + a count action is the same driver-loop
-pattern as kmeans_assign (similarity.py): the only data reaching the
-driver is the changed-label count.
+for it. Per-round ``localCheckpoint(eager=True)`` + a count action is the
+iterative-algorithm pattern MLlib itself uses: the checkpoint both caches
+the round's labels AND truncates lineage. Plain ``persist`` is not enough
+here — ``labels`` feeds two joins per round, so the analyzed plan doubles
+every iteration and a deep component (diameter ≳ 10) blows the driver heap
+at analysis time long before any executor touches data. The only data
+reaching the driver is the changed-label count.
 """
 
 from __future__ import annotations
@@ -52,7 +56,7 @@ def connected_components(
         und.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     changed = 0
     for _ in range(max_iter):
@@ -69,7 +73,7 @@ def connected_components(
                     "comp"
                 ),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -77,13 +81,11 @@ def connected_components(
             .where(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     und.unpersist()
     if changed > 0:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components: {changed} labels still changing after "
             f"max_iter={max_iter} rounds (component diameter exceeds the "

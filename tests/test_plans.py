@@ -23,6 +23,7 @@ EAGER = {name for name in REGISTRY if name.startswith("streaming_")} | {
     "embedding_ann_kmeans_topk",
     "embedding_ann_recall_at_10",
     "embedding_knn_join_top3",
+    "embedding_knn_join_multiprobe_top3",
     "minhash_dedup_clusters",  # CC driver loop
     "minhash_dedup_survivors",  # CC driver loop
     "airports_permissive_roundtrip",
@@ -110,6 +111,7 @@ SCALAR_BNLJ_OK = {
     "tpch_q11_important_stock",
     "tpch_q22_idle_rich_customers",
     "order_price_sketch_bounds",
+    "source_mixing_weights",  # 1-row totals aggregate
 }
 
 

@@ -1,0 +1,236 @@
+"""Round-3 regressions: multi-probe IVF recall, narrow LSH band rows,
+advisor-hardened operator contracts, and the curation operators."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.catalog import load_table
+from projet_etl_a_rien_spark.operators import similarity, text
+from projet_etl_a_rien_spark.operators.graph import connected_components
+from projet_etl_a_rien_spark.operators.joins import salted_join
+from projet_etl_a_rien_spark.operators.pandas_agg import cogrouped_asof_join
+from projet_etl_a_rien_spark.operators.sessions import sessionize
+
+
+# ------------------------------------------------------------ multi-probe
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """The r2 gap: single-probe IVF recall topped out below 1.0; probing
+    more cells must close it (sf0.01 has the 0.8/0.9 → 1.0 case)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {r.vec_id for r in similarity.cosine_topk(emb, 7, 10).collect()}
+
+    def recall(probes: int) -> float:
+        ann = {
+            r.vec_id
+            for r in similarity.ann_multiprobe_topk(emb, 7, 10, probes=probes).collect()
+        }
+        return len(ann & exact) / 10.0
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 < 1.0  # the single-probe ceiling is real on this fixture
+    assert r4 == 1.0  # multi-probe reaches the exact top-10
+    spark.catalog.clearCache()
+
+
+def test_probe_cells_element0_is_home_cell(spark):
+    """probes=1 must reduce exactly to the home-cell assignment."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    home = {
+        r.vec_id: r.cluster for r in similarity.kmeans_assign(emb, k=4).collect()
+    }
+    probe = {
+        r.vec_id: list(r.probe_cells)
+        for r in similarity.kmeans_probe_assign(emb, probes=2, k=4).collect()
+    }
+    assert set(home) == set(probe)
+    for vid, cells in probe.items():
+        assert cells[0] == home[vid]
+        assert len(cells) == len(set(cells)) == 2
+    spark.catalog.clearCache()
+
+
+def test_knn_join_multiprobe_supersets_single_probe(spark):
+    """Every single-probe neighbor relation survives; multi-probe may only
+    improve each query's top-k (cos_sim of rank r is >= single-probe's)."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assign = similarity.kmeans_assign(emb, k=4)
+    single = similarity.ann_knn_join(emb, assign, k=3)
+    probe = similarity.kmeans_probe_assign(emb, probes=2, k=4)
+    multi = similarity.ann_knn_join(emb, assign, k=3, probe_assignments=probe)
+    s = {(r.query_id, r.rank): r.cos_sim for r in single.collect()}
+    m = {(r.query_id, r.rank): r.cos_sim for r in multi.collect()}
+    assert set(s) <= set(m.keys() | s.keys())
+    for key, sim in s.items():
+        assert m[key] >= sim
+    spark.catalog.clearCache()
+
+
+# ------------------------------------------------- LSH shuffle discipline
+
+
+def _formatted_plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_lsh_band_exchange_carries_no_vector(spark):
+    """The 100 TB claim made checkable: every Exchange that partitions by
+    the band/bucket key must ship scalar columns only — the embedding
+    array reaches only the id-keyed verify join."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = _formatted_plan(
+        similarity.embedding_lsh_near_dup_pairs(emb, threshold=0.0)
+    )
+    # formatted explain: each node section lists its Input columns; any
+    # exchange (shuffle or broadcast) moving band rows must ship scalars
+    # only — the embedding array reaches only the id-keyed verify join.
+    sections = re.split(r"\n\(\d+\)\s", plan)
+    band_exchanges = [
+        s
+        for s in sections
+        if s.split("\n")[0].strip().endswith("Exchange")
+        and "band#" in s.split("Arguments:")[0]
+    ]
+    assert band_exchanges, "expected an exchange of band rows in the plan"
+    for s in band_exchanges:
+        inputs = s.split("Arguments:")[0]
+        assert "vec" not in inputs and "embedding" not in inputs, (
+            f"band exchange ships the vector:\n{s}"
+        )
+    spark.catalog.clearCache()
+
+
+def test_simhash_chunk_exchange_carries_no_fingerprint(spark):
+    from projet_etl_a_rien_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _formatted_plan(simhash_near_dup_pairs(docs))
+    sections = re.split(r"\n\(\d+\)\s", plan)
+    chunk_exchanges = [
+        s
+        for s in sections
+        if s.split("\n")[0].strip().endswith("Exchange")
+        and "ci#" in s.split("Arguments:")[0]
+    ]
+    assert chunk_exchanges, "expected an exchange of chunk rows in the plan"
+    for s in chunk_exchanges:
+        inputs = s.split("Arguments:")[0]
+        assert "sh#" not in inputs, (
+            f"chunk exchange ships the fingerprint:\n{s}"
+        )
+    spark.catalog.clearCache()
+
+
+# ------------------------------------------------------- advisor contracts
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    other = spark.range(3).withColumnRenamed("id", "k2")
+    with pytest.raises(ValueError, match="replicated"):
+        salted_join(df, other, "k", "k2", how="right")
+    with pytest.raises(ValueError, match="replicated"):
+        salted_join(df, other, "k", "k2", how="full_outer")
+    # left-family modes still plan fine
+    assert salted_join(df, other, "k", "k2", how="left_semi").count() == 3
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    # a 12-node path graph has diameter 11: min-label propagation moves
+    # one hop per round, so max_iter=3 cannot converge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        connected_components(edges, max_iter=3)
+    labels = connected_components(edges, max_iter=20)
+    assert {r.comp for r in labels.collect()} == {0}
+
+
+def test_cogrouped_asof_join_string_key_and_payload_type(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 15, "c")],
+        "k string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 1.5), ("u1", 18, 2.5), ("u2", 99, 9.9)],
+        "k string, t long, price double",
+    )
+    out = cogrouped_asof_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        payload_col="price", left_cols=("k", "t", "tag"),
+    )
+    rows = {(r.k, r.t): r.asof_price for r in out.collect()}
+    assert rows == {("u1", 10): 1.5, ("u1", 20): 2.5, ("u2", 15): None}
+    assert dict(out.dtypes)["asof_price"] == "double"
+
+
+# ------------------------------------------------------- curation operators
+
+
+def test_gopher_flags_hand_check(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat on a log "
+                "while the sun set over the hill and a bird flew in"),
+            (2, "buy buy buy buy buy"),  # no stopwords, heavy repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.gopher_quality_flags(df).collect()}
+    assert out[1].passes_quality and out[1].n_stopword_kinds >= 3
+    assert not out[2].passes_quality  # fails stopword + word-count gates
+    assert out[2].frac_unique_words == pytest.approx(0.2)
+
+
+def test_repetition_stats_hand_check(spark):
+    df = spark.createDataFrame(
+        [(1, "go stop go stop go"), (2, "all words differ here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    # bigrams doc1: "go stop" x2, "stop go" x2 -> tie breaks lexicographically
+    assert out[1].top_bigram == "go stop"
+    assert out[1].top_bigram_count == 2
+    assert out[1].top_bigram_frac == pytest.approx(0.5)
+    assert out[1].dup_token_frac == pytest.approx(1 - 2 / 5)
+    assert out[2].top_bigram_count == 1 and out[2].dup_token_frac == 0.0
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),   # same session (10 min gap)
+        (1, "2024-01-01 01:00:00", 3.0),   # 50 min gap -> new session
+        (2, "2024-01-01 00:00:00", 4.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        (r.user_id, r.session_id): r for r in sessionize(events, 1800).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)].n_events == 2
+    assert out[(1, 1)].sum_value_cents == 300
+    assert out[(1, 1)].duration_us == 10 * 60 * 1_000_000
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].duration_us == 0
+
+
+def test_stratified_sample_is_deterministic_subset(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    b = text.split_bucket("doc_id", salt="sample:")
+    kept1 = {r.doc_id for r in docs.where(b < 40).select("doc_id").collect()}
+    kept2 = {r.doc_id for r in docs.where(b < 40).select("doc_id").collect()}
+    kept_wider = {r.doc_id for r in docs.where(b < 80).select("doc_id").collect()}
+    assert kept1 == kept2  # run-to-run stable
+    assert kept1 <= kept_wider  # monotone in the rate: no membership churn
