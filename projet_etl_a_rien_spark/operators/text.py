@@ -362,6 +362,24 @@ def bigrams(col: Column | str) -> Column:
     )
 
 
+def gopher_passes(text_col: Column | str = "text") -> Column:
+    """The composite Gopher/C4 quality verdict as a reusable boolean
+    column — same thresholds as ``gopher_quality_flags``, for pipelines
+    that gate on the verdict without materializing the signal columns."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_words = token_count(t)
+    mean_wl = F.length(F.translate(t, " ", "")).cast("long") / n_words
+    uniq_frac = unique_token_count(t) / n_words
+    return (
+        (n_words >= 20)
+        & (n_words <= 100_000)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 12.0)
+        & (distinct_stopword_count(t) >= 2)
+        & (uniq_frac >= 0.1)
+    )
+
+
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher/C4-style per-document quality gate, JVM-side end to end:
     word count bounds, mean word length bounds, >= 2 distinct stopwords,
@@ -484,4 +502,54 @@ def pack_documents(
         (cum - n_tok - F.floor((cum - n_tok) / budget_tokens) * budget_tokens)
         .cast("long")
         .alias("bin_offset_tokens"),
+    )
+
+
+def segment_dup_stats(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document segment-level duplication profile (the CCNet /
+    RefinedWeb paragraph-dedup signal, adapted to newline-free text):
+    cut each document into consecutive ``seg_tokens``-token segments
+    (trailing remainder dropped), count every segment's occurrences
+    across the WHOLE corpus, and report per document how many of its
+    segments are corpus-duplicated.
+
+    Scale shape: segments are built row-local with higher-order array
+    functions (sequence -> transform -> slice -> array_join), then keyed
+    by ``md5(segment)`` so the corpus count and the count-back join both
+    shuffle a 32-char digest, never the segment text — at 100 TB the
+    exchange payload is (digest, id), doc-length independent. The
+    corpus-count aggregate is map-side partial; the per-doc rollup
+    reuses the id key. A full paragraph-remover would semi-join docs
+    against the dup digests — same plan minus the final rollup.
+    """
+    toks = tokens(text_col)
+    n_segs = F.floor(F.size(toks) / seg_tokens).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    exploded = (
+        df.where(F.size(toks) >= seg_tokens)
+        .select(F.col(id_col), F.explode(segs).alias("seg"))
+        .select(id_col, F.md5(F.col("seg")).alias("seg_h"))
+    )
+    corpus_counts = exploded.groupBy("seg_h").agg(F.count("*").alias("c"))
+    return (
+        exploded.join(corpus_counts, "seg_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_segments"),
+        )
+        .select(
+            id_col,
+            "n_segments",
+            "n_dup_segments",
+            (F.col("n_dup_segments") / F.col("n_segments")).alias("dup_segment_frac"),
+        )
     )

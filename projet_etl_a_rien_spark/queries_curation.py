@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .operators import text
+from .operators.dedup import dedup_exact
+from .operators.scd import scd2_from_log
 from .operators.sessions import sessionize
 from .queries import register
 
@@ -239,4 +241,146 @@ GROUP BY user_id, session_id
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(
         load_table(spark, sf_dir, "events"), gap_seconds=SESSION_GAP_SECONDS
+    )
+
+
+SEG_TOKENS = 10
+
+
+@register(
+    "doc_segment_dup_stats",
+    f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WHERE len(string_split(text, ' ')) >= {SEG_TOKENS}
+),
+segs AS (
+    SELECT doc_id,
+           md5(unnest(list_transform(
+               range(0, CAST(len(toks) // {SEG_TOKENS} AS INTEGER)),
+               i -> array_to_string(list_slice(toks, i * {SEG_TOKENS} + 1,
+                                               i * {SEG_TOKENS} + {SEG_TOKENS}), ' '))))
+             AS seg_h
+    FROM base
+),
+cnt AS (
+    SELECT seg_h, CAST(COUNT(*) AS BIGINT) AS c FROM segs GROUP BY seg_h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS dup_segment_frac
+FROM segs JOIN cnt USING (seg_h)
+GROUP BY doc_id
+""",
+    doc="CCNet/RefinedWeb-style segment-level duplication profile: fixed "
+    "10-token segments, corpus-wide occurrence counts, per-doc duplicated-"
+    "segment fraction. Segments built row-local with higher-order array "
+    "functions; every shuffle keys on md5(segment), never the text.",
+)
+def q_doc_segment_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.segment_dup_stats(_docs(spark, sf_dir), seg_tokens=SEG_TOKENS)
+
+
+@register(
+    "events_user_scd2",
+    """
+WITH o AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, event_type AS status, ts,
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+    FROM o
+),
+dim AS (
+    SELECT user_id, version, status,
+           MIN(ts) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM runs GROUP BY user_id, version, status
+)
+SELECT user_id, version, status, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_events
+FROM dim
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+""",
+    doc="SCD Type-2 dimension build from the event log: collapse each "
+    "user's event_type history into validity intervals (gaps-and-islands "
+    "lag-flag + running-sum versions), close each interval with lead. "
+    "Every window and the groupBy share ONE hash partitioning on "
+    "user_id; ordering made total with the event_id tiebreaker.",
+)
+def q_events_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_from_log(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "corpus_curation_pipeline",
+    """
+WITH gated AS (
+    SELECT doc_id, lang, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE CAST(len(string_split(text, ' ')) AS BIGINT) >= 20
+      AND CAST(len(string_split(text, ' ')) AS BIGINT) <= 100000
+      AND CAST(length(replace(text, ' ', '')) AS BIGINT)
+            / CAST(len(string_split(text, ' ')) AS BIGINT) >= 2.0
+      AND CAST(length(replace(text, ' ', '')) AS BIGINT)
+            / CAST(len(string_split(text, ' ')) AS BIGINT) <= 12.0
+      AND CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                   ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT) >= 2
+      AND CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            / CAST(len(string_split(text, ' ')) AS BIGINT) >= 0.1
+),
+deduped AS (
+    SELECT doc_id, lang, n_tokens FROM gated
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+        ORDER BY doc_id) = 1
+),
+split_assigned AS (
+    SELECT lang, n_tokens,
+           CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM deduped
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM split_assigned
+GROUP BY split, lang
+""",
+    doc="The composed end-to-end curation pipeline: Gopher quality gate "
+    "-> exact dedup (min-id keeper per normalized-md5 fingerprint) -> "
+    "reproducible 90/5/5 hash split -> per-(split, lang) doc/token "
+    "totals. One fingerprint shuffle + one tiny final aggregate; the "
+    "gate is a pushed-down scan filter, so at 100 TB rejected docs "
+    "never reach the shuffle.",
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(text.gopher_passes("text"))
+    kept = dedup_exact(d)
+    b = text.split_bucket("doc_id")
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split")
+    )
+    return (
+        kept.select("lang", split, text.token_count("text").alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
     )
