@@ -39,18 +39,46 @@ EVENTS_SCHEMA = (
     " event_type string, value double, props string"
 )
 
+EVENTS_SCHEMA_TS = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+
+def events_stream(
+    spark: SparkSession, path: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """A file-replayed events stream with ``ts`` normalized to
+    ``timestamp_ntz`` microseconds, whatever the physical parquet type.
+
+    ``readStream`` requires a user-declared schema, but the fixture's
+    ``ts`` physical type is not under our control — TIMESTAMP(NANOS)
+    surfaces as ``bigint`` under the session's ``nanosAsLong`` conf,
+    TIMESTAMP(MICROS) as ``timestamp_ntz`` — so declaring either blindly
+    mis-reads the other (micros read as long then ns→µs-divided lands
+    every event inside one window and a watermarked run emits nothing).
+    One batch footer probe (schema inference only, no data scan) picks
+    the matching schema + normalization, mirroring ``catalog.load_table``'s
+    dtype guard on the batch side.
+    """
+    apply_runtime_confs(spark)
+    probe = spark.read.option("pathGlobFilter", glob).parquet(path)
+    ts_is_long = dict(probe.dtypes).get("ts") == "bigint"
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA if ts_is_long else EVENTS_SCHEMA_TS)
+        .option("pathGlobFilter", glob)
+        .parquet(path)
+    )
+    if ts_is_long:
+        return src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return src.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
 
 def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as an unbounded stream (ns→µs normalized like catalog)."""
-    apply_runtime_confs(spark)
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return src.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    """events.parquet as an unbounded stream (ts normalized like catalog)."""
+    return events_stream(spark, sf_dir, glob="events.parquet")
 
 
 def run_bounded(

@@ -18,28 +18,19 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from projet_etl_a_rien_spark.streaming.windows import EVENTS_SCHEMA, tumbling_counts
+from projet_etl_a_rien_spark.catalog import load_table
+from projet_etl_a_rien_spark.streaming.windows import events_stream, tumbling_counts
 
 SF = "/root/testdata/sf0.001"
 
 
 def _raw_events(spark):
-    return (
-        spark.read.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF)
-    )
+    # catalog-normalized: ts is timestamp_ntz µs whatever the file stores
+    return load_table(spark, SF, "events")
 
 
 def _run_stream(spark, src, sink, ckpt) -> None:
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(str(src))
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
-    )
+    stream = events_stream(spark, str(src), glob="*.parquet")
     query = (
         tumbling_counts(stream, "1 hour", watermark="2 hours")
         .writeStream.format("parquet")
@@ -59,22 +50,23 @@ def test_checkpoint_restart_continues_state(spark, tmp_path):
     # chronological split at the median timestamp: run 1 sees the first
     # half, run 2 the rest — so the window containing the split gets
     # events from BOTH runs and is only correct if state survived
-    split = int(raw.agg(F.expr("percentile(ts, 0.5)")).first()[0])
-    raw.where(F.col("ts") <= split).coalesce(1).write.mode("append").parquet(str(src))
+    split = int(
+        raw.agg(F.expr("percentile(unix_micros(cast(ts AS timestamp)), 0.5)")).first()[0]
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    raw.where(ts_us <= split).coalesce(1).write.mode("append").parquet(str(src))
     _run_stream(spark, src, sink, ckpt)
     n_first = spark.read.parquet(str(sink)).count()
     assert n_first > 0  # run 1 emitted the finalized prefix
 
-    raw.where(F.col("ts") > split).coalesce(1).write.mode("append").parquet(str(src))
+    raw.where(ts_us > split).coalesce(1).write.mode("append").parquet(str(src))
     _run_stream(spark, src, sink, ckpt)  # restart from the same checkpoint
 
     got = spark.read.parquet(str(sink)).select(
         "window_start", "window_end", "n_events", "sum_value"
     )
-    # batch ground truth under the append emission rule
-    ev = raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    # batch ground truth under the append emission rule (ts already µs ntz)
+    ev = raw
     wm = ev.agg(F.max("ts")).first()[0]
     expected = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
