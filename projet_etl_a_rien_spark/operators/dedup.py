@@ -118,6 +118,87 @@ def shingle_hashes(col: Column | str) -> Column:
     )
 
 
+# Polynomial base for combining word hashes into a shingle hash. B < 2^15
+# keeps every intermediate under 2^46 ((P-1)*B + P), far inside signed
+# 64-bit, on both engines.
+SHINGLE_B = 31337
+
+
+def word_hashes(toks: Column) -> Column:
+    """One md5-derived 31-bit hash per TOKEN (not per shingle): each word
+    is hashed once however many shingles it appears in."""
+    return F.transform(
+        toks,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+        % MINHASH_P,
+    )
+
+
+def _bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once per row and pass it to ``fn`` as a
+    lambda-bound variable.
+
+    Catalyst's CollapseProject will inline a projected alias into every
+    one of its references when merging adjacent projections — for an
+    expensive array expression referenced inside a higher-order lambda
+    that turns O(n) work into O(n²) (measured: the word-hash array
+    inlined into per-shingle ``element_at`` accesses made minhash 15×
+    slower — the array was re-computed per element). A HOF lambda
+    variable, by contrast, is a bound slot the optimizer cannot inline
+    through: ``transform(array(expr), x -> body)[1]`` evaluates expr
+    once and every reference in ``body`` reads the binding. The
+    single-element array wrapper costs one allocation per row.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def hashed_shingles_from_word_hashes(wh: Column, n: int = 3) -> Column:
+    """Distinct shingle-hash set from a word-hash array: shingle i =
+    polynomial combination of the n word hashes starting at i (Horner
+    steps, mod P between multiplies).
+
+    This replaces the string pipeline (concat_ws per shingle → md5 per
+    shingle → string array_distinct) with pure int64 algebra over an
+    array computed once per row — each word is md5-hashed once instead of
+    n times, and no shingle strings are ever allocated. ``wh`` MUST be
+    evaluated once per row — pass a lambda-bound variable via
+    ``_bind_once``, NOT a projected alias (CollapseProject inlines
+    aliases into each reference; see ``_bind_once``).
+
+    Collision note: distinct-on-hash equals distinct-on-shingle up to
+    ~|shingles|/2^31 collision probability, same bound the md5-prefix
+    construction already accepts; the DuckDB oracles replay this exact
+    arithmetic so cross-engine parity is by construction.
+    """
+    return F.when(
+        F.size(wh) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(wh) - n),
+                lambda i: _poly_combine(wh, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def hashed_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct shingle-hash set of a text column, single expression:
+    one md5 per word (evaluated once via ``_bind_once``), then int64
+    polynomial shingle combination."""
+    return _bind_once(
+        word_hashes(tokens(col)),
+        lambda wh: hashed_shingles_from_word_hashes(wh, n),
+    )
+
+
+def _poly_combine(wh: Column, i: Column, n: int) -> Column:
+    """Horner fold of wh[i+1..i+n] (1-based element_at), mod P each step."""
+    acc = F.element_at(wh, (i + 1).cast("int"))
+    for j in range(1, n):
+        acc = (acc * SHINGLE_B + F.element_at(wh, (i + 1 + j).cast("int"))) % MINHASH_P
+    return acc
+
+
 def minhash_signature(col: Column | str, k: int = 16) -> Column:
     """k-element MinHash signature over a pre-hashed int array (see
     ``shingle_hashes``): element j = min over shingles of
@@ -199,9 +280,11 @@ def minhash_near_dup_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.repartition(par)
-        .select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
-        .where(F.size("sh") > 0)
-        .select("id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("xs"))
+        .select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(text_col, shingle_n).alias("xs"),
+        )
+        .where(F.size("xs") > 0)
         .persist()
     )
     sig = base.select("id", minhash_signature(F.col("xs"), k).alias("sig"))
@@ -293,9 +376,7 @@ def ngram_jaccard_pairs(
     toks = df.repartition(par).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(shingle_hashes(shingles(text_col, shingle_n)))
-        ).alias("token"),
+        F.explode(hashed_shingles(text_col, shingle_n)).alias("token"),
     )
     sizes = toks.groupBy("blk", "id").agg(F.count("*").alias("sz"))
 

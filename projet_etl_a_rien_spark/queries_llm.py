@@ -263,19 +263,20 @@ def _minhash_ctes() -> str:
         )
         for b in range(bands)
     )
+    bb = dedup.SHINGLE_B
     return f"""{DOCUMENTS_WITH_DUPS_ORACLE_CTE},
-base AS (
+wordhashed AS (
     SELECT doc_id AS id,
-           list_distinct(list_transform(
-               range(len(string_split(text, ' ')) - 2),
-               i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' '))) AS sh
+           list_transform(string_split(text, ' '),
+               w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {p}) AS wh
     FROM docs_dup
     WHERE len(string_split(text, ' ')) >= 3
 ),
 hashed AS (
     SELECT id, list_distinct(list_transform(
-        sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {p})) AS xs
-    FROM base
+        range(len(wh) - 2),
+        i -> (((wh[i + 1] * {bb} + wh[i + 2]) % {p}) * {bb} + wh[i + 3]) % {p})) AS xs
+    FROM wordhashed
 ),
 sig AS (SELECT id, [{sig_items}] AS sig FROM hashed),
 banded AS ({band_rows}),
@@ -318,14 +319,21 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     f"""
 WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
-toks AS (
+wordhashed AS (
     SELECT source AS blk, doc_id AS id,
-           unnest(list_distinct(list_transform(
-               list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - 2),
-                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' '))),
-               s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 2147483647))) AS token
+           list_transform(string_split(text, ' '),
+               w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                    % {dedup.MINHASH_P}) AS wh
     FROM docs_dup
+),
+toks AS (
+    SELECT blk, id,
+           unnest(list_distinct(list_transform(
+               range(len(wh) - 2),
+               i -> (((wh[i + 1] * {dedup.SHINGLE_B} + wh[i + 2])
+                      % {dedup.MINHASH_P}) * {dedup.SHINGLE_B} + wh[i + 3])
+                    % {dedup.MINHASH_P}))) AS token
+    FROM wordhashed
 ),
 sizes AS (SELECT blk, id, COUNT(*) AS sz FROM toks GROUP BY blk, id),
 inter AS (
