@@ -553,3 +553,102 @@ def segment_dup_stats(
             (F.col("n_dup_segments") / F.col("n_segments")).alias("dup_segment_frac"),
         )
     )
+
+
+def token_budget_selection(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_buckets: int = 1000,
+) -> DataFrame:
+    """Greedy corpus selection under a total token budget, highest
+    quality first — WITHOUT a global sort.
+
+    The spec is a prefix sum over the total order (quality DESC, id ASC):
+    keep every doc whose preceding-token count is still under ``budget``
+    (the straightforward single-window form is what the DuckDB oracle
+    runs). A literal translation needs ORDER BY over the whole corpus —
+    a single-reducer sort at 100 TB. Instead the prefix sum decomposes
+    exactly:
+
+        global_tokens_before(doc) = bucket_tokens_before(doc.qb)
+                                  + tokens_before_within_bucket(doc)
+
+    - ``qb``: integer quality bucket, (quality_buckets × n_uniq) div
+      n_tokens — all-integer, so both engines bucket identically.
+    - bucket totals: one narrow groupBy(qb) — at most ``quality_buckets``
+      rows, whose descending cumulative sum is broadcast back.
+    - within-bucket prefix: a window partitioned BY BUCKET (ordered by
+      id), so no partition exceeds one bucket's docs.
+
+    The only global structure is the broadcast of ≤ quality_buckets+1
+    cumulative rows; every per-doc computation is bucket-partitioned.
+    Returns (id, qb, n_tokens, tokens_before) for the selected docs.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    d = df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        (
+            (F.lit(quality_buckets) * unique_token_count(t))
+            .cast("long")
+            / token_count(t)
+        )
+        .cast("long")
+        .alias("qb"),
+    )
+    per_bucket = d.groupBy("qb").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    wb = (
+        Window.orderBy(F.desc("qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_bucket.select(
+        "qb",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias(
+            "bucket_tokens_before"
+        ),
+    )
+    wd = (
+        Window.partitionBy("qb")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(cum), "qb")
+        .withColumn(
+            "tokens_before",
+            F.col("bucket_tokens_before")
+            + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
+        )
+        .where(F.col("tokens_before") < budget)
+        .select(id_col, "qb", "n_tokens", "tokens_before")
+    )
+
+
+def source_cap_sample(
+    df: DataFrame,
+    cap: int,
+    by_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap:",
+) -> DataFrame:
+    """Cap each group at ``cap`` docs, membership chosen by salted-hash
+    order (ties broken by id): the over-represented-domain limiter every
+    web-corpus mix applies. Hash order makes the kept subset a uniform,
+    reproducible sample of the group — stable across runs, engines and
+    partitionings — instead of whatever head() the scan order produced.
+    One window per group key; no global structure."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(by_col).orderBy(
+        split_bucket(id_col, salt=salt, n_buckets=2_147_483_647).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .select(id_col, by_col)
+    )

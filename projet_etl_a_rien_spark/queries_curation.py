@@ -384,3 +384,71 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+TOKEN_BUDGET = 15_000
+QB_BUCKETS = 1000
+
+
+@register(
+    "corpus_token_budget_selection",
+    f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ({QB_BUCKETS} * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS qb
+    FROM documents
+),
+sel AS (
+    SELECT doc_id, qb, n_tokens,
+           COALESCE(CAST(SUM(n_tokens) OVER (
+               ORDER BY qb DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS tokens_before
+    FROM d
+)
+SELECT doc_id, qb, n_tokens, tokens_before
+FROM sel WHERE tokens_before < {TOKEN_BUDGET}
+""",
+    doc="Greedy highest-quality-first corpus selection under a total "
+    "token budget. The oracle IS the naive spec — one global window over "
+    "(quality DESC, id) — while the engine computes the identical prefix "
+    "sum with no global sort: per-bucket totals, a broadcast cumulative "
+    "over <=1000 bucket rows, and bucket-partitioned per-doc windows "
+    "(operators/text.py:token_budget_selection). Hash-equality of the "
+    "two is the proof the decomposition is exact.",
+)
+def q_corpus_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_budget_selection(
+        _docs(spark, sf_dir), budget=TOKEN_BUDGET, quality_buckets=QB_BUCKETS
+    )
+
+
+SOURCE_CAP = 15
+CAP_SALT = "cap:"
+
+
+@register(
+    "doc_source_caps",
+    f"""
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('{CAP_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 2147483647,
+                        doc_id) AS rn
+    FROM documents) t
+WHERE rn <= {SOURCE_CAP}
+""",
+    doc="Per-source document cap: keep at most N docs per source, chosen "
+    "by salted-md5 hash order (id tiebreak) so the kept subset is a "
+    "reproducible uniform sample of each source rather than scan-order "
+    "head. The domain-limiter of web-corpus mixes; one per-source "
+    "window, no global structure.",
+)
+def q_doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_cap_sample(
+        _docs(spark, sf_dir), cap=SOURCE_CAP, salt=CAP_SALT
+    )

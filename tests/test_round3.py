@@ -234,3 +234,97 @@ def test_stratified_sample_is_deterministic_subset(spark):
     kept_wider = {r.doc_id for r in docs.where(b < 80).select("doc_id").collect()}
     assert kept1 == kept2  # run-to-run stable
     assert kept1 <= kept_wider  # monotone in the rate: no membership churn
+
+
+def test_hashed_shingles_polynomial_is_pinned(spark):
+    """Pin the word-hash polynomial construction: values must equal the
+    hashlib-computed reference, so neither engine's oracle can drift."""
+    import hashlib
+
+    from projet_etl_a_rien_spark.operators import dedup
+
+    text_val = "alpha beta gamma delta"
+    df = spark.createDataFrame([(text_val,)], "text string")
+    [row] = df.select(dedup.hashed_shingles("text", 3).alias("xs")).collect()
+
+    def wh(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dedup.MINHASH_P
+
+    def poly(ws):
+        acc = wh(ws[0])
+        for w in ws[1:]:
+            acc = (acc * dedup.SHINGLE_B + wh(w)) % dedup.MINHASH_P
+        return acc
+
+    toks = text_val.split(" ")
+    expected = []
+    for i in range(len(toks) - 2):
+        h = poly(toks[i : i + 3])
+        if h not in expected:
+            expected.append(h)
+    assert row.xs == expected
+
+
+def test_hashed_shingles_stay_linear(spark):
+    """The word-hash array must be lambda-bound, not a collapsible
+    projection alias: if CollapseProject ever re-inlines it, every
+    element access recomputes the whole md5 array (O(n_shingles ×
+    n_words) md5 calls — measured 15× wall). Guard: one long synthetic
+    doc must shingle in bounded time relative to a short one."""
+    import time
+
+    from projet_etl_a_rien_spark.operators import dedup
+
+    def run(n_words):
+        doc = " ".join(f"w{i}" for i in range(n_words))
+        df = spark.createDataFrame([(doc,)], "text string")
+        t0 = time.perf_counter()
+        df.select(F.size(dedup.hashed_shingles("text", 3)).alias("n")).collect()
+        return time.perf_counter() - t0
+
+    run(100)  # warm codegen
+    t_small, t_big = run(500), run(5000)
+    # linear: 10x words ≈ 10x work. The quadratic failure mode is ~100x;
+    # assert well under it with headroom for scheduling noise.
+    assert t_big < t_small * 40, (t_small, t_big)
+
+
+def test_token_budget_selection_matches_global_sort_spec(spark):
+    """The bucket-decomposed prefix sum must equal the naive global
+    window over (qb DESC, doc_id) — same rows, same tokens_before."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    budget = 5_000
+    got = {
+        (r.doc_id, r.tokens_before)
+        for r in text.token_budget_selection(docs, budget=budget).collect()
+    }
+    d = docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        (
+            (F.lit(1000) * text.unique_token_count("text")).cast("long")
+            / text.token_count("text")
+        )
+        .cast("long")
+        .alias("qb"),
+    )
+    w = Window.orderBy(F.desc("qb"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = d.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).where(F.col("tokens_before") < budget)
+    expected = {(r.doc_id, r.tokens_before) for r in naive.collect()}
+    assert got == expected
+    assert 0 < len(got) < docs.count()  # budget actually binds
+
+
+def test_source_cap_sample_deterministic_and_capped(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = text.source_cap_sample(docs, cap=3)
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per and all(n <= 3 for n in per.values())
+    again = {tuple(r) for r in text.source_cap_sample(docs.repartition(7), cap=3).collect()}
+    assert {tuple(r) for r in out.collect()} == again  # partition-order independent
