@@ -239,6 +239,37 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+
+def band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH band rows (id, band, bucket) from (id, sig): bucket = md5 of
+    the band's signature slice. Narrow by construction — band rows never
+    carry signatures, shingle sets, or text, so the band-equality join
+    shuffles O(docs × bands) small rows regardless of document length."""
+    rows = k // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -293,28 +324,7 @@ def minhash_near_dup_pairs(
     # verify step re-joins the (narrow) candidate pairs back to the
     # shingle sets; at scale this keeps band-join shuffle volume
     # independent of document length.
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("sig")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = band_rows(sig, k, bands)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -549,3 +559,132 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------- incremental near-dup ingest ----
+
+
+def neardup_merge_batch(
+    batch_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> None:
+    """One merge step of the SINK-IS-THE-STATE near-dup ingest: reject
+    batch docs that are near-dups of the already-accepted corpus, keep
+    one representative per within-batch near-dup cluster, and append the
+    survivors' shingle sets and band rows to the sink.
+
+    Sink layout (both plain parquet, appended):
+    - ``{path}/xs``:    (id, xs)  accepted docs' hashed shingle sets
+    - ``{path}/bands``: (id, band, bucket)  their LSH band index
+
+    The batch-vs-corpus check joins batch band rows against the sink's
+    band index — the candidate set is per-bucket, never corpus-wide — and
+    verifies with exact Jaccard over the stored shingle sets. Keeping the
+    band index IN the sink is what makes the ingest scale: each batch
+    does O(batch × bands) narrow shuffle rows against an indexed join,
+    not a rescan of corpus text (the near-dup analogue of
+    ``run_incremental_dedup_sink``'s anti-join). Within-batch semantics
+    match ``minhash_dedup_survivors``: connected components over the
+    verified pairs, min-id representative per cluster.
+
+    Replay-idempotent: re-running a merged batch finds every doc
+    jacc=1.0-matched to its own accepted copy and appends nothing. Docs
+    with fewer than ``shingle_n`` tokens have no shingle set and are not
+    ingested (they cannot near-dup; route them through the exact-dedup
+    sink). State-free for the stream engine: no streaming state store —
+    history lives in the sink, so state size tracks accepted docs, not
+    watermark windows.
+    """
+    from pyspark.errors import AnalysisException
+
+    from .graph import connected_components
+
+    spark = batch_df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        batch_df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(text_col, shingle_n).alias("xs"),
+        )
+        .where(F.size("xs") > 0)
+        .persist()
+    )
+    try:
+        sig = base.select("id", minhash_signature(F.col("xs"), k).alias("sig"))
+        bnd = band_rows(sig, k, bands).persist()
+
+        corp_xs = corp_bands = None
+        try:
+            corp_xs = spark.read.parquet(f"{path}/xs")
+            corp_bands = spark.read.parquet(f"{path}/bands")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+
+        remaining = base
+        if corp_xs is not None:
+            cand = (
+                bnd.alias("b")
+                .join(
+                    corp_bands.alias("c"),
+                    (F.col("b.band") == F.col("c.band"))
+                    & (F.col("b.bucket") == F.col("c.bucket")),
+                )
+                .select(F.col("b.id").alias("bid"), F.col("c.id").alias("cid"))
+                .distinct()
+            )
+            rejected = (
+                cand.join(base.alias("a"), F.col("bid") == F.col("a.id"))
+                .join(corp_xs.alias("x"), F.col("cid") == F.col("x.id"))
+                .where(jaccard(F.col("a.xs"), F.col("x.xs")) >= threshold)
+                .select(F.col("bid").alias("id"))
+                .distinct()
+            )
+            remaining = base.join(rejected, "id", "left_anti")
+
+        rb = bnd.join(remaining.select("id"), "id", "left_semi")
+        pairs = (
+            rb.alias("l")
+            .join(
+                rb.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        a, b = remaining.alias("a"), remaining.alias("b")
+        verified = (
+            pairs.join(a, F.col("id_a") == F.col("a.id"))
+            .join(b, F.col("id_b") == F.col("b.id"))
+            .where(jaccard(F.col("a.xs"), F.col("b.xs")) >= threshold)
+            .select("id_a", "id_b")
+        )
+        dropped = (
+            connected_components(verified)
+            .where(F.col("comp") != F.col("node"))
+            .select(F.col("node").alias("id"))
+        )
+        survivors = remaining.join(dropped, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        survivors.write.mode("append").parquet(f"{path}/xs")
+        band_rows(
+            survivors.select("id", minhash_signature(F.col("xs"), k).alias("sig")),
+            k,
+            bands,
+        ).write.mode("append").parquet(f"{path}/bands")
+    finally:
+        base.unpersist()
+        try:
+            bnd.unpersist()
+        except NameError:
+            pass

@@ -1229,3 +1229,91 @@ def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_payloads"),
         F.sum("meta.n_chars").alias("sum_chars"),
     )
+
+
+def _incremental_ingest_oracle() -> str:
+    """Replays the two-phase incremental near-dup ingest in SQL: phase 0
+    merges the even-id docs into an empty corpus (within-batch connected
+    components, min-id keeper), phase 1 merges the odd-id docs against
+    phase 0's survivors (corpus rejection first, then within-batch CC).
+    Candidate pruning is pairwise band-bucket equality, so restricting
+    the global ``pairs`` CTE to each phase's doc subset is EXACTLY the
+    candidate set the incremental band-index join produces."""
+    return f"""WITH RECURSIVE {_minhash_ctes()},
+und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+e_und AS (SELECT u, v FROM und WHERE u % 2 = 0 AND v % 2 = 0),
+walk1(node, comp) AS (
+    SELECT u, u FROM e_und
+    UNION
+    SELECT e.v, w.comp FROM walk1 w JOIN e_und e ON w.node = e.u
+),
+clusters1 AS (SELECT node, MIN(comp) AS comp FROM walk1 GROUP BY node),
+kept1 AS (
+    SELECT h.id FROM hashed h LEFT JOIN clusters1 c ON h.id = c.node
+    WHERE h.id % 2 = 0 AND (c.node IS NULL OR c.comp = h.id)
+),
+rej2 AS (
+    SELECT DISTINCT und.u AS id FROM und JOIN kept1 k ON und.v = k.id
+    WHERE und.u % 2 = 1
+),
+rem2 AS (
+    SELECT h.id FROM hashed h
+    WHERE h.id % 2 = 1 AND h.id NOT IN (SELECT id FROM rej2)
+),
+o_und AS (
+    SELECT u, v FROM und
+    WHERE u IN (SELECT id FROM rem2) AND v IN (SELECT id FROM rem2)
+),
+walk2(node, comp) AS (
+    SELECT u, u FROM o_und
+    UNION
+    SELECT e.v, w.comp FROM walk2 w JOIN o_und e ON w.node = e.u
+),
+clusters2 AS (SELECT node, MIN(comp) AS comp FROM walk2 GROUP BY node),
+kept2 AS (
+    SELECT r.id FROM rem2 r LEFT JOIN clusters2 c ON r.id = c.node
+    WHERE c.node IS NULL OR c.comp = r.id
+)
+SELECT id AS doc_id, CAST(id % 2 AS BIGINT) AS phase FROM kept1
+UNION ALL
+SELECT id AS doc_id, CAST(id % 2 AS BIGINT) AS phase FROM kept2"""
+
+
+@register(
+    "minhash_incremental_ingest",
+    _incremental_ingest_oracle(),
+    doc="Incremental sink-is-the-state NEAR-dup ingest "
+    "(operators/dedup.py:neardup_merge_batch): two deterministic phases "
+    "(even ids, then odd ids) merge through the exact code path the "
+    "streaming foreachBatch wrapper runs — batch docs are rejected "
+    "against the accepted corpus via the sink's LSH band index, then "
+    "within-batch clusters keep their min-id representative, and "
+    "survivors' shingle sets + band rows are appended. History lives in "
+    "the sink, not a state store, so per-batch work is banded-join "
+    "bounded and replaying a batch appends nothing. The oracle replays "
+    "both phases with recursive CTEs over the shared pair construction.",
+)
+def q_minhash_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = documents_with_dups(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ndsink_")
+    try:
+        for phase in (0, 1):
+            dedup.neardup_merge_batch(
+                docs.where(F.col("doc_id") % 2 == phase),
+                path,
+                k=MINHASH_K,
+                bands=MINHASH_BANDS,
+                threshold=0.7,
+            )
+        return (
+            spark.read.parquet(f"{path}/xs")
+            .select(
+                F.col("id").alias("doc_id"), (F.col("id") % 2).alias("phase")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -388,3 +388,37 @@ def run_incremental_dedup_sink(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def run_incremental_neardup_sink(
+    stream_df: DataFrame,
+    path: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup ingest: each micro-batch is merged
+    against the accepted corpus via ``dedup.neardup_merge_batch`` — the
+    near-dup analogue of ``run_incremental_dedup_sink``. History lives in
+    the sink's shingle + band-index tables, NOT a state store, so dedup
+    is against ALL prior batches with zero streaming state and bounded
+    per-batch work (banded candidate join, no corpus rescan). Returns the
+    accepted-id table re-read from the sink."""
+    from ..operators.dedup import neardup_merge_batch
+
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_nd_")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_merge_batch(batch_df, path, threshold=threshold)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(merge)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(f"{path}/xs").select("id")

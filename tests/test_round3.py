@@ -328,3 +328,42 @@ def test_source_cap_sample_deterministic_and_capped(spark):
     assert per and all(n <= 3 for n in per.values())
     again = {tuple(r) for r in text.source_cap_sample(docs.repartition(7), cap=3).collect()}
     assert {tuple(r) for r in out.collect()} == again  # partition-order independent
+
+
+def test_incremental_neardup_sink_rejects_history_dups(spark, tmp_path):
+    """Two-batch replay through the streaming foreachBatch path: batch 2
+    contains exact copies of accepted batch-1 docs (different ids) plus
+    genuinely new docs — copies must be rejected against the SINK's band
+    index (no streaming state), new docs accepted."""
+    from projet_etl_a_rien_spark.streaming.windows import (
+        run_incremental_neardup_sink,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src, sink = tmp_path / "src", tmp_path / "sink"
+    docs.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(src))
+    got1 = {r.id for r in run_incremental_neardup_sink(stream, str(sink)).collect()}
+    assert got1  # batch 1 accepted a corpus
+
+    copies = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 5_000_000
+    )
+    fresh = spark.createDataFrame(
+        [
+            (9_000_000 + i, f"entirely novel document {i} " + " ".join(
+                f"tok{i}x{j}" for j in range(30)
+            ), "xx", "srcnew", 0)
+            for i in range(5)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    copies.unionByName(fresh).coalesce(1).write.mode("append").parquet(str(src))
+    got2 = {r.id for r in run_incremental_neardup_sink(stream, str(sink)).collect()}
+
+    assert not {i for i in got2 if 5_000_000 <= i < 9_000_000}  # copies rejected
+    assert {i for i in got2 if i >= 9_000_000} == {9_000_000 + i for i in range(5)}
+    assert got1 <= got2  # accepted history never shrinks
