@@ -36,16 +36,31 @@ TABLES = (
 )
 
 
+# Event-time columns whose parquet physical type has CHANGED between
+# driver rounds (TIMESTAMP(NANOS) in r1/r2 → TIMESTAMP(MICROS) in r3).
+# Under the session's nanosAsLong conf a NANOS column surfaces as bigint;
+# MICROS surfaces as timestamp_ntz directly — normalize either to µs ntz
+# so every downstream operator sees one stable type at any data vintage.
+_EVENT_TIME_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``, normalized."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → µs: integer division (exact; values are positive so this is
-        # floor, identical to a ns→µs timestamp cast in µs-native engines).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+    dtypes = dict(df.dtypes)
+    for col in _EVENT_TIME_COLS.get(name, ()):
+        if dtypes.get(col) == "bigint":
+            # ns → µs: integer division (exact; values are positive so this
+            # is floor, identical to a ns→µs cast in µs-native engines).
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
+            )
     return df
 
 

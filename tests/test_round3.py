@@ -367,3 +367,39 @@ def test_incremental_neardup_sink_rejects_history_dups(spark, tmp_path):
     assert not {i for i in got2 if 5_000_000 <= i < 9_000_000}  # copies rejected
     assert {i for i in got2 if i >= 9_000_000} == {9_000_000 + i for i in range(5)}
     assert got1 <= got2  # accepted history never shrinks
+
+
+def test_load_table_normalizes_both_ts_vintages(spark, tmp_path):
+    """The driver regenerated fixtures between rounds with a different
+    parquet timestamp physical type (NANOS -> MICROS). load_table must
+    yield timestamp_ntz microseconds for event-time columns under BOTH
+    vintages — a silent unit mismatch compresses event time 1000×."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from projet_etl_a_rien_spark.catalog import load_table
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in µs
+    for unit, factor in (("ns", 1000), ("us", 1)):
+        d = tmp_path / f"vintage_{unit}"
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base_us * factor, (base_us + 3_600_000_000) * factor],
+                    pa.timestamp(unit),
+                ),
+                "user_id": pa.array([10, 11], pa.int64()),
+                "event_type": pa.array(["a", "b"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet")
+        out = load_table(spark, str(d), "events")
+        assert dict(out.dtypes)["ts"] == "timestamp_ntz", unit
+        got = sorted(
+            r[0] for r in out.select(F.unix_micros(F.col("ts").cast("timestamp"))).collect()
+        )
+        assert got == [base_us, base_us + 3_600_000_000], unit
