@@ -452,3 +452,39 @@ def q_doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_cap_sample(
         _docs(spark, sf_dir), cap=SOURCE_CAP, salt=CAP_SALT
     )
+
+
+ZBITS = 16
+_Z_TERMS = " + ".join(
+    f"((((ux >> {j}) & 1)::BIGINT) << {2 * j})"
+    f" + ((((uy >> {j}) & 1)::BIGINT) << {2 * j + 1})"
+    for j in range(ZBITS)
+)
+
+
+@register(
+    "events_zorder_values",
+    f"""
+WITH c AS (
+    SELECT event_id,
+           ((user_id % {1 << ZBITS}) + {1 << ZBITS}) % {1 << ZBITS} AS ux,
+           ((CAST(ROUND(value * 100) AS BIGINT) % {1 << ZBITS}) + {1 << ZBITS})
+               % {1 << ZBITS} AS uy
+    FROM events
+)
+SELECT event_id, CAST({_Z_TERMS} AS BIGINT) AS zval FROM c
+""",
+    doc="Morton/Z-order interleave of (user_id, value-cents) low 16 bits "
+    "(sources/files.py:zorder_value) — the multi-dimensional clustering "
+    "key write_zordered lays files out by, so min/max stats stay tight "
+    "on BOTH dimensions and either predicate prunes. Closed-form int64 "
+    "bit algebra, bit-identical across engines by construction.",
+)
+def q_events_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.files import zorder_value
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id", zorder_value(F.col("user_id"), cents, ZBITS).alias("zval")
+    )

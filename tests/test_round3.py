@@ -405,3 +405,40 @@ def test_load_table_normalizes_both_ts_vintages(spark, tmp_path):
             r[0] for r in out.select(F.unix_micros(F.col("ts").cast("timestamp"))).collect()
         )
         assert got == [base_us, base_us + 3_600_000_000], unit
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """write_zordered must make per-file min/max ranges tight on BOTH
+    interleaved dimensions — that's the data-skipping property. Compare
+    the summed per-file span of each dimension against the unclustered
+    baseline (every file spans ~the full domain)."""
+    import glob
+
+    from projet_etl_a_rien_spark.sources.files import write_zordered
+
+    n, files = 20_000, 8
+    df = (
+        spark.range(n)
+        .select(
+            (F.hash(F.col("id")) % 60_000 + 60_000) .alias("x"),
+            (F.hash(F.col("id") + 1_000_000) % 60_000 + 60_000).alias("y"),
+        )
+    )
+    zpath, plain = tmp_path / "z", tmp_path / "plain"
+    write_zordered(df, str(zpath), "x", "y", num_files=files)
+    df.repartition(files).write.parquet(str(plain))
+
+    def span_sum(path, col):
+        total = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            row = spark.read.parquet(f).agg(
+                (F.max(col) - F.min(col)).alias("s")
+            ).first()
+            total += row.s
+        return total
+
+    for col in ("x", "y"):
+        z_span, plain_span = span_sum(zpath, col), span_sum(plain, col)
+        # 8 z-tiles over 2 dims: each file covers a fraction of each
+        # dimension; round-robin files each cover ~the whole domain.
+        assert z_span < 0.7 * plain_span, (col, z_span, plain_span)
