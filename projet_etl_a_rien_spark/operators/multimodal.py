@@ -150,3 +150,50 @@ def decode_payloads(
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    modality: str = "image",
+) -> DataFrame:
+    """Resize image payloads to (width, height): the decode→transform→
+    re-encode stage of a multimodal ingest, Arrow-batched via
+    ``mapInPandas`` so one Python roundtrip handles a whole batch of
+    payloads.
+
+    STUB GATE (same contract as ``decode_payloads``): the sandbox ships
+    no image codecs, so the actual pixel work comes from a registered
+    ``"{modality}:resize"`` codec with signature ``(payload_bytes,
+    width, height) -> bytes``; without one this raises
+    ``NotImplementedError`` at plan-build time. Everything Spark-side —
+    the binary-in/binary-out schema, batch iteration, output metadata
+    columns — is real and tested with a deterministic fake.
+    """
+    codec = _DECODERS.get(f"{modality}:resize")
+    if codec is None:
+        raise NotImplementedError(
+            f"no resize codec registered for modality {modality!r}: image "
+            "codecs are not available in this environment; "
+            "register_decoder(f'{modality}:resize', fn) a real or fake one"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": pdf[payload_col].map(
+                        lambda b: codec(b, width, height)
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} bigint, payload binary, width int, height int"
+    )

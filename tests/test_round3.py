@@ -442,3 +442,29 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
         # 8 z-tiles over 2 dims: each file covers a fraction of each
         # dimension; round-robin files each cover ~the whole domain.
         assert z_span < 0.7 * plain_span, (col, z_span, plain_span)
+
+
+def test_resize_images_plumbing_with_fake_codec(spark):
+    """The resize stage's Spark plumbing (schema, Arrow batching, stub
+    gate) must be real even though the pixel codec is faked."""
+    import pytest as _pytest
+
+    from projet_etl_a_rien_spark.operators import multimodal
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    payloads = multimodal.with_binary_payload(docs).limit(20)
+
+    with _pytest.raises(NotImplementedError, match="resize"):
+        multimodal.resize_images(payloads, 4, 3, modality="no-such")
+
+    def fake_resize(b: bytes, w: int, h: int) -> bytes:
+        return (b * ((w * h) // max(len(b), 1) + 1))[: w * h]
+
+    multimodal.register_decoder("image:resize", fake_resize)
+    out = multimodal.resize_images(payloads, 4, 3)
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint", "payload": "binary", "width": "int", "height": "int"
+    }
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.payload) == 12 and r.width == 4 and r.height == 3 for r in rows)
