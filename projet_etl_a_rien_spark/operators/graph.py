@@ -34,9 +34,22 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Deterministic for any edge order.
+
+    Two regimes, same labels:
+
+    - ``|edges| <= driver_threshold``: collect the edge list and run
+      union-find with path compression on the driver (min-id root, so
+      root == component label). A verified near-dup pair graph is tiny
+      relative to its corpus — banding + Jaccard verification has
+      already reduced it — and 500k edges is ~8 MB: the bounded
+      small-side collect MLlib's own iterative algorithms use, replacing
+      O(diameter) Spark rounds (each 2 joins + a count) with one pass.
+    - larger: iterative min-label propagation (one shuffle per round),
+      which never materializes the graph on the driver.
 
     Raises ``RuntimeError`` if labels are still changing when ``max_iter``
     is exhausted (component diameter > max_iter): silently returning
@@ -44,6 +57,40 @@ def connected_components(
     "survivors" from one real cluster. Raise ``max_iter`` or switch to a
     large-star/small-star variant for such graphs.
     """
+    pairs = None
+    if driver_threshold > 0:
+        # one pass: fetch at most threshold+1 edge rows — if the limit is
+        # hit, fall through to the distributed path (the expensive pair
+        # lineage is then recomputed once more, but only in the rare
+        # large-graph regime; the common small-graph case pays a single
+        # execution instead of a count probe plus a collect)
+        probe = edges.select(src_col, dst_col).limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            pairs = probe
+    if pairs is not None:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root under the smaller: the root of
+                # every tree is its component's min id by induction
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = {x for ab in pairs for x in ab}
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)], "node long, comp long"
+        )
     und = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(

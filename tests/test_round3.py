@@ -151,9 +151,14 @@ def test_connected_components_raises_on_iteration_exhaustion(spark):
         [(i, i + 1) for i in range(11)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="max_iter"):
-        connected_components(edges, max_iter=3)
-    labels = connected_components(edges, max_iter=20)
+        connected_components(edges, max_iter=3, driver_threshold=0)
+    labels = connected_components(edges, max_iter=20, driver_threshold=0)
     assert {r.comp for r in labels.collect()} == {0}
+    # the small-graph driver path must produce identical labels
+    fast = connected_components(edges)
+    assert {(r.node, r.comp) for r in fast.collect()} == {
+        (r.node, r.comp) for r in labels.collect()
+    }
 
 
 def test_cogrouped_asof_join_string_key_and_payload_type(spark):
