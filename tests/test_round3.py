@@ -473,3 +473,12 @@ def test_resize_images_plumbing_with_fake_codec(spark):
     rows = out.collect()
     assert len(rows) == 20
     assert all(len(r.payload) == 12 and r.width == 4 and r.height == 3 for r in rows)
+
+
+def test_cli_run_and_list(spark):
+    """The module CLI (spark-submit-style front door) lists the registry
+    and runs a query end-to-end. In-process call — no second JVM."""
+    from projet_etl_a_rien_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    assert main(["run", "no_such_query"]) == 2
