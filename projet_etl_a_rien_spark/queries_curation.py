@@ -488,3 +488,65 @@ def q_events_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", zorder_value(F.col("user_id"), cents, ZBITS).alias("zval")
     )
+
+
+_SCD2_DIM_CTES = """
+o AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, event_type AS status, ts,
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+    FROM o
+),
+dim AS (
+    SELECT user_id, version, status, MIN(ts) AS valid_from
+    FROM runs GROUP BY user_id, version, status
+),
+dim2 AS (
+    SELECT user_id, version, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+    FROM dim
+)"""
+
+
+@register(
+    "events_scd2_pit_join",
+    f"""
+WITH {_SCD2_DIM_CTES}
+SELECT e.event_id, e.user_id, d.version, d.status
+FROM events e
+JOIN dim2 d
+  ON e.user_id = d.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+""",
+    doc="Point-in-time join: each event enriched with the SCD2 dimension "
+    "version VALID AT ITS EVENT TIME (the feature-store correctness "
+    "pattern — training rows must see dimension state as-of the event, "
+    "never later). Equi-join on the dimension key with validity-range "
+    "post-filter, so the plan is one key-partitioned join, no broadcast "
+    "of unbounded history. Interval semantics make the match total and "
+    "unique: half-open [valid_from, valid_to), boundary events resolve "
+    "to the later version, zero-length intervals match nothing.",
+)
+def q_events_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").alias("e")
+    dim = scd2_from_log(load_table(spark, sf_dir, "events")).alias("d")
+    return ev.join(
+        dim,
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("e.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("e.ts") < F.col("d.valid_to"))),
+    ).select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("d.version").alias("version"),
+        F.col("d.status").alias("status"),
+    )

@@ -482,3 +482,24 @@ def test_cli_run_and_list(spark):
 
     assert main(["list"]) == 0
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_scd2_pit_join_total_unique_and_key_partitioned(spark):
+    """Every event must match EXACTLY one dimension version (half-open
+    intervals, boundary -> later version), and the physical plan must be
+    an equi-join on the key — not a nested loop over history."""
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    df = REGISTRY["events_scd2_pit_join"].fn(spark, "/root/testdata/sf0.001")
+    n_events = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert df.count() == n_events
+    assert df.select("event_id").distinct().count() == n_events
+    plan = _formatted_plan(df)
+    # any EQUI join is fine (AQE broadcasts the tiny sf0.001 side; at
+    # scale both sides exceed the threshold and this becomes SMJ on the
+    # key) — what must never appear is a nested loop over history
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
