@@ -589,6 +589,18 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r3 = the five r2 representation fixes, the 19 never-checked TPC-H shapes,
 # all 12 streaming queries, and the ANN/dedup-cluster/as-of family. Names
 # not listed (or not registered) keep their natural order after these.
+#
+# r4 ROTATION NOTE: after r3's run, the names that have STILL never had a
+# hard driver row are the round-3 additions — the curation family
+# (doc_gopher_quality_flags, doc_repetition_stats, doc_pii_scan,
+# doc_stratified_sample, source_mixing_weights, events_sessionization,
+# doc_segment_dup_stats, events_user_scd2, corpus_curation_pipeline,
+# corpus_token_budget_selection, doc_source_caps, events_scd2_pit_join,
+# events_zorder_values, minhash_incremental_ingest,
+# streaming_scd2_pit_enrich) plus doc_robust_stats_by_lang,
+# corpus_clean_lang_stats, tfidf/lang-confusion if r3's window cut them
+# off. Front-load THOSE next round and demote anything CORRECTNESS_r03
+# marks green.
 _DRIVER_PRIORITY: list[str] = [
     # r2 driver-red, fixed in-place — must re-earn a hard green row
     "events_time_rollup",

@@ -295,3 +295,68 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(
         session_windows(replay_events_stream(spark, sf_dir), "30 minutes")
     )
+
+
+@register(
+    "streaming_scd2_pit_enrich",
+    f"""
+WITH o AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, event_type AS status, ts,
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+    FROM o
+),
+dim AS (
+    SELECT user_id, version, status, MIN(ts) AS valid_from
+    FROM runs GROUP BY user_id, version, status
+),
+dim2 AS (
+    SELECT user_id, version, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+    FROM dim
+)
+SELECT d.status, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e
+JOIN dim2 d
+  ON e.user_id = d.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+GROUP BY d.status
+""",
+    doc="Streaming point-in-time enrichment: the replayed event stream "
+    "joins the BATCH-built SCD2 dimension as a static side — equi-key "
+    "join with validity-range filter, so each streamed event picks up "
+    "dimension state as-of its event time — then a keyed streaming "
+    "aggregation. The static side is re-read per micro-batch (Spark's "
+    "stream-static contract), which is exactly how a slowly-refreshed "
+    "dimension table behaves in production; over the bounded replay the "
+    "result equals the batch PIT join, which the oracle asserts.",
+)
+def q_streaming_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_from_log
+
+    ev = replay_events_stream(spark, sf_dir).alias("e")
+    dim = (
+        scd2_from_log(load_table(spark, sf_dir, "events"))
+        .select("user_id", "version", "status", "valid_from", "valid_to")
+        .alias("d")
+    )
+    joined = ev.join(
+        dim,
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("e.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("e.ts") < F.col("d.valid_to"))),
+    )
+    return run_bounded(
+        joined.groupBy(F.col("d.status").alias("status")).agg(
+            F.count("*").alias("n_events")
+        )
+    )
