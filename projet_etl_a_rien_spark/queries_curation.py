@@ -550,3 +550,68 @@ def q_events_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.version").alias("version"),
         F.col("d.status").alias("status"),
     )
+
+
+API_PAGES = 4
+API_PAGE_SIZE = 250
+
+
+@register(
+    "api_airports_ingest",
+    f"""
+WITH k AS (SELECT unnest(range(1, {API_PAGES * API_PAGE_SIZE + 1})) AS k),
+rec AS (
+    SELECT CAST(k // 10 AS VARCHAR) AS id,
+           CASE WHEN k % 13 = 0 THEN ''
+                WHEN k % 29 = 0 THEN 'not-a-number'
+                ELSE CAST((k * 7) % 180 - 90 AS VARCHAR) END AS lat,
+           CASE WHEN k % 17 = 0 THEN NULL
+                ELSE CAST((k * 11) % 360 - 180 AS VARCHAR) END AS lon
+    FROM k
+),
+clean AS (
+    SELECT id,
+           TRY_CAST(NULLIF(lat, '') AS BIGINT) AS lat,
+           TRY_CAST(lon AS BIGINT) AS lon
+    FROM rec
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS total_records,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS unique_airports,
+       CAST(SUM(lat) AS BIGINT) AS sum_lat,
+       MIN(lat) AS min_lat,
+       MAX(lat) AS max_lat,
+       CAST(SUM(lon) AS BIGINT) AS sum_lon
+FROM clean
+WHERE lat IS NOT NULL AND lon IS NOT NULL
+""",
+    doc="Ingest through the custom Python DataSource (sources/pyds.py — "
+    "Spark 4 pyspark.sql.datasource): API pages are InputPartitions, so "
+    "page fetches run as parallel scan tasks inside the plan (BatchScan "
+    "airports_api), not a driver download loop — the engine-native form "
+    "of the reference's NiFi InvokeHTTP edge. Then the reference's "
+    "clean-and-aggregate shape over the landed records; integer-only "
+    "payload derivations make the oracle replication exact.",
+)
+def q_api_airports_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import pyds
+
+    pyds.register(spark)
+    raw = (
+        spark.read.format("airports_api")
+        .option("pages", API_PAGES)
+        .option("page_size", API_PAGE_SIZE)
+        .load()
+    )
+    lat = F.nullif(F.col("lat"), F.lit("")).try_cast("bigint")
+    lon = F.col("lon").try_cast("bigint")
+    clean = raw.select("id", lat.alias("lat"), lon.alias("lon")).where(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull()
+    )
+    return clean.agg(
+        F.count("*").alias("total_records"),
+        F.count_distinct(F.col("id")).alias("unique_airports"),
+        F.sum("lat").alias("sum_lat"),
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.sum("lon").alias("sum_lon"),
+    )

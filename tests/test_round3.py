@@ -503,3 +503,27 @@ def test_scd2_pit_join_total_unique_and_key_partitioned(spark):
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_python_datasource_pages_are_partitions(spark):
+    """The custom DataSource must map API pages to scan partitions (the
+    parallel-fetch contract), survive re-registration, and apply the
+    dirty-record rules deterministically."""
+    from projet_etl_a_rien_spark.sources import pyds
+
+    pyds.register(spark)
+    pyds.register(spark)  # idempotent for long-lived sessions
+    df = (
+        spark.read.format("airports_api")
+        .option("pages", 3)
+        .option("page_size", 50)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 150
+    rows = {(r.page, r.idx): r for r in df.collect()}
+    assert rows[(0, 12)].lat == ""          # k=13 -> empty-string coord
+    assert rows[(0, 28)].lat == "not-a-number"  # k=29 -> uncastable
+    assert rows[(0, 16)].lon is None        # k=17 -> missing field
+    # duplicate ids by construction: k div 10
+    assert rows[(0, 9)].id == rows[(0, 10)].id == "1"
