@@ -615,3 +615,83 @@ def q_api_airports_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lat").alias("max_lat"),
         F.sum("lon").alias("sum_lon"),
     )
+
+
+@register(
+    "streaming_api_ingest",
+    f"""
+WITH k AS (SELECT unnest(range(1, {API_PAGES * API_PAGE_SIZE + 1})) AS k),
+rec AS (
+    SELECT CAST((k - 1) // {API_PAGE_SIZE} AS INTEGER) AS page,
+           CASE WHEN k % 13 = 0 THEN ''
+                WHEN k % 29 = 0 THEN 'not-a-number'
+                ELSE CAST((k * 7) % 180 - 90 AS VARCHAR) END AS lat,
+           CASE WHEN k % 17 = 0 THEN NULL
+                ELSE CAST((k * 11) % 360 - 180 AS VARCHAR) END AS lon
+    FROM k
+),
+clean AS (
+    SELECT page,
+           TRY_CAST(NULLIF(lat, '') AS BIGINT) AS lat,
+           TRY_CAST(lon AS BIGINT) AS lon
+    FROM rec
+)
+SELECT page,
+       CAST(COUNT(*) AS BIGINT) AS n_clean,
+       CAST(SUM(lat) AS BIGINT) AS sum_lat,
+       CAST(SUM(lon) AS BIGINT) AS sum_lon
+FROM clean
+WHERE lat IS NOT NULL AND lon IS NOT NULL
+GROUP BY page
+""",
+    doc="Streaming ingest through the custom Python DataSource's "
+    "SimpleDataSourceStreamReader: each availableNow run drains ONE poll "
+    "(page) and commits its {{page}} offset to the checkpoint, so "
+    "successive runs walk the feed exactly once (the reference's NiFi "
+    "timer-poll, engine-native). The query replays pages+1 runs against "
+    "one checkpoint — the +1 proves the exhausted feed appends nothing — "
+    "then cleans and aggregates per page; the oracle regenerates the "
+    "deterministic pages relationally.",
+)
+def q_streaming_api_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources import pyds
+
+    pyds.register(spark)
+    sink = tempfile.mkdtemp(prefix="api_sink_")
+    ckpt = tempfile.mkdtemp(prefix="api_ckpt_")
+    try:
+        for _ in range(API_PAGES + 1):
+            q = (
+                spark.readStream.format("airports_api")
+                .option("pages", API_PAGES)
+                .option("page_size", API_PAGE_SIZE)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        landed = spark.read.parquet(sink)
+        lat = F.nullif(F.col("lat"), F.lit("")).try_cast("bigint")
+        lon = F.col("lon").try_cast("bigint")
+        clean = landed.select("page", lat.alias("lat"), lon.alias("lon")).where(
+            F.col("lat").isNotNull() & F.col("lon").isNotNull()
+        )
+        return (
+            clean.groupBy("page")
+            .agg(
+                F.count("*").alias("n_clean"),
+                F.sum("lat").alias("sum_lat"),
+                F.sum("lon").alias("sum_lon"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -527,3 +527,35 @@ def test_python_datasource_pages_are_partitions(spark):
     assert rows[(0, 16)].lon is None        # k=17 -> missing field
     # duplicate ids by construction: k div 10
     assert rows[(0, 9)].id == rows[(0, 10)].id == "1"
+
+
+def test_python_datasource_stream_polls_with_checkpoint(spark, tmp_path):
+    """The streaming side of the custom source: each availableNow run
+    drains ONE poll (page) and commits its offset to the checkpoint, so
+    successive runs walk the feed exactly once and an exhausted feed
+    appends nothing — the reference's timer-poll ingest, engine-native."""
+    from projet_etl_a_rien_spark.sources import pyds
+
+    pyds.register(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("airports_api")
+            .option("pages", 3)
+            .option("page_size", 40)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).count()
+
+    counts = [run_once() for _ in range(4)]
+    assert counts == [40, 80, 120, 120]  # one page per poll, then exhausted
+    pages = {r.page for r in spark.read.parquet(sink).select("page").collect()}
+    assert pages == {0, 1, 2}
