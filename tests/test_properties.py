@@ -101,3 +101,58 @@ def test_packing_never_overfills(spark, token_counts, budget):
         # a bin exceeds the budget only via its LAST doc straddling out,
         # never by starting a doc at or past the budget boundary
         assert min(r.bin_offset_tokens for r in docs_in_bin) < budget
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(EDGES)
+def test_connected_components_regimes_agree(spark, edges):
+    """The driver-side union-find and the distributed label-propagation
+    paths of connected_components must label ANY graph identically —
+    component id = min reachable node, for every node that appears in an
+    edge."""
+    from projet_etl_a_rien_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        (r.node, r.comp) for r in connected_components(df).collect()
+    }
+    dist = {
+        (r.node, r.comp)
+        for r in connected_components(df, max_iter=30, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    # reference labels via plain BFS
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = set()
+    seen: dict = {}
+    for start in adj:
+        if start in seen:
+            continue
+        comp_nodes, queue = [], collections.deque([start])
+        visited = {start}
+        while queue:
+            n = queue.popleft()
+            comp_nodes.append(n)
+            for m in adj[n] - visited:
+                visited.add(m)
+                queue.append(m)
+        label = min(comp_nodes)
+        for n in comp_nodes:
+            seen[n] = label
+            expected.add((n, label))
+    assert fast == expected
