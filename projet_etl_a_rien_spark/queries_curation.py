@@ -695,3 +695,71 @@ def q_streaming_api_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "events_props_variant_stats",
+    """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (
+    SELECT event_type, CAST(props::JSON ->> 'k' AS BIGINT) AS k FROM events
+)
+GROUP BY event_type
+""",
+    doc="Semi-structured ingestion via Spark 4's VARIANT type: parse_json "
+    "with NO declared schema, then typed path extraction "
+    "(try_variant_get $.k) — the schema-on-read path for payloads whose "
+    "shape drifts, complementing events_json_kpi's declared-StructType "
+    "parse (SURVEY.md P7). The open-format variant encoding keeps "
+    "extraction JVM-side and shreddable; oracle reads the same JSON "
+    "path relationally.",
+)
+def q_events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "orders_status_unpivot",
+    """
+SELECT o_orderpriority, o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+""",
+    doc="unpivot/melt — the inverse of pivot_status_by_priority: the wide "
+    "per-status count matrix relationalized back to long "
+    "(priority, status, n) rows via DataFrame.unpivot, absent "
+    "combinations dropped. Round-tripping pivot->unpivot equals the "
+    "plain two-key aggregate, which is exactly what the oracle states.",
+)
+def q_orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["F", "O", "P"],
+            variableColumnName="status",
+            valueColumnName="n",
+        )
+        .where(F.col("n").isNotNull())
+    )
