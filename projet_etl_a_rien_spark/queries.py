@@ -597,10 +597,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_segment_dup_stats, events_user_scd2, corpus_curation_pipeline,
 # corpus_token_budget_selection, doc_source_caps, events_scd2_pit_join,
 # events_zorder_values, minhash_incremental_ingest,
-# streaming_scd2_pit_enrich) plus doc_robust_stats_by_lang,
-# corpus_clean_lang_stats, tfidf/lang-confusion if r3's window cut them
-# off. Front-load THOSE next round and demote anything CORRECTNESS_r03
-# marks green.
+# streaming_scd2_pit_enrich, api_airports_ingest, streaming_api_ingest,
+# events_props_variant_stats, orders_status_unpivot) plus
+# doc_robust_stats_by_lang, corpus_clean_lang_stats, tfidf/lang-confusion
+# if r3's window cut them off. Front-load THOSE next round and demote
+# anything CORRECTNESS_r03 marks green.
 _DRIVER_PRIORITY: list[str] = [
     # r2 driver-red, fixed in-place — must re-earn a hard green row
     "events_time_rollup",
