@@ -60,8 +60,14 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    # only stop a session this invocation created: an in-process caller
+    # (tests, a notebook importing main) may already own the active
+    # session, and get_spark's getOrCreate would hand us that one
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(f"cli-{args.cmd}")
     try:
         if args.cmd == "run":
@@ -76,7 +82,8 @@ def main(argv: list[str] | None = None) -> int:
             REGISTRY[args.query].fn(spark, args.sf_dir).explain("formatted")
         return 0
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
 
 
 if __name__ == "__main__":

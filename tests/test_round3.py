@@ -476,12 +476,21 @@ def test_resize_images_plumbing_with_fake_codec(spark):
 
 
 def test_cli_run_and_list(spark):
-    """The module CLI (spark-submit-style front door) lists the registry
-    and runs a query end-to-end. In-process call — no second JVM."""
+    """The module CLI (spark-submit-style front door) lists the registry,
+    runs queries and ad-hoc SQL end-to-end, and — critically — does NOT
+    stop a SparkSession it did not create (in-process callers own it)."""
     from projet_etl_a_rien_spark.__main__ import main
 
     assert main(["list"]) == 0
     assert main(["run", "no_such_query"]) == 2
+    assert main(["run", "tpch_q6_forecast_revenue",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert main(["sql", "SELECT count(*) AS n FROM region",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert main(["explain", "regional_revenue",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    # the shared fixture session must still be alive
+    assert spark.range(1).count() == 1
 
 
 def test_scd2_pit_join_total_unique_and_key_partitioned(spark):
