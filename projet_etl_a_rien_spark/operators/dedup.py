@@ -627,6 +627,18 @@ def neardup_merge_batch(
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
                 raise
+        if (corp_xs is None) != (corp_bands is None):
+            # the two sink tables are appended in one merge but not
+            # atomically: one present without the other means a crash
+            # landed between the writes. Proceeding would either re-ingest
+            # the whole corpus (lost xs) or silently skip history checks
+            # (lost bands) — fail loudly; recovery is re-deriving bands
+            # from xs (or removing the half-written dir).
+            raise RuntimeError(
+                f"near-dup sink at {path!r} is half-written: "
+                f"xs {'present' if corp_xs is not None else 'missing'}, "
+                f"bands {'present' if corp_bands is not None else 'missing'}"
+            )
 
         remaining = base
         if corp_xs is not None:
