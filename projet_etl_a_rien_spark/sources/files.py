@@ -143,3 +143,41 @@ def write_zordered(
         .mode("overwrite")
         .save(path)
     )
+
+
+def write_training_shuffled(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_files: int,
+    salt: str = "shuffle:",
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Deterministic GLOBAL shuffle for training export: rows are laid
+    out in salted-md5-of-id order, so the reading order is (a) globally
+    shuffled with respect to any natural key (time, source, crawl
+    order — exactly the correlations a training run must not see), and
+    (b) bit-reproducible across runs, engines, partitionings, and
+    cluster sizes — unlike ``orderBy(rand(seed))``, which reshuffles
+    whenever partitioning changes. Changing ``salt`` yields an
+    independent permutation (epoch reshuffles).
+
+    No global sort bottleneck: ``repartitionByRange`` on the hash key is
+    a sampled range exchange, then each file sorts locally — file i's
+    keys all precede file i+1's, so a sequential reader of
+    part-00000..part-N sees the full permutation in order.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    out = (
+        df.withColumn("_shuffle_key", key)
+        .repartitionByRange(num_files, F.col("_shuffle_key"))
+        .sortWithinPartitions("_shuffle_key")
+        .drop("_shuffle_key")
+    )
+    writer = out.write.format(fmt).mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)

@@ -568,3 +568,34 @@ def test_python_datasource_stream_polls_with_checkpoint(spark, tmp_path):
     assert counts == [40, 80, 120, 120]  # one page per poll, then exhausted
     pages = {r.page for r in spark.read.parquet(sink).select("page").collect()}
     assert pages == {0, 1, 2}
+
+
+def test_training_shuffle_is_deterministic_and_decorrelated(spark, tmp_path):
+    """The shuffled export must be reproducible run-to-run, change under a
+    new salt, and break the source's natural ordering."""
+    import glob
+    import hashlib
+
+    from projet_etl_a_rien_spark.sources.files import write_training_shuffled
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def export(path, salt):
+        write_training_shuffled(docs, str(path), "doc_id", num_files=4, salt=salt)
+        order = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            order.extend(r.doc_id for r in spark.read.parquet(f).collect())
+        return order
+
+    a = export(tmp_path / "a", "shuffle:")
+    b = export(tmp_path / "b", "shuffle:")
+    c = export(tmp_path / "c", "epoch2:")
+    assert a == b                      # bit-reproducible
+    assert a != c and set(a) == set(c)  # new salt = new permutation
+    assert a != sorted(a)              # natural id order broken
+    # matches the reference permutation: sort ids by md5(salt || id)
+    expected = sorted(
+        set(a),
+        key=lambda i: hashlib.md5(f"shuffle:{i}".encode()).hexdigest(),
+    )
+    assert a == expected
