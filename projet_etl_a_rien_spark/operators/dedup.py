@@ -35,7 +35,7 @@ splitting covers the join itself.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .text import fingerprint, tokens
@@ -564,6 +564,21 @@ def simhash_near_dup_pairs(
 # ------------------------------------------- incremental near-dup ingest ----
 
 
+def recover_bands(
+    spark: SparkSession, path: str, k: int = 16, bands: int = 4
+) -> None:
+    """Rebuild the near-dup sink's ``{path}/bands`` LSH index from its
+    ``{path}/xs`` table. bands is a pure function of xs —
+    ``band_rows(minhash_signature(xs))`` — so any half-written sink state
+    where xs is intact (crash between the two appends of
+    ``neardup_merge_batch``) is fully recoverable by one overwrite.
+    ``k`` and ``bands`` must match the values the sink was built with."""
+    xs = spark.read.parquet(f"{path}/xs")
+    band_rows(
+        xs.select("id", minhash_signature(F.col("xs"), k).alias("sig")), k, bands
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+
+
 def neardup_merge_batch(
     batch_df: DataFrame,
     path: str,
@@ -620,25 +635,41 @@ def neardup_merge_batch(
         sig = base.select("id", minhash_signature(F.col("xs"), k).alias("sig"))
         bnd = band_rows(sig, k, bands).persist()
 
-        corp_xs = corp_bands = None
-        try:
-            corp_xs = spark.read.parquet(f"{path}/xs")
-            corp_bands = spark.read.parquet(f"{path}/bands")
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-        if (corp_xs is None) != (corp_bands is None):
-            # the two sink tables are appended in one merge but not
-            # atomically: one present without the other means a crash
-            # landed between the writes. Proceeding would either re-ingest
-            # the whole corpus (lost xs) or silently skip history checks
-            # (lost bands) — fail loudly; recovery is re-deriving bands
-            # from xs (or removing the half-written dir).
+        # Probe each sink table INDEPENDENTLY: a single try over both
+        # reads would stop at a missing xs and never learn whether bands
+        # exists, silently treating an xs-missing/bands-present sink as a
+        # fresh corpus (stale band rows then inner-join-drop later).
+        def _read_or_none(sub: str):
+            try:
+                return spark.read.parquet(f"{path}/{sub}")
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                    raise
+                return None
+
+        corp_xs = _read_or_none("xs")
+        corp_bands = _read_or_none("bands")
+        if corp_xs is None and corp_bands is not None:
+            # Unrecoverable: xs (the shingle sets) is the source of truth
+            # and it is gone; bands alone cannot reconstruct it. Proceeding
+            # would re-ingest the corpus while stale band rows shadow it.
             raise RuntimeError(
-                f"near-dup sink at {path!r} is half-written: "
-                f"xs {'present' if corp_xs is not None else 'missing'}, "
-                f"bands {'present' if corp_bands is not None else 'missing'}"
+                f"near-dup sink at {path!r} is unrecoverable: bands table "
+                "present but xs table missing (xs is the source of truth; "
+                "remove the sink dir to restart ingest)"
             )
+        if corp_xs is not None:
+            # bands is a pure function of xs — self-heal a crash that
+            # landed between the two appends. Two half-written states:
+            # (a) bands dir missing entirely (crash during first merge),
+            # (b) bands behind xs (crash on a later merge; both dirs
+            #     exist but bands lacks the last batch's rows). Each
+            #     accepted doc contributes exactly `bands` band rows, so
+            #     the row-count invariant detects (b) cheaply — parquet
+            #     answers both counts from footer metadata.
+            if corp_bands is None or corp_bands.count() != corp_xs.count() * bands:
+                recover_bands(spark, path, k=k, bands=bands)
+                corp_bands = spark.read.parquet(f"{path}/bands")
 
         remaining = base
         if corp_xs is not None:

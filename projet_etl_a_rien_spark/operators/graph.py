@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -45,9 +46,12 @@ def connected_components(
       union-find with path compression on the driver (min-id root, so
       root == component label). A verified near-dup pair graph is tiny
       relative to its corpus — banding + Jaccard verification has
-      already reduced it — and 500k edges is ~8 MB: the bounded
-      small-side collect MLlib's own iterative algorithms use, replacing
-      O(diameter) Spark rounds (each 2 joins + a count) with one pass.
+      already reduced it. Driver memory at the 500k default is ~100-200
+      MB transient (PySpark Row objects are ~150+ B each; they are
+      converted to plain tuples and freed immediately, leaving tuples +
+      the union-find parent dict) — the bounded small-side collect
+      MLlib's own iterative algorithms use, replacing O(diameter) Spark
+      rounds (each 2 joins + a count) with one pass.
     - larger: iterative min-label propagation (one shuffle per round),
       which never materializes the graph on the driver.
 
@@ -66,7 +70,11 @@ def connected_components(
         # execution instead of a count probe plus a collect)
         probe = edges.select(src_col, dst_col).limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:
-            pairs = probe
+            # plain tuples, not Rows: a Row is ~150+ bytes vs ~120 for a
+            # 2-tuple of ints, and the Row list is freed right here — the
+            # collect itself is the transient peak, not the pass below
+            pairs = [(r[0], r[1]) for r in probe]
+        del probe
     if pairs is not None:
         parent: dict = {}
 
@@ -88,9 +96,14 @@ def connected_components(
                 parent[rb] = ra
         nodes = {x for ab in pairs for x in ab}
         spark = edges.sparkSession
-        return spark.createDataFrame(
-            [(n, find(n)) for n in sorted(nodes)], "node long, comp long"
+        # schema follows the input id type (long doc ids, string uuids,
+        # ...) — the distributed path below is type-generic, and the two
+        # regimes must agree on schema, not only on labels
+        node_t = edges.schema[src_col].dataType
+        schema = T.StructType(
+            [T.StructField("node", node_t), T.StructField("comp", node_t)]
         )
+        return spark.createDataFrame([(n, find(n)) for n in sorted(nodes)], schema)
     und = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(

@@ -585,91 +585,89 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The external driver verifies queries in registration order and only has
 # budget for the first ~50 of them per round, so registration order IS the
 # verification sampling order. This list pins the front of the window to the
-# queries with the least accumulated driver evidence (rotated each round):
-# r3 = the five r2 representation fixes, the 19 never-checked TPC-H shapes,
-# all 12 streaming queries, and the ANN/dedup-cluster/as-of family. Names
-# not listed (or not registered) keep their natural order after these.
+# queries with the least accumulated driver evidence (rotated each round).
 #
-# r4 ROTATION NOTE: after r3's run, the names that have STILL never had a
-# hard driver row are the round-3 additions — the curation family
-# (doc_gopher_quality_flags, doc_repetition_stats, doc_pii_scan,
-# doc_stratified_sample, source_mixing_weights, events_sessionization,
-# doc_segment_dup_stats, events_user_scd2, corpus_curation_pipeline,
-# corpus_token_budget_selection, doc_source_caps, events_scd2_pit_join,
-# events_zorder_values, minhash_incremental_ingest,
-# streaming_scd2_pit_enrich, api_airports_ingest, streaming_api_ingest,
-# events_props_variant_stats, orders_status_unpivot) plus
-# doc_robust_stats_by_lang, corpus_clean_lang_stats, tfidf/lang-confusion
-# if r3's window cut them off. Front-load THOSE next round and demote
-# anything CORRECTNESS_r03 marks green.
+# Evidence ledger after r3 (CORRECTNESS_r01-r03, all green, zero red):
+#   * r3 window (50 green): five r2 re-fixes, TPC-H Q2-Q22, all 12 streaming
+#     queries, ANN/dedup-cluster/as-of family, tfidf/lang-confusion.
+#   * r1/r2 greens (45): airports, TPC-H Q1/Q3/Q6, relational/window family,
+#     doc text features, exact/minhash/ngram/simhash dedup, cosine top-k.
+#   * NEVER driver-checked (29): the round-3 additions below.
+#
+# r4 ROTATION: front-load the 29 never-checked names (all pass the local
+# oracle gate `tools/oracle_check.py` 29/29), then any queries newly added
+# in round 4, then refresh the oldest evidence (r1/r2-only greens), and
+# demote everything CORRECTNESS_r03 marked green to the back of the order.
 _DRIVER_PRIORITY: list[str] = [
-    # r2 driver-red, fixed in-place — must re-earn a hard green row
-    "events_time_rollup",
-    "events_rolling_hour_value",
-    "events_funnel_counts",
-    "events_user_anomalies",
-    "doc_winnow_fingerprints",
-    # TPC-H shapes that have never had a driver row
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_late_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_top_customers",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_or_of_ands",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_sole_return_supplier",
-    "tpch_q22_idle_rich_customers",
-    # streaming family — never had a driver row
-    "streaming_event_count",
-    "streaming_event_type_counts",
-    "streaming_hourly_windows",
-    "streaming_watermarked_append",
-    "streaming_sliding_windows",
-    "streaming_static_join_segments",
-    "streaming_stateful_user_totals",
-    "streaming_dedup_event_counts",
-    "streaming_foreachbatch_sink_totals",
-    "streaming_click_purchase_attribution",
-    "streaming_dedup_then_windows",
-    "streaming_session_windows",
-    # ANN / dedup-graph / as-of family — never had a driver row, and the
-    # LSH + multi-probe queries changed this round
-    "embedding_lsh_near_dup_pairs",
-    "embedding_kmeans_assign",
-    "embedding_knn_join_top3",
-    "embedding_ann_recall_at_10",
-    "minhash_dedup_clusters",
-    "minhash_dedup_survivors",
-    "train_eval_contamination",
-    "events_orders_asof",
-    "events_orders_asof_cogroup",
-    "events_in_hot_windows",
-    "doc_split_assignment",
-    "doc_packing_bins",
-    "tfidf_top_terms",
-    "doc_lang_confusion",
+    # -- curation family (round-3 additions, never driver-checked) --
+    "doc_gopher_quality_flags",
+    "doc_repetition_stats",
+    "doc_pii_scan",
+    "doc_stratified_sample",
+    "source_mixing_weights",
+    "doc_segment_dup_stats",
+    "doc_source_caps",
+    "corpus_curation_pipeline",
+    "corpus_token_budget_selection",
+    "corpus_clean_lang_stats",
+    "doc_robust_stats_by_lang",
+    # -- sessionization / SCD2 / point-in-time --
+    "events_sessionization",
+    "events_user_scd2",
+    "events_scd2_pit_join",
+    "streaming_scd2_pit_enrich",
+    # -- ANN multi-probe / embedding variants --
+    "embedding_knn_join_multiprobe_top3",
+    "embedding_near_dup_pairs",
+    "embedding_ann_kmeans_topk",
+    "embedding_quantization_error",
+    # -- multimodal --
+    "multimodal_meta_stats",
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+    # -- storage layout / ingest / misc round-3 additions --
+    "events_zorder_values",
+    "minhash_incremental_ingest",
+    "api_airports_ingest",
+    "streaming_api_ingest",
+    "events_props_variant_stats",
+    "orders_status_unpivot",
+    "salted_segment_revenue",
 ]
 
 
 def _ordered_names() -> list[str]:
-    """Registry names with `_DRIVER_PRIORITY` first, then every remaining
-    name that has never appeared in a CORRECTNESS round before the r1/r2
-    greens — so however many queries the driver's budget covers, it always
+    """Registry names ordered by accumulated driver evidence, least first:
+    `_DRIVER_PRIORITY` (never driver-checked), then names never seen in any
+    CORRECTNESS round (e.g. round-4 additions), then r1/r2-only greens
+    (oldest evidence, due a refresh), then CORRECTNESS_r03 greens — so
+    however many queries the driver's ~50-query budget covers, it always
     verifies the least-evidenced ones first."""
     _load_extensions()
     pri = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
     seen = set(pri)
-    # names with at least one prior driver-green row (CORRECTNESS_r01/r02)
+    # green in CORRECTNESS_r03 (freshest evidence — demote to the back)
+    r3_checked = {
+        "doc_lang_confusion", "doc_packing_bins", "doc_split_assignment", "doc_winnow_fingerprints",
+        "embedding_ann_recall_at_10", "embedding_kmeans_assign", "embedding_knn_join_top3",
+        "embedding_lsh_near_dup_pairs", "events_funnel_counts", "events_in_hot_windows",
+        "events_orders_asof", "events_orders_asof_cogroup", "events_rolling_hour_value",
+        "events_time_rollup", "events_user_anomalies", "minhash_dedup_clusters",
+        "minhash_dedup_survivors", "streaming_click_purchase_attribution",
+        "streaming_dedup_event_counts", "streaming_dedup_then_windows", "streaming_event_count",
+        "streaming_event_type_counts", "streaming_foreachbatch_sink_totals",
+        "streaming_hourly_windows", "streaming_session_windows", "streaming_sliding_windows",
+        "streaming_stateful_user_totals", "streaming_static_join_segments",
+        "streaming_watermarked_append", "tfidf_top_terms", "tpch_q10_returned_top_customers",
+        "tpch_q11_important_stock", "tpch_q12_priority_by_linestatus", "tpch_q13_custdist",
+        "tpch_q14_promo_revenue", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+        "tpch_q17_small_qty_revenue", "tpch_q18_large_orders", "tpch_q19_or_of_ands",
+        "tpch_q20_excess_stock_suppliers", "tpch_q21_sole_return_supplier",
+        "tpch_q22_idle_rich_customers", "tpch_q2_min_cost_supplier", "tpch_q4_late_order_priority",
+        "tpch_q5_local_supplier_volume", "tpch_q7_nation_volume", "tpch_q8_market_share",
+        "tpch_q9_product_type_profit", "train_eval_contamination",
+    }
+    # green only in CORRECTNESS_r01/r02 (older evidence)
     r2_checked = {
         "airports_clean", "airports_flagship", "airports_stats_permissive",
         "airports_permissive_roundtrip", "tpch_q1_pricing_summary",
@@ -689,9 +687,12 @@ def _ordered_names() -> list[str]:
         "ngram_jaccard_pairs", "simhash_near_dup_pairs", "embedding_cosine_topk",
         "embedding_ann_pruned_topk",
     }
-    never = [n for n in REGISTRY if n not in seen and n not in r2_checked]
-    rest = [n for n in REGISTRY if n not in seen and n in r2_checked]
-    return pri + never + rest
+    checked = r2_checked | r3_checked
+    never = [n for n in REGISTRY if n not in seen and n not in checked]
+    r12_only = [n for n in REGISTRY if n not in seen and n in r2_checked]
+    r3_green = [n for n in REGISTRY
+                if n not in seen and n in r3_checked and n not in r2_checked]
+    return pri + never + r12_only + r3_green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -354,8 +354,9 @@ SELECT 'customer_name_not_null',
 """,
     doc="Expectations-style data-quality report (DeeQu/dbt-test shape): "
     "referential integrity via anti joins, key uniqueness, domain and "
-    "not-null constraints — each one shuffle at most, FK dims broadcast; "
-    "the report is the artifact a 100 TB ingest gate actually blocks on.",
+    "not-null constraints — each one shuffle at most, no forced broadcasts "
+    "(AQE chooses broadcast when a side fits); the report is the artifact "
+    "a 100 TB ingest gate actually blocks on.",
 )
 def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -371,7 +372,10 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks = [
         one(
             "orders_custkey_fk",
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti").agg(
+            # No broadcast hint: `customer` grows with the fact tables, so a
+            # forced broadcast OOMs at 100×. AQE picks broadcast when the
+            # post-scan size actually fits (r3 VERDICT "What's wrong" #1).
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
                 F.count("*").alias("violations")
             ),
         ),

@@ -402,6 +402,8 @@ def run_incremental_neardup_sink(
     is against ALL prior batches with zero streaming state and bounded
     per-batch work (banded candidate join, no corpus rescan). Returns the
     accepted-id table re-read from the sink."""
+    from pyspark.errors import AnalysisException
+
     from ..operators.dedup import neardup_merge_batch
 
     spark = stream_df.sparkSession
@@ -421,4 +423,13 @@ def run_incremental_neardup_sink(
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(f"{path}/xs").select("id")
+    try:
+        return spark.read.parquet(f"{path}/xs").select("id")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        # No micro-batch contained an eligible doc (all shorter than the
+        # shingle width, or an empty source): the merge never wrote the
+        # sink. An empty accepted-id table is the correct answer, not a
+        # PATH_NOT_FOUND crash.
+        return spark.createDataFrame([], "id long")

@@ -95,6 +95,17 @@ def test_narrow_projections_have_no_exchange(spark, sf_dir, name):
     assert "Exchange" not in plan
 
 
+def test_data_quality_report_has_no_forced_broadcast(spark, sf_dir):
+    """The FK anti-joins must not pin `customer` (or anything) with a
+    broadcast hint: a forced broadcast of a fact-sized table OOMs at 100×.
+    AQE may still CHOOSE broadcast when the runtime size fits — the audit
+    is on the logical plan (no ResolvedHint), not the physical join."""
+    df = REGISTRY["data_quality_report"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    assert "UnresolvedHint" not in logical
+
+
 def test_time_rollup_reuses_finer_grains(spark, sf_dir):
     """Hierarchical rollup must read coarser grains from the cached finer
     aggregate (InMemoryTableScan), not re-scan the fact per grain."""
