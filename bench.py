@@ -41,6 +41,12 @@ HEADLINE = [
     "embedding_cosine_topk",
     "doc_quality_score",
     "streaming_hourly_windows",
+    # r4: the expensive composites that dominate a real curation run
+    # (r3 VERDICT #5) — tracked so regressions on the costliest operators
+    # show up in the round-over-round trend, not just the fast shapes.
+    "minhash_dedup_clusters",
+    "minhash_incremental_ingest",
+    "doc_winnow_fingerprints",
 ]
 
 

@@ -270,6 +270,64 @@ def band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bucket")
 
 
+def lsh_candidates(
+    banded: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from LSH band rows
+    (id, band, bucket): the banded self-equi-join every near-dup family
+    member shares.
+
+    ``max_bucket_size`` is the hot-bucket guard (r3 VERDICT #7):
+    boilerplate shingles (license headers, templated pages) can funnel
+    thousands of ids into one (band, bucket), whose candidate volume is
+    |bucket|² — one hot bucket of 100k docs is 10^10 pairs before any
+    verify. With the cap, buckets larger than the cap are DROPPED from
+    candidate generation, with a driver-side log of how many buckets and
+    band rows were lost. Precision is unaffected (verify is exact
+    Jaccard); recall: a pair is lost only if every band bucket it shares
+    is hot — boilerplate-dominated pairs, exactly the ones a curation
+    run wants to handle via the exact-dup/fingerprint path instead. The
+    size probe is one groupBy on the same (band, bucket) key the join
+    shuffles on, so AQE reuses the exchange."""
+    if max_bucket_size is not None:
+        import logging
+
+        # not persisted: the probe agg (eager, for the log) and the
+        # anti-join each recompute one cheap groupBy; a persist here
+        # would pin cache for the session
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket_size)
+        )
+        stats = hot.agg(
+            F.count("*").alias("buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("rows"),
+        ).first()
+        if stats["buckets"]:
+            logging.getLogger("projet_etl_a_rien_spark.dedup").warning(
+                "lsh_candidates: dropping %d hot buckets (%d band rows, "
+                "cap %d) — pairs reachable only through them are lost; "
+                "verify stays exact",
+                stats["buckets"],
+                stats["rows"],
+                max_bucket_size,
+            )
+        banded = banded.join(hot.select("band", "bucket"), ["band", "bucket"], "left_anti")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -278,6 +336,7 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash → LSH banding → candidate join → Jaccard verify.
 
@@ -325,19 +384,7 @@ def minhash_near_dup_pairs(
     # shingle sets; at scale this keeps band-join shuffle volume
     # independent of document length.
     banded = band_rows(sig, k, bands)
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    cand = lsh_candidates(banded, max_bucket_size)
     a, b = base.alias("a"), base.alias("b")
     return (
         cand.join(a, F.col("id_a") == F.col("a.id"))

@@ -395,6 +395,121 @@ def embedding_near_dup_pairs(
     )
 
 
+def _collapsed_candidates(
+    df: DataFrame,
+    assignments: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    probe_assignments: DataFrame | None,
+    probe_col: str,
+) -> DataFrame:
+    """Duplicate-collapsed candidate generation for :func:`ann_knn_join` —
+    the hot-cell skew bound (r3 VERDICT #4). A cell dominated by repeated
+    embeddings degrades the naive per-cell self-join to |cell|² even
+    though it holds few DISTINCT vectors (k-means re-splitting cannot
+    help: identical vectors land in the same sub-cell again). Collapse is
+    exact for cosine — identical vectors have identical sims — so the
+    pair join runs over one representative per (cell, vector) group:
+    Σ|distinct(cell)|² instead of Σ|cell|².
+
+    Expansion back to member level is bounded by construction, three
+    nested (k+1) caps:
+      * per neighbor group, only the k+1 smallest member ids can rank
+        (co-group members tie on sim; ties break by id asc);
+      * per (query-group, rounded-sim) tier, only the k+1 groups with the
+        smallest minimum id can contribute (any later group is beaten by
+        at least k ids even after self-exclusion);
+      * per query group, only tiers with < k+1 strictly-better candidate
+        mass survive (≤ k+1 tiers, since every tier holds ≥ 1 candidate).
+    So the expansion emits ≤ (k+1)³ rows per query member — O(n·k³) total
+    — and the final exact window re-ranks them identically to the naive
+    path (same rounded sims, same id tiebreak). Returns the expanded
+    (query_id, neighbor_id, cos_sim) candidate table, superset of the
+    true top-k, self-pairs already excluded."""
+    from pyspark.sql.window import Window
+
+    with_cell = df.join(assignments, id_col).select(
+        F.col(id_col), F.col(cell_col), as_double(vec_col).alias("vec")
+    )
+    ngroups = (
+        with_cell.groupBy(cell_col, "vec")
+        .agg(
+            F.array_sort(F.collect_list(id_col)).alias("members"),
+            F.count("*").alias("n_size"),
+        )
+        .select(
+            cell_col,
+            "vec",
+            F.slice("members", 1, k + 1).alias("n_head"),
+            "n_size",
+        )
+    )
+    if probe_assignments is not None:
+        qsrc = df.join(probe_assignments, id_col).select(
+            F.col(id_col),
+            F.explode(probe_col).alias(cell_col),
+            as_double(vec_col).alias("vec"),
+        )
+    else:
+        qsrc = with_cell
+    qgroups = (
+        qsrc.groupBy(cell_col, "vec")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("q_members"))
+        .select(
+            cell_col,
+            "vec",
+            F.element_at("q_members", 1).alias("q_rep"),
+            "q_members",
+        )
+    )
+    pairs = (
+        qgroups.alias("l")
+        .join(ngroups.alias("r"), F.col(f"l.{cell_col}") == F.col(f"r.{cell_col}"))
+        .select(
+            F.col("l.q_rep").alias("q_rep"),
+            F.col("l.q_members").alias("q_members"),
+            F.col("r.n_head").alias("n_head"),
+            F.col("r.n_size").alias("n_size"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+        )
+    )
+    # within-tier cap: k+1 groups with the smallest min member id
+    wt = Window.partitionBy("q_rep", "cos_sim").orderBy(
+        F.element_at("n_head", 1).asc()
+    )
+    pairs = (
+        pairs.withColumn("grp_rank", F.row_number().over(wt))
+        .where(F.col("grp_rank") <= k + 1)
+        .drop("grp_rank")
+    )
+    # tier cutoff: strictly-better candidate mass must leave room in top-k
+    tiers = pairs.groupBy("q_rep", "cos_sim").agg(
+        F.sum("n_size").alias("tier_size")
+    )
+    wb = (
+        Window.partitionBy("q_rep")
+        .orderBy(F.desc("cos_sim"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    live = (
+        tiers.withColumn(
+            "better", F.coalesce(F.sum("tier_size").over(wb), F.lit(0))
+        )
+        .where(F.col("better") < k + 1)
+        .select("q_rep", "cos_sim")
+    )
+    return (
+        pairs.join(live, ["q_rep", "cos_sim"])
+        .select("q_members", "cos_sim", F.explode("n_head").alias("neighbor_id"))
+        .select(
+            F.explode("q_members").alias("query_id"), "neighbor_id", "cos_sim"
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+
 def ann_knn_join(
     df: DataFrame,
     assignments: DataFrame,
@@ -404,6 +519,7 @@ def ann_knn_join(
     cell_col: str = "cluster",
     probe_assignments: DataFrame | None = None,
     probe_col: str = "probe_cells",
+    collapse_duplicates: bool = False,
 ) -> DataFrame:
     """Batch kNN self-join: every vector's top-k neighbors, searched
     within its IVF cell — the corpus-wide form of similarity search
@@ -423,8 +539,30 @@ def ann_knn_join(
     equi-join plan, query-side fan-out ×probes, and each (query,
     neighbor) pair still appears at most once (a neighbor has one home
     cell and probe cells are distinct), so no dedupe pass is needed.
+
+    Skew: with ``collapse_duplicates=True`` the candidate join runs over
+    one representative per (cell, distinct vector) — exact for cosine —
+    so a hot cell of repeated embeddings costs Σ|distinct|² + O(n·k³)
+    instead of |cell|² (see :func:`_collapsed_candidates`). Results are
+    identical either way; the flag only changes the plan. Hot cells of
+    DISTINCT vectors (a genuinely dense region) remain Σ|cell|² and are
+    AQE-skew-split; that residual is inherent to IVF blocking.
     """
     from pyspark.sql.window import Window
+
+    if collapse_duplicates:
+        sims = _collapsed_candidates(
+            df, assignments, k, id_col, vec_col, cell_col,
+            probe_assignments, probe_col,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
 
     with_cell = df.join(assignments, id_col).select(
         F.col(id_col), F.col(cell_col), as_double(vec_col).alias("vec")

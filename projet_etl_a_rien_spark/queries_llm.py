@@ -1026,6 +1026,45 @@ def q_embedding_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_knn_join(emb, assign, k=3)
 
 
+@register(
+    "embedding_knn_join_dedup_top3",
+    f"""
+WITH {{KM}},
+cells AS (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, af.cluster
+    FROM embeddings e JOIN {{KMFINAL}} af ON e.vec_id = af.id
+),
+sims AS (
+    SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+           ROUND(list_dot_product(l.vec, r.vec)
+                 / (sqrt(list_dot_product(l.vec, l.vec))
+                    * sqrt(list_dot_product(r.vec, r.vec))), 6) AS cos_sim
+    FROM cells l JOIN cells r
+      ON l.cluster = r.cluster AND l.vec_id != r.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+WHERE rank <= 3
+""".format(KM=_KM_CTE, KMFINAL=_KM_FINAL),
+    doc="embedding_knn_join_top3 through the duplicate-collapsed candidate "
+    "path (similarity._collapsed_candidates): one representative per "
+    "(cell, distinct vector), bounded (k+1)^3-per-member expansion — the "
+    "hot-cell skew bound for corpora full of repeated embeddings. Results "
+    "are IDENTICAL to the naive per-cell self-join, so the oracle is the "
+    "same naive SQL: the hash gate proves plan-level equivalence.",
+)
+def q_embedding_knn_join_dedup_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+    return similarity.ann_knn_join(emb, assign, k=3, collapse_duplicates=True)
+
+
 KNN_PROBES = 2
 
 
