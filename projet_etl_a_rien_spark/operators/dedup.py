@@ -767,10 +767,11 @@ def neardup_merge_batch(
             eager=True
         )
         survivors.write.mode("append").parquet(f"{path}/xs")
-        band_rows(
-            survivors.select("id", minhash_signature(F.col("xs"), k).alias("sig")),
-            k,
-            bands,
+        # survivors' band rows already exist in `bnd` (computed for the
+        # whole batch) — semi-join instead of re-running the k-hash
+        # minhash fold over the survivors' shingle sets a second time
+        bnd.join(survivors.select("id"), "id", "left_semi").select(
+            "id", "band", "bucket"
         ).write.mode("append").parquet(f"{path}/bands")
     finally:
         base.unpersist()

@@ -430,40 +430,66 @@ def _collapsed_candidates(
     true top-k, self-pairs already excluded."""
     from pyspark.sql.window import Window
 
+    # Group key = md5 digest of the exact decimal rendering, not the
+    # array itself: array-keyed aggregation falls out of whole-stage
+    # codegen and shuffles dim×8 B keys; the digest keeps the groupBy
+    # vectorized and the exchange narrow (same exact-digest discipline
+    # as the text dedup family). The representative vector rides along
+    # via first() — all group members are identical by construction.
+    vkey = F.md5(F.concat_ws(",", as_double(vec_col).cast("array<string>")))
     with_cell = df.join(assignments, id_col).select(
-        F.col(id_col), F.col(cell_col), as_double(vec_col).alias("vec")
+        F.col(id_col),
+        F.col(cell_col),
+        as_double(vec_col).alias("vec"),
+        vkey.alias("vkey"),
     )
     ngroups = (
-        with_cell.groupBy(cell_col, "vec")
+        with_cell.groupBy(cell_col, "vkey")
         .agg(
             F.array_sort(F.collect_list(id_col)).alias("members"),
             F.count("*").alias("n_size"),
+            F.first("vec").alias("vec"),
         )
         .select(
             cell_col,
+            "vkey",
             "vec",
             F.slice("members", 1, k + 1).alias("n_head"),
+            "members",
             "n_size",
         )
     )
     if probe_assignments is not None:
-        qsrc = df.join(probe_assignments, id_col).select(
-            F.col(id_col),
-            F.explode(probe_col).alias(cell_col),
-            as_double(vec_col).alias("vec"),
+        qgroups = (
+            df.join(probe_assignments, id_col)
+            .select(
+                F.col(id_col),
+                F.explode(probe_col).alias(cell_col),
+                as_double(vec_col).alias("vec"),
+                vkey.alias("vkey"),
+            )
+            .groupBy(cell_col, "vkey")
+            .agg(
+                F.array_sort(F.collect_list(id_col)).alias("q_members"),
+                F.first("vec").alias("vec"),
+            )
+            .select(
+                cell_col,
+                "vec",
+                F.element_at("q_members", 1).alias("q_rep"),
+                "q_members",
+            )
         )
     else:
-        qsrc = with_cell
-    qgroups = (
-        qsrc.groupBy(cell_col, "vec")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("q_members"))
-        .select(
+        # single-probe: query groups ARE the neighbor groups — reuse the
+        # one grouped table instead of re-aggregating the corpus
+        qgroups = ngroups.select(
             cell_col,
             "vec",
-            F.element_at("q_members", 1).alias("q_rep"),
-            "q_members",
+            F.element_at("members", 1).alias("q_rep"),
+            F.col("members").alias("q_members"),
         )
-    )
+    ngroups = ngroups.drop("members", "vkey")
     pairs = (
         qgroups.alias("l")
         .join(ngroups.alias("r"), F.col(f"l.{cell_col}") == F.col(f"r.{cell_col}"))
@@ -472,36 +498,42 @@ def _collapsed_candidates(
             F.col("l.q_members").alias("q_members"),
             F.col("r.n_head").alias("n_head"),
             F.col("r.n_size").alias("n_size"),
+            F.element_at(F.col("r.n_head"), 1).alias("min_nid"),
             F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
         )
     )
-    # within-tier cap: k+1 groups with the smallest min member id
-    wt = Window.partitionBy("q_rep", "cos_sim").orderBy(
-        F.element_at("n_head", 1).asc()
+    # Both caps in ONE window pass over the pair table — one exchange on
+    # q_rep, one sort (the rank ordering's prefix satisfies the range
+    # frames' ordering), no tier aggregate and no join-back:
+    #  * strict-better mass = range(≥ current sim) minus the peer tier
+    #    (range frames over DESC sim: "preceding" = higher sims);
+    #  * within-tier rank by min member id = row_number minus the count
+    #    of strictly-better rows.
+    # Full (uncapped) masses make the tier cutoff at worst MORE eager
+    # than the capped form, and remain safe: whenever strict mass ≥ k+1,
+    # at least k+1 capped candidates also precede (each better tier
+    # keeps ≤ k+1 groups of ≤ k+1 head ids, but min(mass, k+1) of them
+    # always survive both caps).
+    w_rank = Window.partitionBy("q_rep").orderBy(
+        F.desc("cos_sim"), F.asc("min_nid")
     )
-    pairs = (
-        pairs.withColumn("grp_rank", F.row_number().over(wt))
-        .where(F.col("grp_rank") <= k + 1)
-        .drop("grp_rank")
-    )
-    # tier cutoff: strictly-better candidate mass must leave room in top-k
-    tiers = pairs.groupBy("q_rep", "cos_sim").agg(
-        F.sum("n_size").alias("tier_size")
-    )
-    wb = (
+    w_le = (
         Window.partitionBy("q_rep")
         .orderBy(F.desc("cos_sim"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    live = (
-        tiers.withColumn(
-            "better", F.coalesce(F.sum("tier_size").over(wb), F.lit(0))
-        )
-        .where(F.col("better") < k + 1)
-        .select("q_rep", "cos_sim")
+    w_peer = (
+        Window.partitionBy("q_rep")
+        .orderBy(F.desc("cos_sim"))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    strict_mass = F.sum("n_size").over(w_le) - F.sum("n_size").over(w_peer)
+    tier_rank = F.row_number().over(w_rank) - (
+        F.count("*").over(w_le) - F.count("*").over(w_peer)
     )
     return (
-        pairs.join(live, ["q_rep", "cos_sim"])
+        pairs.withColumn("keep", (strict_mass < k + 1) & (tier_rank <= k + 1))
+        .where(F.col("keep"))
         .select("q_members", "cos_sim", F.explode("n_head").alias("neighbor_id"))
         .select(
             F.explode("q_members").alias("query_id"), "neighbor_id", "cos_sim"

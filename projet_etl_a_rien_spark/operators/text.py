@@ -555,6 +555,67 @@ def segment_dup_stats(
     )
 
 
+def segment_dedup_rewrite(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level segment REMOVAL + document reconstruction — the
+    rewrite half of :func:`segment_dup_stats` (C4's famous line-dedup,
+    adapted to newline-free text): cut each document into consecutive
+    ``seg_tokens``-token segments, keep only the FIRST occurrence of
+    every segment corpus-wide (first = smallest (doc_id, position) —
+    C4 keeps one occurrence of each thrice-repeated line; keep-first is
+    its deterministic, engine-replicable form), and reassemble each
+    document from its surviving segments in position order.
+
+    Returns (id, clean_text, n_kept, n_removed); documents shorter than
+    one segment are excluded and the trailing sub-segment remainder is
+    dropped, both exactly as in ``segment_dup_stats``. ``clean_text`` is
+    ``''`` when every segment was removed (both engines coalesce — Spark
+    ``concat_ws`` of nothing and DuckDB ``string_agg`` of no rows differ
+    on this edge).
+
+    Scale shape: one shuffle keyed on ``md5(segment)`` for the global
+    keep-first window, one on the doc id for reassembly. Unlike the
+    stats query this one must carry segment TEXT through both exchanges
+    (it rebuilds documents); payload is the corpus itself, the floor for
+    any rewrite. The window is a row_number over (digest) — no global
+    sort, and skew equals segment duplication, which is precisely what
+    the operator deletes.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    n_segs = F.floor(F.size(toks) / seg_tokens).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    exploded = df.where(F.size(toks) >= seg_tokens).select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy(id_col, "pos")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("seg"))
+    )  # collect_list drops the NULLs for removed segments
+    return ranked.groupBy(id_col).agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_removed"),
+    )
+
+
 def token_budget_selection(
     df: DataFrame,
     budget: int,

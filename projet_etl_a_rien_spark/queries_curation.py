@@ -284,6 +284,47 @@ def q_doc_segment_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_segment_dedup_rewrite",
+    f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WHERE len(string_split(text, ' ')) >= {SEG_TOKENS}
+),
+segs AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(toks, i * {SEG_TOKENS} + 1,
+                                      i * {SEG_TOKENS} + {SEG_TOKENS}), ' ') AS seg
+    FROM base, UNNEST(range(0, CAST(len(toks) // {SEG_TOKENS} AS BIGINT))) AS u(i)
+),
+ranked AS (
+    SELECT doc_id, pos, seg,
+           ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+    FROM segs
+)
+SELECT doc_id,
+       COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+           AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+FROM ranked
+GROUP BY doc_id
+""",
+    doc="C4-style corpus segment dedup as a REWRITE, not a report "
+    "(operators/text.py:segment_dedup_rewrite): keep the first "
+    "(doc_id, pos) occurrence of every 10-token segment corpus-wide, "
+    "drop all later occurrences, reassemble each document from its "
+    "surviving segments in position order. The transform a 100 TB "
+    "curation run applies after doc_segment_dup_stats has measured the "
+    "duplication — one md5(segment)-keyed window shuffle, one doc-id "
+    "reassembly shuffle.",
+)
+def q_corpus_segment_dedup_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return text.segment_dedup_rewrite(_docs(spark, sf_dir), seg_tokens=SEG_TOKENS)
+
+
+@register(
     "events_user_scd2",
     """
 WITH o AS (

@@ -251,6 +251,37 @@ def test_knn_collapse_matches_naive_exactly(spark):
 
 
 # ---------------------------------------------------------------------------
+# C4-style segment dedup rewrite
+
+
+def test_segment_dedup_rewrite_keep_first_semantics(spark):
+    """Keep-first across the corpus: doc 1 keeps its copy of the shared
+    segment, doc 2 loses it but keeps its unique tail; a doc that is
+    ENTIRELY duplicate text rewrites to '' (not NULL); short docs drop."""
+    from projet_etl_a_rien_spark.operators.text import segment_dedup_rewrite
+
+    shared = "s1 s2 s3 s4"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} a1 a2 a3 a4"),
+            (2, f"{shared} b1 b2 b3 b4"),
+            (3, shared),
+            (4, "too short"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in segment_dedup_rewrite(docs, seg_tokens=4).collect()
+    }
+    assert got == {
+        1: (f"{shared} a1 a2 a3 a4", 2, 0),
+        2: ("b1 b2 b3 b4", 1, 1),
+        3: ("", 0, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
 # paged stream reader: crash-recovery contract (r3 VERDICT #8)
 
 
