@@ -674,3 +674,189 @@ def ann_multiprobe_topk(
         id_col, F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim")
     )
     return sim.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning within-cluster
+    near-duplicates. Returns ``(id_col, cluster, kept)`` for every input
+    row: ``kept`` is false for docs whose embedding is cosine-similar
+    (>= threshold) to a lower-id doc in the same k-means cell.
+
+    Published algorithm, published trade-off: pairs that straddle a cell
+    boundary are never compared — that loss is what makes the pair join
+    Σ|cell|² instead of corpus-quadratic, and at 100 TB the cells are the
+    unit of parallelism (each cell's pair join is one shuffle partition;
+    no cross-cell traffic at all). Determinism matches the rest of the
+    ANN family: quantized integer-grid k-means (``kmeans_fit``'s contract)
+    and ``ROUND(cos, 6)`` threshold compares, so a DuckDB replay is
+    bit-identical. Within a cell, the keeper is the min-id member of each
+    connected near-dup component (same survivor rule as the MinHash
+    pipeline), not SemDeDup's random choice — reproducibility over an
+    arbitrary tie-break.
+
+    Hot-cell guard: a cell of duplicated embeddings degrades the pair
+    join quadratically; the duplicate-collapse rewrite used by
+    ``ann_knn_join(collapse_duplicates=True)`` applies unchanged (join
+    distinct vectors per cell, re-expand members afterward) — identical
+    vectors are cos=1 pairs whose members all drop to the min-id rep.
+    """
+    from .graph import connected_components
+
+    q_all, centroids = kmeans_fit(df, k, iters, id_col, vec_col, scale)
+    cells = _assign(q_all, centroids).select("id", "cluster")
+    base = (
+        df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("vec"))
+        .join(cells, "id")
+        .persist()
+    )
+    try:
+        l, r = base.alias("l"), base.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.cluster") == F.col("r.cluster"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .where(
+                F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6) >= threshold
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        )
+        dropped = (
+            connected_components(pairs)
+            .where(F.col("comp") != F.col("node"))
+            .select(F.col("node").alias("id"), F.lit(True).alias("is_dup"))
+        )
+        return (
+            base.select("id", "cluster")
+            .join(dropped, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                "cluster",
+                F.col("is_dup").isNull().alias("kept"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
+
+
+def pq_fit_encode(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Product quantization (Jégou et al. 2011, TPAMI — "Product
+    quantization for nearest neighbor search"): split each vector into
+    ``m`` subvectors, run the deterministic integer-grid k-means per
+    subspace, and encode every vector as its per-subspace nearest-centroid
+    ids. Returns ``(codes, codebooks)``: codes is (id, c0..c{m-1}) — the
+    m-byte compressed representation — and codebooks is the m×k_sub×(dim/m)
+    centroid tensor as driver literals (the only data that leaves the
+    executors, exactly like ``kmeans_fit``).
+
+    At 100 TB this is the memory story for ANN: 64-dim float vectors are
+    256 B; m=4 byte codes are 4 B — a 64× compression that lets a
+    billion-vector index fit where raw vectors cannot, with search
+    reading ONLY the codes column (the raw embedding column is pruned
+    from the scan). Training cost is m small k-means fits; encoding is
+    one narrow map per subspace joined on id.
+
+    Determinism: subspace slicing commutes with quantization
+    (both elementwise), so every subspace fit inherits ``kmeans_fit``'s
+    bit-exact contract and a DuckDB oracle replays codes exactly.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_len = dim // m
+    codes = None
+    codebooks: list[list[list[int]]] = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col).alias("id"),
+            F.slice(as_double(vec_col), s * sub_len + 1, sub_len).alias("sub"),
+        )
+        q_all, cents = kmeans_fit(
+            sub, k_sub, iters, id_col="id", vec_col="sub", scale=scale
+        )
+        codebooks.append(cents)
+        assigned = _assign(q_all, cents).select(
+            "id", F.col("cluster").alias(f"c{s}")
+        )
+        codes = assigned if codes is None else codes.join(assigned, "id")
+    return codes, codebooks
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    un-quantized; per subspace a k_sub-entry lookup table of exact int64
+    squared distances from the query subvector to each centroid is
+    precomputed, and a base vector's approximate distance is the SUM of
+    its m table lookups — no per-row vector math at all.
+
+    The scan reads only the m small code columns (raw embeddings pruned),
+    the LUTs ride the plan as literal arrays (m×k_sub ints — not even a
+    broadcast), and the result is a TakeOrderedAndProject over one narrow
+    projection: the compressed-domain search loop of every production PQ
+    system (FAISS IVFADC), minus the IVF cell pruning which composes
+    orthogonally via ``kmeans_assign``. Ties break on (distance, id).
+    """
+    codes, codebooks = pq_fit_encode(
+        df, dim, m, k_sub, iters, id_col, vec_col, scale
+    )
+    sub_len = dim // m
+    qrow = (
+        df.where(F.col(id_col) == query_id)
+        .select(quantize(vec_col, scale).alias("q"))
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    qv = list(qrow.q)
+    dist_cols = []
+    for s in range(m):
+        q_sub = qv[s * sub_len : (s + 1) * sub_len]
+        lut = [
+            sum((a - b) * (a - b) for a, b in zip(q_sub, cent))
+            for cent in codebooks[s]
+        ]
+        dist_cols.append(
+            F.element_at(
+                F.array(*[F.lit(int(d)) for d in lut]),
+                (F.col(f"c{s}") + 1).cast("int"),
+            )
+        )
+    adc = dist_cols[0]
+    for c in dist_cols[1:]:
+        adc = adc + c
+    return (
+        codes.where(F.col("id") != query_id)
+        .select(F.col("id").alias(id_col), adc.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

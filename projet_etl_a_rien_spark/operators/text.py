@@ -713,3 +713,155 @@ def source_cap_sample(
         .where(F.col("_rn") <= cap)
         .select(id_col, by_col)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    of a training/RAG pipeline: each doc becomes ceil(n/stride) chunks of
+    ``chunk_size`` tokens starting every ``stride`` tokens (overlap =
+    chunk_size - stride), tail fragments under ``min_tokens`` dropped.
+    Returns (id_col, chunk_id, n_tokens, chunk_text); chunk_id is the
+    start offset / stride, so (doc, chunk_id) is a stable global key.
+
+    Per-row array algebra + one posexplode — narrow, no shuffle at all:
+    chunking 100 TB is a map-only job whose output partitioning inherits
+    the scan's. The token array is built once per doc and sliced per
+    chunk (slice is O(chunk_size), not O(n)); whitespace tokenization
+    matches `tokens()` so chunk token counts agree with the corpus-stats
+    family.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(chunk_size))
+    return (
+        base.select(
+            id_col,
+            (F.col("_start") / stride).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .where(F.col("n_tokens") >= min_tokens)
+    )
+
+
+def token_rarity_stats(
+    df: DataFrame,
+    head_max: float = 29.3,
+    tail_min: float = 40.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style corpus-frequency document gate with an exact-integer
+    kernel: per doc, the mean inverse corpus frequency of its tokens —
+    rarity = (Σ_t floor(N / cnt(t))) / n — plus the head/middle/tail
+    bucket CCNet keeps or drops by. Common-token docs score low (head),
+    rare-token docs high (tail).
+
+    The published filter ranks docs by LM perplexity; the decision
+    structure here is identical (explode → corpus-frequency join →
+    per-doc aggregate → fixed thresholds) with the surprisal kernel
+    swapped for floor(N/cnt): an exact int64 per token, so the per-doc
+    sum is partition-order-free and the DuckDB replay is bit-identical —
+    the repo-wide rule of rational kernels over libm transcendentals
+    (cf. tfidf_top_terms). A production KenLM scorer drops into the same
+    shape via mapInPandas.
+
+    Scale: one grouped count builds the frequency table (vocabulary-sized
+    — broadcastable at even web scale), one token-keyed join scores the
+    exploded corpus, one doc-keyed agg folds it back. No global sort, no
+    driver data.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    wt = freq.crossJoin(F.broadcast(total)).select(
+        "token", F.floor(F.col("n_total") / F.col("cnt")).alias("wt")
+    )
+    return (
+        tok.join(wt, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("wt").alias("sum_inv_freq"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_inv_freq",
+            (F.col("sum_inv_freq") / F.col("n_tokens")).alias("rarity"),
+            F.when(F.col("sum_inv_freq") / F.col("n_tokens") <= head_max, "head")
+            .when(F.col("sum_inv_freq") / F.col("n_tokens") >= tail_min, "tail")
+            .otherwise("middle")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+CLASSIFIER_BUCKETS = 64
+
+
+def classifier_weights(n_buckets: int = CLASSIFIER_BUCKETS) -> list[int]:
+    """Deterministic integer weight table for the hashed linear
+    classifier: w_b = (md5-prefix of 'w:b') % 2001 - 1000, i.e. a fixed
+    pseudo-random integer in [-1000, 1000] per feature bucket. Both the
+    Spark literal array and the oracle SQL literal are generated from
+    this one function, so there is a single source of truth."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for b in range(n_buckets)
+    ]
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    n_buckets: int = CLASSIFIER_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality-classifier gate, all-JVM: tokens
+    hash into ``n_buckets`` feature buckets (md5-prefix — the portable
+    hash the dedup family uses), each bucket carries a fixed integer
+    weight, and a doc's score is the mean bucket weight of its tokens:
+    score = (Σ_t w[bucket(t)]) / (1000 * n). ``label`` = score >= 0.
+
+    This is the exact inference shape of a bag-of-hashed-ngrams linear
+    model (the classifier gate most published curation stacks run); the
+    weights here are a deterministic fixture stand-in for trained ones —
+    swap `classifier_weights` for a trained vector and nothing else
+    changes. Integer weights keep the per-doc sum exact int64
+    (partition-order-free); the only float op is one final division.
+    Scale: pure per-row map + one doc-keyed agg — the weight table is a
+    literal array in the plan, not even a broadcast."""
+    w = F.array(*[F.lit(v) for v in classifier_weights(n_buckets)])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    return (
+        tok.select(F.col(id_col), F.element_at(w, (bucket + 1).cast("int")).alias("wt"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("wt").alias("sum_wt"))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("sum_wt") / (F.lit(1000) * F.col("n_tokens"))).alias("score"),
+            (F.col("sum_wt") >= 0).alias("label"),
+        )
+    )

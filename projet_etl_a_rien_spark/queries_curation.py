@@ -804,3 +804,94 @@ def q_orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n").isNotNull())
     )
+
+
+CHUNK_SIZE, CHUNK_STRIDE, CHUNK_MIN = 32, 24, 8
+
+
+@register(
+    "doc_chunk_windows",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS strt FROM t),
+c AS (SELECT doc_id, CAST(strt // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+             list_slice(toks, strt + 1, strt + {CHUNK_SIZE}) AS ch FROM s)
+SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_tokens,
+       array_to_string(ch, ' ') AS chunk_text
+FROM c WHERE len(ch) >= {CHUNK_MIN}
+""",
+    doc="Overlapping token-window chunking (operators/text.py:"
+    "chunk_documents): context-window prep — 32-token chunks every 24 "
+    "tokens, sub-8-token tails dropped, (doc_id, chunk_id) stable key. "
+    "Map-only: per-row array slice + posexplode, zero shuffle; chunking "
+    "100 TB inherits the scan's partitioning end to end.",
+)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_size=CHUNK_SIZE,
+        stride=CHUNK_STRIDE,
+        min_tokens=CHUNK_MIN,
+    )
+
+
+RARITY_HEAD_MAX, RARITY_TAIL_MIN = 29.3, 40.0
+
+
+@register(
+    "doc_token_rarity",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS n_total FROM freq),
+wt AS (SELECT token, CAST(FLOOR(n_total / cnt) AS BIGINT) AS wt FROM freq, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(wt) AS BIGINT) AS sum_inv_freq,
+       SUM(wt) / COUNT(*) AS rarity,
+       CASE WHEN SUM(wt) / COUNT(*) <= {RARITY_HEAD_MAX} THEN 'head'
+            WHEN SUM(wt) / COUNT(*) >= {RARITY_TAIL_MIN} THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket
+FROM tok JOIN wt USING (token) GROUP BY doc_id
+""",
+    doc="CCNet-style corpus-frequency gate (operators/text.py:"
+    "token_rarity_stats): per-doc mean inverse token frequency with an "
+    "exact-int kernel (floor(N/cnt) per token — partition-order-free "
+    "int64 sums instead of libm log-prob floats, per the repo's rational-"
+    "kernel rule), bucketed head/middle/tail like the published "
+    "perplexity filter. One vocab-sized count, one token join, one "
+    "doc agg.",
+)
+def q_doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_rarity_stats(
+        _docs(spark, sf_dir),
+        head_max=RARITY_HEAD_MAX,
+        tail_min=RARITY_TAIL_MIN,
+    )
+
+
+_CLS_W = ", ".join(str(w) for w in text.classifier_weights())
+
+
+@register(
+    "doc_classifier_gate",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tw AS (SELECT doc_id,
+              ([{_CLS_W}])[CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                                % {text.CLASSIFIER_BUCKETS} AS INTEGER) + 1] AS wt
+       FROM tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       SUM(wt) / (1000 * COUNT(*)) AS score,
+       (SUM(wt) >= 0) AS label
+FROM tw GROUP BY doc_id
+""",
+    doc="fastText-style hashed linear classifier gate (operators/text.py:"
+    "hashed_classifier_score): md5-bucketed bag-of-tokens features, fixed "
+    "integer weight table (deterministic fixture stand-in for trained "
+    "weights — the inference shape is exactly a trained model's), "
+    "per-doc mean weight score and keep/drop label. Weight table is a "
+    "plan literal; exact-int sums; one doc-keyed agg is the only "
+    "shuffle.",
+)
+def q_doc_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.hashed_classifier_score(_docs(spark, sf_dir))

@@ -628,6 +628,47 @@ def q_embedding_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_T = 0.4
+
+
+@register(
+    "embedding_semdedup",
+    f"""
+WITH RECURSIVE {_KM_CTE},
+v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+wc AS (SELECT v.id, v.vec, af.cluster FROM v JOIN {_KM_FINAL} af ON v.id = af.id),
+p AS (SELECT a.id AS ua, b.id AS ub FROM wc a JOIN wc b
+      ON a.cluster = b.cluster AND a.id < b.id
+      WHERE ROUND(list_dot_product(a.vec, b.vec)
+                  / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec))), 6) >= {SEMDEDUP_T}),
+und AS (SELECT ua AS u, ub AS w FROM p UNION SELECT ub, ua FROM p),
+walk(node, comp) AS (
+    SELECT u, u FROM und
+    UNION
+    SELECT e.w, wk.comp FROM walk wk JOIN und e ON wk.node = e.u
+),
+comps AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+SELECT wc.id AS vec_id, wc.cluster, (c.node IS NULL OR c.comp = wc.id) AS kept
+FROM wc LEFT JOIN comps c ON wc.id = c.node
+""",
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup by k-means "
+    "clustering + within-cluster cosine pruning, min-id survivor per "
+    "near-dup component (operators/similarity.py:semdedup). Cell-local "
+    "pair join — Σ|cell|² work, zero cross-cell traffic — with the "
+    "deterministic integer-grid k-means so the oracle replays clustering, "
+    "pairing, and the connected-component keeper rule bit-for-bit.",
+)
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_T,
+        scale=KMEANS_SCALE,
+    )
+
+
 # ---------------------------------------------------------- multimodal ----
 
 
@@ -1356,3 +1397,142 @@ def q_minhash_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ------------------------------------------------- product quantization ----
+
+PQ_M, PQ_KSUB, PQ_ITERS = 4, 8, 2
+_PQ_SUB = _EMB_DIM // PQ_M
+
+
+def _pq_oracle_ctes() -> str:
+    """Per-subspace replay of ``_kmeans_oracle_cte`` over list_slice'd
+    embeddings (slicing commutes with quantization), CTE names prefixed
+    ``pq{s}…``, plus the joined ``codes`` table: the full deterministic
+    PQ encode in SQL."""
+    rng = f"range(1, {_PQ_SUB + 1})"
+    parts = []
+    for s in range(PQ_M):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(
+            f"""pq{s}q AS (SELECT vec_id AS id,
+             list_transform(list_slice(CAST(embedding AS DOUBLE[]), {lo}, {hi}),
+                            x -> CAST(round(x * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings)"""
+        )
+        parts.append(
+            f"""pq{s}c0 AS (SELECT rn - 1 AS c, q AS m
+       FROM (SELECT q, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM pq{s}q)
+       WHERE rn <= {PQ_KSUB})"""
+        )
+        for t in range(PQ_ITERS + 1):
+            parts.append(
+                f"""pq{s}a{t + 1} AS (SELECT id, q, c AS cluster FROM (
+         SELECT pq{s}q.id, pq{s}q.q, pq{s}c{t}.c,
+                CAST(list_sum(list_transform({rng},
+                     i -> (pq{s}q.q[i] - pq{s}c{t}.m[i]) * (pq{s}q.q[i] - pq{s}c{t}.m[i]))) AS BIGINT) AS dist
+         FROM pq{s}q CROSS JOIN pq{s}c{t})
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, c) = 1)"""
+            )
+            if t == PQ_ITERS:
+                break
+            parts.append(
+                f"""pq{s}u{t + 1} AS (SELECT cluster AS c,
+              list(CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS m
+       FROM (SELECT cluster, pp.i AS pos, SUM(q[pp.i]) AS sv, COUNT(*) AS n
+             FROM pq{s}a{t + 1} CROSS JOIN (SELECT unnest({rng}) AS i) pp
+             GROUP BY cluster, pp.i)
+       GROUP BY cluster)"""
+            )
+            parts.append(
+                f"""pq{s}c{t + 1} AS (SELECT pq{s}c{t}.c, COALESCE(pq{s}u{t + 1}.m, pq{s}c{t}.m) AS m
+       FROM pq{s}c{t} LEFT JOIN pq{s}u{t + 1} ON pq{s}c{t}.c = pq{s}u{t + 1}.c)"""
+            )
+    fin = PQ_ITERS + 1
+    sel = ", ".join(f"s{s}.cluster AS c{s}" for s in range(PQ_M))
+    joins = " ".join(
+        f"JOIN pq{s}a{fin} s{s} USING (id)" for s in range(1, PQ_M)
+    )
+    parts.append(
+        f"codes AS (SELECT s0.id, {sel} FROM pq0a{fin} s0 {joins})"
+    )
+    return ",\n".join(parts)
+
+
+_PQ_CTES = _pq_oracle_ctes()
+
+
+@register(
+    "embedding_pq_codes",
+    f"""
+WITH {_PQ_CTES}
+SELECT id AS vec_id, {", ".join(f"c{s}" for s in range(PQ_M))} FROM codes
+""",
+    doc="Product-quantization encode (operators/similarity.py:"
+    "pq_fit_encode; Jégou et al. 2011): 4 per-subspace deterministic "
+    "k-means fits, every vector compressed to 4 centroid ids — the 64× "
+    "memory reduction that makes billion-vector ANN indexes fit. "
+    "Integer-grid arithmetic end to end; the oracle replays all four "
+    "subspace fits and the code join bit-for-bit.",
+)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes, _ = similarity.pq_fit_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=_EMB_DIM,
+        m=PQ_M,
+        k_sub=PQ_KSUB,
+        iters=PQ_ITERS,
+        scale=QUANT_SCALE,
+    )
+    return codes.select(
+        F.col("id").alias("vec_id"), *[f"c{s}" for s in range(PQ_M)]
+    )
+
+
+def _pq_adc_oracle() -> str:
+    fin = PQ_ITERS + 1
+    rng = f"range(1, {_PQ_SUB + 1})"
+    luts = []
+    for s in range(PQ_M):
+        luts.append(f"qv{s} AS (SELECT q FROM pq{s}q WHERE id = 7)")
+        luts.append(
+            f"""lut{s} AS (SELECT c.c AS cl,
+           CAST(list_sum(list_transform({rng},
+                i -> (qv.q[i] - c.m[i]) * (qv.q[i] - c.m[i]))) AS BIGINT) AS d
+       FROM pq{s}c{PQ_ITERS} c, qv{s} qv)"""
+        )
+    joins = " ".join(
+        f"JOIN lut{s} l{s} ON codes.c{s} = l{s}.cl" for s in range(PQ_M)
+    )
+    dist = " + ".join(f"l{s}.d" for s in range(PQ_M))
+    return f"""
+WITH {_PQ_CTES},
+{", ".join(luts)},
+adc AS (SELECT codes.id, ({dist}) AS adc_dist FROM codes {joins})
+SELECT id AS vec_id, adc_dist FROM adc WHERE id != 7
+ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
+@register(
+    "embedding_pq_adc_topk",
+    _pq_adc_oracle(),
+    doc="PQ asymmetric-distance top-k (operators/similarity.py:"
+    "pq_adc_topk — FAISS's ADC search loop): per-subspace LUTs of exact "
+    "int64 squared distances from the un-quantized query to each "
+    "centroid ride the plan as literal arrays; a base vector's distance "
+    "is 4 table lookups summed, so the scan reads ONLY the 4 code "
+    "columns (embeddings pruned) and ends in TakeOrderedAndProject. "
+    "Composes with IVF cell pruning orthogonally.",
+)
+def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=7,
+        dim=_EMB_DIM,
+        k=10,
+        m=PQ_M,
+        k_sub=PQ_KSUB,
+        iters=PQ_ITERS,
+        scale=QUANT_SCALE,
+    )

@@ -123,6 +123,7 @@ SCALAR_BNLJ_OK = {
     "tpch_q22_idle_rich_customers",
     "order_price_sketch_bounds",
     "source_mixing_weights",  # 1-row totals aggregate
+    "doc_token_rarity",  # 1-row corpus-total broadcast onto the vocab table
 }
 
 

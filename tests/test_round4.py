@@ -365,3 +365,140 @@ def test_connected_components_string_ids_regime_agreement(spark):
     got = connected_components(edges, driver_threshold=0)  # force distributed
     assert dict(got.dtypes) == {"node": "string", "comp": "string"}
     assert {(r.node, r.comp) for r in got.collect()} == WANT_STR
+
+
+# ------------------------- round-4 additions: semdedup / chunk / gates ----
+
+
+def test_semdedup_prunes_within_cluster_dups(spark):
+    """Two identical vectors land in the same k-means cell, are cos=1
+    pairs, and the min-id one survives; a far-away vector is untouched."""
+    from projet_etl_a_rien_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1
+        (3, [0.99, 0.01, 0.0, 0.0]), # near-dup of 1
+        (4, [0.0, 1.0, 0.0, 0.0]),   # its own island
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.kept for r in semdedup(df, k=2, threshold=0.95).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_semdedup_never_compares_across_cells(spark):
+    """Identical vectors in different cells both survive — the published
+    SemDeDup approximation (cell-local pruning) is the contract."""
+    from projet_etl_a_rien_spark.operators.similarity import semdedup
+
+    # two tight groups far apart; k=2 puts them in separate cells
+    rows = [(i, [1.0, 0.0]) for i in range(3)] + [
+        (i, [0.0, 1.0]) for i in range(10, 13)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = semdedup(df, k=2, threshold=0.99).collect()
+    by_cluster = {}
+    for r in res:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert len(by_cluster) == 2
+    for members in by_cluster.values():
+        assert sum(m.kept for m in members) == 1  # one survivor per cell
+
+
+def test_chunk_documents_windows_and_tail_drop(spark):
+    from projet_etl_a_rien_spark.operators.text import chunk_documents
+
+    doc = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_size=4, stride=3, min_tokens=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts 0,3,6,9 -> chunks of 4,4,4,1; the 1-token tail drops
+    assert [r.chunk_id for r in out] == [0, 1, 2]
+    assert [r.n_tokens for r in out] == [4, 4, 4]
+    assert out[0].chunk_text == "w0 w1 w2 w3"
+    assert out[1].chunk_text == "w3 w4 w5 w6"  # stride-3 overlap of 1
+    # coverage: every token appears in some chunk (the dropped start-9
+    # tail's only token, w9, is already inside the start-6 chunk)
+    seen = set()
+    for r in out:
+        seen.update(r.chunk_text.split(" "))
+    assert seen == {f"w{i}" for i in range(10)}
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking must stay map-only: no Exchange in the plan."""
+    from projet_etl_a_rien_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_token_rarity_buckets_and_exact_kernel(spark):
+    from projet_etl_a_rien_spark.operators.text import token_rarity_stats
+
+    # 'rare' appears once in 8 tokens -> wt floor(8/1)=8; common 'x' wt floor(8/7)=1
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "x x x rare")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in token_rarity_stats(df, head_max=1.5, tail_min=2.5).collect()}
+    assert out[1].sum_inv_freq == 4          # 4 * floor(8/7)
+    assert out[2].sum_inv_freq == 3 + 8      # 3*1 + 8
+    assert out[1].ppl_bucket == "head" and out[2].ppl_bucket == "tail"
+
+
+def test_hashed_classifier_deterministic_and_mean_scaled(spark):
+    from projet_etl_a_rien_spark.operators.text import (
+        classifier_weights,
+        hashed_classifier_score,
+    )
+
+    w = classifier_weights()
+    assert len(w) == 64 and all(-1000 <= v <= 1000 for v in w)
+    assert w == classifier_weights()  # stable across calls
+
+    df = spark.createDataFrame([(1, "alpha beta"), (2, "alpha beta")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in hashed_classifier_score(df).collect()}
+    assert rows[1].score == rows[2].score  # same text, same score
+    assert -1.0 <= rows[1].score <= 1.0
+    assert rows[1].label == (rows[1].score >= 0)
+
+
+def test_pq_encode_exact_when_ksub_covers_points(spark):
+    """With k_sub == n distinct subvectors, the fit converges to the
+    points themselves, codes identify subvectors exactly, and ADC
+    distance equals the TRUE squared distance — the zero-quantization-
+    error corner that pins the whole LUT path."""
+    from projet_etl_a_rien_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_fit_encode,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 1.0]),
+        (2, [0.0, 1.0, 1.0, 0.0]),
+        (3, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, books = pq_fit_encode(df, dim=4, m=2, k_sub=4, iters=2)
+    assert codes.count() == 4
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+
+    # query 0 at origin: true squared dists (on the 1e5 grid) are
+    # 2,2,4 * 1e10 for ids 1,2,3
+    top = pq_adc_topk(df, query_id=0, dim=4, k=3, m=2, k_sub=4, iters=2).collect()
+    assert [r.vec_id for r in top] == [1, 2, 3]
+    assert [r.adc_dist for r in top] == [2 * 10**10, 2 * 10**10, 4 * 10**10]
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    from projet_etl_a_rien_spark.operators.similarity import pq_fit_encode
+
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit_encode(df, dim=3, m=2)
