@@ -719,6 +719,7 @@ def neardup_merge_batch(
                 corp_bands = spark.read.parquet(f"{path}/bands")
 
         remaining = base
+        remaining_cached = None
         if corp_xs is not None:
             cand = (
                 bnd.alias("b")
@@ -737,7 +738,14 @@ def neardup_merge_batch(
                 .select(F.col("bid").alias("id"))
                 .distinct()
             )
-            remaining = base.join(rejected, "id", "left_anti")
+            # The corpus-rejection join is consumed twice downstream (the
+            # CC probe executes the verified-pair chain, then the survivor
+            # checkpoint re-executes `remaining`); cache it so the sink
+            # band-index join runs once per batch, not twice. Phase-0 /
+            # fresh-corpus merges skip this — `remaining` is the already-
+            # persisted `base`.
+            remaining_cached = base.join(rejected, "id", "left_anti").persist()
+            remaining = remaining_cached
 
         rb = bnd.join(remaining.select("id"), "id", "left_semi")
         pairs = (
@@ -777,5 +785,10 @@ def neardup_merge_batch(
         base.unpersist()
         try:
             bnd.unpersist()
+        except NameError:
+            pass
+        try:
+            if remaining_cached is not None:
+                remaining_cached.unpersist()
         except NameError:
             pass

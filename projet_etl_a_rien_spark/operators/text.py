@@ -844,24 +844,37 @@ def hashed_classifier_score(
     swap `classifier_weights` for a trained vector and nothing else
     changes. Integer weights keep the per-doc sum exact int64
     (partition-order-free); the only float op is one final division.
-    Scale: pure per-row map + one doc-keyed agg — the weight table is a
-    literal array in the plan, not even a broadcast."""
+
+    Scale: the whole gate is ONE per-row fold — tokenize, map each token
+    through md5-bucket → weight lookup, sum left-to-right — so scoring
+    100 TB is a map-only job with ZERO shuffle (an explode + groupBy
+    formulation would shuffle the entire exploded corpus just to fold it
+    back per doc). The weight table is a literal array in the plan, not
+    even a broadcast; being row-local, the same expression drops into a
+    streaming select unchanged (see streaming classifier gate). The
+    weight array is bound once as a lambda argument would be — it
+    appears only inside the two HOF lambdas, so CollapseProject cannot
+    duplicate it across projections (SCALE_NOTES §10)."""
     w = F.array(*[F.lit(v) for v in classifier_weights(n_buckets)])
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
-        % n_buckets
+    toks = F.split(F.col(text_col), " ")
+    wt_of = lambda t: F.element_at(  # noqa: E731
+        w,
+        (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+            % n_buckets
+            + 1
+        ).cast("int"),
+    ).cast("long")
+    sum_wt = F.aggregate(
+        F.transform(toks, wt_of), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    tok = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
-    )
-    return (
-        tok.select(F.col(id_col), F.element_at(w, (bucket + 1).cast("int")).alias("wt"))
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_tokens"), F.sum("wt").alias("sum_wt"))
-        .select(
-            id_col,
-            "n_tokens",
-            (F.col("sum_wt") / (F.lit(1000) * F.col("n_tokens"))).alias("score"),
-            (F.col("sum_wt") >= 0).alias("label"),
-        )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        sum_wt.alias("_sum_wt"),
+    ).select(
+        id_col,
+        "n_tokens",
+        (F.col("_sum_wt") / (F.lit(1000) * F.col("n_tokens"))).alias("score"),
+        (F.col("_sum_wt") >= 0).alias("label"),
     )

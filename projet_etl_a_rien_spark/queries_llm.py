@@ -1536,3 +1536,59 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=PQ_ITERS,
         scale=QUANT_SCALE,
     )
+
+
+def _ivfadc_oracle() -> str:
+    """Coarse-cell restriction (full-vector k-means CTEs) composed with
+    the PQ ADC ranking CTEs; both chains are the already-verified
+    generators, joined by a semi-filter on the query's cell."""
+    fin = PQ_ITERS + 1
+    rng = f"range(1, {_PQ_SUB + 1})"
+    luts = []
+    for s in range(PQ_M):
+        luts.append(f"qv{s} AS (SELECT q FROM pq{s}q WHERE id = 7)")
+        luts.append(
+            f"""lut{s} AS (SELECT c.c AS cl,
+           CAST(list_sum(list_transform({rng},
+                i -> (qv.q[i] - c.m[i]) * (qv.q[i] - c.m[i]))) AS BIGINT) AS d
+       FROM pq{s}c{PQ_ITERS} c, qv{s} qv)"""
+        )
+    joins = " ".join(
+        f"JOIN lut{s} l{s} ON codes.c{s} = l{s}.cl" for s in range(PQ_M)
+    )
+    dist = " + ".join(f"l{s}.d" for s in range(PQ_M))
+    return f"""
+WITH {_KM_CTE},
+{_PQ_CTES},
+{", ".join(luts)},
+qcell AS (SELECT cluster FROM {_KM_FINAL} WHERE id = 7),
+cand AS (SELECT af.id FROM {_KM_FINAL} af JOIN qcell USING (cluster)),
+adc AS (SELECT codes.id, ({dist}) AS adc_dist
+        FROM codes JOIN cand USING (id) {joins})
+SELECT id AS vec_id, adc_dist FROM adc WHERE id != 7
+ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
+@register(
+    "embedding_ivfadc_topk",
+    _ivfadc_oracle(),
+    doc="IVFADC (operators/similarity.py:ivfadc_topk — the FAISS "
+    "billion-scale index): coarse k-means prunes the scan to the "
+    "query's cell, PQ ADC ranks the survivors from 4 LUT lookups per "
+    "row. Both quantizers are the deterministic integer-grid fits, so "
+    "the two-level oracle replays cell pruning AND compressed-domain "
+    "ranking bit-for-bit.",
+)
+def q_embedding_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfadc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=7,
+        dim=_EMB_DIM,
+        k=10,
+        n_cells=KMEANS_K,
+        m=PQ_M,
+        k_sub=PQ_KSUB,
+        iters=PQ_ITERS,
+        scale=QUANT_SCALE,
+    )

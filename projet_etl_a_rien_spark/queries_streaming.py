@@ -360,3 +360,44 @@ def q_streaming_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events")
         )
     )
+
+
+from .operators.text import classifier_weights as _classifier_weights  # noqa: E402
+
+_CLS_W_STREAM = ", ".join(str(v) for v in _classifier_weights())
+
+
+@register(
+    "streaming_doc_classifier_gate",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tw AS (SELECT doc_id,
+              ([{_CLS_W_STREAM}])[CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                           % 64 AS INTEGER) + 1] AS wt
+       FROM tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       SUM(wt) / (1000 * COUNT(*)) AS score,
+       (SUM(wt) >= 0) AS label
+FROM tw GROUP BY doc_id
+""",
+    doc="The hashed-classifier gate running INSIDE a streaming select: "
+    "because the batch operator is a row-local fold (zero shuffle, no "
+    "state), the identical expression scores an unbounded document "
+    "stream in append mode with no watermark and no state store — the "
+    "ingest-time quality gate of a streaming curation pipeline. Over "
+    "the bounded replay the result equals the batch gate, which the "
+    "oracle asserts.",
+)
+def q_streaming_doc_classifier_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import hashed_classifier_score
+    from .streaming.windows import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return run_bounded(hashed_classifier_score(src), mode="append")

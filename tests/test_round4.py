@@ -502,3 +502,34 @@ def test_pq_dim_not_divisible_raises(spark):
                                "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit_encode(df, dim=3, m=2)
+
+
+def test_classifier_gate_is_shuffle_free(spark):
+    """The classifier is a per-row fold: no Exchange anywhere — scoring
+    is map-only at any scale (and streams unchanged)."""
+    from projet_etl_a_rien_spark.operators.text import hashed_classifier_score
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        hashed_classifier_score(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_ivfadc_restricts_to_coarse_cell_and_ranks_exactly(spark):
+    """Two far-apart groups: IVFADC must only return the query's cell's
+    members, and with k_sub covering all distinct subvectors the ADC
+    ranking equals the exact ranking inside that cell."""
+    from projet_etl_a_rien_spark.operators.similarity import ivfadc_topk
+
+    near = [(i, [1.0 - 0.01 * i, 0.0, 0.0, 0.0]) for i in range(4)]
+    far = [(10 + i, [0.0, 0.0, 100.0, 100.0 + i]) for i in range(4)]
+    df = spark.createDataFrame(near + far, "vec_id long, embedding array<double>")
+    top = ivfadc_topk(
+        df, query_id=0, dim=4, k=8, n_cells=2, m=2, k_sub=8, iters=2
+    ).collect()
+    ids = [r.vec_id for r in top]
+    assert set(ids) <= {1, 2, 3}          # far cell never scanned
+    assert ids == [1, 2, 3]               # exact order by distance
+    dists = [r.adc_dist for r in top]
+    assert dists == sorted(dists)
