@@ -813,22 +813,105 @@ def pq_fit_encode(
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    from pyspark.sql.window import Window
+
     sub_len = dim // m
-    codes = None
-    codebooks: list[list[list[int]]] = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col).alias("id"),
-            F.slice(as_double(vec_col), s * sub_len + 1, sub_len).alias("sub"),
+    # All m subspace fits FUSED into one long-form table: (id, s, q) with
+    # one row per (vector, subspace). Seeds, per-iteration statistics,
+    # and the final encode each become ONE job over the cached table —
+    # 1 + iters + 1 driver round trips total, vs m·(iters + 2) for m
+    # sequential kmeans_fit calls — while every subspace's arithmetic is
+    # unchanged (seed = k_sub min-id subvectors, exact-int argmin with
+    # min-cluster tie-break, round-half-away centroid updates), so the
+    # per-subspace oracle CTEs replay this bit-for-bit.
+    q_full = df.select(
+        F.col(id_col).alias("id"), quantize(vec_col, scale).alias("qv")
+    )
+    long = q_full.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("qv", s * sub_len + 1, sub_len).alias("q"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("id", F.col("x.s").alias("s"), F.col("x.q").alias("q")).persist()
+    try:
+        w = Window.partitionBy("s").orderBy("id")
+        seed_rows = (
+            long.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k_sub)
+            .select("s", "rn", "q")
+            .collect()
         )
-        q_all, cents = kmeans_fit(
-            sub, k_sub, iters, id_col="id", vec_col="sub", scale=scale
+        codebooks: list[list[list[int]]] = [[None] * k_sub for _ in range(m)]
+        for r in seed_rows:
+            codebooks[r.s][r.rn - 1] = list(r.q)
+
+        def assign_expr(books):
+            # per-subspace argmin over that subspace's literal centroids,
+            # selected by the row's s tag (same tie-break as _assign)
+            expr = None
+            for s in range(m):
+                pairs = F.array(
+                    *[
+                        F.struct(
+                            _sq_dist(F.col("q"), cb).alias("d"),
+                            F.lit(c).alias("c"),
+                        )
+                        for c, cb in enumerate(books[s])
+                    ]
+                )
+                sel = F.array_min(pairs)["c"]
+                expr = sel if expr is None else F.when(F.col("s") == s, sel).otherwise(expr)
+            return expr
+
+        for _ in range(iters):
+            assigned = long.select(
+                "s", "q", assign_expr(codebooks).alias("cluster")
+            )
+            stats = (
+                assigned.select(
+                    "s", "cluster", F.posexplode("q").alias("pos", "val")
+                )
+                .groupBy("s", "cluster", "pos")
+                .agg(F.sum("val").alias("sv"), F.count("*").alias("n"))
+                .collect()
+            )
+            by_key: dict = {}
+            for r in stats:
+                by_key.setdefault((r.s, r.cluster), {})[r.pos] = (r.sv, r.n)
+            codebooks = [
+                [
+                    [
+                        _round_half_away(sn[pos][0] / sn[pos][1])
+                        for pos in range(sub_len)
+                    ]
+                    if (sn := by_key.get((s, c)))
+                    else codebooks[s][c]
+                    for c in range(k_sub)
+                ]
+                for s in range(m)
+            ]
+        # final encode: one pass, pivoted wide via conditional max (the
+        # values are disjoint per s, so max(when) is exact selection)
+        coded = long.select("id", "s", assign_expr(codebooks).alias("cluster"))
+        codes = coded.groupBy("id").agg(
+            *[
+                F.max(F.when(F.col("s") == s, F.col("cluster"))).alias(f"c{s}")
+                for s in range(m)
+            ]
         )
-        codebooks.append(cents)
-        assigned = _assign(q_all, cents).select(
-            "id", F.col("cluster").alias(f"c{s}")
-        )
-        codes = assigned if codes is None else codes.join(assigned, "id")
+        # the long table feeds nothing after this plan is handed back, but
+        # the caller will trigger it — checkpoint so unpersist is safe
+        codes = codes.localCheckpoint(eager=True)
+    finally:
+        long.unpersist()
     return codes, codebooks
 
 
