@@ -532,3 +532,95 @@ def q_events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.when(F.col("zscore") > 2.5, 1).otherwise(0)).alias("n_anomalies"),
     )
+
+
+@register(
+    "orders_cohort_retention",
+    """
+WITH fm AS (
+    SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+    FROM orders GROUP BY o_custkey
+),
+act AS (
+    SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS om
+    FROM orders
+)
+SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+       CAST(date_diff('month', f.cohort, a.om) AS BIGINT) AS months_since,
+       CAST(COUNT(DISTINCT a.o_custkey) AS BIGINT) AS n_customers
+FROM act a JOIN fm f ON a.o_custkey = f.o_custkey
+GROUP BY 1, 2
+""",
+    doc="Cohort retention triangle: customers grouped by first-order "
+    "month, counted in every later month they stay active — the "
+    "engagement-decay rollup every subscription/marketplace analytics "
+    "stack runs. Two custkey-keyed shuffles (first-order min, distinct "
+    "activity) whose join reuses the same partitioning, then one small "
+    "cohort×offset rollup; nothing global, nothing collected.",
+)
+def q_orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fm = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort")
+    )
+    act = o.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("om")
+    ).distinct()
+    return (
+        act.join(fm, "o_custkey")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            F.months_between(F.col("om"), F.col("cohort"))
+            .cast("long")
+            .alias("months_since"),
+        )
+        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "events_key_skew_profile",
+    """
+WITH cnt AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM cnt
+)
+SELECT user_id, n_events,
+       n_events / total AS share,
+       n_events * n_keys / total AS skew_ratio
+FROM cnt, tot
+ORDER BY n_events DESC, user_id
+LIMIT 10
+""",
+    doc="Heavy-hitter key profiler for shuffle planning: the top-10 "
+    "hottest join/agg keys with their share of all rows and their "
+    "skew ratio vs the mean key (ratio >> 1 on a join key = salt it, "
+    "or let AQE skew-split — SCALE_NOTES' own decision rule, computed "
+    "from the data instead of discovered in a straggler task). One "
+    "key-keyed count, a 1-row totals broadcast, TakeOrdered top-10; "
+    "exact-int operands so both ratios are engine-identical.",
+)
+def q_events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    tot = cnt.agg(
+        F.sum("n_events").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events") / F.col("total")).alias("share"),
+            (F.col("n_events") * F.col("n_keys") / F.col("total")).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )

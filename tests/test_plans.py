@@ -124,6 +124,7 @@ SCALAR_BNLJ_OK = {
     "order_price_sketch_bounds",
     "source_mixing_weights",  # 1-row totals aggregate
     "doc_token_rarity",  # 1-row corpus-total broadcast onto the vocab table
+    "events_key_skew_profile",  # 1-row totals broadcast onto the key counts
 }
 
 
