@@ -792,3 +792,174 @@ def neardup_merge_batch(
                 remaining_cached.unpersist()
         except NameError:
             pass
+
+
+# ----------------------------------------- prefix-filtered exact pairs ----
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity join via PREFIX FILTERING (AllPairs /
+    PPJoin family) — same exact output as an all-pairs inverted-index
+    join at ``threshold``, but candidate generation only indexes each
+    document's RAREST tokens.
+
+    Order every doc's shingle-hash set by ascending global document
+    frequency (ties by token value — any consistent total order works).
+    If jacc(A, B) >= t, then A and B must share a token within their
+    prefixes of length |x| - ceil(t * |x|) + 1 (pigeonhole on the
+    ordered sets), so joining on prefix tokens alone loses nothing; the
+    exact-Jaccard verify then filters false candidates. Unlike
+    ``ngram_jaccard_pairs`` this needs NO blocking column: candidate
+    volume is sum over PREFIX tokens of df², and prefix tokens are by
+    construction the globally rarest of each doc, so hot tokens
+    (boilerplate shingles) never enter the index.
+
+    Scale shape: one explode-shuffle to build df(token) (vocabulary-
+    sized result), one groupBy to re-assemble ordered per-doc arrays,
+    one equality join on prefix tokens, one verify join re-fetching the
+    two shingle arrays. All map-side work is int64 array math.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(text_col, shingle_n).alias("xs"),
+        )
+        .where(F.size("xs") > 0)
+        .persist()
+    )
+    toks = base.select("id", F.explode("xs").alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("dfreq"))
+    # per-doc token list ordered by (dfreq, token): rarest first. The
+    # struct sort gives the (dfreq, token) lexicographic order; project
+    # the token back out after sorting.
+    ordered = (
+        toks.join(dfreq, "token")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dfreq"), F.col("token")))
+                ),
+                lambda s: s["token"],
+            ).alias("ord_toks")
+        )
+    )
+    # prefix length p = sz - ceil(t*sz) + 1
+    prefix = ordered.select(
+        "id",
+        F.explode(
+            F.slice(
+                F.col("ord_toks"),
+                1,
+                (
+                    F.size("ord_toks")
+                    - F.ceil(F.size("ord_toks") * F.lit(threshold)).cast("int")
+                    + 1
+                ),
+            )
+        ).alias("token"),
+    )
+    cand = (
+        prefix.alias("l")
+        .join(
+            prefix.alias("r"),
+            (F.col("l.token") == F.col("r.token"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        cand.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, F.col("id_b") == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("a.xs"), F.col("b.xs")).alias("jacc"),
+        )
+        .where(F.col("jacc") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """DIRECTED shingle-set containment pairs: (id_sub, id_super, cont)
+    where cont = |sub ∩ super| / |sub| >= threshold and id_sub !=
+    id_super. The asymmetric near-dup relation Jaccard misses: a short
+    doc quoted whole inside a long one has high containment but low
+    Jaccard (|A∩B|/|A∪B| is dragged down by the long doc's size), and a
+    training pipeline usually wants the CONTAINED doc dropped.
+
+    Same blocked inverted-index candidate generation as
+    ``ngram_jaccard_pairs`` (intersections computed once per unordered
+    pair, id_a < id_b) — both directed containments are then pure
+    projections of (n_common, sz_a, sz_b), so asymmetry costs a union of
+    two filters, not a second join.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.explode(hashed_shingles(text_col, shingle_n)).alias("token"),
+    )
+    sizes = toks.groupBy("blk", "id").agg(F.count("*").alias("sz"))
+    l, r = toks.alias("l"), toks.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.token") == F.col("r.token"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(
+            F.col("l.blk").alias("blk"),
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    i, sa, sb = inter.alias("i"), sizes.alias("sa"), sizes.alias("sb")
+    both = (
+        i.join(
+            sa,
+            (F.col("i.blk") == F.col("sa.blk")) & (F.col("i.id_a") == F.col("sa.id")),
+        )
+        .join(
+            sb,
+            (F.col("i.blk") == F.col("sb.blk")) & (F.col("i.id_b") == F.col("sb.id")),
+        )
+        .select(
+            "i.id_a",
+            "i.id_b",
+            "i.n_common",
+            F.col("sa.sz").alias("sz_a"),
+            F.col("sb.sz").alias("sz_b"),
+        )
+    )
+    fwd = both.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        (F.col("n_common") / F.col("sz_a")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        (F.col("n_common") / F.col("sz_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)

@@ -152,3 +152,84 @@ def connected_components(
             "iteration budget); raise max_iter."
         )
     return labels
+
+
+# ------------------------------------------------------------- pagerank ----
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank by FIXED-ITERATION power iteration: returns
+    (node, rank) after exactly ``iters`` rounds from the uniform start —
+    fixed rounds (not convergence detection) keep the result a pure
+    deterministic function of the edge set, so an external oracle can
+    replay it CTE-for-CTE.
+
+        rank⁰(v)    = 1/N
+        rankⁱ⁺¹(v)  = (1-d)/N + d·(Σ_{u→v} rankⁱ(u)·w(u,v)/out(u)
+                                   + dangⁱ/N)
+
+    where out(u) = Σ_v w(u,v) and dangⁱ = Σ over out-edge-less nodes of
+    rankⁱ(u) (dangling mass redistributed uniformly, the standard
+    correction — without it rank leaks and Σrank < 1).
+
+    Scale shape: each round is one edge⋈rank join + groupBy-min shuffle
+    on dst — the same per-round cost profile as ``connected_components``
+    above, and the same lineage discipline (``localCheckpoint`` per
+    round truncates the doubling plan). The dangling term is a 1-row
+    aggregate broadcast into the next round. Node count never needs to
+    fit anywhere: the rank vector stays a distributed (node, rank)
+    table.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    out_w = e.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("out_w"))
+    # transition probability per edge; nodes absent here are dangling
+    trans = e.join(out_w, e.src == out_w.node).select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    has_out = out_w.select("node")
+    rank = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
+    for _ in range(iters):
+        rank = rank.localCheckpoint(eager=True)
+        dang = (
+            rank.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        incoming = (
+            trans.join(rank, trans.src == rank.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("inc"))
+        )
+        rank = (
+            nodes.join(incoming, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inc"), F.lit(0.0)) + F.col("dang") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+    out = rank.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out

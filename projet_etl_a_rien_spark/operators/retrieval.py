@@ -1,0 +1,146 @@
+"""Retrieval / corpus-LM scoring operators for training-data pipelines.
+
+Two relational constructions a large corpus pipeline needs that the
+reference's surface implies but never names:
+
+- **BM25 scoring** — rank documents against a fixed query-term set with
+  the Okapi BM25 formula computed entirely as join + agg over a term
+  statistics table. No inverted-index service, no UDF: df(t) and tf(t,d)
+  are one groupBy each, the score is a sum over matched terms. At 100 TB
+  the per-term statistics table is vocabulary-sized (tiny next to the
+  corpus) and broadcast; the per-(doc, term) tf table is the only
+  corpus-scale shuffle and is keyed by term, so AQE handles stopword-like
+  skew with skew-join splitting.
+
+- **Unigram log-probability scoring** — the classic KenLM-lite corpus
+  quality proxy (CCNet uses a 5-gram LM; the unigram form is the same
+  plumbing with a vocabulary-sized model table): score(d) = mean over
+  token OCCURRENCES of ln P(token) where P is the corpus unigram MLE.
+  Documents whose tokens are globally rare score low — a cheap fluency /
+  outlier signal. Model estimation and scoring are each one shuffle.
+
+Both are pure ``pyspark.sql.functions`` lineages (whole-stage codegen,
+no Python), mirrored exactly by DuckDB oracles in
+``queries_round4.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def term_doc_tf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token, tf) term frequencies — explode + count, the one
+    corpus-scale shuffle both operators below share."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+        )
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document containing >= 1 query term.
+
+    score(d) = sum over query terms t in d of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with the BM25+-style non-negative idf(t) = ln(1 + (N - df + 0.5) /
+    (df + 0.5)). Returns (doc_id, n_terms_matched, bm25) — no top-k cut:
+    ranking is an ORDER BY away and leaving the cut to the caller keeps
+    the result set deterministic under float tie jitter.
+
+    Scale shape: tf table shuffles once on (id, token); df(t) and the
+    corpus length stats are vocabulary- and scalar-sized aggregates that
+    broadcast onto the query-term-filtered tf rows (a tiny fraction of
+    the corpus once the semi-join on ``query_terms`` pushes down).
+    """
+    q = [t for t in query_terms]
+    tf = term_doc_tf(df, text_col, id_col).where(F.col("token").isin(q))
+    dl = df.select(
+        F.col(id_col).alias("id"), F.size(tokens(text_col)).alias("dl")
+    )
+    # corpus constants: N docs and mean doc length — a 1-row broadcast
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # df(t) over the query terms only
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("dfreq") + 0.5)
+                / (F.col("dfreq") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+    )
+    return per_term.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_terms_matched"),
+        F.sum("w").alias("bm25"),
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean unigram log-probability per document (corpus-MLE model).
+
+    P(t) = corpus occurrences of t / total corpus tokens; score(d) =
+    (1/|d|) * sum over token occurrences of ln P(t). Every scored token
+    is by construction in the model (the model IS the corpus), so no
+    smoothing term is needed and the score is exact MLE.
+
+    Two shuffles total: the (token → count) model build and the
+    (id, token) re-join of doc tokens against the model. The model table
+    is vocabulary-sized; at corpus scale it broadcasts (hinted) while
+    the exploded token table streams through map-side.
+    """
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    model = occ.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    lp = (
+        model.crossJoin(F.broadcast(total))
+        .select("token", F.log(F.col("cnt") / F.col("total")).alias("lp"))
+    )
+    return (
+        occ.join(F.broadcast(lp), "token")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("lp").alias("mean_logprob"),
+        )
+    )

@@ -1,0 +1,368 @@
+"""Round-4 query registrations: retrieval scoring (BM25, unigram-LM),
+prefix-filtered exact similarity join, directed containment dedup,
+weighted PageRank, market-basket lift, Markov transition matrix.
+
+Imported for its registration side effects by ``queries.py``; every
+entry keeps the repo's parity rules — adjacent DuckDB oracle, identical
+column aliases, deterministic math (exact-int arithmetic up to a single
+final float division wherever possible, ln/avg only over doubles both
+engines compute identically within the 1e-9 gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import load_table
+from .fixtures import DOCUMENTS_WITH_DUPS_ORACLE_CTE, documents_with_dups
+from .operators import dedup, graph, retrieval
+from .queries import register
+
+BM25_QUERY_TERMS = ["vector", "stream", "window"]
+
+
+# ------------------------------------------------------------ retrieval ----
+
+
+@register(
+    "bm25_score_docs",
+    """
+WITH occ AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT id, token, COUNT(*) AS tf FROM occ
+    WHERE token IN ('vector', 'stream', 'window')
+    GROUP BY id, token
+),
+dl AS (SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+idf AS (
+    SELECT token, ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)) AS idf
+    FROM dfreq CROSS JOIN stats
+),
+per AS (
+    SELECT tf.id,
+           idf.idf * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
+    FROM tf JOIN idf USING (token) JOIN dl ON tf.id = dl.id CROSS JOIN stats
+)
+SELECT id AS doc_id, COUNT(*) AS n_terms_matched, SUM(w) AS bm25
+FROM per GROUP BY id
+""",
+    doc="Okapi BM25 relevance score per document for a fixed query-term "
+    "set, computed as join+agg over term statistics (no index service, "
+    "no UDF); vocabulary-sized idf table broadcasts at any corpus size.",
+)
+def q_bm25_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.bm25_scores(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    """
+WITH occ AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+model AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+total AS (SELECT SUM(cnt) AS total FROM model),
+lp AS (SELECT token, ln(cnt / total) AS lp FROM model CROSS JOIN total)
+SELECT id AS doc_id, COUNT(*) AS n_tokens, AVG(lp) AS mean_logprob
+FROM occ JOIN lp USING (token) GROUP BY id
+""",
+    doc="Mean unigram log-probability per document under the corpus-MLE "
+    "unigram model — the KenLM-lite fluency/outlier quality proxy "
+    "(CCNet-style plumbing); model build + scoring are one shuffle each.",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------- prefix-filter / containment ----
+
+
+def _hashed_docs_dup_ctes() -> str:
+    """docs_dup → per-doc hashed 3-gram shingle sets, the same int64
+    construction ``_minhash_ctes`` uses (one md5 per word, Horner
+    polynomial per shingle) — shared by the prefix-join oracle."""
+    p, bb = dedup.MINHASH_P, dedup.SHINGLE_B
+    return f"""{DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+wordhashed AS (
+    SELECT doc_id AS id,
+           list_transform(string_split(text, ' '),
+               w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {p}) AS wh
+    FROM docs_dup
+    WHERE len(string_split(text, ' ')) >= 3
+),
+hashed AS (
+    SELECT id, list_distinct(list_transform(
+        range(len(wh) - 2),
+        i -> (((wh[i + 1] * {bb} + wh[i + 2]) % {p}) * {bb} + wh[i + 3]) % {p})) AS xs
+    FROM wordhashed
+)"""
+
+
+@register(
+    "jaccard_prefix_pairs",
+    f"""
+WITH {_hashed_docs_dup_ctes()},
+toks AS (SELECT id, unnest(xs) AS token FROM hashed),
+sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+inter AS (
+    SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS n_common
+    FROM toks l JOIN toks r ON l.token = r.token AND l.id < r.id
+    GROUP BY l.id, r.id
+)
+SELECT i.id_a, i.id_b,
+       i.n_common / (sa.sz + sb.sz - i.n_common) AS jacc
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= 0.5
+""",
+    doc="Exact shingle-set Jaccard pairs via PREFIX FILTERING (AllPairs/"
+    "PPJoin): only each doc's globally-rarest tokens enter the inverted "
+    "index, no blocking column needed; the filter is lossless, so the "
+    "oracle is the plain exact all-pairs form.",
+)
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_prefix_pairs(
+        documents_with_dups(spark, sf_dir), threshold=0.5
+    )
+
+
+@register(
+    "ngram_containment_pairs",
+    f"""
+WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+wordhashed AS (
+    SELECT source AS blk, doc_id AS id,
+           list_transform(string_split(text, ' '),
+               w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                    % {dedup.MINHASH_P}) AS wh
+    FROM docs_dup
+),
+toks AS (
+    SELECT blk, id,
+           unnest(list_distinct(list_transform(
+               range(len(wh) - 2),
+               i -> (((wh[i + 1] * {dedup.SHINGLE_B} + wh[i + 2])
+                      % {dedup.MINHASH_P}) * {dedup.SHINGLE_B} + wh[i + 3])
+                    % {dedup.MINHASH_P}))) AS token
+    FROM wordhashed
+),
+sizes AS (SELECT blk, id, COUNT(*) AS sz FROM toks GROUP BY blk, id),
+inter AS (
+    SELECT l.blk AS blk, l.id AS id_a, r.id AS id_b, COUNT(*) AS n_common
+    FROM toks l JOIN toks r
+      ON l.blk = r.blk AND l.token = r.token AND l.id < r.id
+    GROUP BY l.blk, l.id, r.id
+),
+pair_sides AS (
+    SELECT i.id_a, i.id_b, i.n_common,
+           sa.sz AS sz_a, sb.sz AS sz_b
+    FROM inter i
+    JOIN sizes sa ON i.blk = sa.blk AND i.id_a = sa.id
+    JOIN sizes sb ON i.blk = sb.blk AND i.id_b = sb.id
+)
+SELECT id_a AS id_sub, id_b AS id_super, n_common / sz_a AS containment
+FROM pair_sides WHERE n_common / sz_a >= 0.8
+UNION ALL
+SELECT id_b AS id_sub, id_a AS id_super, n_common / sz_b AS containment
+FROM pair_sides WHERE n_common / sz_b >= 0.8
+""",
+    doc="Directed shingle-set containment pairs |sub∩super|/|sub| >= 0.8 "
+    "— the asymmetric near-dup relation (short doc quoted inside a long "
+    "one) Jaccard misses; one intersection per unordered pair, both "
+    "directions are projections.",
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_containment_pairs(
+        documents_with_dups(spark, sf_dir), threshold=0.8
+    )
+
+
+# ------------------------------------------------------------- pagerank ----
+
+
+def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    """CTE chain replaying graph.pagerank round-for-round."""
+    head = """
+WITH trans_raw AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+),
+edges AS (
+    SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM trans_raw WHERE dst IS NOT NULL GROUP BY src, dst
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src AS node, SUM(w) AS out_w FROM edges GROUP BY src),
+trans AS (
+    SELECT e.src, e.dst, e.w / o.out_w AS p
+    FROM edges e JOIN outw o ON e.src = o.node
+),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    rounds = []
+    for i in range(iters):
+        rounds.append(f"""
+d{i} AS (
+    SELECT COALESCE(SUM(rank), 0) AS dang FROM r{i}
+    WHERE node NOT IN (SELECT node FROM outw)
+),
+i{i} AS (
+    SELECT t.dst AS node, SUM(r.rank * t.p) AS inc
+    FROM trans t JOIN r{i} r ON t.src = r.node GROUP BY t.dst
+),
+r{i + 1} AS (
+    SELECT n.node,
+           (1 - {d}) / (SELECT n FROM nn)
+           + {d} * (COALESCE(i.inc, 0)
+                    + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank
+    FROM nodes n LEFT JOIN i{i} i ON n.node = i.node
+)""")
+    return head + "," + ",".join(rounds) + f"\nSELECT node, rank FROM r{iters}"
+
+
+@register(
+    "event_type_pagerank",
+    _pagerank_oracle(3, 0.85),
+    doc="Weighted PageRank (3 fixed power iterations, d=0.85, dangling "
+    "mass redistributed) over the event-type transition graph built from "
+    "per-user consecutive events; each round is one join+agg shuffle and "
+    "the rank vector stays distributed — the oracle replays the exact "
+    "iteration CTE-for-CTE.",
+)
+def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    return graph.pagerank(edges, iters=3, damping=0.85)
+
+
+# ------------------------------------------------------- market basket ----
+
+
+@register(
+    "parts_basket_lift",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS co_cnt
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+),
+pc AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY l_partkey),
+no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT part_a, part_b, co_cnt,
+       co_cnt * n_orders / (ca.cnt * cb.cnt) AS lift
+FROM pairs
+JOIN pc ca ON part_a = ca.l_partkey
+JOIN pc cb ON part_b = cb.l_partkey
+CROSS JOIN no
+WHERE co_cnt >= 2
+""",
+    doc="Market-basket part-pair association: co-occurrence counts and "
+    "lift over orders. Per-order pair expansion is quadratic only in "
+    "order line count (bounded ~7 in TPC-H); one shuffle on orderkey, "
+    "exact-int arithmetic up to the single lift division.",
+)
+def q_parts_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("co_cnt"))
+        .where(F.col("co_cnt") >= 2)
+    )
+    pc = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    no = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    ca, cb = pc.alias("ca"), pc.alias("cb")
+    return (
+        pairs.join(F.broadcast(ca), F.col("part_a") == F.col("ca.l_partkey"))
+        .join(F.broadcast(cb), F.col("part_b") == F.col("cb.l_partkey"))
+        .crossJoin(F.broadcast(no))
+        .select(
+            "part_a",
+            "part_b",
+            "co_cnt",
+            (
+                F.col("co_cnt") * F.col("n_orders")
+                / (F.col("ca.cnt") * F.col("cb.cnt"))
+            ).alias("lift"),
+        )
+    )
+
+
+# -------------------------------------------------- markov transitions ----
+
+
+@register(
+    "events_markov_transitions",
+    """
+WITH t AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+c AS (
+    SELECT from_type, to_type, COUNT(*) AS n_trans
+    FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_trans,
+       n_trans / SUM(n_trans) OVER (PARTITION BY from_type) AS prob
+FROM c
+""",
+    doc="First-order Markov transition matrix of per-user event-type "
+    "sequences: counts + row-normalized probabilities; one window pass "
+    "+ one (from,to) aggregate, output is event-type² sized.",
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    wn = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (F.col("n_trans") / F.sum("n_trans").over(wn)).alias("prob"),
+    )

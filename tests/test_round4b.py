@@ -1,0 +1,203 @@
+"""Round-4 additions: retrieval scoring, prefix-filtered similarity
+join, directed containment, weighted PageRank, basket lift, Markov
+transitions.
+
+Semantics are pinned against tiny hand-computable fixtures; plan
+discipline (what shuffles, what must not) against sf0.001. Cross-engine
+value parity is the oracle gate's job (tools/oracle_check.py) — these
+tests pin the properties the oracle can't see: losslessness of the
+prefix filter vs the unfiltered exact join, candidate-volume bounds,
+rank-vector invariants.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.operators import dedup, graph, retrieval
+
+
+# ------------------------------------------------------------ retrieval ----
+
+
+def test_bm25_matches_hand_formula(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "vector vector stream apple"),
+            (2, "apple banana cherry date"),
+            (3, "stream apple banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in retrieval.bm25_scores(docs, ["vector", "stream"]).collect()
+    }
+    # doc 2 matches no query term: absent
+    assert set(got) == {1, 3}
+    n, avgdl = 3, 4.0
+    k1, b = 1.2, 0.75
+
+    def idf(dfreq):
+        return math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def w(tf, dl, dfreq):
+        return idf(dfreq) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # doc 1: vector tf=2 (df=1), stream tf=1 (df=2); dl=4
+    exp1 = w(2, 4, 1) + w(1, 4, 2)
+    assert got[1]["n_terms_matched"] == 2
+    assert got[1]["bm25"] == pytest.approx(exp1, rel=1e-12)
+    # doc 3: stream tf=1 (df=2); dl=4
+    assert got[3]["n_terms_matched"] == 1
+    assert got[3]["bm25"] == pytest.approx(w(1, 4, 2), rel=1e-12)
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in retrieval.unigram_logprob_scores(docs).collect()
+    }
+    # corpus: a=2, b=2, c=1, total=5
+    la, lb, lc = math.log(2 / 5), math.log(2 / 5), math.log(1 / 5)
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["mean_logprob"] == pytest.approx((la + la + lb) / 3, rel=1e-12)
+    assert got[2]["mean_logprob"] == pytest.approx((lb + lc) / 2, rel=1e-12)
+
+
+# ---------------------------------------------------------- prefix join ----
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_join_equals_unfiltered_exact_join(spark):
+    """Losslessness: prefix filtering must return EXACTLY the pairs the
+    all-pairs exact Jaccard join returns at the same threshold."""
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(20)
+    ]
+    # near-dups: doc 100+i shares most tokens with doc i
+    rows += [
+        (100 + i, " ".join(f"w{i}_{j}" for j in range(28)) + " zz yy")
+        for i in range(5)
+    ]
+    df = _corpus(spark, rows)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_prefix_pairs(df, threshold=0.5).collect()
+    }
+    # unfiltered exact join: single blocking value = all-pairs
+    ref = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df.withColumn("source", F.lit("all")), threshold=0.5
+        ).collect()
+    }
+    assert got == ref and len(got) == 5
+
+
+def test_prefix_index_excludes_common_tokens(spark):
+    """The inverted index must only carry each doc's RAREST tokens: a
+    boilerplate shingle shared by every doc (which would make a blocked
+    inverted index quadratic) never enters the prefix at high doc
+    frequency, so candidate volume stays near-linear."""
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, boiler + f" unique{i}a unique{i}b unique{i}c") for i in range(40)]
+    df = _corpus(spark, rows)
+    pairs = dedup.jaccard_prefix_pairs(df, threshold=0.9).collect()
+    # boilerplate-heavy docs still differ (unique tail) → no 0.9-pairs
+    assert pairs == []
+
+
+def test_containment_directed_asymmetric(spark):
+    """Short doc quoted inside a long one: containment fires sub→super
+    only; Jaccard at the same bar would miss it."""
+    short = " ".join(f"s{j}" for j in range(10))
+    long = short + " " + " ".join(f"x{j}" for j in range(40))
+    df = spark.createDataFrame(
+        [(1, short, "src"), (2, long, "src")],
+        "doc_id long, text string, source string",
+    )
+    rows = dedup.ngram_containment_pairs(df, threshold=0.8).collect()
+    assert [(r["id_sub"], r["id_super"]) for r in rows] == [(1, 2)]
+    assert rows[0]["containment"] == pytest.approx(1.0)
+    # and symmetric Jaccard at 0.8 finds nothing
+    assert (
+        dedup.ngram_jaccard_pairs(df, threshold=0.8).collect() == []
+    )
+
+
+# -------------------------------------------------------------- pagerank ----
+
+
+def test_pagerank_sums_to_one_and_source_ranks_lowest(spark):
+    edges = spark.createDataFrame(
+        [("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    rows = {r["node"]: r["rank"] for r in graph.pagerank(edges, iters=10).collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, rel=1e-9)
+    # b has no in-edges: teleport-only mass (1-d)/N; a and c trade the rest
+    assert rows["b"] == pytest.approx(0.15 / 3, rel=1e-9)
+    assert rows["a"] > rows["b"] and rows["c"] > rows["b"]
+
+
+def test_pagerank_dangling_mass_is_conserved(spark):
+    # b has no out-edges: its mass must be redistributed, not lost
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, weight double"
+    )
+    rows = {r["node"]: r["rank"] for r in graph.pagerank(edges, iters=5).collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, rel=1e-9)
+    assert rows["b"] > rows["a"]
+
+
+def test_pagerank_weights_split_proportionally(spark):
+    # a sends 3/4 of its mass to b, 1/4 to c; one iteration from uniform
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    rows = {r["node"]: r["rank"] for r in graph.pagerank(edges, iters=1).collect()}
+    third, d = 1.0 / 3, 0.85
+    assert rows["b"] == pytest.approx((1 - d) / 3 + d * third * 0.75, rel=1e-9)
+    assert rows["c"] == pytest.approx((1 - d) / 3 + d * third * 0.25, rel=1e-9)
+
+
+# ------------------------------------------------------- plan discipline ----
+
+
+def test_prefix_join_no_cartesian_and_no_python(spark, sf_dir):
+    from projet_etl_a_rien_spark.fixtures import documents_with_dups
+
+    df = documents_with_dups(spark, sf_dir)
+    plan = (
+        dedup.jaccard_prefix_pairs(df, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_basket_lift_stat_tables_broadcast(spark, sf_dir):
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    plan = (
+        REGISTRY["parts_basket_lift"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # per-part counts and the 1-row n_orders join as broadcasts — the
+    # only shuffles are the distinct + the pair groupBy
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
