@@ -366,3 +366,226 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         (F.col("n_trans") / F.sum("n_trans").over(wn)).alias("prob"),
     )
+
+
+# ---------------------------------------------------- weighted sampling ----
+
+
+@register(
+    "doc_weighted_sample",
+    """
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ln((CAST('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 13)
+                AS BIGINT) + 1) / 4503599627370497) / n_chars AS samp_key
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, samp_key
+FROM keyed ORDER BY samp_key DESC, doc_id LIMIT 200
+""",
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES): key = ln(u)/w with u a md5-derived "
+    "uniform, take the top-k keys — weight-proportional inclusion with "
+    "NO random state, reproducible across engines and retries; top-k "
+    "plans as TakeOrderedAndProject, never a global sort.",
+)
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    # 13 md5 hex chars = 52 bits: exact in a double, u in (0, 1)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / F.lit(float(2**52 + 1))
+    keyed = d.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("samp_key")
+    )
+    return keyed.orderBy(F.col("samp_key").desc(), "doc_id").limit(200)
+
+
+# ------------------------------------------------- quality percentiles ----
+
+
+@register(
+    "doc_quality_percentile_by_lang",
+    """
+WITH feat AS (
+    SELECT doc_id, lang,
+           len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')) AS uniq_ratio
+    FROM documents
+)
+SELECT doc_id, lang, uniq_ratio,
+       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY uniq_ratio, doc_id) AS pr,
+       NTILE(10) OVER (PARTITION BY lang ORDER BY uniq_ratio, doc_id) AS decile
+FROM feat
+""",
+    doc="Per-language quality percentile and decile of lexical "
+    "diversity — the rank-normalization step a curation pipeline uses "
+    "to apply one quality bar across languages with different score "
+    "distributions; doc_id tie-break makes ranks a pure function of "
+    "the data.",
+)
+def q_doc_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_count, unique_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        (unique_token_count("text") / token_count("text")).alias("uniq_ratio"),
+    )
+    w = Window.partitionBy("lang").orderBy("uniq_ratio", "doc_id")
+    return feat.select(
+        "doc_id",
+        "lang",
+        "uniq_ratio",
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+# -------------------------------------------------------- novelty score ----
+
+
+@register(
+    "doc_novelty_score",
+    f"""
+WITH wordhashed AS (
+    SELECT doc_id AS id,
+           list_transform(string_split(text, ' '),
+               w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                    % {dedup.MINHASH_P}) AS wh
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+hashed AS (
+    SELECT id, list_distinct(list_transform(
+        range(len(wh) - 2),
+        i -> (((wh[i + 1] * {dedup.SHINGLE_B} + wh[i + 2])
+               % {dedup.MINHASH_P}) * {dedup.SHINGLE_B} + wh[i + 3])
+             % {dedup.MINHASH_P})) AS xs
+    FROM wordhashed
+),
+toks AS (SELECT id, unnest(xs) AS token FROM hashed),
+dfreq AS (SELECT token, COUNT(*) AS dfreq FROM toks GROUP BY token)
+SELECT t.id AS doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN d.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       SUM(CASE WHEN d.dfreq = 1 THEN 1 ELSE 0 END) / COUNT(*) AS novelty
+FROM toks t JOIN dfreq d ON t.token = d.token
+GROUP BY t.id
+""",
+    doc="Shingle novelty per document: share of its 3-gram shingles that "
+    "appear NOWHERE else in the corpus (global df = 1) — high novelty "
+    "marks unique content worth keeping, low novelty marks boilerplate; "
+    "one explode shuffle + a vocabulary-keyed join, same cost shape as "
+    "the dedup inverted index it can share.",
+)
+def q_doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        dedup.hashed_shingles("text", 3).alias("xs"),
+    ).where(F.size("xs") > 0)
+    toks = base.select("id", F.explode("xs").alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("dfreq"))
+    return (
+        toks.join(dfreq, "token")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            (
+                F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+                / F.count("*")
+            ).alias("novelty"),
+        )
+    )
+
+
+# ------------------------------------------------- feature correlation ----
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    means = ", ".join(f"AVG({c}) AS m_{c}" for c in _CORR_COLS)
+    sums = []
+    for i, a in enumerate(_CORR_COLS):
+        sums.append(f"SUM(({a} - m.m_{a}) * ({a} - m.m_{a})) AS ss_{a}")
+        for b2 in _CORR_COLS[i + 1:]:
+            sums.append(f"SUM(({a} - m.m_{a}) * ({b2} - m.m_{b2})) AS sp_{a}_{b2}")
+    pairs = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b2}' AS col_b, "
+        f"sp_{a}_{b2} / NULLIF(sqrt(ss_{a} * ss_{b2}), 0) AS corr FROM cov"
+        for i, a in enumerate(_CORR_COLS)
+        for b2 in _CORR_COLS[i + 1:]
+    )
+    return f"""
+WITH m AS (SELECT {means} FROM lineitem),
+cov AS (SELECT {', '.join(sums)} FROM lineitem CROSS JOIN m)
+{pairs}
+"""
+
+
+@register(
+    "lineitem_feature_corr",
+    _corr_oracle(),
+    doc="Pairwise Pearson correlation matrix over lineitem numeric "
+    "features, two-pass centered form (mean pass + centered-product "
+    "pass) — avoids the catastrophic cancellation of the single-pass "
+    "n*Sxy - Sx*Sy identity, so both engines agree to float precision; "
+    "all 10 centered sums come out of ONE aggregate over the fact scan.",
+)
+def q_lineitem_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[F.col(c).cast("double").alias(c) for c in _CORR_COLS]
+    )
+    means = li.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in _CORR_COLS]
+    )
+    aggs = []
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(
+            F.sum((F.col(a) - F.col(f"m_{a}")) * (F.col(a) - F.col(f"m_{a}"))).alias(
+                f"ss_{a}"
+            )
+        )
+        for b2 in _CORR_COLS[i + 1:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a) - F.col(f"m_{a}")) * (F.col(b2) - F.col(f"m_{b2}"))
+                ).alias(f"sp_{a}_{b2}")
+            )
+    cov = li.crossJoin(F.broadcast(means)).agg(*aggs)
+    # long-form (col_a, col_b, corr) from the single cov row: a union of
+    # 6 one-row projections over the same (reused) aggregate subtree
+    from functools import reduce
+
+    parts = [
+        cov.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b2).alias("col_b"),
+            # zero-variance column → NULL (not a DIVIDE_BY_ZERO under
+            # ANSI mode, not an engine-dependent inf/NaN)
+            F.try_divide(
+                F.col(f"sp_{a}_{b2}"),
+                F.nullif(
+                    F.sqrt(F.col(f"ss_{a}") * F.col(f"ss_{b2}")), F.lit(0.0)
+                ),
+            ).alias("corr"),
+        )
+        for i, a in enumerate(_CORR_COLS)
+        for b2 in _CORR_COLS[i + 1:]
+    ]
+    return reduce(lambda x, y: x.unionByName(y), parts)

@@ -201,3 +201,109 @@ def test_basket_lift_stat_tables_broadcast(spark, sf_dir):
     # only shuffles are the distinct + the pair groupBy
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------- weighted sample ----
+
+
+def test_weighted_sample_key_formula_and_topk_plan(spark, sf_dir):
+    import hashlib
+
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    df = REGISTRY["doc_weighted_sample"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    rows = df.collect()
+    assert len(rows) <= 200
+    # replay the A-ES key for one row in plain Python
+    r = rows[0]
+    u = (
+        int(hashlib.md5(f"ws|{r['doc_id']}".encode()).hexdigest()[:13], 16) + 1
+    ) / (2**52 + 1)
+    assert r["samp_key"] == pytest.approx(math.log(u) / r["n_chars"], rel=1e-12)
+    # deterministic: a second run returns the identical sample
+    again = {x["doc_id"] for x in REGISTRY["doc_weighted_sample"].fn(spark, sf_dir).collect()}
+    assert {x["doc_id"] for x in rows} == again
+
+
+def test_novelty_score_hand_fixture(spark):
+    from projet_etl_a_rien_spark.operators.dedup import hashed_shingles
+
+    # doc 1 and 2 identical (all shingles df=2 → novelty 0);
+    # doc 3 unique (novelty 1)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en", "s", 9),
+            (2, "a b c d e", "en", "s", 9),
+            (3, "p q r s t", "en", "s", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base = docs.select(
+        F.col("doc_id").alias("id"), hashed_shingles("text", 3).alias("xs")
+    )
+    toks = base.select("id", F.explode("xs").alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("dfreq"))
+    nov = {
+        r["doc_id"]: r
+        for r in toks.join(dfreq, "token")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            (F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0)) / F.count("*")).alias(
+                "novelty"
+            ),
+        )
+        .collect()
+    }
+    assert nov[1]["novelty"] == 0.0 and nov[2]["novelty"] == 0.0
+    assert nov[3]["novelty"] == 1.0
+
+
+def test_feature_corr_perfect_linear_pair(spark, tmp_path):
+    import shutil
+
+    # corr(l_quantity, l_extendedprice) == 1 when price = 3*qty + 7
+    rows = [(float(i % 17 + 1),) for i in range(100)]
+    df = spark.createDataFrame(rows, "l_quantity double").select(
+        "l_quantity",
+        (F.col("l_quantity") * 3 + 7).alias("l_extendedprice"),
+        (F.col("l_quantity") * -2 + 1).alias("l_discount"),
+        F.lit(0.0).alias("l_tax"),
+    )
+    d = str(tmp_path / "li")
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    # reuse the registered implementation against the tmp table dir
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "events", "documents", "embeddings"]:
+        shutil.copytree(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet",
+            dirs_exist_ok=True,
+        ) if False else None
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in REGISTRY["lineitem_feature_corr"].fn(spark, d).collect()
+    }
+    assert got[("l_quantity", "l_extendedprice")] == pytest.approx(1.0, abs=1e-12)
+    assert got[("l_quantity", "l_discount")] == pytest.approx(-1.0, abs=1e-12)
+    # zero-variance column: corr is NULL (explicit contract, engine-neutral)
+    assert got[("l_quantity", "l_tax")] is None
+
+
+def test_quality_percentile_rank_semantics(spark, sf_dir):
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    rows = REGISTRY["doc_quality_percentile_by_lang"].fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        prs = sorted(r["pr"] for r in rs)
+        assert prs[0] == 0.0 and prs[-1] == 1.0
+        assert all(1 <= r["decile"] <= 10 for r in rs)
