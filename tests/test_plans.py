@@ -125,6 +125,10 @@ SCALAR_BNLJ_OK = {
     "source_mixing_weights",  # 1-row totals aggregate
     "doc_token_rarity",  # 1-row corpus-total broadcast onto the vocab table
     "events_key_skew_profile",  # 1-row totals broadcast onto the key counts
+    "bm25_score_docs",  # 1-row (n_docs, avgdl) stats broadcast
+    "doc_unigram_logprob",  # 1-row corpus-total broadcast onto the vocab table
+    "lineitem_feature_corr",  # 1-row means broadcast for the centered pass
+    "parts_basket_lift",  # 1-row n_orders broadcast onto the pair table
 }
 
 
