@@ -589,3 +589,40 @@ def q_lineitem_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b2 in _CORR_COLS[i + 1:]
     ]
     return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+# ---------------------------------------------------- seasonal decompose ----
+
+
+@register(
+    "events_seasonal_decompose",
+    """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT day, n_events,
+       AVG(n_events) OVER (
+           ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+       n_events - AVG(n_events) OVER (
+           ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS residual
+FROM daily
+""",
+    doc="Classical decomposition of the daily event count: 7-day centered "
+    "moving-average trend + residual. The windowed pass runs over the "
+    "DAY-grain aggregate (365 rows/year however big the fact table), so "
+    "the single-partition ordered window is a non-issue at any scale — "
+    "the heavy lifting is the day groupBy, which shuffles once.",
+)
+def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    return daily.select(
+        "day",
+        "n_events",
+        F.avg("n_events").over(w).alias("trend"),
+        (F.col("n_events") - F.avg("n_events").over(w)).alias("residual"),
+    )

@@ -401,3 +401,36 @@ def q_streaming_doc_classifier_gate(
         .parquet(sf_dir)
     )
     return run_bounded(hashed_classifier_score(src), mode="append")
+
+
+@register(
+    "streaming_weighted_sample",
+    """
+WITH keyed AS (
+    SELECT event_id, value,
+           ln((CAST('0x' || substr(md5('es|' || CAST(event_id AS VARCHAR)), 1, 13)
+                AS BIGINT) + 1) / 4503599627370497) / value AS samp_key
+    FROM events WHERE value > 0
+)
+SELECT event_id, value, samp_key
+FROM keyed ORDER BY samp_key DESC, event_id LIMIT 100
+""",
+    doc="Streaming deterministic weighted reservoir: per-micro-batch A-ES "
+    "top-k merged through a sink-is-the-state parquet table (k rows of "
+    "state, no state store). Top-k is associative over unions and the "
+    "A-ES key is a pure function of the row, so the final sink EQUALS "
+    "the batch top-k over the whole stream — checked exactly by the "
+    "oracle, no approximation window.",
+)
+def q_streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+    import tempfile
+
+    from .streaming.windows import run_weighted_sample_sink
+
+    sink = os.path.join(tempfile.gettempdir(), "etl_ws_sink")
+    _sh.rmtree(sink, ignore_errors=True)
+    return run_weighted_sample_sink(
+        replay_events_stream(spark, sf_dir), sink, k=100
+    )

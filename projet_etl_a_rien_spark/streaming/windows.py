@@ -433,3 +433,88 @@ def run_incremental_neardup_sink(
         # sink. An empty accepted-id table is the correct answer, not a
         # PATH_NOT_FOUND crash.
         return spark.createDataFrame([], "id long")
+
+
+def run_weighted_sample_sink(
+    stream_df: DataFrame,
+    path: str,
+    k: int = 100,
+    weight_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming deterministic weighted reservoir (A-ES top-k) with the
+    SINK AS THE STATE: each micro-batch keys its rows with the
+    Efraimidis-Spirakis key ln(u)/w (u an md5-derived uniform of the row
+    id), unions the sink's current k rows, keeps the global top-k, and
+    overwrites the sink. Because top-k is associative over unions and
+    the key is a pure function of the row, the final sink equals the
+    BATCH top-k over the whole input — the streaming result is exactly
+    oracle-checkable, no approximation window.
+
+    State is k rows regardless of stream length (no state store, no
+    watermark); the merged result is localCheckpointed before the
+    overwrite so the sink is never read and truncated concurrently.
+    Rows with non-positive weight carry no sampling mass and are
+    filtered, mirroring the batch operator.
+    """
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ws_")
+
+    def key_rows(df: DataFrame) -> DataFrame:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("es|"), F.col(id_col).cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 1
+        ) / F.lit(float(2**52 + 1))
+        return df.where(F.col(weight_col) > 0).select(
+            F.col(id_col),
+            F.col(weight_col),
+            (F.log(u) / F.col(weight_col)).alias("samp_key"),
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        fresh = key_rows(batch_df)
+        try:
+            prev = spark.read.parquet(path)
+            merged = prev.unionByName(fresh)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            merged = fresh
+        top = (
+            merged.orderBy(F.col("samp_key").desc(), F.col(id_col))
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
+        top.write.mode("overwrite").parquet(path)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(merge)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).localCheckpoint(eager=True)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        return spark.createDataFrame(
+            [], f"{id_col} long, {weight_col} double, samp_key double"
+        )

@@ -307,3 +307,58 @@ def test_quality_percentile_rank_semantics(spark, sf_dir):
         prs = sorted(r["pr"] for r in rs)
         assert prs[0] == 0.0 and prs[-1] == 1.0
         assert all(1 <= r["decile"] <= 10 for r in rs)
+
+
+# ------------------------------------------- streaming weighted sample ----
+
+
+def test_streaming_weighted_sample_equals_batch_topk(spark, tmp_path):
+    """Multi-micro-batch merge must equal the batch A-ES top-k: top-k is
+    associative over unions and keys are pure row functions."""
+    from projet_etl_a_rien_spark.streaming.windows import run_weighted_sample_sink
+
+    src = str(tmp_path / "src")
+    rows = [(i, float((i * 37) % 50 + 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    # three separate files → three micro-batches under maxFilesPerTrigger=1
+    for j in range(3):
+        df.where(F.col("event_id") % 3 == j).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    got = run_weighted_sample_sink(stream, sink, k=25)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es|"), F.col("event_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / F.lit(float(2**52 + 1))
+    ref = (
+        df.where(F.col("value") > 0)
+        .select("event_id", "value", (F.log(u) / F.col("value")).alias("samp_key"))
+        .orderBy(F.col("samp_key").desc(), "event_id")
+        .limit(25)
+        .collect()
+    )
+    assert {r["event_id"] for r in got.collect()} == {r["event_id"] for r in ref}
+
+
+def test_streaming_weighted_sample_empty_source(spark, tmp_path):
+    from projet_etl_a_rien_spark.streaming.windows import run_weighted_sample_sink
+
+    src = str(tmp_path / "esrc")
+    spark.createDataFrame([], "event_id long, value double").write.parquet(src)
+    stream = spark.readStream.schema("event_id long, value double").parquet(src)
+    got = run_weighted_sample_sink(stream, str(tmp_path / "esink"), k=10)
+    assert got.count() == 0
