@@ -47,6 +47,10 @@ HEADLINE = [
     "minhash_dedup_clusters",
     "minhash_incremental_ingest",
     "doc_winnow_fingerprints",
+    # r4 additions: the prefix-filtered exact similarity join (heaviest
+    # new operator) and BM25 retrieval scoring (corpus-scale explode+agg)
+    "jaccard_prefix_pairs",
+    "bm25_score_docs",
 ]
 
 
