@@ -53,3 +53,35 @@ def compact_files(
     """
     df = spark.read.format(fmt).load(path)
     df.coalesce(target_files).write.format(fmt).mode("overwrite").save(out_path)
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Lakehouse-style MERGE (CDC apply): fold a changelog of
+    upserts/deletes into a base snapshot and return the final state.
+
+    ``changes`` carries the base's columns plus ``op_col`` ('U' upsert /
+    'D' delete) and ``seq_col`` (change order, > 0); base rows join the
+    merge as version 0 inserts. Latest version per key wins (op as
+    deterministic tiebreak within a version); keys whose latest op is
+    'D' disappear. This is ``latest_by_key`` (SCD-1 compaction) extended
+    with tombstones — the batch form of what Delta/Iceberg MERGE INTO
+    executes, as one key-partitioned window: one shuffle, no global
+    sort, no driver state, any number of change batches unioned in.
+    """
+    data_cols = [c for c in base.columns]
+    snap = base.select(
+        *data_cols,
+        F.lit("I").alias(op_col),
+        F.lit(0).cast("long").alias(seq_col),
+    )
+    merged = snap.unionByName(
+        changes.select(*data_cols, op_col, F.col(seq_col).cast("long").alias(seq_col))
+    )
+    latest = latest_by_key(merged, key_cols, seq_col, tiebreak_cols=[op_col])
+    return latest.where(F.col(op_col) != "D").drop(op_col, seq_col)

@@ -626,3 +626,124 @@ def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n_events").over(w).alias("trend"),
         (F.col("n_events") - F.avg("n_events").over(w)).alias("residual"),
     )
+
+
+# ------------------------------------------------------------ CDC merge ----
+
+
+@register(
+    "orders_cdc_merge",
+    """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS seq FROM orders
+),
+upd AS (
+    SELECT DISTINCT o.o_orderkey, 'R' AS o_orderstatus, 'U' AS op, 1 AS seq
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_returnflag = 'R'
+),
+del AS (
+    SELECT o_orderkey, o_orderstatus, 'D' AS op, 2 AS seq
+    FROM orders WHERE o_orderkey % 1000 = 0
+),
+merged AS (
+    SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+),
+latest AS (
+    SELECT * FROM merged
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) = 1
+)
+SELECT o_orderkey, o_orderstatus FROM latest WHERE op != 'D'
+""",
+    doc="Lakehouse MERGE / CDC apply (operators/compaction.py:"
+    "apply_changes): a deterministic changelog — upserts for orders with "
+    "returned lineitems (seq 1), tombstones for every 1000th order "
+    "(seq 2) — folds into the orders snapshot through one key-"
+    "partitioned window; latest version wins, deletes drop the key. The "
+    "batch form of Delta/Iceberg MERGE INTO: one shuffle, no global "
+    "sort, any number of change batches unioned in.",
+)
+def q_orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compaction import apply_changes
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem")
+    upd = (
+        o.join(
+            li.where(F.col("l_returnflag") == "R").select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .select(
+            "o_orderkey",
+            F.lit("R").alias("o_orderstatus"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+    )
+    dels = o.where(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    changes = upd.unionByName(dels)
+    return apply_changes(o, changes, ["o_orderkey"], "seq")
+
+
+# ------------------------------------------------------ full outer join ----
+
+
+@register(
+    "customer_yearly_rev_full_outer",
+    """
+WITH r95 AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS rev_1995
+    FROM orders WHERE YEAR(o_orderdate) = 1995 GROUP BY o_custkey
+),
+r96 AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS rev_1996
+    FROM orders WHERE YEAR(o_orderdate) = 1996 GROUP BY o_custkey
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS c_custkey,
+       a.rev_1995, b.rev_1996,
+       CASE WHEN a.o_custkey IS NULL THEN 'new_1996'
+            WHEN b.o_custkey IS NULL THEN 'churned_1995'
+            ELSE 'both' END AS status
+FROM r95 a FULL OUTER JOIN r96 b ON a.o_custkey = b.o_custkey
+""",
+    doc="Customer-level year-over-year revenue with a FULL OUTER join of "
+    "the two yearly aggregates — churn/new/retained classification in "
+    "one pass; exact-cents money so AQE re-partitioning cannot change "
+    "values. Full outer cannot broadcast, so both sides shuffle once on "
+    "the key — which the prior groupBys already partitioned by, so the "
+    "join reuses their exchange.",
+)
+def q_customer_yearly_rev_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exactmath import sum_money
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_rev(y: int, alias: str) -> DataFrame:
+        return (
+            o.where(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(sum_money("o_totalprice").alias(alias))
+        )
+
+    a = year_rev(1995, "rev_1995").alias("a")
+    b = year_rev(1996, "rev_1996").alias("b")
+    return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("c_custkey"),
+        "rev_1995",
+        "rev_1996",
+        F.when(F.col("a.o_custkey").isNull(), F.lit("new_1996"))
+        .when(F.col("b.o_custkey").isNull(), F.lit("churned_1995"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+    )

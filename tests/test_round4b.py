@@ -362,3 +362,57 @@ def test_streaming_weighted_sample_empty_source(spark, tmp_path):
     stream = spark.readStream.schema("event_id long, value double").parquet(src)
     got = run_weighted_sample_sink(stream, str(tmp_path / "esink"), k=10)
     assert got.count() == 0
+
+
+# ------------------------------------------------------------ CDC merge ----
+
+
+def test_apply_changes_upsert_delete_semantics(spark):
+    from projet_etl_a_rien_spark.operators.compaction import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),  # update
+            (3, "c", "D", 1),   # delete
+            (4, "d", "U", 1),   # insert-via-upsert (new key)
+            (2, "b3", "U", 2),  # later update wins
+            (4, "d", "D", 2),   # inserted then deleted
+        ],
+        "k long, v string, op string, seq long",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changes(base, changes, ["k"], "seq").collect()
+    }
+    assert got == {1: "a", 2: "b3"}
+
+
+def test_apply_changes_replay_idempotent(spark):
+    """Re-applying the same changelog to the merged result changes
+    nothing — replayed batches must not flip state."""
+    from projet_etl_a_rien_spark.operators.compaction import apply_changes
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 1), (2, "b", "D", 1)], "k long, v string, op string, seq long"
+    )
+    once = apply_changes(base, changes, ["k"], "seq")
+    twice = apply_changes(once, changes, ["k"], "seq")
+    assert sorted(once.collect()) == sorted(twice.collect()) == [(1, "a2")]
+
+
+def test_full_outer_join_reuses_groupby_exchange(spark, sf_dir):
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    plan = (
+        REGISTRY["customer_yearly_rev_full_outer"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FullOuter" in plan
+    # the join must reuse the groupBys' hash partitioning on o_custkey:
+    # exactly the two aggregation exchanges, none added for the join
+    assert plan.count("Exchange hashpartitioning") == 2
