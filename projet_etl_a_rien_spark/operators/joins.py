@@ -103,3 +103,74 @@ def range_join(
         & (F.col(point_col) <= F.col(end_col))
     )
     return pb.join(rb, cond).drop("_rj_bucket")
+
+
+def grid_proximity_join(
+    df: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Spatial self-join: all point pairs within planar distance
+    ``radius``, via GRID-CELL BLOCKING — the standard scale shape for
+    proximity joins (geohash/S2 bucketing reduced to its essence).
+
+    Each point lands in cell (floor(x/r), floor(y/r)). If two points are
+    within r, their cell coordinates differ by at most 1 in each axis,
+    so probing the 3x3 neighborhood is LOSSLESS. Only the left side
+    explodes (9 rows/point); the probe joins the right side's single
+    actual cell with ``id_a < id_b``, so every qualifying pair is
+    produced exactly once — no distinct needed. The exact distance
+    predicate then verifies candidates.
+
+    Scale: candidate volume is sum over cells of |cell| x |3x3
+    neighborhood| — local density, never n². The join is an equality
+    join on (cx, cy), shuffled once each side; a hot cell (degenerate
+    clustering) is AQE-skew-splittable because the verify is stateless.
+    Returns (id_a, id_b, dist).
+    """
+    r = F.lit(float(radius))
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.floor(F.col(x_col) / r).cast("long").alias("cx"),
+        F.floor(F.col(y_col) / r).cast("long").alias("cy"),
+    )
+    probes = (
+        pts.select("id", "x", "y", "cx", "cy")
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("pcx"),
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+        )
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    return (
+        probes.join(
+            right,
+            (F.col("pcx") == F.col("cx"))
+            & (F.col("pcy") == F.col("cy"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.sqrt(
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            ).alias("dist"),
+        )
+        .where(F.col("dist") <= F.lit(float(radius)))
+    )

@@ -747,3 +747,55 @@ def q_customer_yearly_rev_full_outer(spark: SparkSession, sf_dir: str) -> DataFr
         .otherwise(F.lit("both"))
         .alias("status"),
     )
+
+
+# ------------------------------------------------------- proximity join ----
+
+
+@register(
+    "airports_proximity_pairs",
+    """
+WITH airports_msgs AS (
+    SELECT CAST(c_custkey // 10 AS VARCHAR) AS id,
+           CASE WHEN c_custkey % 13 = 0 THEN ''
+                WHEN c_custkey % 29 = 0 THEN 'not-a-number'
+                ELSE CAST(c_acctbal / 100 AS VARCHAR) END AS lat,
+           CASE WHEN c_custkey % 17 = 0 THEN NULL
+                ELSE CAST(c_acctbal / 50 AS VARCHAR) END AS lon
+    FROM customer
+),
+clean AS (
+    SELECT id,
+           TRY_CAST(NULLIF(lat, '') AS DOUBLE) AS x,
+           TRY_CAST(NULLIF(lon, '') AS DOUBLE) AS y
+    FROM airports_msgs
+),
+pts AS (
+    SELECT id, x, y FROM clean
+    WHERE x IS NOT NULL AND y IS NOT NULL
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY x, y) = 1
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 5.0
+""",
+    doc="Spatial proximity self-join over the deduplicated cleaned "
+    "airports (operators/joins.py:grid_proximity_join): all pairs within "
+    "planar distance 5.0 via lossless 3x3 grid-cell blocking — candidate "
+    "volume tracks local density, never n²; the oracle is the exact "
+    "all-pairs form the blocking provably equals.",
+)
+def q_airports_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import airports_messages
+    from .operators.airports import clean_coords, parse_json_messages
+    from .operators.joins import grid_proximity_join
+
+    clean = clean_coords(parse_json_messages(airports_messages(spark, sf_dir)))
+    w = Window.partitionBy("id").orderBy("latitude", "longitude")
+    pts = (
+        clean.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", F.col("latitude").alias("x"), F.col("longitude").alias("y"))
+    )
+    return grid_proximity_join(pts, radius=5.0)

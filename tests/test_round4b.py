@@ -416,3 +416,51 @@ def test_full_outer_join_reuses_groupby_exchange(spark, sf_dir):
     # the join must reuse the groupBys' hash partitioning on o_custkey:
     # exactly the two aggregation exchanges, none added for the join
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+# -------------------------------------------------------- proximity join ----
+
+
+def test_grid_proximity_join_equals_brute_force(spark):
+    from projet_etl_a_rien_spark.operators.joins import grid_proximity_join
+
+    # deterministic pseudo-random points, including cell-boundary sitters
+    rows = [
+        (i, float((i * 37) % 100) / 7.0, float((i * 91) % 100) / 7.0)
+        for i in range(120)
+    ] + [(200, 2.0, 2.0), (201, 1.999999, 2.000001), (202, 4.0, 2.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in grid_proximity_join(df, radius=2.0).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.sqrt(
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+                + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
+            ).alias("dist"),
+        )
+        .where(F.col("dist") <= 2.0)
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_grid_proximity_join_no_cartesian(spark):
+    from projet_etl_a_rien_spark.operators.joins import grid_proximity_join
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(50)], "id long, x double, y double"
+    )
+    plan = (
+        grid_proximity_join(df, radius=1.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
