@@ -156,3 +156,70 @@ def test_connected_components_regimes_agree(spark, edges):
             seen[n] = label
             expected.add((n, label))
     assert fast == expected
+
+
+CORPUS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+        min_size=3,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(CORPUS, st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_is_lossless(spark, docs, threshold):
+    """jaccard_prefix_pairs must equal the unfiltered exact inverted-index
+    join for ANY corpus and threshold — the pigeonhole prefix bound is a
+    theorem, so a single counterexample means the implementation broke
+    the ordering or the prefix length."""
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_prefix_pairs(df, threshold=threshold).collect()
+    }
+    ref = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df.withColumn("source", F.lit("one")), threshold=threshold
+        ).collect()
+    }
+    assert got == ref
+
+
+POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40).map(float),
+        st.integers(min_value=0, max_value=40).map(float),
+    ),
+    min_size=2,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(POINTS, st.sampled_from([1.0, 2.5, 7.0]))
+def test_grid_proximity_join_is_lossless(spark, pts, radius):
+    """Grid blocking must find every pair the brute-force O(n²) check
+    finds, at any radius — including points sitting exactly on cell
+    boundaries (integer coordinates with integer radii)."""
+    from projet_etl_a_rien_spark.operators.joins import grid_proximity_join
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x double, y double"
+    )
+    got = {
+        (r["id_a"], r["id_b"]) for r in grid_proximity_join(df, radius).collect()
+    }
+    brute = {
+        (i, j)
+        for i, (xa, ya) in enumerate(pts)
+        for j, (xb, yb) in enumerate(pts)
+        if i < j and ((xa - xb) ** 2 + (ya - yb) ** 2) ** 0.5 <= radius
+    }
+    assert got == brute
