@@ -434,3 +434,83 @@ def q_streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_weighted_sample_sink(
         replay_events_stream(spark, sf_dir), sink, k=100
     )
+
+
+@register(
+    "streaming_orders_cdc_merge",
+    """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS seq FROM orders
+),
+upd AS (
+    SELECT DISTINCT o.o_orderkey, 'R' AS o_orderstatus, 'U' AS op, 1 AS seq
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_returnflag = 'R'
+),
+del AS (
+    SELECT o_orderkey, o_orderstatus, 'D' AS op, 2 AS seq
+    FROM orders WHERE o_orderkey % 1000 = 0
+),
+merged AS (
+    SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+),
+latest AS (
+    SELECT * FROM merged
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) = 1
+)
+SELECT o_orderkey, o_orderstatus FROM latest WHERE op != 'D'
+""",
+    doc="Streaming MERGE INTO (streaming/windows.py:run_cdc_merge_sink): "
+    "the orders_cdc_merge changelog replayed as a file stream (one "
+    "micro-batch per change file), folded into a tombstone-retaining "
+    "parquet sink. Latest-by-(seq, op) with tombstones KEPT makes the "
+    "fold order-independent across micro-batches, so the final sink "
+    "equals the one-shot batch MERGE — the oracle is literally the "
+    "batch query's SQL.",
+)
+def q_streaming_orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+    import tempfile
+
+    from .streaming.windows import run_cdc_merge_sink
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem")
+    upd = (
+        o.join(
+            li.where(F.col("l_returnflag") == "R").select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .select(
+            "o_orderkey",
+            F.lit("R").alias("o_orderstatus"),
+            F.lit("U").alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+    )
+    dels = o.where(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit("D").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    src = os.path.join(tempfile.gettempdir(), "etl_cdc_changes")
+    _sh.rmtree(src, ignore_errors=True)
+    # one file per change batch → one micro-batch each under
+    # maxFilesPerTrigger=1 (written in seq order, but the fold does not
+    # depend on it — see run_cdc_merge_sink)
+    upd.coalesce(1).write.mode("append").parquet(src)
+    dels.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_orderstatus string, op string, seq long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = os.path.join(tempfile.gettempdir(), "etl_cdc_sink")
+    _sh.rmtree(sink, ignore_errors=True)
+    return run_cdc_merge_sink(stream, o, sink, ["o_orderkey"], "seq")

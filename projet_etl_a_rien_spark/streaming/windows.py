@@ -518,3 +518,73 @@ def run_weighted_sample_sink(
         return spark.createDataFrame(
             [], f"{id_col} long, {weight_col} double, samp_key double"
         )
+
+
+def run_cdc_merge_sink(
+    change_stream: DataFrame,
+    base: DataFrame,
+    path: str,
+    key_cols: list,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Streaming MERGE INTO: fold a CDC changelog stream into a parquet
+    sink, micro-batch by micro-batch — the streaming twin of
+    ``operators.compaction.apply_changes``.
+
+    The sink RETAINS tombstones and sequence numbers: each merge keeps,
+    per key, the row with the highest (seq, op) — including 'D' rows —
+    and only the final read filters deletes out. That makes the fold
+    ORDER-INDEPENDENT across micro-batches: a delete arriving before an
+    earlier-seq update still wins the latest-by-seq comparison, so any
+    partitioning of the changelog into batches (and any arrival order)
+    produces the same final state as a one-shot batch apply. Dropping
+    tombstones per-batch would break exactly that case (the late update
+    would resurrect the deleted key).
+
+    State is the sink itself (key-count rows, not stream-length); each
+    merge is one key-partitioned window over sink ∪ batch. The merged
+    result is localCheckpointed before the overwrite so the sink is
+    never read and truncated concurrently."""
+    from ..operators.compaction import latest_by_key
+
+    spark = change_stream.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
+    data_cols = [c for c in base.columns]
+    base.select(
+        *data_cols,
+        F.lit("I").alias(op_col),
+        F.lit(0).cast("long").alias(seq_col),
+    ).write.mode("overwrite").parquet(path)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(path)
+        merged = latest_by_key(
+            cur.unionByName(
+                batch_df.select(
+                    *data_cols, op_col, F.col(seq_col).cast("long").alias(seq_col)
+                )
+            ),
+            key_cols,
+            seq_col,
+            tiebreak_cols=[op_col],
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+
+    try:
+        q = (
+            change_stream.writeStream.foreachBatch(merge)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(path)
+        .where(F.col(op_col) != "D")
+        .drop(op_col, seq_col)
+        .localCheckpoint(eager=True)
+    )

@@ -464,3 +464,27 @@ def test_grid_proximity_join_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_cdc_merge_order_independent(spark, tmp_path):
+    """A delete micro-batch arriving BEFORE an earlier-seq update must
+    still win: tombstone retention makes the fold order-independent."""
+    from projet_etl_a_rien_spark.streaming.windows import run_cdc_merge_sink
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    src = str(tmp_path / "chg")
+    # file 1 = the LATER change (delete k=2, seq 2); file 2 = seq-1 update
+    spark.createDataFrame(
+        [(2, "b", "D", 2)], "k long, v string, op string, seq long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, "b1", "U", 1), (1, "a1", "U", 1)],
+        "k long, v string, op string, seq long",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k long, v string, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_cdc_merge_sink(stream, base, str(tmp_path / "cdcsink"), ["k"], "seq")
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == [(1, "a1")]
