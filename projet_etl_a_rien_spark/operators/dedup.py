@@ -966,3 +966,149 @@ def ngram_containment_pairs(
         (F.col("n_common") / F.col("sz_b")).alias("containment"),
     )
     return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+
+
+# ------------------------------------------- exact substring-span dedup ----
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT duplicated-substring spans (the ExactSubstr construction of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at token granularity): every maximal token range of a
+    document whose every ``k``-token window also occurs somewhere else
+    in the corpus (another doc, or another position of the same doc).
+
+    The suffix-array formulation of the paper is replaced by a fully
+    relational one — same output, Spark-native plan:
+
+    1. positional k-gram hashes: one Horner polynomial per window over
+       per-token md5 hashes (``word_hashes`` + ``_poly_combine`` — the
+       minhash shingle arithmetic, so one md5 per token, pure int64
+       after that), ``posexplode`` into (id, pos, gh) rows;
+    2. global duplicate grams: groupBy(gh) HAVING count > 1 — a
+       vocabulary-sized aggregate with map-side partials — semi-joined
+       back to keep only duplicated window starts;
+    3. gaps-and-islands merge: per doc, windows [pos, pos+k-1] are
+       merged into maximal spans with a running ``max(pos+k-1)`` window
+       (break when the next window starts past the running end + 1);
+       one shuffle keyed on the doc id, no global sort.
+
+    Returns (id, span_start, span_end, span_tokens) — 0-based inclusive
+    token offsets, spans disjoint and non-adjacent per doc. Docs shorter
+    than ``k`` tokens yield no rows (they have no k-token window).
+
+    Scale shape: cost is one explode of n_tokens-k+1 rows per doc, one
+    hash-keyed aggregate, one semi-join, one id-keyed window — each a
+    single narrow shuffle; hash-collision false positives inherit the
+    ~|grams|/2^31 bound every hashed-shingle operator here accepts.
+    Skew lives in step 2's gram key exactly where duplication does; the
+    aggregate is a count (map-side combinable), so hot grams cost rows
+    in, one row out.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    gram_hashes = _bind_once(
+        word_hashes(toks),
+        lambda wh: F.transform(
+            F.sequence(F.lit(0), F.size(wh) - k),
+            lambda i: _poly_combine(wh, i, k),
+        ),
+    )
+    grams = df.where(F.size(toks) >= k).select(
+        F.col(id_col).alias("id"), F.posexplode(gram_hashes).alias("pos", "gh")
+    )
+    dupg = grams.groupBy("gh").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    dpos = grams.join(dupg.select("gh"), "gh", "left_semi").select("id", "pos")
+    prev = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dpos.select(
+        "id",
+        "pos",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + (k - 1)).over(prev), F.lit(-2)) + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    run = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = marked.select("id", "pos", F.sum("brk").over(run).alias("island"))
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def exact_substr_rewrite(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite half of :func:`exact_substr_spans`: drop every token
+    covered by a duplicated span and reassemble each document from the
+    survivors in position order.
+
+    Removal is ALL-copies (any token inside a corpus-duplicated k-window
+    is dropped from every document containing it) — the aggressive
+    variant; the keep-first policy at segment granularity lives in
+    ``text.segment_dedup_rewrite``. Documents with no duplicated span
+    (including docs shorter than ``k`` tokens) pass through verbatim.
+
+    Returns (id, clean_text, n_kept, n_removed); ``clean_text`` is ''
+    when every token was removed. Covered positions are materialized by
+    exploding ``sequence(span_start, span_end)`` — span-length bounded,
+    an equality anti-join key, so the kept/removed split is a plain
+    (id, pos) hash join, never a range join.
+    """
+    spans = exact_substr_spans(df, k=k, text_col=text_col, id_col=id_col)
+    covered = spans.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+        F.lit(1).alias("cov"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).select("id", F.col("pos").cast("long").alias("pos"), "tok")
+    kept_struct = F.when(F.col("cov").isNull(), F.struct(F.col("pos"), F.col("tok")))
+    return (
+        toks.join(covered, ["id", "pos"], "left")
+        .groupBy("id")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("cov").isNull(), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("cov").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "clean_text", "n_kept", "n_removed")
+    )

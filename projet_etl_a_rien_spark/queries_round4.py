@@ -799,3 +799,108 @@ def q_airports_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.col("latitude").alias("x"), F.col("longitude").alias("y"))
     )
     return grid_proximity_join(pts, radius=5.0)
+
+
+# ------------------------------------------- exact substring-span dedup ----
+
+EXSUB_K = 8
+
+
+def _exsub_poly_sql(k: int) -> str:
+    """DuckDB replay of ``dedup._poly_combine`` over wh[pos+1 .. pos+k]
+    (1-based list indexing, mod P between Horner steps)."""
+    expr = "wh[pos + 1]"
+    for j in range(1, k):
+        expr = f"(({expr}) * {dedup.SHINGLE_B} + wh[pos + {j + 1}]) % {dedup.MINHASH_P}"
+    return expr
+
+
+def _exsub_span_ctes() -> str:
+    """Duplicated k-gram positions -> gaps-and-islands merged spans, the
+    exact relational replay of ``dedup.exact_substr_spans`` (positional
+    Horner k-gram hashes over per-token md5 hashes, global HAVING
+    count>1, running-max interval merge)."""
+    k, p = EXSUB_K, dedup.MINHASH_P
+    return f"""{DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+wordhashed AS (
+    SELECT doc_id AS id,
+           list_transform(string_split(text, ' '),
+               w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {p}) AS wh
+    FROM docs_dup
+    WHERE len(string_split(text, ' ')) >= {k}
+),
+grams AS (
+    SELECT id, pos, {_exsub_poly_sql(k)} AS gh
+    FROM (SELECT id, wh, unnest(range(len(wh) - {k} + 1)) AS pos FROM wordhashed)
+),
+dupg AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > 1),
+dpos AS (SELECT g.id, g.pos FROM grams g JOIN dupg USING (gh)),
+marked AS (
+    SELECT id, pos,
+           CASE WHEN pos > COALESCE(MAX(pos + {k - 1}) OVER (
+                    PARTITION BY id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM dpos
+),
+isl AS (
+    SELECT id, pos, SUM(brk) OVER (
+        PARTITION BY id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked
+),
+spans AS (
+    SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end
+    FROM isl GROUP BY id, island
+)"""
+
+
+@register(
+    "doc_exact_substr_spans",
+    f"""WITH {_exsub_span_ctes()}
+SELECT id AS doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens
+FROM spans""",
+    doc="ExactSubstr duplicated-span detection (Lee et al. 2022) in "
+    "relational form (operators/dedup.py:exact_substr_spans): maximal "
+    "token ranges whose every 8-token window recurs elsewhere in the "
+    "corpus — positional Horner k-gram hashes, corpus-wide HAVING "
+    "count>1, running-max gaps-and-islands merge. One explode, one "
+    "hash-keyed aggregate, one id-keyed window; no suffix array.",
+)
+def q_doc_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_substr_spans(
+        documents_with_dups(spark, sf_dir), k=EXSUB_K
+    )
+
+
+@register(
+    "corpus_exact_substr_rewrite",
+    f"""WITH {_exsub_span_ctes()},
+covered AS (
+    SELECT id, unnest(range(span_start, span_end + 1)) AS pos FROM spans
+),
+toks AS (
+    SELECT id, pos, ts[pos + 1] AS tok
+    FROM (SELECT id, ts, unnest(range(len(ts))) AS pos
+          FROM (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM docs_dup))
+)
+SELECT t.id AS doc_id,
+       COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                    FILTER (WHERE c.pos IS NULL), '') AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE c.pos IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(c.pos) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN covered c ON t.id = c.id AND t.pos = c.pos
+GROUP BY t.id""",
+    doc="ExactSubstr rewrite (operators/dedup.py:exact_substr_rewrite): "
+    "drop every token inside a duplicated span (all-copies removal; "
+    "keep-first at segment granularity is segment_dedup_rewrite) and "
+    "reassemble survivors in position order. Covered positions come "
+    "from exploding span ranges, so the kept/removed split is an "
+    "equality join on (id, pos) — never a range join.",
+)
+def q_corpus_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_substr_rewrite(
+        documents_with_dups(spark, sf_dir), k=EXSUB_K
+    )
