@@ -904,3 +904,31 @@ def q_corpus_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.exact_substr_rewrite(
         documents_with_dups(spark, sf_dir), k=EXSUB_K
     )
+
+
+# ------------------------------------------------- edit-distance join ----
+
+from .operators import strings as _strings
+
+
+@register(
+    "customer_name_edit_pairs",
+    """
+WITH names AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1""",
+    doc="Edit-distance similarity self-join (ed <= 1) over customer "
+    "names via PassJoin pigeonhole segment blocking "
+    "(operators/strings.py:edit_distance_pairs): candidates from an "
+    "equality join on (length, segment, piece) keys — never a cross "
+    "join — then an exact levenshtein verify. The oracle IS the "
+    "all-pairs definition, so the driver gate doubles as the "
+    "losslessness check at sf0.01.",
+)
+def q_customer_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    return _strings.edit_distance_pairs(c, d=1, str_col="name", id_col="id")
