@@ -624,3 +624,57 @@ def q_events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# ----------------------------------------------- zone maps / file skipping ----
+
+# The fixed probe predicates the zone map is evaluated against: a time
+# slice (correlates with arrival layout -> most zones skip) and a value
+# slice (uncorrelated with layout -> almost nothing skips). The contrast
+# IS the lesson: min/max zone stats prune only along columns the layout
+# clusters, which is exactly what the Z-order export (events_zorder_values)
+# buys for multi-column predicates.
+ZM_TS_LO, ZM_TS_HI = "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+ZM_VAL_LO, ZM_VAL_HI = 30.0, 40.0
+
+
+@register(
+    "events_zone_map",
+    f"""
+SELECT date_trunc('hour', ts) AS zone_hour,
+       COUNT(*) AS n_rows,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(MAX(ts) < TIMESTAMP '{ZM_TS_LO}'
+            OR MIN(ts) > TIMESTAMP '{ZM_TS_HI}' AS BIGINT) AS skip_time_pred,
+       CAST(MAX(value) < {ZM_VAL_LO}
+            OR MIN(value) > {ZM_VAL_HI} AS BIGINT) AS skip_value_pred
+FROM events
+GROUP BY 1
+""",
+    doc="Zone-map (min/max/count) statistics per hourly zone — the "
+    "file-skipping index a 100 TB lake consults before scanning: a zone "
+    "whose [min, max] misses the predicate range is pruned without "
+    "touching its rows. Emits skip flags for a time-slice predicate "
+    "(layout-correlated: nearly every zone outside the slice skips) and "
+    "a value-slice predicate (layout-uncorrelated: nearly none skip) — "
+    "the contrast that motivates Z-order clustering. One map-side "
+    "combinable aggregate; zone count, not row count, leaves the "
+    "exchange.",
+)
+def q_events_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("hour", F.col("ts")).alias("zone_hour")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (
+            (F.max("ts") < F.lit(ZM_TS_LO).cast("timestamp_ntz"))
+            | (F.min("ts") > F.lit(ZM_TS_HI).cast("timestamp_ntz"))
+        )
+        .cast("long")
+        .alias("skip_time_pred"),
+        ((F.max("value") < ZM_VAL_LO) | (F.min("value") > ZM_VAL_HI))
+        .cast("long")
+        .alias("skip_value_pred"),
+    )

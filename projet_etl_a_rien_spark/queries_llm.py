@@ -1592,3 +1592,73 @@ def q_embedding_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=PQ_ITERS,
         scale=QUANT_SCALE,
     )
+
+
+# ------------------------------------------- diversity-balanced sample ----
+
+DIVERSITY_CAP = 40  # docs kept per k-means cell
+DIVERSITY_QB = 1000  # quality buckets, same integer metric as token budget
+
+
+@register(
+    "corpus_diversity_sample",
+    f"""
+WITH {_KM_CTE},
+qual AS (
+    SELECT doc_id,
+           ({DIVERSITY_QB} * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS qb
+    FROM documents
+),
+ranked AS (
+    SELECT q.doc_id, af.cluster, q.qb,
+           ROW_NUMBER() OVER (PARTITION BY af.cluster
+                              ORDER BY q.qb DESC, q.doc_id) AS rn
+    FROM qual q JOIN {_KM_FINAL} af ON q.doc_id = af.id
+)
+SELECT doc_id, CAST(cluster AS BIGINT) AS cluster, qb, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {DIVERSITY_CAP}
+""",
+    doc="Diversity-balanced corpus selection: deterministic quantized "
+    "k-means cells over the embedding space (vec_id = doc_id by the "
+    "fixture's construction), then a per-cell cap in (quality DESC, id) "
+    "order — the SemDeDup-adjacent 'cluster then subsample' recipe that "
+    "keeps a web-scale corpus from collapsing onto its densest mode. "
+    "Per-cell ranking reuses the integer quality bucket of "
+    "corpus_token_budget_selection, so both engines order identically "
+    "with zero float comparisons. Scale shape: the k-means fit collects "
+    "only k x dim centroid scalars; the cap is a window partitioned by "
+    "cell — no global sort, and cell skew is bounded by the cap itself "
+    "(every cell emits at most CAP rows).",
+)
+def q_corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    assign = similarity.kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        scale=KMEANS_SCALE,
+    )
+    t = F.col("text")
+    qual = _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            (F.lit(DIVERSITY_QB) * text.unique_token_count(t)).cast("long")
+            / text.token_count(t)
+        )
+        .cast("long")
+        .alias("qb"),
+    )
+    ranked = qual.join(assign, qual["doc_id"] == assign["vec_id"]).select(
+        "doc_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "qb",
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster").orderBy(F.desc("qb"), F.col("doc_id"))
+        )
+        .cast("long")
+        .alias("rn"),
+    )
+    return ranked.where(F.col("rn") <= DIVERSITY_CAP)
