@@ -233,3 +233,84 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via DEGREE-ORDERED edge orientation (the
+    standard distributed triangle enumeration: Suri & Vassilvitskii's
+    MR curve, Cohen's oriented wedge join). Input edges are treated as
+    undirected; self-loops and duplicate/reversed copies are normalized
+    away first.
+
+    Orient every undirected edge {u, v} from the (degree, id)-smaller
+    endpoint to the larger. Each triangle then has exactly ONE wedge
+    u->v, u->w with both out-edges at its minimum-(degree, id) corner,
+    so one equality self-join on the wedge apex plus one semi-join
+    against the closing edge enumerates each triangle exactly once —
+    and, critically, out-degrees under this orientation are O(sqrt(|E|))
+    even for power-law hubs (a hub's edges point INTO it from its
+    lower-degree neighbors), so the wedge join never explodes on the
+    hot node the way a naive neighbor self-join does. That bound is the
+    whole scale story: wedge volume is sum of out_deg^2 <= |E|^1.5,
+    independent of the maximum degree.
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle, node type
+    preserved from the input. Shuffles: edge normalization (one
+    distinct), degree aggregate, wedge join on the apex, closing-edge
+    semi-join on (v, w) — all equality exchanges on edge keys.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    withdeg = (
+        und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    oriented = withdeg.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+        )
+        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+        .alias("e")
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b")).persist()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .where(F.col("e1.b") < F.col("e2.b"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    # wedges have y < z by construction; the closing edge may be oriented
+    # either way in `oriented`, so normalize it to (least, greatest)
+    closing = oriented.select(
+        F.least("a", "b").alias("y"), F.greatest("a", "b").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"], "left_semi")
+    out = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .localCheckpoint(eager=True)
+    )
+    oriented.unpersist()
+    return out

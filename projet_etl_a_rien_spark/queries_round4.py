@@ -932,3 +932,54 @@ def q_customer_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
     return _strings.edit_distance_pairs(c, d=1, str_col="name", id_col="id")
+
+
+# ------------------------------------------------------ triangle counting ----
+
+
+@register(
+    "parts_triangle_counts",
+    """
+WITH pairs AS (
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                    GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM pairs e1
+    JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+nodes AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT node AS part_id, COUNT(*) AS n_triangles
+FROM nodes GROUP BY node
+""",
+    doc="Per-part triangle participation in the co-purchase graph (parts "
+    "sharing an order = edge) via degree-ordered orientation "
+    "(operators/graph.py:triangle_counts): each triangle is enumerated "
+    "once at its minimum-(degree, id) corner, and hub out-degrees are "
+    "O(sqrt(E)) under the orientation, so the wedge join is bounded by "
+    "E^1.5 regardless of degree skew. The oracle counts the same "
+    "triangles by plain u<v<z enumeration — orientation-independence of "
+    "the count is exactly what the hash gate certifies.",
+)
+def q_parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return graph.triangle_counts(edges).withColumnRenamed("node", "part_id")

@@ -78,3 +78,34 @@ def test_zone_map_skipping_is_conservative(spark, sf_dir):
     # miss the slice by chance more often, hence relative not absolute)
     assert stats["sv"] < stats["st"], "value predicate should skip fewer zones"
     zones.unpersist()
+
+
+def test_triangle_counts_known_graph(spark):
+    from projet_etl_a_rien_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 + an
+    # isolated triangle {6,7,8}; edges fed with duplicates, reversals
+    # and a self-loop to exercise normalization
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1), (3, 1),          # reversed duplicates
+        (4, 4),                   # self-loop
+        (4, 5),                   # pendant, no triangle
+        (6, 7), (7, 8), (8, 6),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_counts_string_ids(spark):
+    from projet_etl_a_rien_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
