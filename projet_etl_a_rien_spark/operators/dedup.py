@@ -1112,3 +1112,40 @@ def exact_substr_rewrite(
         )
         .select(F.col("id").alias(id_col), "clean_text", "n_kept", "n_removed")
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination scan — the n-gram collision test every
+    LLM training pipeline runs before a corpus ships (the GPT-3
+    appendix-C / PaLM 8-gram overlap check): for each training document,
+    how many of its distinct word n-grams also occur anywhere in the
+    benchmark corpus, and how many distinct benchmark documents it
+    collides with. Returns (id, n_hit_ngrams, n_bench_docs) for
+    contaminated documents only.
+
+    Scale shape: both sides reduce to DISTINCT md5-hashed n-grams —
+    narrow (id, digest) rows — and candidates come from ONE equality
+    shuffle on the digest; no string payload crosses an exchange. The
+    benchmark side is orders of magnitude smaller than the corpus, but
+    no broadcast is forced: AQE broadcasts it when it fits and falls
+    back to a hash join when it does not. A hot digest (boilerplate
+    shared corpus-wide) fans out only into that key's (train x bench)
+    pairs, which IS the contamination being measured; the per-doc
+    count_distinct re-aggregates it with map-side partials.
+    """
+    tg = train.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
+    ).select("id", F.md5("g").alias("gh"))
+    bg = bench.select(
+        F.col(id_col).alias("bid"), F.explode(shingles(text_col, n)).alias("g")
+    ).select("bid", F.md5("g").alias("gh"))
+    return tg.join(bg, "gh").groupBy("id").agg(
+        F.count_distinct("gh").alias("n_hit_ngrams"),
+        F.count_distinct("bid").alias("n_bench_docs"),
+    )

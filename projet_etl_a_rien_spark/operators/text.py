@@ -878,3 +878,93 @@ def hashed_classifier_score(
         (F.col("_sum_wt") / (F.lit(1000) * F.col("n_tokens"))).alias("score"),
         (F.col("_sum_wt") >= 0).alias("label"),
     )
+
+
+def pack_training_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_salt: str = "pack:",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the layout step that turns a
+    curated corpus into fixed-length training rows: documents are laid
+    end-to-end in a deterministic pseudo-random order (md5 of the salted
+    id, ties by id — stable across runs, engines and partitionings) and
+    the concatenated token stream is cut into bins of ``seq_len``
+    tokens; a document crossing a boundary is split across bins, GPT
+    -style. Returns one row per (document, bin) span:
+    (id, bin, start_in_doc, start_in_bin, n_tok).
+
+    The spec is a prefix sum over the global order — a single-reducer
+    sort at 100 TB if translated literally (the DuckDB oracle's window
+    form). Instead the prefix sum decomposes over order-aligned hash
+    buckets, exactly as in :func:`token_budget_selection`:
+
+        offset(doc) = tokens_in_buckets_before(doc.hb)
+                    + tokens_before_within_bucket(doc)
+
+    ``hb`` is the integer value of the first 3 hex chars of the order
+    hash — a PREFIX of the sort key, so bucket order equals global
+    order (4096 buckets, uniformly loaded by construction since the
+    key is a hash). Bucket totals are one narrow groupBy whose
+    cumulative sum is broadcast back; the within-bucket window never
+    sees more than ~1/4096 of the corpus. Bin spans then come from one
+    ``explode(sequence(first_bin, last_bin))`` — each doc emits
+    1 + n_tokens/seq_len rows, the output's own size.
+    """
+    from pyspark.sql.window import Window
+
+    hk = F.md5(F.concat(F.lit(order_salt), F.col(id_col).cast("string")))
+    d = df.select(
+        F.col(id_col).alias("id"),
+        token_count(text_col).alias("n_tokens"),
+        hk.alias("hk"),
+    ).where(F.col("n_tokens") > 0)
+    d = d.withColumn(
+        "hb", F.conv(F.substring("hk", 1, 3), 16, 10).cast("long")
+    )
+    per_bucket = d.groupBy("hb").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    wb = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_bucket.select(
+        "hb",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias("before_bucket"),
+    )
+    wd = (
+        Window.partitionBy("hb")
+        .orderBy("hk", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        d.join(F.broadcast(cum), "hb")
+        .withColumn(
+            "off",
+            F.col("before_bucket") + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
+        )
+        .select("id", "n_tokens", "off")
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    spans = off.select(
+        "id",
+        "n_tokens",
+        "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / L),
+                F.floor((F.col("off") + F.col("n_tokens") - 1) / L),
+            )
+        ).alias("bin"),
+    )
+    start_in_doc = F.greatest(F.lit(0).cast("long"), F.col("bin") * L - F.col("off"))
+    return spans.select(
+        "id",
+        F.col("bin").cast("long").alias("bin"),
+        start_in_doc.alias("start_in_doc"),
+        F.greatest(F.lit(0).cast("long"), F.col("off") - F.col("bin") * L).alias(
+            "start_in_bin"
+        ),
+        (
+            F.least(F.col("n_tokens"), (F.col("bin") + 1) * L - F.col("off"))
+            - start_in_doc
+        ).alias("n_tok"),
+    )

@@ -983,3 +983,100 @@ def q_parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return graph.triangle_counts(edges).withColumnRenamed("node", "part_id")
+
+
+# ------------------------------------------ packing / decontamination ----
+
+from .operators import text as _text
+
+PACK_SEQ_LEN = 512
+CONTAM_N = 8
+
+
+@register(
+    "corpus_pack_sequences",
+    f"""
+WITH d AS (
+    SELECT doc_id AS id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5('pack:' || CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+    WHERE len(string_split(text, ' ')) > 0
+),
+o AS (
+    SELECT id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY hk, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+    FROM d
+),
+s AS (
+    SELECT id, n_tokens, off,
+           unnest(range(off // {PACK_SEQ_LEN},
+                        (off + n_tokens - 1) // {PACK_SEQ_LEN} + 1)) AS bin
+    FROM o
+)
+SELECT id, CAST(bin AS BIGINT) AS bin,
+       CAST(GREATEST(0, bin * {PACK_SEQ_LEN} - off) AS BIGINT) AS start_in_doc,
+       CAST(GREATEST(0, off - bin * {PACK_SEQ_LEN}) AS BIGINT) AS start_in_bin,
+       CAST(LEAST(n_tokens, (bin + 1) * {PACK_SEQ_LEN} - off)
+            - GREATEST(0, bin * {PACK_SEQ_LEN} - off) AS BIGINT) AS n_tok
+FROM s
+""",
+    doc="Concat-and-chunk sequence packing to fixed "
+    f"{PACK_SEQ_LEN}-token training rows "
+    "(operators/text.py:pack_training_sequences): documents laid "
+    "end-to-end in deterministic salted-hash order and cut at bin "
+    "boundaries, docs splitting across bins GPT-style — unlike "
+    "doc_packing_bins, which assigns whole docs greedily within each "
+    "source. The oracle is the literal single-window prefix sum; the "
+    "Spark plan decomposes it over 4096 order-aligned hash buckets "
+    "(bucket = integer prefix of the sort key) so no window ever sees "
+    "more than ~1/4096 of the corpus and the only global structure is "
+    "a broadcast of the cumulative bucket totals.",
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.pack_training_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=PACK_SEQ_LEN
+    )
+
+
+@register(
+    "ngram_overlap_contamination",
+    f"""
+WITH {{dups}},
+tg AS (
+    SELECT doc_id AS id, unnest(list_distinct(list_transform(
+        range(len(string_split(text, ' ')) - {CONTAM_N - 1}),
+        i -> array_to_string(string_split(text, ' ')[i + 1:i + {CONTAM_N}], ' ')))) AS g
+    FROM docs_dup
+    WHERE doc_id < 1000000 AND len(string_split(text, ' ')) >= {CONTAM_N}
+),
+bg AS (
+    SELECT doc_id AS bid, unnest(list_distinct(list_transform(
+        range(len(string_split(text, ' ')) - {CONTAM_N - 1}),
+        i -> array_to_string(string_split(text, ' ')[i + 1:i + {CONTAM_N}], ' ')))) AS g
+    FROM docs_dup
+    WHERE doc_id >= 1000000 AND len(string_split(text, ' ')) >= {CONTAM_N}
+)
+SELECT id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hit_ngrams,
+       CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_bench_docs
+FROM tg JOIN bg USING (g)
+GROUP BY id
+""".format(dups=DOCUMENTS_WITH_DUPS_ORACLE_CTE),
+    doc=f"Exact {CONTAM_N}-gram overlap decontamination — the canonical "
+    "GPT-3-appendix-C collision test, complementing "
+    "train_eval_contamination's rare-winnow-fingerprint variant: every "
+    "training doc sharing ANY verbatim n-gram with the benchmark side "
+    "(the planted-dup corpus split at id 1M) is reported with its hit "
+    "breadth (operators/dedup.py:ngram_contamination). Both sides shrink "
+    "to distinct (id, md5(gram)) rows before the single digest-keyed "
+    "equality shuffle; no broadcast is forced, so AQE picks one exactly "
+    "when the benchmark side is small enough.",
+)
+def q_ngram_overlap_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = documents_with_dups(spark, sf_dir)
+    return dedup.ngram_contamination(
+        corpus.where(F.col("doc_id") < 1_000_000),
+        corpus.where(F.col("doc_id") >= 1_000_000),
+        n=CONTAM_N,
+    )

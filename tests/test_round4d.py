@@ -1,0 +1,80 @@
+"""Round-4 batch 4: concat-and-chunk sequence packing and exact n-gram
+contamination — both property-checked against brute-force Python
+reimplementations of their specs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.operators.dedup import ngram_contamination
+from projet_etl_a_rien_spark.operators.text import pack_training_sequences
+
+
+def _brute_pack(rows, L, salt="pack:"):
+    """rows: (id, text). Literal spec: order by (md5(salt+id), id),
+    concat token stream, chunk at L, one span per (doc, bin)."""
+    docs = [
+        (hashlib.md5(f"{salt}{i}".encode()).hexdigest(), i, len(t.split(" ")))
+        for i, t in rows
+        if len(t.split(" ")) > 0 and t != ""
+    ]
+    docs.sort()
+    out, off = set(), 0
+    for _, i, n in docs:
+        for b in range(off // L, (off + n - 1) // L + 1):
+            sid = max(0, b * L - off)
+            out.add(
+                (i, b, sid, max(0, off - b * L), min(n, (b + 1) * L - off) - sid)
+            )
+        off += n
+    return out
+
+
+def test_pack_sequences_matches_spec(spark):
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(3 + (i * 7) % 40)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id"], r["bin"], r["start_in_doc"], r["start_in_bin"], r["n_tok"])
+        for r in pack_training_sequences(df, seq_len=16).collect()
+    }
+    assert got == _brute_pack(rows, 16)
+
+
+def test_pack_sequences_conservation(spark):
+    # every token placed exactly once; bins dense 0..max and exactly full
+    # except possibly the last
+    rows = [(i, " ".join("x" * 3 for _ in range(5 + i % 11))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_training_sequences(df, seq_len=32)
+    per_doc = {r["id"]: r["tot"] for r in out.groupBy("id").agg(F.sum("n_tok").alias("tot")).collect()}
+    assert per_doc == {i: 5 + i % 11 for i in range(40)}
+    bins = {r["bin"]: r["tot"] for r in out.groupBy("bin").agg(F.sum("n_tok").alias("tot")).collect()}
+    last = max(bins)
+    assert set(bins) == set(range(last + 1))
+    assert all(bins[b] == 32 for b in range(last))
+    assert 0 < bins[last] <= 32
+
+
+def test_ngram_contamination_exact(spark):
+    mk = lambda *ws: " ".join(ws)
+    a = mk(*[f"a{i}" for i in range(6)])  # 3 distinct 4-grams
+    b = mk(*[f"b{i}" for i in range(6)])
+    train = spark.createDataFrame(
+        [(1, a), (2, b), (3, mk("z", *[f"a{i}" for i in range(4)]))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, a), (11, a + " extra")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_hit_ngrams"], r["n_bench_docs"])
+        for r in ngram_contamination(train, bench, n=4).collect()
+    }
+    # doc 1 shares all 3 of its 4-grams with both bench docs; doc 3
+    # shares exactly one (a0..a3); doc 2 shares none
+    assert got == {1: (3, 2), 3: (1, 2)}
