@@ -268,6 +268,9 @@ def triangle_counts(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # consumed twice (degree aggregate + orientation join): persist so
+        # an expensive upstream edge derivation is not recomputed
+        .persist()
     )
     deg = (
         und.select(F.col("u").alias("n"))
@@ -305,12 +308,13 @@ def triangle_counts(
     )
     tri = wedges.join(closing, ["y", "z"], "left_semi")
     out = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        # one explode, not a 3-way self-union: the union form re-executes
+        # the wedge join once per corner
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
         .localCheckpoint(eager=True)
     )
     oriented.unpersist()
+    und.unpersist()
     return out
