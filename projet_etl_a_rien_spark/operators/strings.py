@@ -209,6 +209,42 @@ def _cands(
     return cold.unionByName(_cands(ih, ph, d, thr, depth - 1, cached))
 
 
+def _cands_fastss_d1(s: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Candidate pairs for d=1 via the deletion-neighborhood join
+    (FastSS, Bocek et al. 2007): emit md5 digests of the string itself
+    and of every single-character deletion — n+1 keys per string — and
+    self-join on the digest. Complete for d=1: a substitution at i makes
+    del(s,i) = del(t,i); an insertion makes the shorter string itself a
+    deletion variant of the longer. Far tighter blocking than segment
+    pieces: two strings share a variant only if they are within edit
+    distance 2 of each other, so candidate volume is bounded by the
+    NEAR-MATCH volume — an ID-like corpus never builds a corpus-sized
+    bucket. Exchange payload is (id, 16-byte digest); the variant
+    strings themselves never leave the map side.
+    """
+    variants = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n")),
+            lambda i: F.md5(
+                F.when(i == 0, F.col("v")).otherwise(
+                    F.concat(
+                        F.substring(F.col("v"), 1, (i - 1).cast("int")),
+                        F.substring(F.col("v"), (i + 1).cast("int"), F.lit(1 << 24)),
+                    )
+                )
+            ),
+        )
+    )
+    rows = s.select("id", F.explode(variants).alias("dg")).persist()
+    cached.append(rows)
+    return (
+        rows.select(F.col("id").alias("id_s"), "dg")
+        .join(rows.select(F.col("id").alias("id_t"), "dg"), "dg")
+        .where(F.col("id_s") != F.col("id_t"))
+        .select("id_s", "id_t")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     d: int = 1,
@@ -242,14 +278,22 @@ def edit_distance_pairs(
         F.length(str_col).alias("n"),
     ).persist()
     cached: list[DataFrame] = [s]
-    cand = _cands(
-        s.select(F.lit(0).cast("long").alias("grp"), F.col("id").alias("id_t"), "v", "n"),
-        s.select(F.lit(0).cast("long").alias("grp"), F.col("id").alias("id_s"), "v", "n"),
-        d,
-        hot_threshold,
-        max_depth,
-        cached,
-    )
+    if d == 1:
+        # d=1 fast path: deletion-neighborhood join (see _cands_fastss_d1)
+        cand = _cands_fastss_d1(s, cached)
+    else:
+        cand = _cands(
+            s.select(
+                F.lit(0).cast("long").alias("grp"), F.col("id").alias("id_t"), "v", "n"
+            ),
+            s.select(
+                F.lit(0).cast("long").alias("grp"), F.col("id").alias("id_s"), "v", "n"
+            ),
+            d,
+            hot_threshold,
+            max_depth,
+            cached,
+        )
     cand = cand.select(
         F.least("id_s", "id_t").alias("id_a"),
         F.greatest("id_s", "id_t").alias("id_b"),
