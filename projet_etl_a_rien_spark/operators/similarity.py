@@ -222,12 +222,18 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 100_000,
+    fit: tuple[DataFrame, list[list[int]]] | None = None,
 ) -> DataFrame:
     """Home-cell (argmin-centroid) assignment from a deterministic k-means
     fit: the inverted-list id that ``cosine_topk_partition_pruned``
     assumes pre-exists; at scale the table is then partitioned/bucketed
-    by it."""
-    q_all, centroids = kmeans_fit(df, k, iters, id_col, vec_col, scale)
+    by it. Pass ``fit`` (a ``kmeans_fit`` result) to reuse one fit
+    across assign/probe derivations — the fit is the expensive,
+    iterative half, and refitting it per derivation doubles the
+    index-build cost for identical centroids."""
+    q_all, centroids = fit if fit is not None else kmeans_fit(
+        df, k, iters, id_col, vec_col, scale
+    )
     return _assign(q_all, centroids).select(F.col("id").alias(id_col), "cluster")
 
 
@@ -239,13 +245,17 @@ def kmeans_probe_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 100_000,
+    fit: tuple[DataFrame, list[list[int]]] | None = None,
 ) -> DataFrame:
     """Multi-probe assignment: each vector's ``probes`` nearest cells
     (element 0 = home cell), for use on the *query* side of an IVF
     search. Raises single-probe IVF's recall ceiling — neighbors that
     fell just across a cell boundary become reachable — at a fan-out
-    cost of ×probes on the query side only."""
-    q_all, centroids = kmeans_fit(df, k, iters, id_col, vec_col, scale)
+    cost of ×probes on the query side only. ``fit`` as in
+    :func:`kmeans_assign`."""
+    q_all, centroids = fit if fit is not None else kmeans_fit(
+        df, k, iters, id_col, vec_col, scale
+    )
     return _probe_cells(q_all, centroids, probes).select(
         F.col("id").alias(id_col), "probe_cells"
     )

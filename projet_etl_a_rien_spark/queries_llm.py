@@ -1147,12 +1147,11 @@ WHERE rank <= 3
 )
 def q_embedding_knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = similarity.kmeans_assign(
+    fit = similarity.kmeans_fit(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
     )
-    probe = similarity.kmeans_probe_assign(
-        emb, probes=KNN_PROBES, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
-    )
+    assign = similarity.kmeans_assign(emb, fit=fit)
+    probe = similarity.kmeans_probe_assign(emb, probes=KNN_PROBES, fit=fit)
     return similarity.ann_knn_join(
         emb, assign, k=3, probe_assignments=probe
     )
