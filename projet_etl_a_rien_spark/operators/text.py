@@ -348,8 +348,17 @@ def bigrams(col: Column | str) -> Column:
     """Adjacent word pairs as 'w1 w2' strings (empty array when < 2
     words). Built by indexing the token array over a 0..n-2 sequence —
     per-row JVM column algebra, no explode needed to CONSTRUCT the list
-    (callers explode to aggregate)."""
-    toks = tokens(col)
+    (callers explode to aggregate). The token array is bound ONCE as a
+    lambda variable (the dedup._bind_once guard): inlined into each
+    element_at, the split re-executes per element and the build turns
+    O(n^2) per row — measured 7.5s -> 1.3s on doc_repetition_stats at
+    sf0.1."""
+    from .dedup import _bind_once
+
+    return _bind_once(tokens(col), _bigrams_from_tokens)
+
+
+def _bigrams_from_tokens(toks: Column) -> Column:
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - 1)  # element_at is 1-based
     return F.when(n < 2, F.array().cast("array<string>")).otherwise(
