@@ -51,6 +51,11 @@ HEADLINE = [
     # new operator) and BM25 retrieval scoring (corpus-scale explode+agg)
     "jaccard_prefix_pairs",
     "bm25_score_docs",
+    # r4 batch 4: the two heaviest graph/string operators after their
+    # optimization passes (degree-oriented triangles over the 1.2M-edge
+    # co-purchase graph; FastSS deletion-neighborhood edit join)
+    "parts_triangle_counts",
+    "customer_name_edit_pairs",
 ]
 
 
