@@ -977,3 +977,69 @@ def pack_training_sequences(
             - start_in_doc
         ).alias("n_tok"),
     )
+
+
+def token_drift_by_source(
+    df: DataFrame,
+    top_v: int = 256,
+    text_col: str = "text",
+    source_col: str = "source",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Per-source distribution drift: total-variation distance between
+    each source's unigram distribution and the corpus-wide distribution,
+    both restricted to (and renormalized over) the corpus's ``top_v``
+    tokens — the mixture-monitoring statistic a corpus pipeline tracks
+    to catch a source whose content shifted (scraper broke, domain
+    changed hands, template flooded in).
+
+        TV(p_s, q) = 1/2 * [ sum over present tokens |p_s(t) - q(t)|
+                           + (1 - sum over present tokens q(t)) ]
+
+    (the second term is the mass of top-V tokens the source never uses,
+    where |p-q| = q exactly — no smoothing needed for TV.)
+
+    Parity rule (the ``exactmath`` discipline): per-term doubles are
+    quantized to an integer 1/``scale`` grid and summed as BIGINT, so
+    the aggregate is order-independent and engine-exact — a double SUM's
+    low bits depend on accumulation order, which AQE and partial
+    aggregation reorder. Each term is |c/n - g/G| — pure IEEE divisions
+    on exact int64 counts, bitwise identical on any engine; one rounding
+    per term, one exact integer sum, one final double division.
+
+    Scale shape: token counts are vocabulary-sized aggregates with
+    map-side partials; top-V is TakeOrdered (never a global sort); the
+    per-source total and the scalar G are broadcast; the only
+    corpus-sized exchange is the (source, token) count shuffle.
+    Returns (source, n_present, tv_drift); a source with zero top-V
+    tokens is absent (its distribution over V is undefined).
+    """
+    tok = df.select(
+        F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("token")
+    )
+    corpus = tok.groupBy("token").agg(F.count("*").alias("g"))
+    topv = corpus.orderBy(F.desc("g"), F.asc("token")).limit(top_v)
+    # "big_g", not "G": Spark resolves column names case-insensitively,
+    # so a G column is ambiguous against g after the join
+    gt = topv.agg(F.sum("g").alias("big_g"))
+    sc = (
+        tok.join(topv, "token")
+        .groupBy("source", "token", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    ns = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    rows = sc.join(F.broadcast(ns), "source").crossJoin(F.broadcast(gt))
+    p = F.col("c") / F.col("n")
+    q = F.col("g") / F.col("big_g")
+    terms = rows.select(
+        "source",
+        F.round(F.abs(p - q) * scale).cast("long").alias("term"),
+        F.round(q * scale).cast("long").alias("qterm"),
+    )
+    return terms.groupBy("source").agg(
+        F.count("*").alias("n_present"),
+        (
+            (F.sum("term") + (F.lit(scale) - F.sum("qterm")))
+            / F.lit(float(2 * scale))
+        ).alias("tv_drift"),
+    )

@@ -1080,3 +1080,50 @@ def q_ngram_overlap_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         corpus.where(F.col("doc_id") >= 1_000_000),
         n=CONTAM_N,
     )
+
+
+DRIFT_TOP_V = 256
+DRIFT_SCALE = 10**12
+
+
+@register(
+    "source_token_drift",
+    f"""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+corpus AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS g FROM tok GROUP BY token),
+topv AS (SELECT token, g FROM corpus ORDER BY g DESC, token ASC LIMIT {DRIFT_TOP_V}),
+gt AS (SELECT CAST(SUM(g) AS BIGINT) AS big_g FROM topv),
+sc AS (
+    SELECT source, tok.token, g, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok JOIN topv ON tok.token = topv.token
+    GROUP BY source, tok.token, g
+),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY source),
+terms AS (
+    SELECT sc.source,
+           CAST(ROUND(ABS(CAST(c AS DOUBLE) / n - CAST(g AS DOUBLE) / big_g)
+                      * {DRIFT_SCALE}) AS BIGINT) AS term,
+           CAST(ROUND((CAST(g AS DOUBLE) / big_g) * {DRIFT_SCALE}) AS BIGINT) AS qterm
+    FROM sc JOIN ns ON sc.source = ns.source CROSS JOIN gt
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_present,
+       (SUM(term) + ({DRIFT_SCALE} - SUM(qterm))) / {float(2 * DRIFT_SCALE)} AS tv_drift
+FROM terms GROUP BY source
+""",
+    doc="Per-source corpus drift: total-variation distance between each "
+    "source's unigram distribution and the corpus distribution, both "
+    "renormalized over the corpus top-256 tokens "
+    "(operators/text.py:token_drift_by_source) — the mixture-monitoring "
+    "statistic that catches a source whose content shifted. Per-term "
+    "|p - q| doubles are quantized to an integer 1e-12 grid and summed "
+    "as BIGINT (the exactmath discipline: double sums are accumulation-"
+    "order-dependent, integer sums are not), so Spark and the oracle "
+    "agree bit-for-bit. Top-V is TakeOrdered, never a global sort; the "
+    "only corpus-sized exchange is the (source, token) count shuffle.",
+)
+def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.token_drift_by_source(
+        load_table(spark, sf_dir, "documents"),
+        top_v=DRIFT_TOP_V,
+        scale=DRIFT_SCALE,
+    )

@@ -514,3 +514,70 @@ def q_streaming_orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = os.path.join(tempfile.gettempdir(), "etl_cdc_sink")
     _sh.rmtree(sink, ignore_errors=True)
     return run_cdc_merge_sink(stream, o, sink, ["o_orderkey"], "seq")
+
+
+@register(
+    "streaming_contamination_gate",
+    None,  # oracle attached below — shared with the batch form
+    doc="Ingest-time decontamination gate: the document stream explodes "
+    "to row-local distinct n-gram digests and inner-joins the STATIC "
+    "benchmark digest table — a stateless stream-static join in append "
+    "mode (no watermark, no state store), so an unbounded corpus stream "
+    "can be gated at ingest; the per-doc rollup over the bounded replay "
+    "equals batch ngram_contamination, which the shared oracle asserts.",
+)
+def q_streaming_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import documents_with_dups
+    from .operators.dedup import shingles
+    from .queries_round4 import CONTAM_N
+    from .streaming.windows import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    # static side: digests of the planted-dup benchmark split (small)
+    bench = (
+        documents_with_dups(spark, sf_dir)
+        .where(F.col("doc_id") >= 1_000_000)
+        .select(
+            F.col("doc_id").alias("bid"),
+            F.explode(shingles("text", CONTAM_N)).alias("g"),
+        )
+        .select("bid", F.md5("g").alias("gh"))
+    )
+    # stream side: the raw documents table IS the training split
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hits = (
+        src.select(
+            F.col("doc_id").alias("id"),
+            F.explode(shingles("text", CONTAM_N)).alias("g"),
+        )
+        .select("id", F.md5("g").alias("gh"))
+        .join(bench, "gh")
+    )
+    return (
+        run_bounded(hits, mode="append")
+        .groupBy("id")
+        .agg(
+            F.count_distinct("gh").alias("n_hit_ngrams"),
+            F.count_distinct("bid").alias("n_bench_docs"),
+        )
+    )
+
+
+def _attach_contamination_oracle() -> None:
+    """The streaming gate's oracle IS the batch decontamination oracle
+    (identical splits, identical output contract)."""
+    import dataclasses
+
+    from .queries import REGISTRY
+
+    REGISTRY["streaming_contamination_gate"] = dataclasses.replace(
+        REGISTRY["streaming_contamination_gate"],
+        oracle=REGISTRY["ngram_overlap_contamination"].oracle,
+    )
+
+
+_attach_contamination_oracle()

@@ -78,3 +78,29 @@ def test_ngram_contamination_exact(spark):
     # doc 1 shares all 3 of its 4-grams with both bench docs; doc 3
     # shares exactly one (a0..a3); doc 2 shares none
     assert got == {1: (3, 2), 3: (1, 2)}
+
+
+def test_token_drift_zero_for_identical_sources(spark):
+    # two sources with identical token distributions → TV = 0 for both
+    text = "alpha beta gamma delta alpha beta"
+    df = spark.createDataFrame(
+        [(1, text, "s1"), (2, text, "s2")], "doc_id long, text string, source string"
+    )
+    from projet_etl_a_rien_spark.operators.text import token_drift_by_source
+
+    out = {r["source"]: r["tv_drift"] for r in token_drift_by_source(df).collect()}
+    assert out == {"s1": 0.0, "s2": 0.0}
+
+
+def test_token_drift_disjoint_sources(spark):
+    # disjoint vocabularies → each source's TV vs the mixed corpus is
+    # 1 - (its own mass share); with equal halves that's 0.5
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, a, "sa"), (2, b, "sb")], "doc_id long, text string, source string"
+    )
+    from projet_etl_a_rien_spark.operators.text import token_drift_by_source
+
+    out = {r["source"]: r["tv_drift"] for r in token_drift_by_source(df).collect()}
+    assert abs(out["sa"] - 0.5) < 1e-9 and abs(out["sb"] - 0.5) < 1e-9
