@@ -1053,3 +1053,85 @@ def ivfadc_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_incremental_ingest(
+    batch: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Sink-is-the-state IVF index maintenance — the ANN twin of
+    ``dedup.neardup_merge_batch``: the FIRST batch fits the coarse
+    quantizer (deterministic ``kmeans_fit``) and creates the sink; every
+    later batch reads the frozen centroids back (k x dim longs — the
+    bounded collect the fit itself already does), assigns its vectors to
+    the existing cells, and APPENDS. That is how production IVF indexes
+    grow: assignment is incremental and cheap, the quantizer is refit
+    rarely and out-of-band. Returns the full (vec_id, cluster) table
+    after the merge.
+
+    Sink layout: ``{path}/assign`` (vec_id, cluster — appended per
+    batch) and ``{path}/centroids`` (cluster, m — written ONCE, after
+    the first batch's assignments). Write order makes the half-written
+    state unambiguous: assignments-without-centroids means a crash
+    landed between the two first-batch writes, and the ingest fails
+    loudly rather than refitting on a later batch (which would silently
+    mix two quantizers in one index). Centroids are a pure k x dim
+    table, so recovery is re-running the first ingest after clearing
+    the sink.
+
+    Scale shape: per-batch cost is one quantize projection + one
+    argmin over k literal centroids + one append — no corpus-sized
+    read anywhere; the only history touched is the k-row centroid
+    table. Cell skew in the resulting index is the assignment's
+    faithful report (duplicated embeddings land together), bounded
+    downstream by ``ann_knn_join``'s duplicate-collapse.
+    """
+    from pyspark.errors import AnalysisException
+
+    spark = batch.sparkSession
+    cent = None
+    try:
+        cent = spark.read.parquet(f"{path}/centroids").collect()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+    assign_exists = True
+    try:
+        spark.read.parquet(f"{path}/assign").schema
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        assign_exists = False
+    if cent is None and assign_exists:
+        raise RuntimeError(
+            f"ivf_incremental_ingest: half-written sink at {path} "
+            "(assignments exist but centroids are missing — a crash "
+            "between the first batch's two writes). Clear the sink and "
+            "re-ingest the first batch; refitting on this batch would "
+            "silently mix two quantizers in one index."
+        )
+    if cent is None:
+        q_all, centroids = kmeans_fit(batch, k, iters, id_col, vec_col, scale)
+        assigned = _assign(q_all, centroids).select(
+            F.col("id").alias(id_col), "cluster"
+        )
+        assigned.write.mode("append").parquet(f"{path}/assign")
+        spark.createDataFrame(
+            [(c, m) for c, m in enumerate(centroids)],
+            "cluster int, m array<bigint>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+    else:
+        centroids = [list(r.m) for r in sorted(cent, key=lambda r: r.cluster)]
+        q_all = batch.select(
+            F.col(id_col).alias("id"), quantize(vec_col, scale).alias("q")
+        )
+        assigned = _assign(q_all, centroids).select(
+            F.col("id").alias(id_col), "cluster"
+        )
+        assigned.write.mode("append").parquet(f"{path}/assign")
+    return spark.read.parquet(f"{path}/assign")

@@ -533,10 +533,17 @@ KMEANS_ITERS = 2
 KMEANS_SCALE = QUANT_SCALE
 
 
-def _kmeans_oracle_cte(k: int, iters: int, scale: int, dim: int) -> tuple[str, str]:
+def _kmeans_oracle_cte(
+    k: int, iters: int, scale: int, dim: int, fit_where: str = ""
+) -> tuple[str, str]:
     """DuckDB CTE chain replicating operators.similarity.kmeans_assign
     exactly: integer-grid quantization, min-id seeds, exact-int argmin
     with smallest-cluster tie-break, round(sum/n) centroid updates.
+    ``fit_where`` restricts the TRAINING set (seeds, argmin passes,
+    centroid updates) to a subset — the incremental-ingest oracle fits on
+    batch 1 only; the final assignment CTE stays over the fit set, and
+    callers that need frozen-centroid assignment of OTHER vectors join
+    against the last centroid CTE (``c{iters}``) themselves.
     Returns (cte_sql, final_assignment_cte_name)."""
     rng = f"range(1, {dim + 1})"
     parts = [
@@ -544,17 +551,18 @@ def _kmeans_oracle_cte(k: int, iters: int, scale: int, dim: int) -> tuple[str, s
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * {scale}) AS BIGINT)) AS q
       FROM embeddings)""",
+        f"""qf AS (SELECT * FROM q {fit_where})""",
         f"""c0 AS (SELECT rn - 1 AS c, q AS m
-       FROM (SELECT q, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM q)
+       FROM (SELECT q, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM qf)
        WHERE rn <= {k})""",
     ]
     for t in range(iters + 1):
         parts.append(
             f"""a{t + 1} AS (SELECT id, q, c AS cluster FROM (
-         SELECT q.id, q.q, c{t}.c,
+         SELECT qf.id, qf.q, c{t}.c,
                 CAST(list_sum(list_transform({rng},
-                     i -> (q.q[i] - c{t}.m[i]) * (q.q[i] - c{t}.m[i]))) AS BIGINT) AS dist
-         FROM q CROSS JOIN c{t})
+                     i -> (qf.q[i] - c{t}.m[i]) * (qf.q[i] - c{t}.m[i]))) AS BIGINT) AS dist
+         FROM qf CROSS JOIN c{t})
        QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, c) = 1)"""
         )
         if t == iters:
@@ -1661,3 +1669,59 @@ def q_corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     )
     return ranked.where(F.col("rn") <= DIVERSITY_CAP)
+
+
+_KM_INGEST_CTE, _ = _kmeans_oracle_cte(
+    KMEANS_K, KMEANS_ITERS, KMEANS_SCALE, _EMB_DIM, fit_where="WHERE id % 2 = 0"
+)
+
+
+@register(
+    "embedding_ivf_incremental_ingest",
+    f"""
+WITH {_KM_INGEST_CTE},
+final_assign AS (
+    SELECT id, c AS cluster FROM (
+        SELECT q.id, c{KMEANS_ITERS}.c,
+               CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                    i -> (q.q[i] - c{KMEANS_ITERS}.m[i])
+                         * (q.q[i] - c{KMEANS_ITERS}.m[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c{KMEANS_ITERS})
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, c) = 1
+)
+SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster FROM final_assign
+""",
+    doc="Sink-is-the-state IVF index maintenance "
+    "(operators/similarity.py:ivf_incremental_ingest): batch 1 (even "
+    "vec_ids) fits the coarse quantizer and creates the sink; batch 2 "
+    "(odd vec_ids) reads the FROZEN centroids back and appends its "
+    "assignments — no refit, the production IVF growth path. Per-batch "
+    "cost is one quantize projection + argmin over k literal centroids "
+    "+ one append; the only history read is the k-row centroid table. "
+    "The oracle fits on the even half and assigns everyone to the "
+    "frozen final centroids — exactly what the two-phase sink contains.",
+)
+def q_embedding_ivf_incremental_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil as _sh
+    import tempfile
+
+    sink = os.path.join(tempfile.gettempdir(), "etl_ivf_ingest_sink")
+    _sh.rmtree(sink, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    similarity.ivf_incremental_ingest(
+        emb.where(F.col("vec_id") % 2 == 0),
+        sink,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        scale=KMEANS_SCALE,
+    )
+    return similarity.ivf_incremental_ingest(
+        emb.where(F.col("vec_id") % 2 == 1),
+        sink,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        scale=KMEANS_SCALE,
+    )

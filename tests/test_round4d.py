@@ -104,3 +104,54 @@ def test_token_drift_disjoint_sources(spark):
 
     out = {r["source"]: r["tv_drift"] for r in token_drift_by_source(df).collect()}
     assert abs(out["sa"] - 0.5) < 1e-9 and abs(out["sb"] - 0.5) < 1e-9
+
+
+def test_ivf_incremental_ingest_frozen_centroids(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from projet_etl_a_rien_spark.operators import similarity
+
+    sink = str(tmp_path / "ivf")
+    vecs = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    b1, b2 = df.where(F.col("vec_id") < 20), df.where(F.col("vec_id") >= 20)
+
+    out1 = similarity.ivf_incremental_ingest(b1, sink, k=3, iters=2)
+    assert out1.count() == 20
+    cents_before = sorted(
+        tuple(r.m) for r in spark.read.parquet(f"{sink}/centroids").collect()
+    )
+    out2 = similarity.ivf_incremental_ingest(b2, sink, k=3, iters=2)
+    assert out2.count() == 40
+    cents_after = sorted(
+        tuple(r.m) for r in spark.read.parquet(f"{sink}/centroids").collect()
+    )
+    assert cents_before == cents_after  # no refit on ingest
+    # batch-2 rows equal a frozen-centroid assignment done directly
+    centroids = [
+        list(r.m)
+        for r in sorted(
+            spark.read.parquet(f"{sink}/centroids").collect(),
+            key=lambda r: r.cluster,
+        )
+    ]
+    q2 = b2.select(
+        F.col("vec_id").alias("id"), similarity.quantize("embedding").alias("q")
+    )
+    direct = {
+        (r["id"], r["cluster"])
+        for r in similarity._assign(q2, centroids).collect()
+    }
+    got2 = {
+        (r["vec_id"], r["cluster"])
+        for r in out2.where(F.col("vec_id") >= 20).collect()
+    }
+    assert got2 == direct
+
+    # half-written sink (assignments without centroids) fails loudly
+    import shutil
+
+    shutil.rmtree(f"{sink}/centroids")
+    with pytest.raises(RuntimeError, match="half-written"):
+        similarity.ivf_incremental_ingest(b2, sink, k=3, iters=2)
