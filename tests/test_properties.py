@@ -223,3 +223,81 @@ def test_grid_proximity_join_is_lossless(spark, pts, radius):
         if i < j and ((xa - xb) ** 2 + (ya - yb) ** 2) ** 0.5 <= radius
     }
     assert got == brute
+
+
+# ---------------------------------------------- concat-and-chunk packing ----
+
+DOC_SIZES = st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30)
+
+
+@settings(max_examples=10, deadline=None)
+@given(DOC_SIZES, st.integers(min_value=4, max_value=32))
+def test_pack_sequences_partitions_token_stream(spark, sizes, seq_len):
+    """Spans tile the concatenated stream exactly: per-doc token counts
+    are conserved, every bin except the last is exactly full, spans
+    within a doc are contiguous from 0, and bin offsets are in-range."""
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.pack_training_sequences(df, seq_len=seq_len).collect()
+    per_doc: dict[int, list] = {}
+    per_bin: dict[int, int] = {}
+    for r in out:
+        per_doc.setdefault(r["id"], []).append(r)
+        per_bin[r["bin"]] = per_bin.get(r["bin"], 0) + r["n_tok"]
+        assert 0 <= r["start_in_bin"] and r["start_in_bin"] + r["n_tok"] <= seq_len
+        assert r["n_tok"] >= 1
+    assert {i for i, n in enumerate(sizes)} == set(per_doc)
+    for i, n in enumerate(sizes):
+        spans = sorted(per_doc[i], key=lambda r: r["start_in_doc"])
+        assert sum(r["n_tok"] for r in spans) == n
+        pos = 0
+        for r in spans:
+            assert r["start_in_doc"] == pos
+            pos += r["n_tok"]
+    last = max(per_bin)
+    assert set(per_bin) == set(range(last + 1))
+    for b in range(last):
+        assert per_bin[b] == seq_len
+    assert 0 < per_bin[last] <= seq_len
+
+
+# --------------------------------------------------- n-gram contamination ----
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_ngram_contamination_matches_brute(spark, docs, n):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    train = [(i, t) for i, t in rows if i % 2 == 0]
+    bench = [(i, t) for i, t in rows if i % 2 == 1]
+    if not train or not bench:
+        return
+    got = {
+        r["id"]: (r["n_hit_ngrams"], r["n_bench_docs"])
+        for r in dedup.ngram_contamination(
+            spark.createDataFrame(train, "doc_id long, text string"),
+            spark.createDataFrame(bench, "doc_id long, text string"),
+            n=n,
+        ).collect()
+    }
+
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    want = {}
+    bgs = [(i, grams(t)) for i, t in bench]
+    for i, t in train:
+        g = grams(t)
+        hit = {x for x in g if any(x in bg for _, bg in bgs)}
+        nb = sum(1 for _, bg in bgs if g & bg)
+        if hit:
+            want[i] = (len(hit), nb)
+    assert got == want
