@@ -18,6 +18,7 @@ from .queries import register
 from .streaming.windows import (
     dedup_within_watermark,
     stream_stream_interval_join,
+    stream_stream_left_outer_join,
     replay_events_stream,
     run_bounded,
     run_foreach_batch_parquet,
@@ -26,6 +27,7 @@ from .streaming.windows import (
     stateful_user_totals,
     streaming_global_count,
     tumbling_counts,
+    tws_user_type_totals,
 )
 
 
@@ -149,6 +151,58 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
     return run_bounded(stateful_user_totals(ev), mode="update")
 
 
+def _have_protobuf() -> bool:
+    """transformWithStateInPandas serializes its Python<->JVM state
+    protocol as protobuf messages; without the package the stream fails
+    at driver-worker init. Gate the registration (not the operator) so
+    environments with protobuf get a fully oracled query and the sandbox
+    gets a clean registry instead of a guaranteed-red row."""
+    import importlib.util
+
+    try:
+        # find_spec("google.protobuf") imports the parent "google"
+        # namespace package first and raises if it is absent entirely.
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+_TWS_ORACLE = """
+WITH per_type AS (
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_type_cents
+FROM per_type
+GROUP BY user_id
+"""
+
+
+def q_streaming_tws_user_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = replay_events_stream(spark, sf_dir)
+    return run_bounded(tws_user_type_totals(ev), mode="update", rocksdb=True)
+
+
+if _have_protobuf():
+    register(
+        "streaming_tws_user_type_totals",
+        _TWS_ORACLE,
+        doc="Spark 4 arbitrary-state v2 (transformWithStateInPandas, "
+        "SPARK-49564): per-user MapState of exact-cents per-event-type "
+        "totals + a ValueState row counter, RocksDB state store — point "
+        "map-entry updates instead of v1's whole-blob rewrite. Final "
+        "availableNow Update-mode emission equals the batch two-level "
+        "groupBy, which the oracle asserts.",
+    )(q_streaming_tws_user_type_totals)
+
+
 @register(
     "streaming_dedup_event_counts",
     """
@@ -231,6 +285,68 @@ def q_streaming_click_purchase_attribution(
     return pairs.groupBy(F.col("l_key").alias("user_id")).agg(
         F.count("*").alias("n_pairs"),
         F.count_distinct("r_event_id").alias("n_attributed_purchases"),
+    )
+
+
+@register(
+    "streaming_click_attribution_outer",
+    """
+WITH mx AS (SELECT MAX(ts) - INTERVAL 4 HOUR AS cut FROM events),
+c AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'click' AND ts <= (SELECT cut FROM mx)),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+j AS (
+    SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT c_id) AS BIGINT) AS n_clicks,
+       CAST(COUNT(p_id) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN p_id IS NULL THEN c_id END) AS BIGINT)
+           AS n_unmatched_clicks
+FROM j GROUP BY user_id
+""",
+    doc="Stream-stream LEFT OUTER interval join: clicks with no purchase "
+    "within 2h still emit (with nulls) once the watermark passes "
+    "l_ts + 2h — the lost-conversion side of attribution the inner join "
+    "drops. Unmatched emission is watermark-driven, so both engines are "
+    "cut to the decided region (clicks older than max_ts - within - "
+    "watermark - 1h margin); inside it the streaming result equals the "
+    "batch left join, which the oracle asserts.",
+)
+def q_streaming_click_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+
+    # Decided-region cutoff from the batch footer of the same fixture:
+    # within (2h) + watermark (1h) + 1h safety margin.
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(hours=4)
+    clicks = replay_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = replay_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    pairs = run_bounded(
+        stream_stream_left_outer_join(
+            clicks, purchases, within="2 hours", watermark="1 hour"
+        ),
+        mode="append",
+    )
+    return (
+        pairs.where(F.col("l_ts") <= F.lit(cutoff))
+        .groupBy(F.col("l_key").alias("user_id"))
+        .agg(
+            F.count_distinct("l_event_id").alias("n_clicks"),
+            F.count("r_event_id").alias("n_pairs"),
+            F.count_distinct(
+                F.when(F.col("r_event_id").isNull(), F.col("l_event_id"))
+            ).alias("n_unmatched_clicks"),
+        )
     )
 
 

@@ -82,7 +82,10 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_bounded(
-    stream_df: DataFrame, mode: str = "complete", state_partitions: int = 4
+    stream_df: DataFrame,
+    mode: str = "complete",
+    state_partitions: int = 4,
+    rocksdb: bool = False,
 ) -> DataFrame:
     """Execute a streaming aggregation over the bounded replay and return
     the final result as a batch DataFrame (memory sink, availableNow).
@@ -112,8 +115,21 @@ def run_bounded(
     name = f"replay_result_{mode}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # ``rocksdb=True`` pins the RocksDB state-store provider for this run
+    # (required by transformWithStateInPandas; also the production choice
+    # for any state that outgrows executor heap — state lives off-heap +
+    # on local disk with changelog checkpointing instead of full HDFS
+    # snapshots). Session conf is restored after the query terminates.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if rocksdb:
+            spark.conf.set(
+                provider_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
         query = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -126,6 +142,10 @@ def run_bounded(
         return spark.table(name).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is not None:
+            spark.conf.set(provider_key, prev_provider)
+        else:
+            spark.conf.unset(provider_key)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -164,6 +184,47 @@ def stream_stream_interval_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    )
+
+
+def stream_stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with an event-time interval bound —
+    the attribution shape that also SURFACES the failures: a click with
+    no purchase within ``within`` must still come out (with nulls), not
+    silently vanish like the inner form (``stream_stream_interval_join``).
+
+    Outer emission is watermark-driven: a left row is held in state until
+    the watermark passes ``l_ts + within`` (no match can still arrive),
+    THEN emitted with nulls and evicted — so unmatched results trail the
+    stream by ``within + watermark``, and state stays bounded by exactly
+    that window. Matched pairs emit immediately. Left rows closer than
+    ``within + watermark`` to the end of a bounded replay are therefore
+    UNDECIDED at termination; callers comparing against a batch oracle
+    must cut both engines to the decided region (see
+    ``streaming_click_attribution_outer``).
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").cast("timestamp").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").cast("timestamp").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
     )
 
 
@@ -322,6 +383,107 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         stateStructType="n bigint, cents bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def tws_user_type_totals(events: DataFrame) -> DataFrame:
+    """CUSTOM stateful operator via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state v2 API (SPARK-49564), the successor to
+    ``applyInPandasWithState`` (``stateful_user_totals`` above keeps the
+    v1 form for API-coverage parity).
+
+    What v2 adds over v1, and why it matters at 100 TB: state is TYPED
+    and COMPOSITE — this processor keeps a ``MapState`` keyed by
+    event_type holding exact-cents per-type running totals, plus a
+    ``ValueState`` row counter — instead of v1's single opaque tuple per
+    key. The runtime can then update ONE map entry per arriving type
+    rather than rewriting a monolithic blob, which is the difference
+    between O(touched-types) and O(state-size) write amplification on a
+    wide per-key state. Requires the RocksDB state-store provider
+    (``run_bounded(..., rocksdb=True)``); v2 also offers timers and TTL —
+    not used here because a deterministic bounded replay must not depend
+    on wall-clock (``timeMode="None"``).
+
+    Emits one row per touched user per micro-batch (Update mode):
+    (user_id, n_types, n_events, total_cents, max_type_cents) — all
+    sums/maxes over exact int64 cents, so the final availableNow emission
+    equals the batch two-level groupBy the oracle runs.
+
+    ENVIRONMENT GATE: executing (not constructing) this operator needs
+    the ``protobuf`` Python package — the v2 state protocol serializes
+    Python↔JVM state requests as protobuf messages
+    (``pyspark/sql/streaming/proto/StateMessage_pb2``). In a container
+    without it the stream fails at driver-worker init; the query
+    registration in ``queries_streaming`` is therefore conditional on
+    ``google.protobuf`` being importable (same thin fail-fast convention
+    as the Kafka/JDBC network legs), and the plan-shape test runs
+    unconditionally while execution is skipped.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerTypeTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # Composite state: one map entry per event_type (point
+            # updates), one value row for the per-user event count.
+            self._totals = handle.getMapState(
+                "type_totals", "event_type string", "n bigint, cents bigint"
+            )
+            self._n_events = handle.getValueState("n_events", "n bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            batch_n = 0
+            for pdf in rows:
+                batch_n += len(pdf)
+                per_type = (
+                    pdf.assign(
+                        cents=pdf["value"].mul(100).round().astype("int64")
+                    )
+                    .groupby("event_type")["cents"]
+                    .agg(["count", "sum"])
+                )
+                for etype, row in per_type.iterrows():
+                    k = (etype,)
+                    n0, c0 = (
+                        self._totals.getValue(k)
+                        if self._totals.containsKey(k)
+                        else (0, 0)
+                    )
+                    self._totals.updateValue(
+                        k, (n0 + int(row["count"]), c0 + int(row["sum"]))
+                    )
+            prev = self._n_events.get()
+            n_events = (prev[0] if prev is not None else 0) + batch_n
+            self._n_events.update((n_events,))
+            # Aggregate the full map for the emission: sum/max over int64
+            # are iteration-order-independent, so RocksDB key order (or any
+            # provider's) cannot leak into the result.
+            totals = [v for _, v in self._totals.iterator()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_types": [len(totals)],
+                    "n_events": [n_events],
+                    "total_cents": [sum(c for _, c in totals)],
+                    "max_type_cents": [max(c for _, c in totals)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PerTypeTotals(),
+        outputStructType=(
+            "user_id bigint, n_types bigint, n_events bigint,"
+            " total_cents bigint, max_type_cents bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
     )
 
 

@@ -129,6 +129,7 @@ SCALAR_BNLJ_OK = {
     "doc_unigram_logprob",  # 1-row corpus-total broadcast onto the vocab table
     "lineitem_feature_corr",  # 1-row means broadcast for the centered pass
     "parts_basket_lift",  # 1-row n_orders broadcast onto the pair table
+    "source_token_drift",  # 1-row corpus-total (big_g) broadcast onto terms
 }
 
 

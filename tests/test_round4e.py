@@ -1,0 +1,84 @@
+"""Round-4 batch 5: Spark 4 stateful v2 (transformWithStateInPandas)
+and the stream-stream left-outer interval join."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+# queries_streaming has a registration-order dependency on queries_round4
+# (it reuses its contamination oracle), so load through the extension
+# loader rather than importing the module directly.
+_load_extensions()
+
+from projet_etl_a_rien_spark.queries_streaming import (  # noqa: E402
+    _have_protobuf,
+    q_streaming_click_attribution_outer,
+    q_streaming_tws_user_type_totals,
+)
+from projet_etl_a_rien_spark.streaming.windows import (  # noqa: E402
+    replay_events_stream,
+    tws_user_type_totals,
+)
+
+HAVE_PROTOBUF = _have_protobuf()
+
+
+def test_tws_plan_shape(spark, sf_dir):
+    """Constructing the transformWithStateInPandas operator must plan the
+    v2 stateful node (TransformWithStateInPySpark) — plan construction
+    needs no protobuf, only execution does, so this pins the API wiring
+    in every environment."""
+    df = tws_user_type_totals(replay_events_stream(spark, sf_dir))
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "TransformWithStateInPySpark" in plan or "transformWithState" in plan
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_types",
+        "n_events",
+        "total_cents",
+        "max_type_cents",
+    ]
+
+
+def test_tws_registration_tracks_protobuf():
+    """The query registers iff the protobuf runtime dependency exists —
+    present: fully oracled registry entry; absent: no guaranteed-red row."""
+    assert ("streaming_tws_user_type_totals" in REGISTRY) == _have_protobuf()
+
+
+@pytest.mark.skipif(not HAVE_PROTOBUF, reason="protobuf runtime not installed")
+def test_tws_equals_batch_groupby(spark, sf_dir):
+    got = q_streaming_tws_user_type_totals(spark, sf_dir)
+    from projet_etl_a_rien_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"), F.sum(cents).alias("cents")
+    )
+    want = per_type.groupBy("user_id").agg(
+        F.count("*").alias("n_types"),
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+        F.max("cents").alias("max_type_cents"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_left_outer_attribution_emits_unmatched(spark, sf_dir):
+    """The outer join's reason to exist: clicks without a purchase within
+    the window must surface as n_unmatched_clicks > 0 rows (the inner
+    join silently drops them), and per-user clicks must decompose into
+    matched + unmatched."""
+    res = q_streaming_click_attribution_outer(spark, sf_dir)
+    rows = res.collect()
+    assert rows, "decided region unexpectedly empty"
+    assert any(r.n_unmatched_clicks > 0 for r in rows)
+    for r in rows:
+        matched_clicks = r.n_clicks - r.n_unmatched_clicks
+        assert 0 <= matched_clicks <= r.n_pairs
