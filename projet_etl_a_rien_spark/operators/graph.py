@@ -318,3 +318,71 @@ def triangle_counts(
     oriented.unpersist()
     und.unpersist()
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node keeps
+    degree >= ``k`` AFTER all lower-degree nodes are removed — by
+    iterative peeling: drop every node whose current degree is < k,
+    recompute degrees on the survivor subgraph, repeat to fixpoint.
+    Raw degree is not enough (a hub whose neighbors are all leaves has
+    high degree and still peels away), which is why corpus/graph-quality
+    work uses coreness, not degree, to find the genuinely dense region
+    (spam link farms, tightly co-purchased product sets).
+
+    Scale shape: each round is one narrow degree aggregation (explode of
+    both endpoints -> groupBy count) plus two anti-joins against the
+    low-degree node set, all keyed shuffles — never a driver collect.
+    ``localCheckpoint(eager=True)`` per round truncates lineage exactly
+    like ``connected_components``' propagation loop (the surviving edge
+    set feeds three plans per round; without truncation the analyzed
+    plan doubles each iteration). Rounds needed = peeling depth
+    (degeneracy ordering layers), small for co-purchase-style graphs;
+    raises ``RuntimeError`` if still peeling after ``max_iter`` rounds —
+    a silently partial core would overstate density downstream.
+
+    Returns (node, core_degree): survivors with their degree WITHIN the
+    core (>= k by construction). Deterministic for any edge order.
+    """
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = e
+    for _ in range(max_iter):
+        ends = alive.select(F.explode(F.array("u", "v")).alias("node"))
+        low = (
+            ends.groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") < k)
+            .select("node")
+        )
+        if low.isEmpty():
+            deg = (
+                alive.select(F.explode(F.array("u", "v")).alias("node"))
+                .groupBy("node")
+                .agg(F.count("*").alias("core_degree"))
+            )
+            return deg
+        nxt = (
+            alive.join(low.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(low.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        alive = nxt
+    raise RuntimeError(
+        f"k-core peeling did not converge in {max_iter} rounds; "
+        "raise max_iter (peeling depth equals the graph's degeneracy "
+        "layer count, which exceeded the cap)"
+    )

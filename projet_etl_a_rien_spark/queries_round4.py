@@ -985,6 +985,69 @@ def q_parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_counts(edges).withColumnRenamed("node", "part_id")
 
 
+KCORE_K = 60
+KCORE_ITERS = 30
+
+
+@register(
+    "parts_kcore",
+    f"""
+WITH RECURSIVE pairs AS (
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                    GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+peel(iter, u, v) AS (
+    SELECT 0, u, v FROM pairs
+    UNION
+    SELECT p.iter + 1, p.u, p.v
+    FROM peel p
+    JOIN (SELECT iter, node FROM (
+            SELECT iter, u AS node FROM peel
+            UNION ALL SELECT iter, v AS node FROM peel)
+          GROUP BY iter, node HAVING COUNT(*) >= {KCORE_K}) s
+      ON s.iter = p.iter AND s.node = p.u
+    JOIN (SELECT iter, node FROM (
+            SELECT iter, u AS node FROM peel
+            UNION ALL SELECT iter, v AS node FROM peel)
+          GROUP BY iter, node HAVING COUNT(*) >= {KCORE_K}) d
+      ON d.iter = p.iter AND d.node = p.v
+    WHERE p.iter < {KCORE_ITERS}
+),
+core AS (SELECT u, v FROM peel WHERE iter = {KCORE_ITERS})
+SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM core UNION ALL SELECT v AS node FROM core)
+GROUP BY node
+""",
+    doc=f"{KCORE_K}-core of the co-purchase graph "
+    "(operators/graph.py:kcore): iteratively peel every part whose "
+    "surviving co-purchase degree is below k until fixpoint — coreness, "
+    "not raw degree, isolates the genuinely dense region (a hub whose "
+    "neighbors are all leaves peels away with them). Each Spark round is "
+    "one degree aggregation + two anti-joins, lineage-truncated; the "
+    "oracle replays the same simultaneous-peel rounds as a recursive CTE "
+    "whose per-iteration working table is re-joined against its own "
+    "degree counts. Survivors carry their within-core degree.",
+)
+def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return graph.kcore(edges, k=KCORE_K, max_iter=KCORE_ITERS).withColumnRenamed(
+        "node", "part_id"
+    )
+
+
 # ------------------------------------------ packing / decontamination ----
 
 from .operators import text as _text

@@ -82,3 +82,54 @@ def test_left_outer_attribution_emits_unmatched(spark, sf_dir):
     for r in rows:
         matched_clicks = r.n_clicks - r.n_unmatched_clicks
         assert 0 <= matched_clicks <= r.n_pairs
+
+
+def test_kcore_peels_below_naive_degree_filter(spark, sf_dir):
+    """Coreness is stricter than degree: after peeling, the survivor set
+    must be a subset of (and on this fixture strictly smaller than) the
+    naive initial-degree>=k filter, every survivor keeps core_degree>=k,
+    and deepening k shrinks the core monotonically."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg0 = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    core65 = graph.kcore(edges, k=65)
+    survivors = {r.node for r in core65.collect()}
+    naive = {r.node for r in deg0.where(F.col("deg") >= 65).collect()}
+    assert survivors <= naive
+    assert len(survivors) < len(naive), "expected the cascade to peel someone"
+    assert core65.where(F.col("core_degree") < 65).count() == 0
+    core68 = {r.node for r in graph.kcore(edges, k=68).collect()}
+    assert core68 <= survivors
+
+
+def test_kcore_raises_when_peeling_exceeds_cap(spark):
+    """A path graph needs depth-ceil(n/2) peeling at k=2; max_iter=1 must
+    fail loudly, not return a half-peeled graph."""
+    from projet_etl_a_rien_spark.operators import graph
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="k-core"):
+        graph.kcore(path, k=2, max_iter=1)
+    # and the same graph converges (to empty) with room to peel
+    assert graph.kcore(path, k=2, max_iter=5).count() == 0
