@@ -85,3 +85,156 @@ def apply_changes(
     )
     latest = latest_by_key(merged, key_cols, seq_col, tiebreak_cols=[op_col])
     return latest.where(F.col(op_col) != "D").drop(op_col, seq_col)
+
+
+def _missing_sink(e: Exception) -> bool:
+    """True when a sink read failed only because the table isn't there:
+    the directory is absent (PATH_NOT_FOUND) or exists but holds no
+    parquet yet (UNABLE_TO_INFER_SCHEMA — compaction leaves an empty
+    parts/ root after deleting every folded batch dir)."""
+    s = str(e)
+    return (
+        "PATH_NOT_FOUND" in s
+        or "Path does not exist" in s
+        or "UNABLE_TO_INFER_SCHEMA" in s
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate materialized view (partials + snapshot compaction)
+# ---------------------------------------------------------------------------
+#
+# Sink layout:
+#   {path}/parts/batch_id={B}/   per-micro-batch PARTIAL aggregates
+#                                (one row per key: n, cents), written with
+#                                overwrite so checkpoint-recovery replays
+#                                rewrite instead of duplicating
+#   {path}/snap/v={V}/           snapshot = fold of every partial with
+#                                batch_id <= V
+#
+# Readers fold (newest snapshot) ∪ (partials with batch_id > V) — the
+# version IS the fold watermark, so a crash between snapshot-write and
+# partial-cleanup cannot double count: stale partials are excluded by the
+# filter, and deleting them is pure space reclamation. This is the
+# aggregate analogue of the sink-is-the-state dedup/CDC sinks: the MV is
+# maintained with O(keys) work per batch, never a re-scan of raw history,
+# and compaction bounds read-side fan-in (fold cost tracks snapshots=1 +
+# batches-since-compaction, not stream lifetime).
+
+
+def write_agg_partial(
+    batch_df: DataFrame, path: str, batch_id: int, key_col: str = "event_type"
+) -> None:
+    """Reduce one micro-batch to per-key exact-cents partials and land
+    them idempotently under ``parts/batch_id=N`` (map-side combine to the
+    sink: partial aggregation is associative, so the fold of partials
+    equals the aggregate of the union)."""
+    part = batch_df.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    part.write.mode("overwrite").parquet(f"{path}/parts/batch_id={batch_id}")
+
+
+def _snapshot_version(spark: SparkSession, path: str) -> int:
+    """Newest committed snapshot version, or -1 when none exists."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        vs = (
+            spark.read.option("basePath", f"{path}/snap")
+            .parquet(f"{path}/snap")
+            .select(F.max("v").alias("v"))
+            .first()
+        )
+        return int(vs.v) if vs.v is not None else -1
+    except AnalysisException as e:
+        if not _missing_sink(e):
+            raise
+        return -1
+
+
+def read_agg_sink(
+    spark: SparkSession, path: str, key_col: str = "event_type"
+) -> DataFrame:
+    """Current MV contents: newest snapshot folded with every partial
+    NEWER than it. Partials at or below the snapshot version are already
+    folded in and are skipped even if their directories still exist
+    (crash-safe read — cleanup is optional)."""
+    from pyspark.errors import AnalysisException
+
+    v = _snapshot_version(spark, path)
+    pieces = []
+    if v >= 0:
+        pieces.append(
+            spark.read.option("basePath", f"{path}/snap")
+            .parquet(f"{path}/snap")
+            .where(F.col("v") == v)
+            .select(key_col, "n", "cents")
+        )
+    try:
+        parts = (
+            spark.read.option("basePath", f"{path}/parts")
+            .parquet(f"{path}/parts")
+            .where(F.col("batch_id") > v)
+            .select(key_col, "n", "cents")
+        )
+        pieces.append(parts)
+    except AnalysisException as e:
+        if not _missing_sink(e):
+            raise
+    if not pieces:
+        return spark.createDataFrame([], f"{key_col} string, n long, cents long")
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy(key_col).agg(
+        F.sum("n").alias("n"), F.sum("cents").alias("cents")
+    )
+
+
+def compact_agg_sink(
+    spark: SparkSession, path: str, key_col: str = "event_type"
+) -> int:
+    """Fold everything visible now into snapshot ``v = max folded
+    batch_id`` and drop the folded partial directories. The snapshot is
+    localCheckpointed before writing (it reads the previous snapshot
+    path it may logically overwrite), and the deletes run only after the
+    snapshot commit — a crash in between leaves stale partials that
+    readers already exclude. Returns the new version (or the current one
+    when there is nothing new to fold)."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    v = _snapshot_version(spark, path)
+    try:
+        newest = (
+            spark.read.option("basePath", f"{path}/parts")
+            .parquet(f"{path}/parts")
+            .select(F.max("batch_id").alias("b"))
+            .first()
+        )
+        max_b = int(newest.b) if newest.b is not None else -1
+    except AnalysisException as e:
+        if not _missing_sink(e):
+            raise
+        max_b = -1
+    if max_b <= v:
+        return v
+    fold = read_agg_sink(spark, path, key_col).localCheckpoint(eager=True)
+    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    # Space reclamation only — readers already filter batch_id <= max_b.
+    import os
+
+    parts_root = f"{path}/parts"
+    if os.path.isdir(parts_root):
+        for d in os.listdir(parts_root):
+            if d.startswith("batch_id="):
+                try:
+                    b = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if b <= max_b:
+                    shutil.rmtree(os.path.join(parts_root, d), ignore_errors=True)
+    return max_b

@@ -289,6 +289,46 @@ def q_streaming_click_purchase_attribution(
 
 
 @register(
+    "streaming_incremental_mv_totals",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type
+""",
+    doc="Incremental materialized-view maintenance, sink-is-the-state "
+    "(operators/compaction.py): micro-batches land per-key exact-cents "
+    "PARTIAL aggregates (idempotent parts/batch_id=N dirs), snapshot "
+    "compaction folds them into snap/v=maxBatch, and readers fold the "
+    "newest snapshot with only NEWER partials — the version is the fold "
+    "watermark, so crash-stale partials can't double count. This run "
+    "crosses the snapshot boundary on purpose: a streaming pass over "
+    "even event ids, compact, then an odd-id partial; the folded MV "
+    "equals the one-shot batch aggregate, which the oracle asserts.",
+)
+def q_streaming_incremental_mv_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.compaction import read_agg_sink, write_agg_partial
+    from .streaming.windows import run_incremental_agg_sink
+
+    path = tempfile.mkdtemp(prefix="mvsink_")
+    try:
+        even = replay_events_stream(spark, sf_dir).where(
+            F.col("event_id") % 2 == 0
+        )
+        run_incremental_agg_sink(even, path)  # partials → snap/v=0
+        odd = load_table(spark, sf_dir, "events").where(F.col("event_id") % 2 == 1)
+        write_agg_partial(odd, path, batch_id=1)  # newer than the snapshot
+        return read_agg_sink(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "streaming_click_attribution_outer",
     """
 WITH mx AS (SELECT MAX(ts) - INTERVAL 4 HOUR AS cut FROM events),

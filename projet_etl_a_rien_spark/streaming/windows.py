@@ -597,6 +597,47 @@ def run_incremental_neardup_sink(
         return spark.createDataFrame([], "id long")
 
 
+def run_incremental_agg_sink(
+    stream_df: DataFrame, path: str, key_col: str = "event_type"
+) -> DataFrame:
+    """Incremental materialized-view maintenance with the SINK as the
+    state: each micro-batch folds to per-key PARTIAL aggregates (n,
+    exact cents) landed idempotently under ``parts/batch_id=N``; a
+    snapshot compaction (``operators.compaction.compact_agg_sink``)
+    periodically folds partials into ``snap/v=maxBatch`` so read-side
+    fan-in stays bounded by batches-since-compaction, not stream
+    lifetime. The snapshot version is the fold watermark — readers skip
+    partials at or below it, so a crash between snapshot commit and
+    partial cleanup cannot double count. Per-batch work is O(keys), and
+    the raw stream is never re-scanned. Returns the folded MV re-read
+    from the sink after compaction."""
+    from ..operators.compaction import (
+        compact_agg_sink,
+        read_agg_sink,
+        write_agg_partial,
+    )
+
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_mv_")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        write_agg_partial(batch_df, path, batch_id, key_col=key_col)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(merge)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    compact_agg_sink(spark, path, key_col=key_col)
+    return read_agg_sink(spark, path, key_col=key_col).localCheckpoint(eager=True)
+
+
 def run_weighted_sample_sink(
     stream_df: DataFrame,
     path: str,

@@ -133,3 +133,54 @@ def test_kcore_raises_when_peeling_exceeds_cap(spark):
         graph.kcore(path, k=2, max_iter=1)
     # and the same graph converges (to empty) with room to peel
     assert graph.kcore(path, k=2, max_iter=5).count() == 0
+
+
+def test_agg_sink_snapshot_watermark_excludes_stale_partials(spark, sf_dir):
+    """Crash contract: after compaction commits snap/v=N, partial dirs
+    with batch_id <= N may linger (cleanup is best-effort). Readers must
+    exclude them — re-materializing a stale partial must not change the
+    MV — and newer partials must still fold in."""
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators.compaction import (
+        compact_agg_sink,
+        read_agg_sink,
+        write_agg_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="mvtest_")
+    try:
+        write_agg_partial(ev.where(F.col("event_id") % 3 == 0), path, 0)
+        write_agg_partial(ev.where(F.col("event_id") % 3 == 1), path, 1)
+        v = compact_agg_sink(spark, path)
+        assert v == 1
+        base = {r.event_type: (r.n, r.cents) for r in read_agg_sink(spark, path).collect()}
+        # simulate the crash window: a folded partial re-appears
+        write_agg_partial(ev.where(F.col("event_id") % 3 == 0), path, 0)
+        again = {r.event_type: (r.n, r.cents) for r in read_agg_sink(spark, path).collect()}
+        assert again == base, "stale partial below the watermark leaked into the fold"
+        # a NEWER partial still folds
+        write_agg_partial(ev.where(F.col("event_id") % 3 == 2), path, 2)
+        full = {r.event_type: (r.n, r.cents) for r in read_agg_sink(spark, path).collect()}
+        want = {
+            r.event_type: (r.n, r.cents)
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .collect()
+        }
+        assert full == want
+        # idempotent re-compaction: nothing new after folding everything
+        v2 = compact_agg_sink(spark, path)
+        assert v2 == 2
+        assert compact_agg_sink(spark, path) == 2
+        assert {
+            r.event_type: (r.n, r.cents) for r in read_agg_sink(spark, path).collect()
+        } == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
