@@ -598,10 +598,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle gate `tools/oracle_check.py` 29/29), then any queries newly added
 # in round 4, then refresh the oldest evidence (r1/r2-only greens), and
 # demote everything CORRECTNESS_r03 marked green to the back of the order.
-# Round-4 additions (late-r3 registrations + the retrieval/prefix-join/
-# pagerank/sampling/streaming-reservoir families) land in the `never`
-# bucket automatically — the front ~54 of the order are exactly the
-# queries with zero driver evidence, all green on the local gate.
+# Round-4 additions (retrieval/prefix-join/pagerank/sampling/packing/
+# contamination/edit-join/triangles/kcore/MV-sink/outer-join families)
+# land in the `never` bucket automatically, in registration order — so
+# the driver's ~50-query window covers the 29 plus the front of the r4
+# set, and the local gate covers the remainder (168/168 green at sf0.01
+# as of the r4 session; see tools/oracle_check.py).
 _DRIVER_PRIORITY: list[str] = [
     # -- curation family (round-3 additions, never driver-checked) --
     "doc_gopher_quality_flags",
