@@ -186,7 +186,18 @@ def pagerank(
     aggregate broadcast into the next round. Node count never needs to
     fit anywhere: the rank vector stays a distributed (node, rank)
     table.
+
+    Parity rule (exactmath discipline): the two SUMs inside an iteration
+    (incoming mass, dangling mass) are the only order-dependent float
+    accumulations — partial aggregation reorders them differently on
+    every engine AND every run, drifting the low bits. Each term is
+    rounded to integer picounits (1e-12) and summed as BIGINT, so the
+    aggregate is order-independent; every other operation is a fixed-
+    association scalar expression on deterministic doubles, bitwise
+    equal across engines. The pico grid loses nothing observable: rank
+    mass is O(1/N) per node and three iterations keep well above 1e-9.
     """
+    _PICO = 1_000_000_000_000
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
@@ -208,14 +219,19 @@ def pagerank(
     rank = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
     for _ in range(iters):
         rank = rank.localCheckpoint(eager=True)
-        dang = (
-            rank.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        dang = rank.join(has_out, "node", "left_anti").agg(
+            F.coalesce(
+                F.sum(F.round(F.col("rank") * _PICO).cast("long")), F.lit(0)
+            ).alias("dang_pico")
         )
         incoming = (
             trans.join(rank, trans.src == rank.node)
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("inc"))
+            .agg(
+                F.sum(
+                    F.round(F.col("rank") * F.col("p") * _PICO).cast("long")
+                ).alias("inc_pico")
+            )
         )
         rank = (
             nodes.join(incoming, "node", "left")
@@ -225,7 +241,10 @@ def pagerank(
                 (
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inc"), F.lit(0.0)) + F.col("dang") / n_nodes)
+                    * (
+                        F.coalesce(F.col("inc_pico"), F.lit(0)) / F.lit(float(_PICO))
+                        + F.col("dang_pico") / F.lit(float(_PICO)) / n_nodes
+                    )
                 ).alias("rank"),
             )
         )

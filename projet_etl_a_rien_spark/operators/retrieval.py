@@ -96,19 +96,27 @@ def bm25_scores(
         .crossJoin(F.broadcast(stats))
         .select(
             "id",
-            (
+            # Parity rule (exactmath): the per-term weight is quantized
+            # to integer nano-units and summed as BIGINT — a double SUM's
+            # low bits depend on accumulation order (and ln() itself can
+            # differ cross-engine in the last ulp), an integer sum of
+            # pre-rounded terms cannot.
+            F.round(
                 F.col("idf")
                 * (F.col("tf") * (k1 + 1))
                 / (
                     F.col("tf")
                     + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
                 )
-            ).alias("w"),
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("w_nano"),
         )
     )
     return per_term.groupBy(F.col("id").alias("doc_id")).agg(
         F.count("*").alias("n_terms_matched"),
-        F.sum("w").alias("bm25"),
+        (F.sum("w_nano") / F.lit(1e9)).alias("bm25"),
     )
 
 
@@ -132,15 +140,28 @@ def unigram_logprob_scores(
     )
     model = occ.groupBy("token").agg(F.count("*").alias("cnt"))
     total = model.agg(F.sum("cnt").alias("total"))
+    # Parity rule (exactmath): per-token logprobs are quantized to integer
+    # nano-units at the VOCAB level (one rounding per distinct token, not
+    # per occurrence) and summed as BIGINT — the mean is then exact-int /
+    # exact-int / 1e9, bitwise deterministic; AVG over raw doubles is
+    # accumulation-order-dependent and ln() can differ cross-engine in
+    # the last ulp.
     lp = (
         model.crossJoin(F.broadcast(total))
-        .select("token", F.log(F.col("cnt") / F.col("total")).alias("lp"))
+        .select(
+            "token",
+            F.round(F.log(F.col("cnt") / F.col("total")) * 1_000_000_000)
+            .cast("long")
+            .alias("lp_nano"),
+        )
     )
     return (
         occ.join(F.broadcast(lp), "token")
         .groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.count("*").alias("n_tokens"),
-            F.avg("lp").alias("mean_logprob"),
+            (F.sum("lp_nano") / F.count("*") / F.lit(1e9)).alias(
+                "mean_logprob"
+            ),
         )
     )

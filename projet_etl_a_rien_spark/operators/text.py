@@ -1043,3 +1043,106 @@ def token_drift_by_source(
             / F.lit(float(2 * scale))
         ).alias("tv_drift"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    bucket_width: int = 64,
+    batch_size: int = 32,
+    shard_hex_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed dynamic batching for padded inference: group docs
+    of similar token length into fixed-size batches so padding waste
+    (batch-max minus own length, summed) stays small — the standard
+    serving/embedding-pipeline preprocessing step. A single global
+    length-sorted order would minimize padding but costs a global sort
+    and serializes batch assembly; the distributed form shards FIRST
+    (md5 prefix of the id — deterministic, uniform), then windows only
+    within (bucket, shard): every window partition is ~1/16th (one hex
+    char) of one length bucket, bounded however large the corpus grows,
+    and batches are independently assemblable per shard. Waste stays
+    near-optimal because lengths within a bucket differ by < bucket_width
+    regardless of which shard a doc lands in.
+
+    Returns one row per batch: (bucket, shard, batch_idx, n_docs,
+    batch_max_tokens, pad_waste) — exact integers, engine-exact.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = token_count(text_col)
+    d = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.md5(F.concat(F.lit("lbb:"), F.col(id_col).cast("string"))).alias("hk"),
+    ).where(F.col("n_tokens") > 0)
+    d = d.select(
+        "*",
+        (F.col("n_tokens") / bucket_width).cast("long").alias("bucket"),
+        F.substring("hk", 1, shard_hex_chars).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("hk", id_col)
+    batched = d.select(
+        "bucket",
+        "shard",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long").alias("batch_idx"),
+    )
+    return batched.groupBy("bucket", "shard", "batch_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tokens").alias("batch_max_tokens"),
+        (F.count("*") * F.max("n_tokens") - F.sum("n_tokens")).alias("pad_waste"),
+    )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    quality_col: Column | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum ordering with source interleaving: rank documents
+    best-first WITHIN each source, then round-robin the sources so
+    training consumes a stable source mix at every quality tier instead
+    of exhausting the best source before touching the next. Global
+    position = (round - 1) * n_sources + source_index — a closed form,
+    no global sort: the only full-width shuffle is the per-source
+    ranking window (same shape as the per-source caps operator; at
+    extreme scale the rank decomposes over quality buckets exactly like
+    token-budget selection, SCALE_NOTES §12). The source dimension
+    (index + count) is a bounded broadcast join, not a scalar cross
+    join. Ties rank deterministically by id.
+
+    Returns (doc_id, source, quality, round, global_pos).
+    """
+    from pyspark.sql.window import Window
+
+    q = quality_col if quality_col is not None else quality_score_col(text_col)
+    d = df.select(F.col(id_col), F.col(source_col).alias("source"), q.alias("quality"))
+    srcs = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.row_number().over(Window.orderBy("source")) - 1
+            ).alias("src_idx"),
+        )
+    )
+    n_src = srcs.count()
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.col(id_col))
+    ranked = d.select("*", F.row_number().over(w).cast("long").alias("round"))
+    return (
+        ranked.join(F.broadcast(srcs), "source")
+        .select(
+            id_col,
+            "source",
+            "quality",
+            "round",
+            (
+                (F.col("round") - 1) * F.lit(n_src) + F.col("src_idx")
+            ).alias("global_pos"),
+        )
+    )

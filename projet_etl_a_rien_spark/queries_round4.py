@@ -46,11 +46,13 @@ idf AS (
 ),
 per AS (
     SELECT tf.id,
-           idf.idf * (tf.tf * (1.2 + 1))
-             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
+           CAST(ROUND(idf.idf * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             * 1000000000) AS BIGINT) AS w_nano
     FROM tf JOIN idf USING (token) JOIN dl ON tf.id = dl.id CROSS JOIN stats
 )
-SELECT id AS doc_id, COUNT(*) AS n_terms_matched, SUM(w) AS bm25
+SELECT id AS doc_id, COUNT(*) AS n_terms_matched,
+       CAST(SUM(w_nano) AS BIGINT) / 1e9 AS bm25
 FROM per GROUP BY id
 """,
     doc="Okapi BM25 relevance score per document for a fixed query-term "
@@ -71,8 +73,11 @@ WITH occ AS (
 ),
 model AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
 total AS (SELECT SUM(cnt) AS total FROM model),
-lp AS (SELECT token, ln(cnt / total) AS lp FROM model CROSS JOIN total)
-SELECT id AS doc_id, COUNT(*) AS n_tokens, AVG(lp) AS mean_logprob
+lp AS (SELECT token,
+              CAST(ROUND(ln(cnt / total) * 1000000000) AS BIGINT) AS lp_nano
+       FROM model CROSS JOIN total)
+SELECT id AS doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(lp_nano) AS BIGINT) / COUNT(*) / 1e9 AS mean_logprob
 FROM occ JOIN lp USING (token) GROUP BY id
 """,
     doc="Mean unigram log-probability per document under the corpus-MLE "
@@ -211,22 +216,31 @@ trans AS (
     FROM edges e JOIN outw o ON e.src = o.node
 ),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    # Parity rule mirrored from graph.pagerank: the two order-dependent
+    # float SUMs per round are accumulated as BIGINT picounits (each term
+    # rounded to 1e-12 first), every other operation is a fixed-
+    # association scalar expression — bitwise equal across engines.
+    pico = 1_000_000_000_000
     rounds = []
     for i in range(iters):
         rounds.append(f"""
 d{i} AS (
-    SELECT COALESCE(SUM(rank), 0) AS dang FROM r{i}
-    WHERE node NOT IN (SELECT node FROM outw)
+    SELECT COALESCE(CAST(SUM(CAST(ROUND(rank * {pico}) AS BIGINT)) AS BIGINT),
+                    0) AS dang_pico
+    FROM r{i} WHERE node NOT IN (SELECT node FROM outw)
 ),
 i{i} AS (
-    SELECT t.dst AS node, SUM(r.rank * t.p) AS inc
+    SELECT t.dst AS node,
+           CAST(SUM(CAST(ROUND(r.rank * t.p * {pico}) AS BIGINT)) AS BIGINT)
+               AS inc_pico
     FROM trans t JOIN r{i} r ON t.src = r.node GROUP BY t.dst
 ),
 r{i + 1} AS (
     SELECT n.node,
            (1 - {d}) / (SELECT n FROM nn)
-           + {d} * (COALESCE(i.inc, 0)
-                    + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank
+           + {d} * (COALESCE(i.inc_pico, 0) / {float(pico)}
+                    + (SELECT dang_pico FROM d{i}) / {float(pico)}
+                      / (SELECT n FROM nn)) AS rank
     FROM nodes n LEFT JOIN i{i} i ON n.node = i.node
 )""")
     return head + "," + ",".join(rounds) + f"\nSELECT node, rank FROM r{iters}"
@@ -376,8 +390,10 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH keyed AS (
     SELECT doc_id, n_chars,
-           ln((CAST('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 13)
-                AS BIGINT) + 1) / 4503599627370497) / n_chars AS samp_key
+           ROUND(ln((CAST('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)),
+                          1, 13)
+                AS BIGINT) + 1) / 4503599627370497) / n_chars
+                 * 1000000000) / 1e9 AS samp_key
     FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, n_chars, samp_key
@@ -404,8 +420,16 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         + 1
     ) / F.lit(float(2**52 + 1))
+    # Parity rule (exactmath): ln() can differ cross-engine in the last
+    # ulp, and the key both ORDERS the top-k cut and appears in the
+    # output — quantize it to a 1e-9 grid so selection boundary and
+    # emitted cells are engine-exact (ties broken by doc_id).
     keyed = d.select(
-        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("samp_key")
+        "doc_id",
+        "n_chars",
+        (
+            F.round(F.log(u) / F.col("n_chars") * 1_000_000_000) / F.lit(1e9)
+        ).alias("samp_key"),
     )
     return keyed.orderBy(F.col("samp_key").desc(), "doc_id").limit(200)
 
@@ -598,8 +622,8 @@ def q_lineitem_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_seasonal_decompose",
     """
 WITH daily AS (
-    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
-    FROM events GROUP BY CAST(ts AS DATE)
+    SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+    FROM events GROUP BY date_trunc('day', ts)
 )
 SELECT day, n_events,
        AVG(n_events) OVER (
@@ -616,7 +640,12 @@ FROM daily
 )
 def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    # date_trunc, NOT cast-to-date: a DATE column surfaces as python date
+    # objects under toPandas while DuckDB dates land as datetime64 — the
+    # driver's dtype-sensitive hash sees different cells even though the
+    # days are equal. Truncated timestamps materialize as datetime64[us]
+    # on both engines.
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.count("*").alias("n_events")
     )
     w = Window.orderBy("day").rowsBetween(-3, 3)

@@ -564,8 +564,10 @@ def q_streaming_doc_classifier_gate(
     """
 WITH keyed AS (
     SELECT event_id, value,
-           ln((CAST('0x' || substr(md5('es|' || CAST(event_id AS VARCHAR)), 1, 13)
-                AS BIGINT) + 1) / 4503599627370497) / value AS samp_key
+           ROUND(ln((CAST('0x' || substr(md5('es|' || CAST(event_id AS VARCHAR)),
+                          1, 13)
+                AS BIGINT) + 1) / 4503599627370497) / value
+                 * 1000000000) / 1e9 AS samp_key
     FROM events WHERE value > 0
 )
 SELECT event_id, value, samp_key

@@ -676,10 +676,16 @@ def run_weighted_sample_sink(
             ).cast("double")
             + 1
         ) / F.lit(float(2**52 + 1))
+        # Quantized to a 1e-9 grid (exactmath): ln() can differ cross-
+        # engine in the last ulp and the key both orders the top-k cut
+        # and lands in the sink — see q_doc_weighted_sample.
         return df.where(F.col(weight_col) > 0).select(
             F.col(id_col),
             F.col(weight_col),
-            (F.log(u) / F.col(weight_col)).alias("samp_key"),
+            (
+                F.round(F.log(u) / F.col(weight_col) * 1_000_000_000)
+                / F.lit(1e9)
+            ).alias("samp_key"),
         )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:

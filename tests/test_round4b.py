@@ -50,10 +50,10 @@ def test_bm25_matches_hand_formula(spark):
     # doc 1: vector tf=2 (df=1), stream tf=1 (df=2); dl=4
     exp1 = w(2, 4, 1) + w(1, 4, 2)
     assert got[1]["n_terms_matched"] == 2
-    assert got[1]["bm25"] == pytest.approx(exp1, rel=1e-12)
+    assert got[1]["bm25"] == pytest.approx(exp1, abs=1e-9)  # 1e-9 exactmath grid
     # doc 3: stream tf=1 (df=2); dl=4
     assert got[3]["n_terms_matched"] == 1
-    assert got[3]["bm25"] == pytest.approx(w(1, 4, 2), rel=1e-12)
+    assert got[3]["bm25"] == pytest.approx(w(1, 4, 2), abs=1e-9)
 
 
 def test_unigram_logprob_matches_hand_model(spark):
@@ -68,8 +68,8 @@ def test_unigram_logprob_matches_hand_model(spark):
     # corpus: a=2, b=2, c=1, total=5
     la, lb, lc = math.log(2 / 5), math.log(2 / 5), math.log(1 / 5)
     assert got[1]["n_tokens"] == 3
-    assert got[1]["mean_logprob"] == pytest.approx((la + la + lb) / 3, rel=1e-12)
-    assert got[2]["mean_logprob"] == pytest.approx((lb + lc) / 2, rel=1e-12)
+    assert got[1]["mean_logprob"] == pytest.approx((la + la + lb) / 3, abs=1e-9)
+    assert got[2]["mean_logprob"] == pytest.approx((lb + lc) / 2, abs=1e-9)
 
 
 # ---------------------------------------------------------- prefix join ----
@@ -222,7 +222,7 @@ def test_weighted_sample_key_formula_and_topk_plan(spark, sf_dir):
     u = (
         int(hashlib.md5(f"ws|{r['doc_id']}".encode()).hexdigest()[:13], 16) + 1
     ) / (2**52 + 1)
-    assert r["samp_key"] == pytest.approx(math.log(u) / r["n_chars"], rel=1e-12)
+    assert r["samp_key"] == pytest.approx(math.log(u) / r["n_chars"], abs=1e-9)
     # deterministic: a second run returns the identical sample
     again = {x["doc_id"] for x in REGISTRY["doc_weighted_sample"].fn(spark, sf_dir).collect()}
     assert {x["doc_id"] for x in rows} == again
