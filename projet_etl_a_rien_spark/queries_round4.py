@@ -1014,6 +1014,91 @@ def q_parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_counts(edges).withColumnRenamed("node", "part_id")
 
 
+@register(
+    "doc_length_bucket_batches",
+    """
+WITH d AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5('lbb:' || CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents WHERE len(string_split(text, ' ')) > 0
+),
+b AS (
+    SELECT doc_id, n_tokens, hk,
+           n_tokens // 64 AS bucket,
+           substr(hk, 1, 1) AS shard
+    FROM d
+),
+r AS (
+    SELECT bucket, shard, n_tokens,
+           (ROW_NUMBER() OVER (
+               PARTITION BY bucket, shard ORDER BY hk, doc_id) - 1) // 32
+               AS batch_idx
+    FROM b
+)
+SELECT bucket, shard, CAST(batch_idx AS BIGINT) AS batch_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tokens) AS BIGINT) AS batch_max_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste
+FROM r GROUP BY bucket, shard, batch_idx
+""",
+    doc="Length-bucketed dynamic batching for padded inference "
+    "(operators/text.py:length_bucket_batches): docs of similar token "
+    "length grouped into fixed-size batches so padding waste stays "
+    "small. Shards FIRST (md5 prefix), then windows only within "
+    "(bucket, shard) — every window partition is a bounded slice of one "
+    "length bucket however large the corpus, and waste stays near-"
+    "optimal because lengths within a bucket differ by < bucket_width "
+    "regardless of shard. Exact-integer waste accounting.",
+)
+def q_doc_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.length_bucket_batches(
+        load_table(spark, sf_dir, "documents"), bucket_width=64, batch_size=32
+    )
+
+
+_QUALITY_SQL = """(CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+      + CASE WHEN len(string_split(text, ' ')) <= 2000 THEN 1 ELSE 0 END
+      + CASE WHEN len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) >= 0.2 THEN 1 ELSE 0 END
+      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) / len(string_split(text, ' ')) >= 0.01 THEN 1 ELSE 0 END)"""
+
+
+@register(
+    "corpus_curriculum_order",
+    f"""
+WITH d AS (
+    SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents
+),
+s AS (
+    SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+    FROM (SELECT DISTINCT source FROM documents)
+),
+n AS (SELECT COUNT(*) AS n_src FROM s),
+r AS (
+    SELECT doc_id, source, quality,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT)
+               AS round
+    FROM d
+)
+SELECT r.doc_id, r.source, r.quality, r.round,
+       CAST((r.round - 1) * (SELECT n_src FROM n) + s.src_idx AS BIGINT)
+           AS global_pos
+FROM r JOIN s USING (source)
+""",
+    doc="Curriculum ordering with source interleaving "
+    "(operators/text.py:curriculum_interleave): rank best-first WITHIN "
+    "each source, then round-robin the sources — training consumes a "
+    "stable source mix at every quality tier instead of exhausting the "
+    "best source first. Global position is the closed form "
+    "(round-1)*n_sources + source_index: no global sort, the only "
+    "corpus-wide shuffle is the per-source ranking window (decomposable "
+    "over quality buckets at extreme scale, SCALE_NOTES §12), and the "
+    "source dimension is a bounded broadcast join.",
+)
+def q_corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.curriculum_interleave(load_table(spark, sf_dir, "documents"))
+
+
 KCORE_K = 60
 KCORE_ITERS = 30
 

@@ -184,3 +184,49 @@ def test_agg_sink_snapshot_watermark_excludes_stale_partials(spark, sf_dir):
         } == want
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_length_bucket_batches_properties(spark, sf_dir):
+    """Batches respect size cap, stay within their length bucket, and
+    the exact-integer waste accounting re-derives from the doc table."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = T.length_bucket_batches(docs, bucket_width=64, batch_size=32)
+    rows = batches.collect()
+    assert rows
+    n_docs_total = sum(r.n_docs for r in rows)
+    assert n_docs_total == docs.where(F.size(F.split("text", " ")) > 0).count()
+    for r in rows:
+        assert 1 <= r.n_docs <= 32
+        # batch max lives inside the batch's bucket
+        assert r.bucket * 64 <= r.batch_max_tokens < (r.bucket + 1) * 64
+        assert 0 <= r.pad_waste <= r.n_docs * 63  # within-bucket spread < width
+
+
+def test_curriculum_interleave_round_robin(spark, sf_dir):
+    """Positions are unique, each round-robin round holds at most one doc
+    per source, and within a source quality never increases with round."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators import text as T
+
+    out = T.curriculum_interleave(load_table(spark, sf_dir, "documents"))
+    rows = out.collect()
+    assert len(rows) == len({r.global_pos for r in rows})
+    n_src = out.select("source").distinct().count()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r.round, []).append(r)
+        assert (r.round - 1) * n_src <= r.global_pos < r.round * n_src
+    for rnd, members in by_round.items():
+        assert len({m.source for m in members}) == len(members)
+    import collections
+
+    per_source = collections.defaultdict(list)
+    for r in rows:
+        per_source[r.source].append((r.round, r.quality))
+    for seq in per_source.values():
+        seq.sort()
+        qs = [q for _, q in seq]
+        assert all(a >= b for a, b in zip(qs, qs[1:]))
