@@ -132,8 +132,10 @@ def unigram_logprob_scores(
 
     Two shuffles total: the (token → count) model build and the
     (id, token) re-join of doc tokens against the model. The model table
-    is vocabulary-sized; at corpus scale it broadcasts (hinted) while
-    the exploded token table streams through map-side.
+    is vocabulary-sized, which GROWS with the corpus (Heaps' law) — the
+    re-join carries no broadcast hint: AQE broadcasts the model when it
+    fits and uses a token-keyed shuffle join when it doesn't (forcing
+    the hint would OOM at web-corpus vocabulary sizes).
     """
     occ = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
@@ -156,7 +158,7 @@ def unigram_logprob_scores(
         )
     )
     return (
-        occ.join(F.broadcast(lp), "token")
+        occ.join(lp, "token")
         .groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.count("*").alias("n_tokens"),

@@ -286,9 +286,14 @@ def tfidf_top_terms(
 
     Shuffle shape at scale: explode → (doc, term) count [shuffle 1 on
     (doc, term)], term document-frequency [shuffle 2 on term, word-count
-    sized], broadcast-join df back onto tf, top-k via per-doc window
-    [shuffle 3 on doc]. Nothing is ever collected; the df table is the
-    vocabulary (small) and broadcasts.
+    sized], join df back onto tf on the term key, top-k via per-doc
+    window [shuffle 3 on doc]. Nothing is ever collected. The df table
+    is vocabulary-sized, which GROWS with the corpus (Heaps' law) — so
+    the tf⋈df join carries no broadcast hint: AQE broadcasts it when it
+    fits and falls back to a term-keyed shuffle join (tf is already
+    term-partitioned from shuffle 2's perspective) when it doesn't.
+    Forcing the hint would OOM the driver at web-corpus vocabulary
+    sizes.
     """
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     pairs = df.select(
@@ -302,7 +307,7 @@ def tfidf_top_terms(
         F.desc("score"), F.asc("term")
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
         .withColumn("rank", F.row_number().over(w))

@@ -106,6 +106,19 @@ def test_data_quality_report_has_no_forced_broadcast(spark, sf_dir):
     assert "UnresolvedHint" not in logical
 
 
+@pytest.mark.parametrize("name", ["tfidf_top_terms", "doc_unigram_logprob"])
+def test_vocab_joins_have_no_forced_broadcast(spark, sf_dir, name):
+    """The vocabulary-sized table (term df / unigram model) must join
+    WITHOUT a broadcast hint — vocabulary grows with the corpus (Heaps'
+    law), so pinning it OOMs at web scale; AQE still chooses broadcast
+    when the runtime size fits. Exactly one hint may remain: the 1-row
+    corpus-total scalar."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1
+    assert "UnresolvedHint" not in logical
+
+
 def test_time_rollup_reuses_finer_grains(spark, sf_dir):
     """Hierarchical rollup must read coarser grains from the cached finer
     aggregate (InMemoryTableScan), not re-scan the fact per grain."""
