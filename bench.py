@@ -56,6 +56,11 @@ HEADLINE = [
     # co-purchase graph; FastSS deletion-neighborhood edit join)
     "parts_triangle_counts",
     "customer_name_edit_pairs",
+    # r4 batch 5: iterative peeling over the same 1.2M-edge graph (cost =
+    # rounds x degree-agg + anti-joins) and the costliest ANN composite
+    # (shared k-means fit + multi-probe candidate join)
+    "parts_kcore",
+    "embedding_knn_join_multiprobe_top3",
 ]
 
 

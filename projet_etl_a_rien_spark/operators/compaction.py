@@ -224,7 +224,10 @@ def compact_agg_sink(
         return v
     fold = read_agg_sink(spark, path, key_col).localCheckpoint(eager=True)
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
-    # Space reclamation only — readers already filter batch_id <= max_b.
+    # Space reclamation only — readers already filter batch_id <= max_b,
+    # and always fold the NEWEST snapshot, so folded partials and
+    # superseded snapshot versions are both dead weight (single-writer
+    # maintenance contract, like every table-format vacuum).
     import os
 
     parts_root = f"{path}/parts"
@@ -237,4 +240,14 @@ def compact_agg_sink(
                     continue
                 if b <= max_b:
                     shutil.rmtree(os.path.join(parts_root, d), ignore_errors=True)
+    snap_root = f"{path}/snap"
+    if os.path.isdir(snap_root):
+        for d in os.listdir(snap_root):
+            if d.startswith("v="):
+                try:
+                    sv = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if sv < max_b:
+                    shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)
     return max_b

@@ -57,7 +57,9 @@ FROM per GROUP BY id
 """,
     doc="Okapi BM25 relevance score per document for a fixed query-term "
     "set, computed as join+agg over term statistics (no index service, "
-    "no UDF); vocabulary-sized idf table broadcasts at any corpus size.",
+    "no UDF); the idf table is query-term-sized (bounded by the query, "
+    "not the vocabulary), which is what makes its broadcast legitimate. "
+    "Weights quantized to the 1e-9 exactmath grid before the BIGINT sum.",
 )
 def q_bm25_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_scores(

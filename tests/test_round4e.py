@@ -162,7 +162,10 @@ def test_agg_sink_snapshot_watermark_excludes_stale_partials(spark, sf_dir):
         write_agg_partial(ev.where(F.col("event_id") % 3 == 0), path, 0)
         again = {r.event_type: (r.n, r.cents) for r in read_agg_sink(spark, path).collect()}
         assert again == base, "stale partial below the watermark leaked into the fold"
-        # a NEWER partial still folds
+        # a NEWER partial still folds — and replaying it (checkpoint
+        # recovery re-runs a micro-batch) overwrites its own dir rather
+        # than double counting
+        write_agg_partial(ev.where(F.col("event_id") % 3 == 2), path, 2)
         write_agg_partial(ev.where(F.col("event_id") % 3 == 2), path, 2)
         full = {r.event_type: (r.n, r.cents) for r in read_agg_sink(spark, path).collect()}
         want = {
@@ -230,3 +233,45 @@ def test_curriculum_interleave_round_robin(spark, sf_dir):
         seq.sort()
         qs = [q for _, q in seq]
         assert all(a >= b for a, b in zip(qs, qs[1:]))
+
+
+def test_agg_sink_compaction_vacuums_old_snapshots(spark, sf_dir):
+    """Superseded snapshot versions are dead weight once a newer one is
+    committed — compaction must remove them (and the fold must still
+    equal the batch aggregate afterwards)."""
+    import os
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators.compaction import (
+        compact_agg_sink,
+        read_agg_sink,
+        write_agg_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="mvvac_")
+    try:
+        write_agg_partial(ev.where(F.col("event_id") % 2 == 0), path, 0)
+        assert compact_agg_sink(spark, path) == 0
+        write_agg_partial(ev.where(F.col("event_id") % 2 == 1), path, 1)
+        assert compact_agg_sink(spark, path) == 1
+        versions = sorted(os.listdir(f"{path}/snap"))
+        assert versions == ["v=1"]
+        want = {
+            r.event_type: (r.n, r.cents)
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .collect()
+        }
+        got = {
+            r.event_type: (r.n, r.cents)
+            for r in read_agg_sink(spark, path).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
