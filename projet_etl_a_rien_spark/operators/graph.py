@@ -405,3 +405,90 @@ def kcore(
         "raise max_iter (peeling depth equals the graph's degeneracy "
         "layer count, which exceeded the cap)"
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Edges of the k-truss — the maximal subgraph where every edge is
+    supported by at least ``k - 2`` triangles WITHIN the subgraph — by
+    iterative peeling: drop every edge whose current triangle support is
+    below the bar, recompute support on the survivors, repeat to
+    fixpoint. Truss-ness is the EDGE-level cohesion test k-core can't
+    give: a hub node survives a high k-core through sheer degree, but an
+    edge only survives the truss if its endpoints share actual mutual
+    neighbors — which is why community/affinity work peels trusses, not
+    cores, to isolate tightly-knit groups.
+
+    Per round: triangles are enumerated once each at their canonical
+    (x < y < z) corner (edge⋈edge wedge join + closing-edge semi-join),
+    exploded to their three member edges, and counted per edge — all
+    keyed shuffles; then one anti-join removes the low-support edges.
+    The wedge join is id-oriented, the right shape for the sparse
+    affinity graphs this peels (for degree-skewed graphs the
+    ``triangle_counts`` degree-orientation is the drop-in replacement).
+    ``localCheckpoint`` per round truncates lineage exactly like
+    ``kcore``. Raises ``RuntimeError`` when still peeling after
+    ``max_iter`` rounds — a silently partial truss overstates cohesion.
+
+    Returns surviving edges as (u, v, support), u < v, support counted
+    within the truss (>= k-2 by construction). Deterministic for any
+    edge order.
+    """
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bar = k - 2
+    for _ in range(max_iter):
+        tri = (
+            e.alias("e1")
+            .join(
+                e.alias("e2"),
+                (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("x"),
+                F.col("e1.v").alias("y"),
+                F.col("e2.v").alias("z"),
+            )
+            .join(
+                e.select(F.col("u").alias("y"), F.col("v").alias("z")),
+                ["y", "z"],
+                "left_semi",
+            )
+        )
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                        F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
+                        F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
+                    )
+                ).alias("ed")
+            )
+            .select("ed.u", "ed.v")
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("support"))
+        )
+        scored = e.join(sup, ["u", "v"], "left").select(
+            "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+        )
+        low = scored.where(F.col("support") < bar).select("u", "v")
+        if low.isEmpty():
+            return scored
+        e = e.join(low, ["u", "v"], "left_anti").localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"k-truss peeling did not converge in {max_iter} rounds; raise "
+        "max_iter (peeling depth exceeded the cap)"
+    )

@@ -1164,6 +1164,103 @@ def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KTRUSS_K = 3
+KTRUSS_ITERS = 6
+
+
+@register(
+    "parts_ktruss_affinity",
+    f"""
+WITH RECURSIVE op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+ed AS (
+    SELECT u, v FROM (
+        SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v,
+               COUNT(*) AS c
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ) WHERE c >= 2
+),
+peel(iter, u, v) AS (
+    SELECT 0, u, v FROM ed
+    UNION
+    SELECT * FROM (
+        WITH tri AS (
+            SELECT e1.iter, e1.u AS x, e1.v AS y, e2.v AS z
+            FROM peel e1
+            JOIN peel e2 ON e2.iter = e1.iter AND e2.u = e1.u AND e1.v < e2.v
+            JOIN peel e3 ON e3.iter = e1.iter AND e3.u = e1.v AND e3.v = e2.v
+        ),
+        te AS (
+            SELECT iter, x AS u, y AS v FROM tri
+            UNION ALL SELECT iter, x, z FROM tri
+            UNION ALL SELECT iter, y, z FROM tri
+        ),
+        sup AS (SELECT iter, u, v, COUNT(*) AS s FROM te GROUP BY iter, u, v)
+        SELECT p.iter + 1, p.u, p.v
+        FROM peel p
+        LEFT JOIN sup ON sup.iter = p.iter AND sup.u = p.u AND sup.v = p.v
+        WHERE p.iter < {KTRUSS_ITERS} AND COALESCE(sup.s, 0) >= {KTRUSS_K - 2}
+    )
+),
+core AS (SELECT u, v FROM peel WHERE iter = {KTRUSS_ITERS}),
+tri2 AS (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM core e1
+    JOIN core e2 ON e2.u = e1.u AND e1.v < e2.v
+    JOIN core e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+te2 AS (
+    SELECT x AS u, y AS v FROM tri2
+    UNION ALL SELECT x, z FROM tri2
+    UNION ALL SELECT y, z FROM tri2
+),
+sup2 AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM te2 GROUP BY u, v)
+SELECT c.u AS part_u, c.v AS part_v,
+       CAST(COALESCE(sup2.s, 0) AS BIGINT) AS support
+FROM core c LEFT JOIN sup2 ON sup2.u = c.u AND sup2.v = c.v
+""",
+    doc=f"{KTRUSS_K}-truss of the robust co-purchase affinity graph "
+    "(parts co-ordered in >= 2 distinct orders; operators/graph.py:"
+    "ktruss): iteratively peel every edge supported by fewer than k-2 "
+    "triangles among the survivors. Truss-ness is the EDGE-level "
+    "cohesion test k-core can't give — a hub survives a core through "
+    "degree alone, an edge only survives the truss if its endpoints "
+    "share mutual neighbors. Per Spark round: canonical-corner triangle "
+    "enumeration, 3-edge explode, per-edge count, one anti-join; the "
+    "oracle replays the same simultaneous rounds as a recursive CTE "
+    "with nested triangle/support CTEs over the working table.",
+)
+def q_parts_ktruss_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        graph.ktruss(edges, k=KTRUSS_K, max_iter=KTRUSS_ITERS)
+        .withColumnRenamed("u", "part_u")
+        .withColumnRenamed("v", "part_v")
+    )
+
+
 # ------------------------------------------ packing / decontamination ----
 
 from .operators import text as _text

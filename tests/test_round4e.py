@@ -275,3 +275,32 @@ def test_agg_sink_compaction_vacuums_old_snapshots(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ktruss_keeps_triangles_drops_tail(spark):
+    """Two triangles sharing an edge + a dangling tail: the 3-truss keeps
+    every triangle edge with its support, drops the tail."""
+    from projet_etl_a_rien_spark.operators import graph
+
+    ed = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    rows = {(r.u, r.v): r.support for r in graph.ktruss(ed, k=3).collect()}
+    assert set(rows) == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+    assert rows[(2, 3)] == 2  # shared edge sits in both triangles
+    assert rows[(1, 2)] == 1
+
+
+def test_ktruss_cascade_peels_over_multiple_rounds(spark):
+    """Triangle strip at k=4: end edges have support 1, their removal
+    starves the next edges inward — the whole strip unravels, but only
+    through a multi-round cascade (a single-pass support filter would
+    wrongly keep the middle)."""
+    from projet_etl_a_rien_spark.operators import graph
+
+    n = 9
+    strip = [(i, i + 1) for i in range(1, n)] + [(i, i + 2) for i in range(1, n - 1)]
+    ed = spark.createDataFrame(strip, "src long, dst long")
+    assert graph.ktruss(ed, k=4, max_iter=10).count() == 0
+    with pytest.raises(RuntimeError, match="k-truss"):
+        graph.ktruss(ed, k=4, max_iter=2)  # cascade needs more rounds
