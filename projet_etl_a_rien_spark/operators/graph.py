@@ -381,11 +381,16 @@ def kcore(
     alive = e
     for _ in range(max_iter):
         ends = alive.select(F.explode(F.array("u", "v")).alias("node"))
+        # materialized once per round: `low` feeds the convergence probe
+        # AND both anti-joins — without the checkpoint the degree
+        # aggregation lineage re-executes three times per round (the
+        # self-consumption trap, SCALE_NOTES round-4 audit)
         low = (
             ends.groupBy("node")
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") < k)
             .select("node")
+            .localCheckpoint(eager=True)
         )
         if low.isEmpty():
             deg = (
@@ -481,8 +486,18 @@ def ktruss(
             .groupBy("u", "v")
             .agg(F.count("*").alias("support"))
         )
-        scored = e.join(sup, ["u", "v"], "left").select(
-            "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+        # materialized once per round: `scored` feeds the convergence
+        # probe, the anti-join AND the return path — without the
+        # checkpoint the triangle-enumeration lineage re-executes per
+        # consumer (the self-consumption trap, SCALE_NOTES round-4 audit)
+        scored = (
+            e.join(sup, ["u", "v"], "left")
+            .select(
+                "u",
+                "v",
+                F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            )
+            .localCheckpoint(eager=True)
         )
         low = scored.where(F.col("support") < bar).select("u", "v")
         if low.isEmpty():
