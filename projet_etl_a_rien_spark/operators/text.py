@@ -1126,6 +1126,9 @@ def curriculum_interleave(
 
     q = quality_col if quality_col is not None else quality_score_col(text_col)
     d = df.select(F.col(id_col), F.col(source_col).alias("source"), q.alias("quality"))
+    # materialized once: `srcs` feeds the n_src count AND the broadcast
+    # join — without the checkpoint the corpus-wide distinct scan runs
+    # twice (self-consumption trap, SCALE_NOTES round-4 audit)
     srcs = (
         d.select("source")
         .distinct()
@@ -1135,6 +1138,7 @@ def curriculum_interleave(
                 F.row_number().over(Window.orderBy("source")) - 1
             ).alias("src_idx"),
         )
+        .localCheckpoint(eager=True)
     )
     n_src = srcs.count()
     w = Window.partitionBy("source").orderBy(F.desc("quality"), F.col(id_col))
