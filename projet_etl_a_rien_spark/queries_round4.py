@@ -624,8 +624,12 @@ def q_lineitem_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_seasonal_decompose",
     """
 WITH daily AS (
-    SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
-    FROM events GROUP BY date_trunc('day', ts)
+    -- CAST: DuckDB's date_trunc('day') yields DATE while Spark's yields
+    -- a timestamp; the explicit TIMESTAMP makes raw cells AND the
+    -- pandas-canonicalized (datetime64) forms agree on both engines
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
 )
 SELECT day, n_events,
        AVG(n_events) OVER (
