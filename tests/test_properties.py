@@ -301,3 +301,81 @@ def test_ngram_contamination_matches_brute(spark, docs, n):
         if hit:
             want[i] = (len(hit), nb)
     assert got == want
+
+
+# ------------------------------------------------- graph peeling (r4) ----
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _brute_kcore(edges, k):
+    import collections
+
+    E = {(min(u, v), max(u, v)) for u, v in edges}
+    adj = collections.defaultdict(set)
+    for u, v in E:
+        adj[u].add(v)
+        adj[v].add(u)
+    while True:
+        low = [n for n, s in adj.items() if len(s) < k]
+        if not low:
+            break
+        for n in low:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(s) for n, s in adj.items()}
+
+
+def _brute_ktruss(edges, k):
+    import collections
+
+    E = {(min(u, v), max(u, v)) for u, v in edges}
+    adj = collections.defaultdict(set)
+    for u, v in E:
+        adj[u].add(v)
+        adj[v].add(u)
+    while True:
+        low = [(u, v) for (u, v) in E if len(adj[u] & adj[v]) < k - 2]
+        if not low:
+            break
+        for u, v in low:
+            E.discard((u, v))
+            adj[u].discard(v)
+            adj[v].discard(u)
+    return {(u, v): len(adj[u] & adj[v]) for (u, v) in E}
+
+
+@settings(max_examples=8, deadline=None)
+@given(EDGES, st.integers(min_value=2, max_value=4))
+def test_kcore_matches_bruteforce(spark, edges, k):
+    """Distributed simultaneous peeling equals sequential brute-force
+    peeling (the fixpoint is unique, however removals are scheduled),
+    including each survivor's within-core degree."""
+    from projet_etl_a_rien_spark.operators import graph
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.core_degree for r in graph.kcore(df, k=k, max_iter=30).collect()}
+    assert got == _brute_kcore(edges, k)
+
+
+@settings(max_examples=8, deadline=None)
+@given(EDGES, st.integers(min_value=3, max_value=4))
+def test_ktruss_matches_bruteforce(spark, edges, k):
+    """Same uniqueness argument at the edge level: truss membership AND
+    within-truss support match sequential brute force."""
+    from projet_etl_a_rien_spark.operators import graph
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.u, r.v): r.support
+        for r in graph.ktruss(df, k=k, max_iter=30).collect()
+    }
+    assert got == _brute_ktruss(edges, k)
