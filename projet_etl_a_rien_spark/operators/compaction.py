@@ -160,7 +160,15 @@ def read_agg_sink(
     """Current MV contents: newest snapshot folded with every partial
     NEWER than it. Partials at or below the snapshot version are already
     folded in and are skipped even if their directories still exist
-    (crash-safe read — cleanup is optional)."""
+    (crash-safe read — cleanup is optional).
+
+    Returns a LAZY plan pinned to the files listed at planning time:
+    execute (or ``localCheckpoint``) it BEFORE the next
+    ``compact_agg_sink`` on the same path — compaction vacuums folded
+    partials and superseded snapshots, and a still-lazy reader would
+    then hit missing files (the watermark filter makes stale STATE
+    harmless, it cannot protect against deleted FILES — the standard
+    reader-vs-vacuum window every table format has)."""
     from pyspark.errors import AnalysisException
 
     v = _snapshot_version(spark, path)
@@ -202,7 +210,11 @@ def compact_agg_sink(
     path it may logically overwrite), and the deletes run only after the
     snapshot commit — a crash in between leaves stale partials that
     readers already exclude. Returns the new version (or the current one
-    when there is nothing new to fold)."""
+    when there is nothing new to fold).
+
+    Single-writer maintenance contract: the vacuum step deletes files,
+    so any LAZY DataFrame from an earlier ``read_agg_sink`` must be
+    materialized before calling this (see ``read_agg_sink``)."""
     import shutil
 
     from pyspark.errors import AnalysisException

@@ -191,13 +191,18 @@ def pagerank(
     (incoming mass, dangling mass) are the only order-dependent float
     accumulations — partial aggregation reorders them differently on
     every engine AND every run, drifting the low bits. Each term is
-    rounded to integer picounits (1e-12) and summed as BIGINT, so the
-    aggregate is order-independent; every other operation is a fixed-
-    association scalar expression on deterministic doubles, bitwise
-    equal across engines. The pico grid loses nothing observable: rank
-    mass is O(1/N) per node and three iterations keep well above 1e-9.
+    rounded to an integer grid and summed as BIGINT, so the aggregate is
+    order-independent; every other operation is a fixed-association
+    scalar expression on deterministic doubles, bitwise equal across
+    engines. The grid is RELATIVE — ``scale = 1e9 * N`` — because rank
+    mass is O(1/N) per node: an absolute grid keeps resolution only at
+    fixture scale and rounds hub contributions to zero once N is large,
+    while 1e-9-of-uniform-rank resolution holds at any N, and the int64
+    headroom is exact (total mass 1 × scale = 1e9·N < 2^63 for N up to
+    ~9e9 nodes). The scale factor is computed as the same IEEE double
+    product on both engines.
     """
-    _PICO = 1_000_000_000_000
+    _NANO = 1_000_000_000
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
@@ -217,20 +222,21 @@ def pagerank(
     )
     has_out = out_w.select("node")
     rank = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
+    scale = float(_NANO) * n_nodes
     for _ in range(iters):
         rank = rank.localCheckpoint(eager=True)
         dang = rank.join(has_out, "node", "left_anti").agg(
             F.coalesce(
-                F.sum(F.round(F.col("rank") * _PICO).cast("long")), F.lit(0)
-            ).alias("dang_pico")
+                F.sum(F.round(F.col("rank") * scale).cast("long")), F.lit(0)
+            ).alias("dang_q")
         )
         incoming = (
             trans.join(rank, trans.src == rank.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(
-                    F.round(F.col("rank") * F.col("p") * _PICO).cast("long")
-                ).alias("inc_pico")
+                    F.round(F.col("rank") * F.col("p") * scale).cast("long")
+                ).alias("inc_q")
             )
         )
         rank = (
@@ -242,8 +248,8 @@ def pagerank(
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping)
                     * (
-                        F.coalesce(F.col("inc_pico"), F.lit(0)) / F.lit(float(_PICO))
-                        + F.col("dang_pico") / F.lit(float(_PICO)) / n_nodes
+                        F.coalesce(F.col("inc_q"), F.lit(0)) / F.lit(scale)
+                        + F.col("dang_q") / F.lit(scale) / n_nodes
                     )
                 ).alias("rank"),
             )
@@ -380,25 +386,21 @@ def kcore(
     )
     alive = e
     for _ in range(max_iter):
-        ends = alive.select(F.explode(F.array("u", "v")).alias("node"))
-        # materialized once per round: `low` feeds the convergence probe
-        # AND both anti-joins — without the checkpoint the degree
-        # aggregation lineage re-executes three times per round (the
-        # self-consumption trap, SCALE_NOTES round-4 audit)
-        low = (
-            ends.groupBy("node")
+        # ONE degree aggregation per round, materialized once: it feeds
+        # the convergence probe, both anti-joins AND the converged return
+        # — deriving `low` lazily would re-execute the explode+groupBy
+        # per consumer (the self-consumption trap, SCALE_NOTES round-4
+        # audit), and a separate return-path aggregation would scan the
+        # survivor edges a second time on the final round.
+        deg = (
+            alive.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
             .agg(F.count("*").alias("deg"))
-            .where(F.col("deg") < k)
-            .select("node")
             .localCheckpoint(eager=True)
         )
+        low = deg.where(F.col("deg") < k).select("node")
         if low.isEmpty():
-            deg = (
-                alive.select(F.explode(F.array("u", "v")).alias("node"))
-                .groupBy("node")
-                .agg(F.count("*").alias("core_degree"))
-            )
-            return deg
+            return deg.select("node", F.col("deg").alias("core_degree"))
         nxt = (
             alive.join(low.withColumnRenamed("node", "u"), "u", "left_anti")
             .join(low.withColumnRenamed("node", "v"), "v", "left_anti")

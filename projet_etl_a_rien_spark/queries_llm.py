@@ -71,16 +71,22 @@ def q_doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_features(_docs(spark, sf_dir))
 
 
-@register(
-    "doc_quality_score",
-    """
-SELECT doc_id,
-       len(string_split(text, ' ')) AS n_tokens,
-       (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+# The DuckDB rendering of operators/text.py:quality_score_col — the ONE
+# shared copy (also imported by queries_round4's curriculum oracle) so a
+# threshold tweak cannot desynchronize the two registrations.
+QUALITY_SQL = """(CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
       + CASE WHEN len(string_split(text, ' ')) <= 2000 THEN 1 ELSE 0 END
       + CASE WHEN len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) >= 0.2 THEN 1 ELSE 0 END
       + CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) / len(string_split(text, ' ')) >= 0.01 THEN 1 ELSE 0 END
-       ) AS quality_score
+       )"""
+
+
+@register(
+    "doc_quality_score",
+    f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       {QUALITY_SQL} AS quality_score
 FROM documents
 """,
     doc="Composite heuristic quality gate (Gopher/C4-style thresholded features).",

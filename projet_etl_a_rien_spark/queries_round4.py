@@ -219,29 +219,30 @@ trans AS (
 ),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
     # Parity rule mirrored from graph.pagerank: the two order-dependent
-    # float SUMs per round are accumulated as BIGINT picounits (each term
-    # rounded to 1e-12 first), every other operation is a fixed-
-    # association scalar expression — bitwise equal across engines.
-    pico = 1_000_000_000_000
+    # float SUMs per round are accumulated as BIGINT on a RELATIVE grid
+    # (scale = 1e9 * N, each term rounded first); every other operation
+    # is a fixed-association scalar expression — bitwise equal across
+    # engines. The scale is the same IEEE double product on both sides.
+    sc = "(1000000000.0 * (SELECT n FROM nn))"
     rounds = []
     for i in range(iters):
         rounds.append(f"""
 d{i} AS (
-    SELECT COALESCE(CAST(SUM(CAST(ROUND(rank * {pico}) AS BIGINT)) AS BIGINT),
-                    0) AS dang_pico
+    SELECT COALESCE(CAST(SUM(CAST(ROUND(rank * {sc}) AS BIGINT)) AS BIGINT),
+                    0) AS dang_q
     FROM r{i} WHERE node NOT IN (SELECT node FROM outw)
 ),
 i{i} AS (
     SELECT t.dst AS node,
-           CAST(SUM(CAST(ROUND(r.rank * t.p * {pico}) AS BIGINT)) AS BIGINT)
-               AS inc_pico
+           CAST(SUM(CAST(ROUND(r.rank * t.p * {sc}) AS BIGINT)) AS BIGINT)
+               AS inc_q
     FROM trans t JOIN r{i} r ON t.src = r.node GROUP BY t.dst
 ),
 r{i + 1} AS (
     SELECT n.node,
            (1 - {d}) / (SELECT n FROM nn)
-           + {d} * (COALESCE(i.inc_pico, 0) / {float(pico)}
-                    + (SELECT dang_pico FROM d{i}) / {float(pico)}
+           + {d} * (COALESCE(i.inc_q, 0) / {sc}
+                    + (SELECT dang_q FROM d{i}) / {sc}
                       / (SELECT n FROM nn)) AS rank
     FROM nodes n LEFT JOIN i{i} i ON n.node = i.node
 )""")
@@ -1062,10 +1063,8 @@ def q_doc_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SQL = """(CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
-      + CASE WHEN len(string_split(text, ' ')) <= 2000 THEN 1 ELSE 0 END
-      + CASE WHEN len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) >= 0.2 THEN 1 ELSE 0 END
-      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in'))) / len(string_split(text, ' ')) >= 0.01 THEN 1 ELSE 0 END)"""
+# the one shared rendering of quality_score_col — see queries_llm.py
+from .queries_llm import QUALITY_SQL as _QUALITY_SQL
 
 
 @register(

@@ -147,8 +147,15 @@ GROUP BY user_id
     "the oracle asserts.",
 )
 def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compaction import latest_by_key
+
     ev = replay_events_stream(spark, sf_dir)
-    return run_bounded(stateful_user_totals(ev), mode="update")
+    out = run_bounded(stateful_user_totals(ev), mode="update")
+    # Update mode appends one row per touched key per micro-batch to the
+    # memory sink; keep each user's FINAL running total (n_events is
+    # strictly increasing per user) so the result stays equal to the
+    # batch groupBy however many micro-batches the replay splits into.
+    return latest_by_key(out, ["user_id"], "n_events")
 
 
 def _have_protobuf() -> bool:
@@ -186,8 +193,14 @@ GROUP BY user_id
 
 
 def q_streaming_tws_user_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compaction import latest_by_key
+
     ev = replay_events_stream(spark, sf_dir)
-    return run_bounded(tws_user_type_totals(ev), mode="update", rocksdb=True)
+    out = run_bounded(tws_user_type_totals(ev), mode="update", rocksdb=True)
+    # keep-last per user (see q_streaming_stateful_user_totals): Update
+    # mode emits every touched key per micro-batch, not just the final
+    # state; n_events is strictly increasing per user.
+    return latest_by_key(out, ["user_id"], "n_events")
 
 
 if _have_protobuf():
@@ -312,7 +325,11 @@ def q_streaming_incremental_mv_totals(
     import shutil
     import tempfile
 
-    from .operators.compaction import read_agg_sink, write_agg_partial
+    from .operators.compaction import (
+        _snapshot_version,
+        read_agg_sink,
+        write_agg_partial,
+    )
     from .streaming.windows import run_incremental_agg_sink
 
     path = tempfile.mkdtemp(prefix="mvsink_")
@@ -320,9 +337,13 @@ def q_streaming_incremental_mv_totals(
         even = replay_events_stream(spark, sf_dir).where(
             F.col("event_id") % 2 == 0
         )
-        run_incremental_agg_sink(even, path)  # partials → snap/v=0
+        run_incremental_agg_sink(even, path)  # partials → snapshot
         odd = load_table(spark, sf_dir, "events").where(F.col("event_id") % 2 == 1)
-        write_agg_partial(odd, path, batch_id=1)  # newer than the snapshot
+        # batch id ABOVE the fold watermark, whatever the stream's batch
+        # count was — a hardcoded 1 would land at/below the snapshot and
+        # be (correctly) excluded if the replay ever split into 2+
+        # micro-batches
+        write_agg_partial(odd, path, batch_id=_snapshot_version(spark, path) + 1)
         return read_agg_sink(spark, path).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)

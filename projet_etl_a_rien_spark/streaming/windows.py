@@ -363,6 +363,7 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     — which is what the oracle asserts. Exact cents in state (bigint) so
     the totals are order-independent.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -371,7 +372,13 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # floor(x+0.5), NOT pandas .round(): pandas rounds half to
+            # even while Spark/DuckDB ROUND rounds half away from zero —
+            # an exact .5 cent would disagree with the batch oracle.
+            # (values are non-negative, so half-up == away-from-zero.)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "sum_cents": [cents]}
@@ -439,9 +446,15 @@ def tws_user_type_totals(events: DataFrame) -> DataFrame:
             batch_n = 0
             for pdf in rows:
                 batch_n += len(pdf)
+                # floor(x+0.5), not pandas half-even .round() — see
+                # stateful_user_totals; parity with Spark/DuckDB ROUND.
+                import numpy as np
+
                 per_type = (
                     pdf.assign(
-                        cents=pdf["value"].mul(100).round().astype("int64")
+                        cents=np.floor(
+                            pdf["value"].to_numpy() * 100 + 0.5
+                        ).astype("int64")
                     )
                     .groupby("event_type")["cents"]
                     .agg(["count", "sum"])
@@ -609,8 +622,13 @@ def run_incremental_agg_sink(
     lifetime. The snapshot version is the fold watermark — readers skip
     partials at or below it, so a crash between snapshot commit and
     partial cleanup cannot double count. Per-batch work is O(keys), and
-    the raw stream is never re-scanned. Returns the folded MV re-read
-    from the sink after compaction."""
+    the raw stream is never re-scanned. Returns the folded MV as a LAZY
+    read of the just-compacted sink — callers that keep ingesting fold
+    again when they actually need the view (an eagerly-executed fold
+    here would be wasted work on every path that does), but must
+    materialize it before any further ``compact_agg_sink``
+    (reader-vs-vacuum contract, see
+    ``operators.compaction.read_agg_sink``)."""
     from ..operators.compaction import (
         compact_agg_sink,
         read_agg_sink,
@@ -635,7 +653,7 @@ def run_incremental_agg_sink(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     compact_agg_sink(spark, path, key_col=key_col)
-    return read_agg_sink(spark, path, key_col=key_col).localCheckpoint(eager=True)
+    return read_agg_sink(spark, path, key_col=key_col)
 
 
 def run_weighted_sample_sink(
