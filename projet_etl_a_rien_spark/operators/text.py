@@ -1155,3 +1155,51 @@ def curriculum_interleave(
             ).alias("global_pos"),
         )
     )
+
+
+def chunk_documents_udtf(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Python UDTF twin of :func:`chunk_documents` — identical semantics
+    through Spark 4's user-defined TABLE function API (SPARK-43798):
+    an ``@udtf`` class applied per row via ``DataFrame.lateralJoin`` with
+    an ``.outer()`` correlated column, Arrow-batched
+    (``ArrowEvalPythonUDTF`` in the plan, never row-pickled
+    ``BatchEvalPython``).
+
+    Division of labor, stated plainly: the RELATIONAL form is the hot
+    path — whole-stage-codegen'd array algebra, zero Python — and is
+    what the registered pipeline uses at scale. The UDTF form is the
+    escape hatch for chunkers that genuinely need imperative Python
+    (sentence segmenters, tokenizer-aware splitters, stateful format
+    parsers) and this twin pins the API plumbing (schema contract,
+    lateral correlation, Arrow batching) against the same oracle the
+    relational form answers, exactly like the stateful v1/v2 pairing in
+    streaming/windows. Still map-only: the lateral join is per-partition
+    generation, no shuffle; 100 TB chunking inherits the scan's
+    partitioning either way.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_id bigint, n_tokens bigint, chunk_text string",
+        useArrow=True,
+    )
+    class ChunkWindows:
+        def eval(self, text):  # noqa: ANN001 — UDTF eval signature
+            if text is None:
+                return
+            toks = text.split(" ")
+            for start in range(0, len(toks), stride):
+                ch = toks[start : start + chunk_size]
+                if len(ch) >= min_tokens:
+                    yield (start // stride, len(ch), " ".join(ch))
+
+    return df.lateralJoin(ChunkWindows(F.col(text_col).outer())).select(
+        id_col, "chunk_id", "n_tokens", "chunk_text"
+    )

@@ -835,6 +835,35 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_chunk_windows_udtf",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS strt FROM t),
+c AS (SELECT doc_id, CAST(strt // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+             list_slice(toks, strt + 1, strt + {CHUNK_SIZE}) AS ch FROM s)
+SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_tokens,
+       array_to_string(ch, ' ') AS chunk_text
+FROM c WHERE len(ch) >= {CHUNK_MIN}
+""",
+    doc="Python UDTF twin of doc_chunk_windows (operators/text.py:"
+    "chunk_documents_udtf): the Spark 4 user-defined TABLE function API "
+    "— @udtf class applied per row via DataFrame.lateralJoin with an "
+    ".outer() correlated column, Arrow-batched (ArrowEvalPythonUDTF, "
+    "never row-pickled). Same oracle as the relational form: the "
+    "relational chunker stays the codegen'd hot path; the UDTF is the "
+    "pinned escape hatch for chunkers that genuinely need imperative "
+    "Python (sentence segmenters, tokenizer-aware splitters).",
+)
+def q_doc_chunk_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents_udtf(
+        _docs(spark, sf_dir),
+        chunk_size=CHUNK_SIZE,
+        stride=CHUNK_STRIDE,
+        min_tokens=CHUNK_MIN,
+    )
+
+
 RARITY_HEAD_MAX, RARITY_TAIL_MIN = 29.3, 40.0
 
 

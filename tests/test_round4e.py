@@ -304,3 +304,20 @@ def test_ktruss_cascade_peels_over_multiple_rounds(spark):
     assert graph.ktruss(ed, k=4, max_iter=10).count() == 0
     with pytest.raises(RuntimeError, match="k-truss"):
         graph.ktruss(ed, k=4, max_iter=2)  # cascade needs more rounds
+
+
+def test_udtf_chunker_matches_relational_and_plans_arrow(spark, sf_dir):
+    """The UDTF twin must return exactly the relational chunker's rows
+    and plan as Arrow-batched UDTF execution (never row-pickled
+    BatchEvalPython)."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    rel = T.chunk_documents(docs, chunk_size=32, stride=24, min_tokens=8)
+    via_udtf = T.chunk_documents_udtf(docs, chunk_size=32, stride=24, min_tokens=8)
+    plan = via_udtf._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython " not in plan
+    assert via_udtf.exceptAll(rel).count() == 0
+    assert rel.exceptAll(via_udtf).count() == 0
