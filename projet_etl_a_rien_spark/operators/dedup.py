@@ -292,13 +292,18 @@ def lsh_candidates(
     if max_bucket_size is not None:
         import logging
 
-        # not persisted: the probe agg (eager, for the log) and the
-        # anti-join each recompute one cheap groupBy; a persist here
-        # would pin cache for the session
+        # NB: setting the cap makes construction EAGER — the "no silent
+        # caps" rule wants the dropped-bucket count logged, and that
+        # requires executing the bucket-size probe here. The over-cap
+        # set is localCheckpointed (bounded: only over-cap buckets) so
+        # the probe runs ONCE and both the log aggregate and the
+        # anti-join read the materialized result instead of each
+        # re-running the groupBy lineage.
         hot = (
             banded.groupBy("band", "bucket")
             .agg(F.count("*").alias("n"))
             .where(F.col("n") > max_bucket_size)
+            .localCheckpoint(eager=True)
         )
         stats = hot.agg(
             F.count("*").alias("buckets"),
@@ -882,7 +887,7 @@ def jaccard_prefix_pairs(
         .distinct()
     )
     a, b = base.alias("a"), base.alias("b")
-    return (
+    out = (
         cand.join(a, F.col("id_a") == F.col("a.id"))
         .join(b, F.col("id_b") == F.col("b.id"))
         .select(
@@ -891,7 +896,17 @@ def jaccard_prefix_pairs(
             jaccard(F.col("a.xs"), F.col("b.xs")).alias("jacc"),
         )
         .where(F.col("jacc") >= threshold)
+        # materialized so the two corpus-sized persists can be RELEASED
+        # before returning — without this the cached shingle-set and
+        # prefix-token tables pin executor storage for the session
+        # lifetime on every invocation (bench and the LSH-quality metric
+        # each call this), the same leak the sibling operators
+        # (edit_distance_pairs, semdedup) close the same way
+        .localCheckpoint(eager=True)
     )
+    prefix.unpersist()
+    base.unpersist()
+    return out
 
 
 def ngram_containment_pairs(

@@ -953,6 +953,31 @@ def pq_adc_topk(
     codes, codebooks = pq_fit_encode(
         df, dim, m, k_sub, iters, id_col, vec_col, scale
     )
+    adc = _adc_dist_expr(df, codebooks, query_id, dim, m, id_col, vec_col, scale)
+    return (
+        codes.where(F.col("id") != query_id)
+        .select(F.col("id").alias(id_col), adc.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _adc_dist_expr(
+    df: DataFrame,
+    codebooks: list,
+    query_id: int,
+    dim: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> Column:
+    """Query-side ADC machinery shared by ``pq_adc_topk`` and
+    ``ivfadc_topk`` (one copy, so a change to the lookup cast or tie
+    handling cannot silently diverge the two search paths): fetch the
+    quantized query vector, build the m per-subspace LUTs of exact
+    int64 squared distances, and return the summed m-lookup distance
+    Column over the code columns c0..c{m-1}."""
     sub_len = dim // m
     qrow = (
         df.where(F.col(id_col) == query_id)
@@ -962,28 +987,19 @@ def pq_adc_topk(
     if qrow is None:
         raise ValueError(f"query id {query_id} not found")
     qv = list(qrow.q)
-    dist_cols = []
+    adc = None
     for s in range(m):
         q_sub = qv[s * sub_len : (s + 1) * sub_len]
         lut = [
             sum((a - b) * (a - b) for a, b in zip(q_sub, cent))
             for cent in codebooks[s]
         ]
-        dist_cols.append(
-            F.element_at(
-                F.array(*[F.lit(int(d)) for d in lut]),
-                (F.col(f"c{s}") + 1).cast("int"),
-            )
+        term = F.element_at(
+            F.array(*[F.lit(int(d)) for d in lut]),
+            (F.col(f"c{s}") + 1).cast("int"),
         )
-    adc = dist_cols[0]
-    for c in dist_cols[1:]:
-        adc = adc + c
-    return (
-        codes.where(F.col("id") != query_id)
-        .select(F.col("id").alias(id_col), adc.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
-        .limit(k)
-    )
+        adc = term if adc is None else adc + term
+    return adc
 
 
 def ivfadc_topk(
@@ -1025,27 +1041,7 @@ def ivfadc_topk(
     codes, codebooks = pq_fit_encode(
         df, dim, m, k_sub, iters, id_col, vec_col, scale
     )
-    sub_len = dim // m
-    qrow = (
-        df.where(F.col(id_col) == query_id)
-        .select(quantize(vec_col, scale).alias("q"))
-        .first()
-    )
-    if qrow is None:
-        raise ValueError(f"query id {query_id} not found")
-    qv = list(qrow.q)
-    adc = None
-    for s in range(m):
-        q_sub = qv[s * sub_len : (s + 1) * sub_len]
-        lut = [
-            sum((a - b) * (a - b) for a, b in zip(q_sub, cent))
-            for cent in codebooks[s]
-        ]
-        term = F.element_at(
-            F.array(*[F.lit(int(d)) for d in lut]),
-            (F.col(f"c{s}") + 1).cast("int"),
-        )
-        adc = term if adc is None else adc + term
+    adc = _adc_dist_expr(df, codebooks, query_id, dim, m, id_col, vec_col, scale)
     return (
         codes.join(cand, "id", "left_semi")
         .where(F.col("id") != query_id)
@@ -1085,11 +1081,14 @@ def ivf_incremental_ingest(
     the sink.
 
     Scale shape: per-batch cost is one quantize projection + one
-    argmin over k literal centroids + one append — no corpus-sized
-    read anywhere; the only history touched is the k-row centroid
-    table. Cell skew in the resulting index is the assignment's
-    faithful report (duplicated embeddings land together), bounded
-    downstream by ``ann_knn_join``'s duplicate-collapse.
+    argmin over k literal centroids + one id-projected anti-join
+    against the sink (the replay-idempotence membership probe — a
+    column-pruned scan, the exact-dedup sink's cost class) + one
+    append. Retrying a batch after a crash — even one that committed
+    only some part files — appends exactly the missing vectors; a full
+    replay appends nothing. Cell skew in the resulting index is the
+    assignment's faithful report (duplicated embeddings land together),
+    bounded downstream by ``ann_knn_join``'s duplicate-collapse.
     """
     from pyspark.errors import AnalysisException
 
@@ -1133,5 +1132,17 @@ def ivf_incremental_ingest(
         assigned = _assign(q_all, centroids).select(
             F.col("id").alias(id_col), "cluster"
         )
-        assigned.write.mode("append").parquet(f"{path}/assign")
+        # Replay idempotence (the sink-is-the-state contract every other
+        # incremental sink here honors): anti-join against the ids
+        # already in the index, so retrying a batch after a crash — even
+        # one that committed only some part files of the append — adds
+        # exactly the missing vectors and a full replay adds nothing.
+        # The membership probe is id-projected; at scale it's a
+        # column-pruned scan of the assign table, the same cost class as
+        # the exact-dedup sink's anti-join.
+        existing = spark.read.parquet(f"{path}/assign").select(id_col)
+        fresh = assigned.join(existing, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        fresh.write.mode("append").parquet(f"{path}/assign")
     return spark.read.parquet(f"{path}/assign")

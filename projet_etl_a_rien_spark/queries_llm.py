@@ -1714,20 +1714,25 @@ def q_embedding_ivf_incremental_ingest(
     import shutil as _sh
     import tempfile
 
-    sink = os.path.join(tempfile.gettempdir(), "etl_ivf_ingest_sink")
-    _sh.rmtree(sink, ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings")
-    similarity.ivf_incremental_ingest(
-        emb.where(F.col("vec_id") % 2 == 0),
-        sink,
-        k=KMEANS_K,
-        iters=KMEANS_ITERS,
-        scale=KMEANS_SCALE,
-    )
-    return similarity.ivf_incremental_ingest(
-        emb.where(F.col("vec_id") % 2 == 1),
-        sink,
-        k=KMEANS_K,
-        iters=KMEANS_ITERS,
-        scale=KMEANS_SCALE,
-    )
+    # per-run sink (a fixed shared path collides across concurrent
+    # sessions); the returned table is materialized before cleanup
+    root = tempfile.mkdtemp(prefix="ivfsink_")
+    sink = os.path.join(root, "sink")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.ivf_incremental_ingest(
+            emb.where(F.col("vec_id") % 2 == 0),
+            sink,
+            k=KMEANS_K,
+            iters=KMEANS_ITERS,
+            scale=KMEANS_SCALE,
+        )
+        return similarity.ivf_incremental_ingest(
+            emb.where(F.col("vec_id") % 2 == 1),
+            sink,
+            k=KMEANS_K,
+            iters=KMEANS_ITERS,
+            scale=KMEANS_SCALE,
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)

@@ -255,14 +255,32 @@ FROM events GROUP BY event_type
 )
 def q_streaming_foreachbatch_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
-    sink = os.path.join(tempfile.gettempdir(), "etl_feb_sink")
-    readback = run_foreach_batch_parquet(replay_events_stream(spark, sf_dir), sink)
-    return readback.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
-    )
+    # per-run sink dir (NOT a fixed shared path): a fixed name collides
+    # across concurrent sessions — one run's cleanup deletes another's
+    # live sink mid-stream — and stale batch dirs from a previous run
+    # with different data would leak into the readback. Result is
+    # materialized before the dir is removed.
+    root = tempfile.mkdtemp(prefix="feb_")
+    sink = os.path.join(root, "sink")
+    try:
+        readback = run_foreach_batch_parquet(
+            replay_events_stream(spark, sf_dir), sink
+        )
+        return (
+            readback.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                    "sum_value"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -539,6 +557,7 @@ def q_streaming_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.text import CLASSIFIER_BUCKETS as _CLS_BUCKETS  # noqa: E402
 from .operators.text import classifier_weights as _classifier_weights  # noqa: E402
 
 _CLS_W_STREAM = ", ".join(str(v) for v in _classifier_weights())
@@ -550,7 +569,7 @@ _CLS_W_STREAM = ", ".join(str(v) for v in _classifier_weights())
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 tw AS (SELECT doc_id,
               ([{_CLS_W_STREAM}])[CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
-                           % 64 AS INTEGER) + 1] AS wt
+                           % {_CLS_BUCKETS} AS INTEGER) + 1] AS wt
        FROM tok)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        SUM(wt) / (1000 * COUNT(*)) AS score,
@@ -608,11 +627,15 @@ def q_streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.windows import run_weighted_sample_sink
 
-    sink = os.path.join(tempfile.gettempdir(), "etl_ws_sink")
-    _sh.rmtree(sink, ignore_errors=True)
-    return run_weighted_sample_sink(
-        replay_events_stream(spark, sf_dir), sink, k=100
-    )
+    # per-run sink (see q_streaming_foreachbatch_sink_totals); the
+    # runner localCheckpoints its result, so cleanup in finally is safe
+    root = tempfile.mkdtemp(prefix="ws_")
+    try:
+        return run_weighted_sample_sink(
+            replay_events_stream(spark, sf_dir), os.path.join(root, "sink"), k=100
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -676,23 +699,28 @@ def q_streaming_orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("D").alias("op"),
         F.lit(2).cast("long").alias("seq"),
     )
-    src = os.path.join(tempfile.gettempdir(), "etl_cdc_changes")
-    _sh.rmtree(src, ignore_errors=True)
-    # one file per change batch → one micro-batch each under
-    # maxFilesPerTrigger=1 (written in seq order, but the fold does not
-    # depend on it — see run_cdc_merge_sink)
-    upd.coalesce(1).write.mode("append").parquet(src)
-    dels.coalesce(1).write.mode("append").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "o_orderkey bigint, o_orderstatus string, op string, seq long"
+    # per-run dirs (see q_streaming_foreachbatch_sink_totals); the
+    # runner localCheckpoints its result, so cleanup in finally is safe
+    root = tempfile.mkdtemp(prefix="cdc_")
+    src = os.path.join(root, "changes")
+    try:
+        # one file per change batch → one micro-batch each under
+        # maxFilesPerTrigger=1 (written in seq order, but the fold does
+        # not depend on it — see run_cdc_merge_sink)
+        upd.coalesce(1).write.mode("append").parquet(src)
+        dels.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_orderstatus string, op string, seq long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    sink = os.path.join(tempfile.gettempdir(), "etl_cdc_sink")
-    _sh.rmtree(sink, ignore_errors=True)
-    return run_cdc_merge_sink(stream, o, sink, ["o_orderkey"], "seq")
+        return run_cdc_merge_sink(
+            stream, o, os.path.join(root, "sink"), ["o_orderkey"], "seq"
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
 
 
 @register(

@@ -321,3 +321,35 @@ def test_udtf_chunker_matches_relational_and_plans_arrow(spark, sf_dir):
     assert "BatchEvalPython " not in plan
     assert via_udtf.exceptAll(rel).count() == 0
     assert rel.exceptAll(via_udtf).count() == 0
+
+
+def test_ivf_ingest_replay_is_idempotent(spark, sf_dir):
+    """Retrying an already-committed batch (crash-recovery replay) must
+    append nothing: the sink anti-join makes later-batch appends
+    idempotent, same contract as the exact/near-dup sinks."""
+    import os
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivfidem_")
+    sink = os.path.join(root, "sink")
+    try:
+        similarity.ivf_incremental_ingest(
+            emb.where(F.col("vec_id") % 2 == 0), sink, k=4, iters=1
+        )
+        first = similarity.ivf_incremental_ingest(
+            emb.where(F.col("vec_id") % 2 == 1), sink, k=4, iters=1
+        )
+        n = first.count()
+        # full replay of batch 2: nothing new may land
+        again = similarity.ivf_incremental_ingest(
+            emb.where(F.col("vec_id") % 2 == 1), sink, k=4, iters=1
+        )
+        assert again.count() == n
+        assert again.groupBy("vec_id").count().where("count > 1").count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
