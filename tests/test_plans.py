@@ -74,13 +74,23 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
 
 
 def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
-    """Python in the hot path only as Arrow-batched stages, never per-row."""
+    """Python in the hot path only as Arrow-batched stages, never per-row.
+
+    ``doc_chunk_windows_udtf`` is the ONE deliberate exception: it
+    exists to pin the Spark 4 UDTF escape hatch and must plan as the
+    Arrow-batched table-function node (ArrowEvalPythonUDTF — asserted
+    positively in test_round4e), never the row-pickled BatchEvalPython
+    forms. Everything else stays zero-Python.
+    """
     offenders = []
-    for name in sorted(set(REGISTRY) - EAGER):
+    for name in sorted(set(REGISTRY) - EAGER - {"doc_chunk_windows_udtf"}):
         plan = _plan(spark, sf_dir, name)
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+    udtf_plan = _plan(spark, sf_dir, "doc_chunk_windows_udtf")
+    assert "ArrowEvalPythonUDTF" in udtf_plan
+    assert "BatchEvalPython " not in udtf_plan and "BatchEvalPythonUDTF" not in udtf_plan
 
 
 def test_multimodal_is_arrow_batched(spark, sf_dir):
