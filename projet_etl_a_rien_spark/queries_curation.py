@@ -365,6 +365,91 @@ def q_events_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_funnel",
+    """
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (CAST(len(string_split(text, ' ')) AS BIGINT) >= 20
+            AND CAST(len(string_split(text, ' ')) AS BIGINT) <= 100000
+            AND CAST(length(replace(text, ' ', '')) AS BIGINT)
+                  / CAST(len(string_split(text, ' ')) AS BIGINT) >= 2.0
+            AND CAST(length(replace(text, ' ', '')) AS BIGINT)
+                  / CAST(len(string_split(text, ' ')) AS BIGINT) <= 12.0
+            AND CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                         ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT) >= 2
+            AND CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                  / CAST(len(string_split(text, ' ')) AS BIGINT) >= 0.1) AS g,
+           md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+    FROM documents
+),
+r AS (
+    SELECT n_tokens, g,
+           (g AND ROW_NUMBER() OVER (PARTITION BY fp, g ORDER BY doc_id) = 1)
+               AS keeper
+    FROM f
+)
+SELECT 'stage0_raw' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM r
+UNION ALL
+SELECT 'stage1_quality',
+       CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN g THEN n_tokens ELSE 0 END) AS BIGINT)
+FROM r
+UNION ALL
+SELECT 'stage2_dedup',
+       CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN keeper THEN n_tokens ELSE 0 END) AS BIGINT)
+FROM r
+""",
+    doc="Curation funnel report: docs/tokens surviving each pipeline "
+    "stage (raw -> Gopher quality gate -> exact dedup) — the ops "
+    "artifact a curation run publishes so a collapsed stage is visible "
+    "as a number, not a downstream surprise. ONE pass: cumulative "
+    "boolean stage flags per doc (keeper ranked within (fingerprint, "
+    "gate) so dedup applies among quality survivors, matching the "
+    "pipeline's stage order), a single-row conditional aggregate, and a "
+    "3-row unpivot — no per-stage rescans, the only shuffle is the "
+    "fingerprint window.",
+)
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.gopher_passes("text").alias("g"),
+        text.fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp", "g").orderBy("doc_id")
+    r = d.select(
+        "n_tokens",
+        "g",
+        (F.col("g") & (F.row_number().over(w) == 1)).alias("keeper"),
+    )
+    one = r.agg(
+        F.count("*").alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("g"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(F.col("keeper"), 1).otherwise(0)).cast("long").alias("d2"),
+        F.sum(F.when(F.col("keeper"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("t2"),
+    )
+    return one.selectExpr(
+        "stack(3, 'stage0_raw', d0, t0,"
+        " 'stage1_quality', d1, t1,"
+        " 'stage2_dedup', d2, t2) AS (stage, n_docs, n_tokens)"
+    )
+
+
+
+@register(
     "corpus_curation_pipeline",
     """
 WITH gated AS (
