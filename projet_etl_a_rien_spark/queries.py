@@ -153,14 +153,23 @@ SELECT id, name, icao, lat, lon FROM airports_msgs_num
 )
 def q_airports_permissive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     from .pipelines import airports_permissive_pipeline
 
     msgs = airports_messages_numeric(spark, sf_dir)
-    # fixed per-process sink path + overwrite mode → idempotent, no growth
-    sink = os.path.join(tempfile.gettempdir(), "etl_permissive_sink")
-    return airports_permissive_pipeline(spark, msgs, sink).readback
+    # per-run sink dir: a fixed shared path collides across concurrent
+    # sessions (one run's overwrite races another's readback); the
+    # readback is materialized before cleanup
+    root = tempfile.mkdtemp(prefix="permissive_")
+    try:
+        sink = os.path.join(root, "sink")
+        return airports_permissive_pipeline(
+            spark, msgs, sink
+        ).readback.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

@@ -1167,6 +1167,44 @@ def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_xml_roundtrip_kpi",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events GROUP BY event_type
+""",
+    doc="Native XML parse parity (Spark 4 folds spark-xml into core: "
+    "to_xml/from_xml/schema_of_xml): each event serializes to an XML "
+    "record and is re-parsed against a declared schema — the XML "
+    "analogue of the reference's from_json typed parse (P7) and the "
+    "permissive JSON roundtrip. The KPI over re-parsed rows equals the "
+    "direct aggregate, which the oracle asserts: doubles survive the "
+    "string roundtrip because Java's shortest-repr formatting parses "
+    "back to the identical double. All JVM expression work, narrow "
+    "until the final aggregate.",
+)
+def q_events_xml_roundtrip_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    xml = ev.select(
+        F.to_xml(F.struct("user_id", "event_type", "value")).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x", "user_id bigint, event_type string, value double"
+        ).alias("s")
+    ).select("s.user_id", "s.event_type", "s.value")
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "sum_value"
+        ),
+    )
+
+
 KTRUSS_K = 3
 KTRUSS_ITERS = 6
 
