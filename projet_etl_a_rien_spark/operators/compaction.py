@@ -215,8 +215,6 @@ def compact_agg_sink(
     Single-writer maintenance contract: the vacuum step deletes files,
     so any LAZY DataFrame from an earlier ``read_agg_sink`` must be
     materialized before calling this (see ``read_agg_sink``)."""
-    import shutil
-
     from pyspark.errors import AnalysisException
 
     v = _snapshot_version(spark, path)
@@ -239,27 +237,29 @@ def compact_agg_sink(
     # Space reclamation only — readers already filter batch_id <= max_b,
     # and always fold the NEWEST snapshot, so folded partials and
     # superseded snapshot versions are both dead weight (single-writer
-    # maintenance contract, like every table-format vacuum).
-    import os
-
-    parts_root = f"{path}/parts"
-    if os.path.isdir(parts_root):
-        for d in os.listdir(parts_root):
-            if d.startswith("batch_id="):
-                try:
-                    b = int(d.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if b <= max_b:
-                    shutil.rmtree(os.path.join(parts_root, d), ignore_errors=True)
-    snap_root = f"{path}/snap"
-    if os.path.isdir(snap_root):
-        for d in os.listdir(snap_root):
-            if d.startswith("v="):
-                try:
-                    sv = int(d.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if sv < max_b:
-                    shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)
+    # maintenance contract, like every table-format vacuum). Folded
+    # partials are those at OR below the new version; superseded
+    # snapshots are those strictly below it (v == max_b is the one just
+    # committed).
+    _vacuum_partitions(f"{path}/parts", "batch_id=", below=max_b + 1)
+    _vacuum_partitions(f"{path}/snap", "v=", below=max_b)
     return max_b
+
+
+def _vacuum_partitions(root: str, prefix: str, below: int) -> None:
+    """Delete ``{root}/{prefix}{N}`` directories with N < ``below``
+    (best-effort; unparseable names are left alone)."""
+    import os
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        if not d.startswith(prefix):
+            continue
+        try:
+            n = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if n < below:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)

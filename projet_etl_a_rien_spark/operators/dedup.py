@@ -808,6 +808,7 @@ def jaccard_prefix_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity join via PREFIX FILTERING (AllPairs /
     PPJoin family) — same exact output as an all-pairs inverted-index
@@ -896,14 +897,19 @@ def jaccard_prefix_pairs(
             jaccard(F.col("a.xs"), F.col("b.xs")).alias("jacc"),
         )
         .where(F.col("jacc") >= threshold)
-        # materialized so the two corpus-sized persists can be RELEASED
-        # before returning — without this the cached shingle-set and
-        # prefix-token tables pin executor storage for the session
-        # lifetime on every invocation (bench and the LSH-quality metric
-        # each call this), the same leak the sibling operators
-        # (edit_distance_pairs, semdedup) close the same way
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        # lazy form for plan auditing/composition: the two persists stay
+        # live inside the returned lineage — the CALLER owns the cache
+        # (unpersist via clearCache, or accept session-lifetime pinning)
+        return out
+    # default: materialize so the two corpus-sized persists can be
+    # RELEASED before returning — without this the cached shingle-set
+    # and prefix-token tables pin executor storage for the session
+    # lifetime on every invocation (bench and the LSH-quality metric
+    # each call this), the same leak the sibling operators
+    # (edit_distance_pairs, semdedup) close the same way
+    out = out.localCheckpoint(eager=True)
     prefix.unpersist()
     base.unpersist()
     return out

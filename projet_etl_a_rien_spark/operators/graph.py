@@ -385,7 +385,10 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     alive = e
-    for _ in range(max_iter):
+    # max_iter bounds the PEELS; the +1 probe confirms a fixpoint reached
+    # on exactly the last allowed peel (without it, depth == max_iter
+    # raises even though the matching fixed-round oracle is converged)
+    for it in range(max_iter + 1):
         # ONE degree aggregation per round, materialized once: it feeds
         # the convergence probe, both anti-joins AND the converged return
         # — deriving `low` lazily would re-execute the explode+groupBy
@@ -401,6 +404,8 @@ def kcore(
         low = deg.where(F.col("deg") < k).select("node")
         if low.isEmpty():
             return deg.select("node", F.col("deg").alias("core_degree"))
+        if it == max_iter:
+            break  # another peel is needed but the budget is spent
         nxt = (
             alive.join(low.withColumnRenamed("node", "u"), "u", "left_anti")
             .join(low.withColumnRenamed("node", "v"), "v", "left_anti")
@@ -456,7 +461,9 @@ def ktruss(
         .localCheckpoint(eager=True)
     )
     bar = k - 2
-    for _ in range(max_iter):
+    # max_iter bounds the PEELS; the +1 probe confirms a fixpoint reached
+    # on exactly the last allowed peel (see kcore)
+    for it in range(max_iter + 1):
         tri = (
             e.alias("e1")
             .join(
@@ -504,6 +511,8 @@ def ktruss(
         low = scored.where(F.col("support") < bar).select("u", "v")
         if low.isEmpty():
             return scored
+        if it == max_iter:
+            break  # another peel is needed but the budget is spent
         e = e.join(low, ["u", "v"], "left_anti").localCheckpoint(eager=True)
     raise RuntimeError(
         f"k-truss peeling did not converge in {max_iter} rounds; raise "

@@ -39,6 +39,19 @@ EVENTS_SCHEMA = (
     " event_type string, value double, props string"
 )
 
+
+def _cents_half_away(np, values):
+    """Exact-cents conversion matching Spark/DuckDB ROUND: half rounds
+    AWAY FROM ZERO for both signs. pandas/numpy ``.round()`` is half-to-
+    even, which diverges from every oracle on an exact .5 cent — and a
+    sign-blind floor(x+0.5) would diverge on NEGATIVE halves (refunds /
+    adjustments), so the Arrow state operators route through this one
+    helper instead of each hand-rolling the rule."""
+    scaled = values * 100
+    return np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype("int64")
+
 EVENTS_SCHEMA_TS = (
     "event_id bigint, ts timestamp_ntz, user_id bigint,"
     " event_type string, value double, props string"
@@ -372,13 +385,7 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # floor(x+0.5), NOT pandas .round(): pandas rounds half to
-            # even while Spark/DuckDB ROUND rounds half away from zero —
-            # an exact .5 cent would disagree with the batch oracle.
-            # (values are non-negative, so half-up == away-from-zero.)
-            cents += int(
-                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
-            )
+            cents += int(_cents_half_away(np, pdf["value"].to_numpy()).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "sum_cents": [cents]}
@@ -426,6 +433,7 @@ def tws_user_type_totals(events: DataFrame) -> DataFrame:
     as the Kafka/JDBC network legs), and the plan-shape test runs
     unconditionally while execution is skipped.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -446,15 +454,9 @@ def tws_user_type_totals(events: DataFrame) -> DataFrame:
             batch_n = 0
             for pdf in rows:
                 batch_n += len(pdf)
-                # floor(x+0.5), not pandas half-even .round() — see
-                # stateful_user_totals; parity with Spark/DuckDB ROUND.
-                import numpy as np
-
                 per_type = (
                     pdf.assign(
-                        cents=np.floor(
-                            pdf["value"].to_numpy() * 100 + 0.5
-                        ).astype("int64")
+                        cents=_cents_half_away(np, pdf["value"].to_numpy())
                     )
                     .groupby("event_type")["cents"]
                     .agg(["count", "sum"])

@@ -27,6 +27,15 @@ EAGER = {name for name in REGISTRY if name.startswith("streaming_")} | {
     "minhash_dedup_clusters",  # CC driver loop
     "minhash_dedup_survivors",  # CC driver loop
     "airports_permissive_roundtrip",
+    # eager by construction (iterative peel loops / cache-release
+    # checkpoints) — their executed plan is a checkpoint scan, so the
+    # sweep audits nothing; each has a dedicated plan/property test on
+    # its internal (lazy) form instead
+    "jaccard_prefix_pairs",  # default materialize=True releases persists
+    "minhash_lsh_quality",  # calls jaccard_prefix_pairs for the truth set
+    "parts_kcore",  # iterative peeling loop
+    "parts_ktruss_affinity",  # iterative peeling loop
+    "corpus_curriculum_order",  # source-dim count + checkpoint
 }
 
 

@@ -180,8 +180,10 @@ def test_prefix_join_no_cartesian_and_no_python(spark, sf_dir):
     from projet_etl_a_rien_spark.fixtures import documents_with_dups
 
     df = documents_with_dups(spark, sf_dir)
+    # materialize=False: the default eagerly checkpoints (cache-release
+    # contract), which would reduce this audit to a checkpoint scan
     plan = (
-        dedup.jaccard_prefix_pairs(df, threshold=0.5)
+        dedup.jaccard_prefix_pairs(df, threshold=0.5, materialize=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan

@@ -293,17 +293,19 @@ def test_ktruss_keeps_triangles_drops_tail(spark):
 
 def test_ktruss_cascade_peels_over_multiple_rounds(spark):
     """Triangle strip at k=4: end edges have support 1, their removal
-    starves the next edges inward — the whole strip unravels, but only
-    through a multi-round cascade (a single-pass support filter would
-    wrongly keep the middle)."""
+    starves the next edges inward — the strip unravels in exactly 2 peel
+    rounds (a single-pass support filter would wrongly keep the middle).
+    max_iter counts PEELS: a budget of exactly 2 converges (the +1
+    confirm probe is free), a budget of 1 raises."""
     from projet_etl_a_rien_spark.operators import graph
 
     n = 9
     strip = [(i, i + 1) for i in range(1, n)] + [(i, i + 2) for i in range(1, n - 1)]
     ed = spark.createDataFrame(strip, "src long, dst long")
     assert graph.ktruss(ed, k=4, max_iter=10).count() == 0
+    assert graph.ktruss(ed, k=4, max_iter=2).count() == 0  # depth == budget
     with pytest.raises(RuntimeError, match="k-truss"):
-        graph.ktruss(ed, k=4, max_iter=2)  # cascade needs more rounds
+        graph.ktruss(ed, k=4, max_iter=1)  # cascade needs 2 peels
 
 
 def test_udtf_chunker_matches_relational_and_plans_arrow(spark, sf_dir):
