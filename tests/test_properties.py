@@ -379,3 +379,76 @@ def test_ktruss_matches_bruteforce(spark, edges, k):
         for r in graph.ktruss(df, k=k, max_iter=30).collect()
     }
     assert got == _brute_ktruss(edges, k)
+
+
+# ------------------------------------------------ MV sink / rounding ----
+
+
+def test_cents_half_away_matches_spark_round_on_signed_halves(spark):
+    """The Arrow-state cent conversion must equal Spark ROUND on exact
+    half-cents of BOTH signs (pandas .round is half-even; a sign-blind
+    floor(x+0.5) breaks on negative halves)."""
+    import numpy as np
+
+    from projet_etl_a_rien_spark.streaming.windows import _cents_half_away
+
+    vals = [-1.125, -0.125, -0.005, -0.004, 0.0, 0.004, 0.005, 0.125, 1.115]
+    got = _cents_half_away(np, np.array(vals)).tolist()
+    want = [
+        r.c
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round(F.col("v") * 100).cast("long").alias("c"))
+        .collect()
+    ]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=5),
+)
+def test_agg_sink_fold_invariant_under_splits_and_compaction(
+    spark, splits, compact_after
+):
+    """Whatever the batch partitioning and wherever compaction lands,
+    the folded MV equals the one-shot aggregate: partials are
+    associative and the snapshot watermark loses nothing."""
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators.compaction import (
+        compact_agg_sink,
+        read_agg_sink,
+        write_agg_partial,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("event_id") % 20 == 0
+    )
+    n_groups = len(splits)
+    path = tempfile.mkdtemp(prefix="mvprop_")
+    try:
+        for b in range(n_groups):
+            write_agg_partial(
+                ev.where(F.col("event_id") % n_groups == b), path, b
+            )
+            if b == compact_after:
+                compact_agg_sink(spark, path)
+        got = {
+            r.event_type: (r.n, r.cents)
+            for r in read_agg_sink(spark, path).collect()
+        }
+        want = {
+            r.event_type: (r.n, r.cents)
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
