@@ -611,8 +611,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contamination/edit-join/triangles/kcore/MV-sink/outer-join families)
 # land in the `never` bucket automatically, in registration order — so
 # the driver's ~50-query window covers the 29 plus the front of the r4
-# set, and the local gate covers the remainder (168/168 green at sf0.01
-# as of the r4 session; see tools/oracle_check.py).
+# set, and the local gates cover the remainder: at r4 close the FULL
+# registry (174) is green on BOTH tools/oracle_check.py (raw-cell) and
+# tools/driver_mimic.py (the driver's hash-exact compare) at sf0.01.
 _DRIVER_PRIORITY: list[str] = [
     # -- curation family (round-3 additions, never driver-checked) --
     "doc_gopher_quality_flags",
