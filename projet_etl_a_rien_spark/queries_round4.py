@@ -1168,6 +1168,88 @@ def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_rfm_segments",
+    """
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS rec_days,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+    FROM orders GROUP BY o_custkey
+),
+th AS (
+    SELECT quantile_cont(rec_days, 0.25) AS r25,
+           quantile_cont(rec_days, 0.50) AS r50,
+           quantile_cont(rec_days, 0.75) AS r75,
+           quantile_cont(freq, 0.25) AS f25,
+           quantile_cont(freq, 0.50) AS f50,
+           quantile_cont(freq, 0.75) AS f75,
+           quantile_cont(monetary_cents, 0.25) AS m25,
+           quantile_cont(monetary_cents, 0.50) AS m50,
+           quantile_cont(monetary_cents, 0.75) AS m75
+    FROM cust
+)
+SELECT o_custkey AS custkey,
+       CAST(1 + (rec_days > r25)::INT + (rec_days > r50)::INT
+              + (rec_days > r75)::INT AS BIGINT) AS r_quartile,
+       CAST(1 + (freq > f25)::INT + (freq > f50)::INT
+              + (freq > f75)::INT AS BIGINT) AS f_quartile,
+       CAST(1 + (monetary_cents > m25)::INT + (monetary_cents > m50)::INT
+              + (monetary_cents > m75)::INT AS BIGINT) AS m_quartile
+FROM cust CROSS JOIN th
+""",
+    doc="RFM customer segmentation: per customer, quartile of last-order "
+    "recency, order frequency, and exact-cents monetary total. The "
+    "scale-honest formulation: quartile BOUNDARIES come from one 9-value "
+    "exact-percentile aggregate (Spark percentile == DuckDB "
+    "quantile_cont, bit-identical linear interpolation — the "
+    "order_price_percentiles parity) broadcast as a 1-row scalar, and "
+    "each customer buckets via three threshold comparisons — no global "
+    "NTILE sort over the customer table, which is what the textbook "
+    "window formulation would cost at 100 TB.",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("rec_days"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    th = cust.agg(
+        *[
+            F.expr(f"percentile({c}, array(0.25, 0.50, 0.75))")[i].alias(n)
+            for c, pfx in (
+                ("rec_days", "r"),
+                ("freq", "f"),
+                ("monetary_cents", "m"),
+            )
+            for i, n in enumerate((f"{pfx}25", f"{pfx}50", f"{pfx}75"))
+        ]
+    )
+
+    def quart(c, pfx):
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{pfx}25")).cast("int")
+            + (F.col(c) > F.col(f"{pfx}50")).cast("int")
+            + (F.col(c) > F.col(f"{pfx}75")).cast("int")
+        ).cast("long")
+
+    return cust.crossJoin(F.broadcast(th)).select(
+        F.col("o_custkey").alias("custkey"),
+        quart("rec_days", "r").alias("r_quartile"),
+        quart("freq", "f").alias("f_quartile"),
+        quart("monetary_cents", "m").alias("m_quartile"),
+    )
+
+
+@register(
     "events_xml_roundtrip_kpi",
     """
 SELECT event_type,

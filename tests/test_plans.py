@@ -162,6 +162,7 @@ SCALAR_BNLJ_OK = {
     "lineitem_feature_corr",  # 1-row means broadcast for the centered pass
     "parts_basket_lift",  # 1-row n_orders broadcast onto the pair table
     "source_token_drift",  # 1-row corpus-total (big_g) broadcast onto terms
+    "customer_rfm_segments",  # 1-row quartile-thresholds broadcast
 }
 
 
