@@ -1168,6 +1168,49 @@ def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "supplier_ship_latency",
+    """
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE)) > 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE)) > 90
+                     THEN 1 ELSE 0 END) AS BIGINT)
+           / CAST(COUNT(*) AS BIGINT) AS slow_rate,
+       CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE))) AS BIGINT) AS sum_delay_days,
+       CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE))) AS BIGINT)
+           / CAST(COUNT(*) AS BIGINT) AS avg_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_suppkey
+""",
+    doc="Supplier fulfillment scorecard: per supplier, order-to-ship "
+    "latency in exact integer days — slow-shipment count and rate "
+    "(> 90 days), total and mean delay. Day deltas sum as BIGINT and "
+    "the two ratios are single divisions of exact int64s, so the "
+    "doubles are engine-identical. One fact-fact equi-join on the order "
+    "key (both sides shuffle once) then a map-side-combined supplier "
+    "aggregation.",
+)
+def q_supplier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long")
+    slow = (delay > 90).cast("long")
+    return j.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lineitems"),
+        F.sum(slow).alias("n_slow"),
+        (F.sum(slow) / F.count("*")).alias("slow_rate"),
+        F.sum(delay).alias("sum_delay_days"),
+        (F.sum(delay) / F.count("*")).alias("avg_delay_days"),
+    )
+
+
+@register(
     "customer_rfm_segments",
     """
 WITH cust AS (
