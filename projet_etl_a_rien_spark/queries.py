@@ -612,7 +612,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # land in the `never` bucket automatically, in registration order — so
 # the driver's ~50-query window covers the 29 plus the front of the r4
 # set, and the local gates cover the remainder: at r4 close the FULL
-# registry (174) is green on BOTH tools/oracle_check.py (raw-cell) and
+# registry is green on BOTH tools/oracle_check.py (raw-cell) and
 # tools/driver_mimic.py (the driver's hash-exact compare) at sf0.01.
 _DRIVER_PRIORITY: list[str] = [
     # -- curation family (round-3 additions, never driver-checked) --
