@@ -87,19 +87,6 @@ def apply_changes(
     return latest.where(F.col(op_col) != "D").drop(op_col, seq_col)
 
 
-def _missing_sink(e: Exception) -> bool:
-    """True when a sink read failed only because the table isn't there:
-    the directory is absent (PATH_NOT_FOUND) or exists but holds no
-    parquet yet (UNABLE_TO_INFER_SCHEMA — compaction leaves an empty
-    parts/ root after deleting every folded batch dir)."""
-    s = str(e)
-    return (
-        "PATH_NOT_FOUND" in s
-        or "Path does not exist" in s
-        or "UNABLE_TO_INFER_SCHEMA" in s
-    )
-
-
 # ---------------------------------------------------------------------------
 # Incremental aggregate materialized view (partials + snapshot compaction)
 # ---------------------------------------------------------------------------
@@ -136,22 +123,50 @@ def write_agg_partial(
     part.write.mode("overwrite").parquet(f"{path}/parts/batch_id={batch_id}")
 
 
-def _snapshot_version(spark: SparkSession, path: str) -> int:
-    """Newest committed snapshot version, or -1 when none exists."""
-    from pyspark.errors import AnalysisException
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — works on
+    local paths AND object-store/HDFS URIs, unlike ``os``/``shutil``."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
-    try:
-        vs = (
-            spark.read.option("basePath", f"{path}/snap")
-            .parquet(f"{path}/snap")
-            .select(F.max("v").alias("v"))
-            .first()
-        )
-        return int(vs.v) if vs.v is not None else -1
-    except AnalysisException as e:
-        if not _missing_sink(e):
-            raise
-        return -1
+
+def _committed_partitions(spark: SparkSession, root: str, prefix: str) -> list[int]:
+    """Partition numbers N of ``{root}/{prefix}{N}`` dirs whose job commit
+    completed — i.e. the dir contains ``_SUCCESS`` (Spark's
+    FileOutputCommitter writes it on job commit; a crash mid-commit leaves
+    data files but no marker, and those torn dirs must stay invisible).
+    Unparseable names are ignored."""
+    jvm = spark._jvm
+    fs, rpath = _hadoop_fs(spark, root)
+    if not fs.exists(rpath):
+        return []
+    out = []
+    for st in fs.listStatus(rpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(prefix):
+            continue
+        try:
+            n = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append(n)
+    return out
+
+
+def _snapshot_version(spark: SparkSession, path: str) -> int:
+    """Newest COMMITTED snapshot version, or -1 when none exists.
+
+    Committed = the version dir carries ``_SUCCESS``. A crash mid
+    job-commit of ``snap/v=N`` can leave a partially visible snapshot;
+    preferring it would undercount AND wedge compaction (``max_b <= v``
+    never re-folds). Ignoring marker-less versions keeps torn snapshots
+    invisible, and the next ``compact_agg_sink`` overwrites the torn dir
+    (same ``v = max batch_id``) — that overwrite IS the repair path."""
+    vs = _committed_partitions(spark, f"{path}/snap", "v=")
+    return max(vs) if vs else -1
 
 
 def read_agg_sink(
@@ -168,29 +183,32 @@ def read_agg_sink(
     partials and superseded snapshots, and a still-lazy reader would
     then hit missing files (the watermark filter makes stale STATE
     harmless, it cannot protect against deleted FILES — the standard
-    reader-vs-vacuum window every table format has)."""
-    from pyspark.errors import AnalysisException
+    reader-vs-vacuum window every table format has).
 
+    Only COMMITTED directories (``_SUCCESS`` present) are read, on both
+    the snapshot and the partial side: a torn partial folded here (and
+    then into a snapshot) would undercount permanently, because the
+    stream's idempotent-replay rewrite of ``parts/batch_id=N`` lands at
+    or below the fold watermark and is never re-read."""
     v = _snapshot_version(spark, path)
     pieces = []
     if v >= 0:
         pieces.append(
             spark.read.option("basePath", f"{path}/snap")
-            .parquet(f"{path}/snap")
-            .where(F.col("v") == v)
+            .parquet(f"{path}/snap/v={v}")
             .select(key_col, "n", "cents")
         )
-    try:
-        parts = (
+    newer = sorted(
+        b
+        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
+        if b > v
+    )
+    if newer:
+        pieces.append(
             spark.read.option("basePath", f"{path}/parts")
-            .parquet(f"{path}/parts")
-            .where(F.col("batch_id") > v)
+            .parquet(*[f"{path}/parts/batch_id={b}" for b in newer])
             .select(key_col, "n", "cents")
         )
-        pieces.append(parts)
-    except AnalysisException as e:
-        if not _missing_sink(e):
-            raise
     if not pieces:
         return spark.createDataFrame([], f"{key_col} string, n long, cents long")
     merged = pieces[0]
@@ -215,21 +233,9 @@ def compact_agg_sink(
     Single-writer maintenance contract: the vacuum step deletes files,
     so any LAZY DataFrame from an earlier ``read_agg_sink`` must be
     materialized before calling this (see ``read_agg_sink``)."""
-    from pyspark.errors import AnalysisException
-
     v = _snapshot_version(spark, path)
-    try:
-        newest = (
-            spark.read.option("basePath", f"{path}/parts")
-            .parquet(f"{path}/parts")
-            .select(F.max("batch_id").alias("b"))
-            .first()
-        )
-        max_b = int(newest.b) if newest.b is not None else -1
-    except AnalysisException as e:
-        if not _missing_sink(e):
-            raise
-        max_b = -1
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed) if committed else -1
     if max_b <= v:
         return v
     fold = read_agg_sink(spark, path, key_col).localCheckpoint(eager=True)
@@ -241,25 +247,29 @@ def compact_agg_sink(
     # partials are those at OR below the new version; superseded
     # snapshots are those strictly below it (v == max_b is the one just
     # committed).
-    _vacuum_partitions(f"{path}/parts", "batch_id=", below=max_b + 1)
-    _vacuum_partitions(f"{path}/snap", "v=", below=max_b)
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=max_b)
     return max_b
 
 
-def _vacuum_partitions(root: str, prefix: str, below: int) -> None:
+def _vacuum_partitions(
+    spark: SparkSession, root: str, prefix: str, below: int
+) -> None:
     """Delete ``{root}/{prefix}{N}`` directories with N < ``below``
-    (best-effort; unparseable names are left alone)."""
-    import os
-    import shutil
-
-    if not os.path.isdir(root):
+    (best-effort; unparseable names are left alone). Runs through the
+    Hadoop FileSystem API so it reclaims space on object-store/HDFS URIs
+    too, not just local paths — an ``os``/``shutil`` vacuum is silently a
+    no-op there and the sink would grow unbounded at scale."""
+    fs, rpath = _hadoop_fs(spark, root)
+    if not fs.exists(rpath):
         return
-    for d in os.listdir(root):
-        if not d.startswith(prefix):
+    for st in fs.listStatus(rpath):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
             continue
         try:
-            n = int(d.split("=", 1)[1])
+            n = int(name.split("=", 1)[1])
         except ValueError:
             continue
         if n < below:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            fs.delete(st.getPath(), True)

@@ -596,119 +596,139 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verification sampling order. This list pins the front of the window to the
 # queries with the least accumulated driver evidence (rotated each round).
 #
-# Evidence ledger after r3 (CORRECTNESS_r01-r03, all green, zero red):
-#   * r3 window (50 green): five r2 re-fixes, TPC-H Q2-Q22, all 12 streaming
-#     queries, ANN/dedup-cluster/as-of family, tfidf/lang-confusion.
-#   * r1/r2 greens (45): airports, TPC-H Q1/Q3/Q6, relational/window family,
-#     doc text features, exact/minhash/ngram/simhash dedup, cosine top-k.
-#   * NEVER driver-checked (29): the round-3 additions below.
+# Evidence ledger after r4 (CORRECTNESS_r01-r04: 145 distinct names green,
+# zero red, zero err in r3+r4):
+#   * r4 window (50 green): curation/SCD2/ANN-variant/multimodal/retrieval/
+#     prefix-join/pagerank/ingest families.
+#   * r3 window (50 green): TPC-H Q2-Q22, all 12 streaming queries,
+#     ANN/dedup-cluster/as-of family, tfidf/lang-confusion.
+#   * r1/r2-only greens (45): airports, TPC-H Q1/Q3/Q6, relational/window
+#     family, doc text features, exact/minhash/ngram/simhash, cosine top-k.
+#   * NEVER driver-checked (31): the names below — all green on BOTH local
+#     gates (tools/oracle_check.py raw-cell and tools/driver_mimic.py
+#     hash-exact) at sf0.01, but with no driver CORRECTNESS row yet.
 #
-# r4 ROTATION: front-load the 29 never-checked names (all pass the local
-# oracle gate `tools/oracle_check.py` 29/29), then any queries newly added
-# in round 4, then refresh the oldest evidence (r1/r2-only greens), and
-# demote everything CORRECTNESS_r03 marked green to the back of the order.
-# Round-4 additions (retrieval/prefix-join/pagerank/sampling/packing/
-# contamination/edit-join/triangles/kcore/MV-sink/outer-join families)
-# land in the `never` bucket automatically, in registration order — so
-# the driver's ~50-query window covers the 29 plus the front of the r4
-# set, and the local gates cover the remainder: at r4 close the FULL
-# registry is green on BOTH tools/oracle_check.py (raw-cell) and
-# tools/driver_mimic.py (the driver's hash-exact compare) at sf0.01.
+# r5 ROTATION: front-load the 31 never-checked names so the driver's
+# ~50-query window finally covers them; any round-5 additions land in the
+# `never` bucket right after; then refresh the oldest evidence (r1/r2-only
+# greens) with the remaining budget; r3 then r4 greens (freshest) go last.
 _DRIVER_PRIORITY: list[str] = [
-    # -- curation family (round-3 additions, never driver-checked) --
-    "doc_gopher_quality_flags",
-    "doc_repetition_stats",
-    "doc_pii_scan",
-    "doc_stratified_sample",
-    "source_mixing_weights",
-    "doc_segment_dup_stats",
-    "doc_source_caps",
-    "corpus_curation_pipeline",
-    "corpus_token_budget_selection",
-    "corpus_clean_lang_stats",
-    "doc_robust_stats_by_lang",
-    # -- sessionization / SCD2 / point-in-time --
-    "events_sessionization",
-    "events_user_scd2",
-    "events_scd2_pit_join",
-    "streaming_scd2_pit_enrich",
-    # -- ANN multi-probe / embedding variants --
-    "embedding_knn_join_multiprobe_top3",
-    "embedding_near_dup_pairs",
-    "embedding_ann_kmeans_topk",
-    "embedding_quantization_error",
-    # -- multimodal --
-    "multimodal_meta_stats",
-    "multimodal_byte_features",
-    "multimodal_frame_sample",
-    # -- storage layout / ingest / misc round-3 additions --
-    "events_zorder_values",
-    "minhash_incremental_ingest",
-    "api_airports_ingest",
-    "streaming_api_ingest",
-    "events_props_variant_stats",
-    "orders_status_unpivot",
-    "salted_segment_revenue",
+    "parts_basket_lift",
+    "events_markov_transitions",
+    "doc_weighted_sample",
+    "doc_quality_percentile_by_lang",
+    "doc_novelty_score",
+    "lineitem_feature_corr",
+    "events_seasonal_decompose",
+    "orders_cdc_merge",
+    "customer_yearly_rev_full_outer",
+    "airports_proximity_pairs",
+    "doc_exact_substr_spans",
+    "corpus_exact_substr_rewrite",
+    "customer_name_edit_pairs",
+    "parts_triangle_counts",
+    "doc_length_bucket_batches",
+    "corpus_curriculum_order",
+    "parts_kcore",
+    "supplier_ship_latency",
+    "customer_rfm_segments",
+    "events_xml_roundtrip_kpi",
+    "parts_ktruss_affinity",
+    "corpus_pack_sequences",
+    "ngram_overlap_contamination",
+    "source_token_drift",
+    "minhash_lsh_quality",
+    "streaming_incremental_mv_totals",
+    "streaming_click_attribution_outer",
+    "streaming_doc_classifier_gate",
+    "streaming_weighted_sample",
+    "streaming_orders_cdc_merge",
+    "streaming_contamination_gate",
 ]
+
+# Green in CORRECTNESS_r04.json (freshest evidence — demote to the back).
+_R4_CHECKED = {
+    "api_airports_ingest", "bm25_score_docs", "corpus_clean_lang_stats",
+    "corpus_curation_funnel", "corpus_curation_pipeline", "corpus_diversity_sample",
+    "corpus_segment_dedup_rewrite", "corpus_token_budget_selection", "doc_chunk_windows",
+    "doc_chunk_windows_udtf", "doc_classifier_gate", "doc_gopher_quality_flags",
+    "doc_pii_scan", "doc_repetition_stats", "doc_robust_stats_by_lang",
+    "doc_segment_dup_stats", "doc_source_caps", "doc_stratified_sample", "doc_token_rarity",
+    "doc_unigram_logprob", "embedding_ann_kmeans_topk", "embedding_ivf_incremental_ingest",
+    "embedding_ivfadc_topk", "embedding_knn_join_dedup_top3",
+    "embedding_knn_join_multiprobe_top3", "embedding_near_dup_pairs", "embedding_pq_adc_topk",
+    "embedding_pq_codes", "embedding_quantization_error", "embedding_semdedup",
+    "event_type_pagerank", "events_key_skew_profile", "events_props_variant_stats",
+    "events_scd2_pit_join", "events_sessionization", "events_user_scd2", "events_zone_map",
+    "events_zorder_values", "jaccard_prefix_pairs", "minhash_incremental_ingest",
+    "multimodal_byte_features", "multimodal_frame_sample", "multimodal_meta_stats",
+    "ngram_containment_pairs", "orders_cohort_retention", "orders_status_unpivot",
+    "salted_segment_revenue", "source_mixing_weights", "streaming_api_ingest",
+    "streaming_scd2_pit_enrich",
+}
+
+# Green in CORRECTNESS_r03.json (and not re-checked since).
+_R3_CHECKED = {
+    "doc_lang_confusion", "doc_packing_bins", "doc_split_assignment",
+    "doc_winnow_fingerprints", "embedding_ann_recall_at_10", "embedding_kmeans_assign",
+    "embedding_knn_join_top3", "embedding_lsh_near_dup_pairs", "events_funnel_counts",
+    "events_in_hot_windows", "events_orders_asof", "events_orders_asof_cogroup",
+    "events_rolling_hour_value", "events_time_rollup", "events_user_anomalies",
+    "minhash_dedup_clusters", "minhash_dedup_survivors",
+    "streaming_click_purchase_attribution", "streaming_dedup_event_counts",
+    "streaming_dedup_then_windows", "streaming_event_count", "streaming_event_type_counts",
+    "streaming_foreachbatch_sink_totals", "streaming_hourly_windows",
+    "streaming_session_windows", "streaming_sliding_windows", "streaming_stateful_user_totals",
+    "streaming_static_join_segments", "streaming_watermarked_append", "tfidf_top_terms",
+    "tpch_q10_returned_top_customers", "tpch_q11_important_stock",
+    "tpch_q12_priority_by_linestatus", "tpch_q13_custdist", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders", "tpch_q19_or_of_ands", "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_sole_return_supplier", "tpch_q22_idle_rich_customers",
+    "tpch_q2_min_cost_supplier", "tpch_q4_late_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "train_eval_contamination",
+}
+
+# Green only in CORRECTNESS_r01/r02 (oldest evidence, due a refresh).
+_R12_CHECKED = {
+    "airports_clean", "airports_flagship", "airports_permissive_roundtrip",
+    "airports_stats_permissive", "approx_distinct_parts",
+    "building_customers_without_f_orders", "cube_returnflag_status",
+    "customer_running_order_total", "customers_without_orders", "data_quality_report",
+    "dedup_exact_keepers", "doc_fingerprint_dups", "doc_lang_id", "doc_quality_features",
+    "doc_quality_score", "doc_subword_token_stats", "doc_token_stats",
+    "embedding_ann_pruned_topk", "embedding_cosine_topk", "events_hourly", "events_json_kpi",
+    "events_latest_per_user", "machinery_and_urgent_customers", "minhash_near_dup_pairs",
+    "mktsegment_stats", "nation_customer_extremes", "ngram_jaccard_pairs",
+    "order_price_histogram", "order_price_percentiles", "order_price_sketch_bounds",
+    "order_priority_rollup", "orders_by_year", "orders_lag_lead_gap", "part_type_brand_matrix",
+    "pivot_status_by_priority", "regional_revenue", "simhash_near_dup_pairs",
+    "sql_grouping_sets", "suppliers_with_returns", "table_stats_orders",
+    "token_frequency_top20", "topk_customers_per_segment", "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders", "tpch_q6_forecast_revenue",
+}
 
 
 def _ordered_names() -> list[str]:
     """Registry names ordered by accumulated driver evidence, least first:
-    `_DRIVER_PRIORITY` (never driver-checked), then names never seen in any
-    CORRECTNESS round (e.g. round-4 additions), then r1/r2-only greens
-    (oldest evidence, due a refresh), then CORRECTNESS_r03 greens — so
-    however many queries the driver's ~50-query budget covers, it always
-    verifies the least-evidenced ones first."""
+    `_DRIVER_PRIORITY` (never driver-checked, verified locally), then names
+    never seen in any CORRECTNESS round (round-5 additions), then r1/r2-only
+    greens (oldest evidence, due a refresh), then r3 greens, then r4 greens
+    (freshest) — so however many queries the driver's ~50-query budget
+    covers, it always verifies the least-evidenced ones first."""
     _load_extensions()
     pri = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
     seen = set(pri)
-    # green in CORRECTNESS_r03 (freshest evidence — demote to the back)
-    r3_checked = {
-        "doc_lang_confusion", "doc_packing_bins", "doc_split_assignment", "doc_winnow_fingerprints",
-        "embedding_ann_recall_at_10", "embedding_kmeans_assign", "embedding_knn_join_top3",
-        "embedding_lsh_near_dup_pairs", "events_funnel_counts", "events_in_hot_windows",
-        "events_orders_asof", "events_orders_asof_cogroup", "events_rolling_hour_value",
-        "events_time_rollup", "events_user_anomalies", "minhash_dedup_clusters",
-        "minhash_dedup_survivors", "streaming_click_purchase_attribution",
-        "streaming_dedup_event_counts", "streaming_dedup_then_windows", "streaming_event_count",
-        "streaming_event_type_counts", "streaming_foreachbatch_sink_totals",
-        "streaming_hourly_windows", "streaming_session_windows", "streaming_sliding_windows",
-        "streaming_stateful_user_totals", "streaming_static_join_segments",
-        "streaming_watermarked_append", "tfidf_top_terms", "tpch_q10_returned_top_customers",
-        "tpch_q11_important_stock", "tpch_q12_priority_by_linestatus", "tpch_q13_custdist",
-        "tpch_q14_promo_revenue", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-        "tpch_q17_small_qty_revenue", "tpch_q18_large_orders", "tpch_q19_or_of_ands",
-        "tpch_q20_excess_stock_suppliers", "tpch_q21_sole_return_supplier",
-        "tpch_q22_idle_rich_customers", "tpch_q2_min_cost_supplier", "tpch_q4_late_order_priority",
-        "tpch_q5_local_supplier_volume", "tpch_q7_nation_volume", "tpch_q8_market_share",
-        "tpch_q9_product_type_profit", "train_eval_contamination",
-    }
-    # green only in CORRECTNESS_r01/r02 (older evidence)
-    r2_checked = {
-        "airports_clean", "airports_flagship", "airports_stats_permissive",
-        "airports_permissive_roundtrip", "tpch_q1_pricing_summary",
-        "tpch_q6_forecast_revenue", "tpch_q3_top_orders", "regional_revenue",
-        "mktsegment_stats", "order_priority_rollup", "topk_customers_per_segment",
-        "customer_running_order_total", "building_customers_without_f_orders",
-        "machinery_and_urgent_customers", "customers_without_orders",
-        "suppliers_with_returns", "orders_by_year", "part_type_brand_matrix",
-        "events_json_kpi", "events_hourly", "pivot_status_by_priority",
-        "cube_returnflag_status", "sql_grouping_sets", "nation_customer_extremes",
-        "approx_distinct_parts", "orders_lag_lead_gap", "order_price_percentiles",
-        "events_latest_per_user", "order_price_sketch_bounds",
-        "order_price_histogram", "data_quality_report", "table_stats_orders",
-        "doc_token_stats", "doc_quality_features", "doc_quality_score",
-        "doc_lang_id", "token_frequency_top20", "doc_subword_token_stats",
-        "doc_fingerprint_dups", "dedup_exact_keepers", "minhash_near_dup_pairs",
-        "ngram_jaccard_pairs", "simhash_near_dup_pairs", "embedding_cosine_topk",
-        "embedding_ann_pruned_topk",
-    }
-    checked = r2_checked | r3_checked
+    checked = _R12_CHECKED | _R3_CHECKED | _R4_CHECKED
     never = [n for n in REGISTRY if n not in seen and n not in checked]
-    r12_only = [n for n in REGISTRY if n not in seen and n in r2_checked]
+    r12_only = [n for n in REGISTRY
+                if n not in seen and n in _R12_CHECKED and n not in _R4_CHECKED]
     r3_green = [n for n in REGISTRY
-                if n not in seen and n in r3_checked and n not in r2_checked]
-    return pri + never + r12_only + r3_green
+                if n not in seen and n in _R3_CHECKED
+                and n not in _R12_CHECKED and n not in _R4_CHECKED]
+    r4_green = [n for n in REGISTRY if n not in seen and n in _R4_CHECKED]
+    return pri + never + r12_only + r3_green + r4_green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -370,7 +370,11 @@ def q_streaming_incremental_mv_totals(
 @register(
     "streaming_click_attribution_outer",
     """
-WITH mx AS (SELECT MAX(ts) - INTERVAL 4 HOUR AS cut FROM events),
+WITH mx AS (
+    SELECT LEAST(MAX(CASE WHEN event_type = 'click' THEN ts END),
+                 MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+           - INTERVAL 4 HOUR AS cut
+    FROM events),
 c AS (SELECT user_id, ts, event_id FROM events
       WHERE event_type = 'click' AND ts <= (SELECT cut FROM mx)),
 p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
@@ -390,10 +394,14 @@ FROM j GROUP BY user_id
     doc="Stream-stream LEFT OUTER interval join: clicks with no purchase "
     "within 2h still emit (with nulls) once the watermark passes "
     "l_ts + 2h — the lost-conversion side of attribution the inner join "
-    "drops. Unmatched emission is watermark-driven, so both engines are "
-    "cut to the decided region (clicks older than max_ts - within - "
-    "watermark - 1h margin); inside it the streaming result equals the "
-    "batch left join, which the oracle asserts.",
+    "drops. Unmatched emission is watermark-driven: the stream-stream "
+    "global watermark is min over BOTH sides of (max side ts - delay), so "
+    "the decided region is cut at min(max click ts, max purchase ts) - "
+    "within (2h) - watermark (1h) - 1h margin. Deriving the cutoff from "
+    "the per-side minimum (not the overall max ts) keeps the comparison "
+    "exact even when one event type's last event trails the other by "
+    ">1h; inside the region the streaming result equals the batch left "
+    "join, which the oracle asserts.",
 )
 def q_streaming_click_attribution_outer(
     spark: SparkSession, sf_dir: str
@@ -401,9 +409,18 @@ def q_streaming_click_attribution_outer(
     import datetime
 
     # Decided-region cutoff from the batch footer of the same fixture:
-    # within (2h) + watermark (1h) + 1h safety margin.
-    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    cutoff = max_ts - datetime.timedelta(hours=4)
+    # min of the two sides' max ts (the global watermark anchor — either
+    # side can hold the watermark back), minus within (2h) + watermark
+    # (1h) + 1h safety margin.
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        )
+        .first()
+    )
+    cutoff = min(mx["c"], mx["p"]) - datetime.timedelta(hours=4)
     clicks = replay_events_stream(spark, sf_dir).where(
         F.col("event_type") == "click"
     )

@@ -189,6 +189,71 @@ def test_agg_sink_snapshot_watermark_excludes_stale_partials(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_agg_sink_torn_commit_is_invisible_and_repaired(spark, sf_dir):
+    """Crash mid job-commit of snap/v=N (data files present, no _SUCCESS
+    marker) must leave the torn snapshot invisible: readers keep folding
+    the last committed state, and the next compact_agg_sink re-folds over
+    the torn dir (the overwrite IS the repair path) instead of wedging on
+    max_b <= v. Same discipline on the partial side: a marker-less
+    parts/batch_id=N dir never enters a fold."""
+    import os
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators.compaction import (
+        _snapshot_version,
+        compact_agg_sink,
+        read_agg_sink,
+        write_agg_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="mvtorn_")
+    try:
+        write_agg_partial(ev.where(F.col("event_id") % 2 == 0), path, 0)
+        assert compact_agg_sink(spark, path) == 0
+
+        # torn snapshot: crash mid job-commit of snap/v=1 means data
+        # files may exist but no _SUCCESS, and the vacuum NEVER ran — so
+        # snap/v=0 and parts/batch_id=1 are still on disk. Build exactly
+        # that state: committed partial 1, plus a marker-less v=1 dir
+        # (stale contents — tornness, not contents, is what's under test).
+        write_agg_partial(ev.where(F.col("event_id") % 2 == 1), path, 1)
+        shutil.copytree(f"{path}/snap/v=0", f"{path}/snap/v=1")
+        os.remove(f"{path}/snap/v=1/_SUCCESS")
+        assert _snapshot_version(spark, path) == 0, "torn snapshot preferred"
+
+        # a torn PARTIAL must be invisible too
+        write_agg_partial(ev.where(F.col("event_id") % 2 == 0), path, 2)
+        os.remove(f"{path}/parts/batch_id=2/_SUCCESS")
+
+        want = {
+            r.event_type: (r.n, r.cents)
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .collect()
+        }
+        got = {
+            r.event_type: (r.n, r.cents)
+            for r in read_agg_sink(spark, path).collect()
+        }
+        assert got == want, "torn dirs leaked into (or starved) the fold"
+
+        # repair: re-compaction folds committed state over the torn v=1
+        assert compact_agg_sink(spark, path) == 1
+        assert _snapshot_version(spark, path) == 1
+        assert {
+            r.event_type: (r.n, r.cents)
+            for r in read_agg_sink(spark, path).collect()
+        } == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_length_bucket_batches_properties(spark, sf_dir):
     """Batches respect size cap, stay within their length bucket, and
     the exact-integer waste accounting re-derives from the doc table."""
