@@ -6,13 +6,18 @@ metadata struct; run decode / feature-extract / resize / frame-sample as
 Arrow-batched Python stages (``mapInPandas``) so bytes cross the
 JVM↔Python boundary once per batch, never per row.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-handed a registered fake decoder. Everything Spark-side — schema,
-partition sizing, UDF signatures, Arrow batch shapes — is real and
-tested: ``byte_features`` runs the identical mapInPandas plumbing with a
-pure-bytes feature extractor, and the fixture text column stands in for
-a payload.
+Codec availability is environment-dependent, so decode/resize are
+registry-parameterized: without a registered codec for the modality they
+raise ``NotImplementedError`` at plan-build time (fail fast, not
+per-task). For IMAGES a real codec ships in-repo —
+``operators/png.py`` is a pure-stdlib PNG encoder/decoder/resampler
+(``register_builtin_png_codecs()`` wires it in; the
+``multimodal_png_roundtrip`` registry query runs it under the oracle
+gate) — so the decode path executes real pixel work in every
+environment. Audio/video stay registry-gated until a codec (librosa,
+ffmpeg, …) is registered. Everything Spark-side — schema, partition
+sizing, UDF signatures, Arrow batch shapes — is additionally pinned by
+``byte_features``'s byte-exact roundtrip oracle.
 """
 
 from __future__ import annotations
@@ -129,10 +134,11 @@ def decode_payloads(
 ) -> DataFrame:
     """Decode binary payloads with the registered decoder for ``modality``.
 
-    STUB GATE: the sandbox ships no media codecs. Without a registered
-    decoder this raises ``NotImplementedError`` at plan-build time (fail
-    fast, not per-task). With one (e.g. a test fake returning
-    ``{"width": .., "height": ..}``) the mapInPandas stage is fully real.
+    CODEC GATE: without a registered decoder this raises
+    ``NotImplementedError`` at plan-build time (fail fast, not
+    per-task). ``png.register_builtin_png_codecs()`` provides a real,
+    dependency-free ``"image"`` decoder; audio/video need an external
+    codec registered.
     """
     decoder = _DECODERS.get(modality)
     if decoder is None:
@@ -165,13 +171,12 @@ def resize_images(
     ``mapInPandas`` so one Python roundtrip handles a whole batch of
     payloads.
 
-    STUB GATE (same contract as ``decode_payloads``): the sandbox ships
-    no image codecs, so the actual pixel work comes from a registered
-    ``"{modality}:resize"`` codec with signature ``(payload_bytes,
-    width, height) -> bytes``; without one this raises
-    ``NotImplementedError`` at plan-build time. Everything Spark-side —
-    the binary-in/binary-out schema, batch iteration, output metadata
-    columns — is real and tested with a deterministic fake.
+    CODEC GATE (same contract as ``decode_payloads``): the pixel work
+    comes from a registered ``"{modality}:resize"`` codec with signature
+    ``(payload_bytes, width, height) -> bytes``; without one this raises
+    ``NotImplementedError`` at plan-build time.
+    ``png.register_builtin_png_codecs()`` provides a real PNG
+    decode→nearest-neighbor→re-encode codec with no dependencies.
     """
     codec = _DECODERS.get(f"{modality}:resize")
     if codec is None:

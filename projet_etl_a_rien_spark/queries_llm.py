@@ -741,6 +741,71 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_png_roundtrip",
+    # Every stage after the encode is REAL image work (pure-stdlib PNG
+    # codec, operators/png.py): payload bytes → 32-wide RGB pixel grid
+    # (zero-padded final row) → PNG-encode with scanline filter
+    # doc_id % 5 (so all five filter reconstructions run under the
+    # oracle) → decode_payloads("image") → IHDR dims + two pixel
+    # checksums. Zero padding is checksum-invariant, so the oracle
+    # recomputes both sums straight from the pre-encode bytes via the
+    # hex dump — a wrong pixel VALUE breaks pix_sum, a wrong pixel
+    # POSITION breaks the weighted pix_wsum.
+    """
+WITH p AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+b AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM p),
+v AS (SELECT doc_id, n, i,
+        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+      + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS byte
+      FROM b)
+SELECT doc_id,
+       32 AS width,
+       CAST(ceil(n / 96.0) AS INTEGER) AS height,
+       3 AS channels,
+       CAST(SUM(byte) AS BIGINT) AS pix_sum,
+       CAST(SUM((i + 1) * byte) AS BIGINT) AS pix_wsum
+FROM v
+GROUP BY doc_id, n
+""",
+    doc="REAL image decode under the oracle gate: payloads PNG-encoded "
+    "(all 5 scanline filters) and decoded by the pure-stdlib codec in "
+    "operators/png.py via the registered-decoder multimodal path; "
+    "dims + positional checksums verified byte-exactly.",
+)
+def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.png import png_encode, register_builtin_png_codecs
+
+    register_builtin_png_codecs()
+    width, stride = 32, 32 * 3
+    payloads = multimodal.with_binary_payload(_docs(spark, sf_dir)).where(
+        F.length("payload") > 0
+    )
+
+    def to_png(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                h = -(-n // stride)
+                pix = bytes(payload) + bytes(h * stride - n)
+                rows.append(
+                    (doc_id, png_encode(width, h, pix, 2, int(doc_id) % 5))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    pngs = payloads.mapInPandas(to_png, schema="doc_id bigint, payload binary")
+    return multimodal.decode_payloads(
+        pngs,
+        "image",
+        "doc_id bigint, width int, height int, channels int, "
+        "pix_sum bigint, pix_wsum bigint",
+    )
+
+
 _QUALITY_SCORE_SQL = """
   (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
  + CASE WHEN len(string_split(text, ' ')) <= 2000 THEN 1 ELSE 0 END
