@@ -12,8 +12,12 @@ sink (``:77-86``), with the scale-hardening SURVEY.md §4.2 calls for:
   through a single executor;
 - ``batchsize`` for write batching.
 
-No JDBC driver/database exists in this sandbox; calls raise a clear
-RuntimeError (add the driver jar + url in production).
+No SERVER database exists in this sandbox, but the wrappers are
+data-tested against embedded Derby (Spark ships the jars):
+``tests/test_jdbc_embedded.py`` pushes real rows through a real JDBC
+URL — write, read-back, overwrite idempotence, parallel partitioned
+read. Unreachable endpoints raise a clear RuntimeError (add the server
+driver jar + url in production).
 """
 
 from __future__ import annotations
