@@ -187,32 +187,88 @@ def kmeans_fit(
     )
     cached = q_all.persist()
     try:
-        seed_rows = cached.orderBy("id").limit(k).collect()
-        centroids = [list(r.q) for r in seed_rows]
-
-        for _ in range(iters):
-            assigned = _assign(cached, centroids)
-            stats = (
-                assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
-                .groupBy("cluster", "pos")
-                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-                .collect()
-            )
-            by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
-            for r in stats:
-                by_cluster.setdefault(r.cluster, {})[r.pos] = (r.s, r.n)
-            centroids = [
-                [
-                    _round_half_away(sn[pos][0] / sn[pos][1])
-                    for pos in range(len(centroids[c]))
-                ]
-                if (sn := by_cluster.get(c))
-                else centroids[c]  # empty cluster keeps its previous centroid
-                for c in range(k)
-            ]
+        centroids = _fit_centroids(cached, k, iters)
     finally:
         cached.unpersist()
     return q_all, centroids
+
+
+def _fit_centroids(cached: DataFrame, k: int, iters: int) -> list[list[int]]:
+    """Lloyd iterations over an already-persisted (id, q) table — the
+    shared core of ``kmeans_fit`` and ``kmeans_index``. The caller owns
+    the persist/unpersist; each of the 1 + iters driver jobs here scans
+    the cached quantized table, never the source."""
+    seed_rows = cached.orderBy("id").limit(k).collect()
+    centroids = [list(r.q) for r in seed_rows]
+
+    for _ in range(iters):
+        assigned = _assign(cached, centroids)
+        stats = (
+            assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = (r.s, r.n)
+        centroids = [
+            [
+                _round_half_away(sn[pos][0] / sn[pos][1])
+                for pos in range(len(centroids[c]))
+            ]
+            if (sn := by_cluster.get(c))
+            else centroids[c]  # empty cluster keeps its previous centroid
+            for c in range(k)
+        ]
+    return centroids
+
+
+def kmeans_index(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    probes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 100_000,
+) -> tuple[DataFrame, DataFrame | None, list[list[int]]]:
+    """One-pass IVF index build: fit + home-cell assignment (+ optional
+    multi-probe assignment) sharing a single persisted quantized table,
+    with the tiny result tables MATERIALIZED (eager ``localCheckpoint``).
+
+    Why this exists: ``kmeans_fit`` returns a LAZY quantized table, so a
+    consumer that derives assignments and probe lists separately (e.g.
+    ``ann_knn_join``'s two join sides) re-quantizes and re-runs the
+    argmin once per subtree — Spark does not dedupe common subplans.
+    Here the quantize→argmin work runs exactly once; what persists
+    afterwards is only the O(n) id→cell tables (and k×dim centroid
+    literals), never vectors. Bit-identical results to the unshared
+    path — this changes the plan, not the math.
+
+    Returns ``(assignments, probe_assignments | None, centroids)``.
+    """
+    q_all = df.select(
+        F.col(id_col).alias("id"), quantize(vec_col, scale).alias("q")
+    )
+    cached = q_all.persist()
+    try:
+        centroids = _fit_centroids(cached, k, iters)
+        assign = (
+            _assign(cached, centroids)
+            .select(F.col("id").alias(id_col), "cluster")
+            .localCheckpoint(eager=True)
+        )
+        probe = None
+        if probes is not None:
+            probe = (
+                _probe_cells(cached, centroids, probes)
+                .select(F.col("id").alias(id_col), "probe_cells")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        cached.unpersist()
+    return assign, probe, centroids
 
 
 def kmeans_assign(
@@ -578,6 +634,7 @@ def ann_knn_join(
     probe_assignments: DataFrame | None = None,
     probe_col: str = "probe_cells",
     collapse_duplicates: bool = False,
+    compute_splits: int | None = None,
 ) -> DataFrame:
     """Batch kNN self-join: every vector's top-k neighbors, searched
     within its IVF cell — the corpus-wide form of similarity search
@@ -605,6 +662,17 @@ def ann_knn_join(
     identical either way; the flag only changes the plan. Hot cells of
     DISTINCT vectors (a genuinely dense region) remain Σ|cell|² and are
     AQE-skew-split; that residual is inherent to IVF blocking.
+
+    Parallelism: the pair stage's work is QUADRATIC in rows but its
+    shuffle is small in BYTES, so AQE (which coalesces by bytes) can
+    lump a compute-heavy cell join into one task — with few cells the
+    whole Σ|cell|² runs on one core. ``compute_splits=S`` salts the
+    query side S ways per cell and replicates the neighbor side ×S
+    (identical pair set — each pair meets exactly once, at the query
+    row's salt), turning the stage into cells×S evenly sized tasks.
+    Set it when #cells < cores (the r4→r5 bench fix: 8 cells on a
+    32-core runner); leave None at scale, where thousands of cells give
+    natural parallelism and ×S neighbor replication would be pure cost.
     """
     from pyspark.sql.window import Window
 
@@ -639,13 +707,22 @@ def ann_knn_join(
         )
     else:
         query_side = with_cell
-    l, r = query_side.alias("l"), with_cell.alias("r")
-    sims = (
-        l.join(
-            r,
-            (F.col(f"l.{cell_col}") == F.col(f"r.{cell_col}"))
-            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+    join_on = (F.col(f"l.{cell_col}") == F.col(f"r.{cell_col}")) & (
+        F.col(f"l.{id_col}") != F.col(f"r.{id_col}")
+    )
+    neighbor_side = with_cell
+    if compute_splits is not None and compute_splits > 1:
+        s = F.lit(compute_splits)
+        query_side = query_side.withColumn(
+            "_cs", F.pmod(F.hash(F.col(id_col)), s)
         )
+        neighbor_side = with_cell.withColumn(
+            "_cs", F.explode(F.sequence(F.lit(0), s - F.lit(1)))
+        )
+        join_on = join_on & (F.col("l._cs") == F.col("r._cs"))
+    l, r = query_side.alias("l"), neighbor_side.alias("r")
+    sims = (
+        l.join(r, join_on)
         .select(
             F.col(f"l.{id_col}").alias("query_id"),
             F.col(f"r.{id_col}").alias("neighbor_id"),

@@ -1140,10 +1140,16 @@ WHERE rank <= 3
 )
 def q_embedding_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = similarity.kmeans_assign(
+    # kmeans_index (not kmeans_assign): the self-join consumes the
+    # assignment table on BOTH sides, and materializing the O(n) id→cell
+    # table once avoids re-running quantize+argmin per subtree
+    assign, _, _ = similarity.kmeans_index(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
     )
-    return similarity.ann_knn_join(emb, assign, k=3)
+    # compute_splits: 8 cells on a 32-core local runner — salt the
+    # quadratic pair stage so AQE's byte-based coalescing can't serialize
+    # the whole sum(|cell|^2) onto one task
+    return similarity.ann_knn_join(emb, assign, k=3, compute_splits=32)
 
 
 @register(
@@ -1179,7 +1185,7 @@ WHERE rank <= 3
 )
 def q_embedding_knn_join_dedup_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = similarity.kmeans_assign(
+    assign, _, _ = similarity.kmeans_index(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
     )
     return similarity.ann_knn_join(emb, assign, k=3, collapse_duplicates=True)
@@ -1226,13 +1232,16 @@ WHERE rank <= 3
 )
 def q_embedding_knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    fit = similarity.kmeans_fit(
-        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    # single index build: fit, home cells, and probe lists share one
+    # persisted quantized table and the tiny id→cell(s) results are
+    # materialized — the r4 bench decomposition showed the refit/
+    # re-argmin constants were ~40% of this query's wall-clock
+    assign, probe, _ = similarity.kmeans_index(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE,
+        probes=KNN_PROBES,
     )
-    assign = similarity.kmeans_assign(emb, fit=fit)
-    probe = similarity.kmeans_probe_assign(emb, probes=KNN_PROBES, fit=fit)
     return similarity.ann_knn_join(
-        emb, assign, k=3, probe_assignments=probe
+        emb, assign, k=3, probe_assignments=probe, compute_splits=32
     )
 
 

@@ -107,6 +107,36 @@ def test_decode_payloads_runs_real_png_decode(spark, sf_dir):
         assert (r.pix_sum, r.pix_wsum) == (meta["pix_sum"], meta["pix_wsum"])
 
 
+def test_knn_compute_splits_identical_results(spark):
+    """compute_splits only changes the plan (salted query side, x S
+    replicated neighbor side): the pair set — and therefore the exact
+    top-k with its deterministic tiebreak — must be identical to the
+    unsalted join, with and without multi-probe."""
+    import random as _r
+
+    from projet_etl_a_rien_spark.operators import similarity
+
+    rng = _r.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assign, probe, _ = similarity.kmeans_index(df, k=3, iters=2, probes=2)
+
+    def key(res):
+        return sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in res)
+
+    for pa in (None, probe):
+        base = similarity.ann_knn_join(
+            df, assign, k=3, probe_assignments=pa
+        ).collect()
+        for s in (2, 7):
+            salted = similarity.ann_knn_join(
+                df, assign, k=3, probe_assignments=pa, compute_splits=s
+            ).collect()
+            assert key(salted) == key(base), f"probe={pa is not None} S={s}"
+
+
 def test_resize_images_runs_real_resample(spark):
     """resize_images with the builtin PNG codec: output payloads are
     valid PNGs of the target dimensions whose pixels equal a local
