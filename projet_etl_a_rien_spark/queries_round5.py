@@ -190,3 +190,51 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@register(
+    "streaming_jdbc_totals_sink",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value
+FROM events GROUP BY event_type
+""",
+    doc="The reference's production sink shape end-to-end with REAL "
+    "bytes: streaming complete-mode totals -> foreachBatch JDBC "
+    "full-replace (ref spark_airports_final.py:75-86) into embedded "
+    "Derby, read back through a JDBC scan; idempotent because overwrite "
+    "replaces the whole table per batch. Oracle = the batch aggregate.",
+)
+def q_streaming_jdbc_totals_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources.jdbc import jdbc_source
+    from .streaming.windows import replay_events_stream, run_foreach_batch_jdbc
+
+    # per-run db dir: concurrent sessions must not share a Derby database
+    tmp = tempfile.mkdtemp(prefix="derbystream_")
+    spark._jvm.System.setProperty("derby.stream.error.file", f"{tmp}/derby.log")
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    try:
+        agg = (
+            replay_events_stream(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+                ).alias("sum_value"),
+            )
+        )
+        run_foreach_batch_jdbc(agg, url, "totals", driver=DERBY_DRIVER)
+        return jdbc_source(
+            spark, url, "totals", user="app", password="app", driver=DERBY_DRIVER
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

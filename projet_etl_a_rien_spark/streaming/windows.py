@@ -294,6 +294,55 @@ def run_foreach_batch_parquet(stream_df: DataFrame, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(path).drop("batch_id")
 
 
+def run_foreach_batch_jdbc(
+    stream_agg: DataFrame,
+    url: str,
+    table: str,
+    driver: str,
+    user: str = "app",
+    password: str = "app",
+    state_partitions: int = 4,
+) -> None:
+    """Complete-mode streaming totals → JDBC full-replace per micro-batch
+    — the reference's ACTUAL production sink shape (aggregate in Spark,
+    ``mode("overwrite")`` into a relational table,
+    spark_airports_final.py:75-86) as a streaming pipeline. Each batch
+    overwrites the WHOLE table with the current complete-mode totals, so
+    checkpoint-recovery reprocessing rewrites instead of duplicating —
+    idempotence comes from the sink semantics, exactly like the parquet
+    ``batch_id=N`` variant (:func:`run_foreach_batch_parquet`) but
+    through a real JDBC URL (tests/oracle use embedded Derby — Spark
+    ships the driver jars — so live bytes flow without a server).
+
+    ``state_partitions`` as in :func:`run_bounded`: complete-mode
+    aggregation state stores should track key cardinality, not cores.
+    """
+    spark = stream_agg.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_jdbc_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    from ..sources.jdbc import jdbc_overwrite_sink
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        jdbc_overwrite_sink(
+            batch_df, url, table, user=user, password=password, driver=driver
+        )
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            stream_agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def run_console(stream_df: DataFrame, mode: str = "complete", bounded: bool = True):
     """Literal K2 form: console sink in complete mode
     (ref ``spark_kafka_direct.py:35-40``). ``bounded=True`` adds an

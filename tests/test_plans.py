@@ -163,6 +163,7 @@ SCALAR_BNLJ_OK = {
     "parts_basket_lift",  # 1-row n_orders broadcast onto the pair table
     "source_token_drift",  # 1-row corpus-total (big_g) broadcast onto terms
     "customer_rfm_segments",  # 1-row quartile-thresholds broadcast
+    "source_temperature_mix",  # 1-row N then 1-row share-normalizer broadcasts
 }
 
 
