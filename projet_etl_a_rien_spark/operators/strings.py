@@ -209,7 +209,9 @@ def _cands(
     return cold.unionByName(_cands(ih, ph, d, thr, depth - 1, cached))
 
 
-def _cands_fastss_d1(s: DataFrame, cached: list[DataFrame]) -> DataFrame:
+def _cands_fastss_d1(
+    s: DataFrame, cached: list[DataFrame], compute_splits: int | None = None
+) -> DataFrame:
     """Candidate pairs for d=1 via the deletion-neighborhood join
     (FastSS, Bocek et al. 2007): emit md5 digests of the string itself
     and of every single-character deletion — n+1 keys per string — and
@@ -235,7 +237,16 @@ def _cands_fastss_d1(s: DataFrame, cached: list[DataFrame]) -> DataFrame:
             ),
         )
     )
-    rows = s.select("id", F.explode(variants).alias("dg")).persist()
+    rows = s.select("id", F.explode(variants).alias("dg"))
+    if compute_splits is not None and compute_splits > 1:
+        # hash-partition on the join key with an EXPLICIT width: the
+        # digest self-join then reuses this partitioning (no further
+        # exchange), and AQE's byte-based coalescing — which would lump
+        # the compute-heavy join of a small-bytes corpus into one task —
+        # leaves user-specified repartitions alone (same trap as
+        # similarity.ann_knn_join's compute_splits; see SCALE_NOTES r5)
+        rows = rows.repartition(compute_splits, "dg")
+    rows = rows.persist()
     cached.append(rows)
     return (
         rows.select(F.col("id").alias("id_s"), "dg")
@@ -252,6 +263,7 @@ def edit_distance_pairs(
     id_col: str = "id",
     hot_threshold: int = 64,
     max_depth: int = 3,
+    compute_splits: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose ``str_col`` values are within
     Levenshtein distance ``d`` — EXACTLY the all-pairs join's output,
@@ -280,7 +292,7 @@ def edit_distance_pairs(
     cached: list[DataFrame] = [s]
     if d == 1:
         # d=1 fast path: deletion-neighborhood join (see _cands_fastss_d1)
-        cand = _cands_fastss_d1(s, cached)
+        cand = _cands_fastss_d1(s, cached, compute_splits)
     else:
         cand = _cands(
             s.select(
@@ -298,6 +310,10 @@ def edit_distance_pairs(
         F.least("id_s", "id_t").alias("id_a"),
         F.greatest("id_s", "id_t").alias("id_b"),
     ).distinct()
+    if compute_splits is not None and compute_splits > 1:
+        # the exact-levenshtein verify is quadratic per pair but tiny in
+        # bytes — spread it the same way (id_a join reuses this layout)
+        cand = cand.repartition(compute_splits, "id_a")
     out = (
         cand.join(s.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
         .join(s.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")

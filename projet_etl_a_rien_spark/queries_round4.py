@@ -967,7 +967,9 @@ def q_customer_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
-    return _strings.edit_distance_pairs(c, d=1, str_col="name", id_col="id")
+    return _strings.edit_distance_pairs(
+        c, d=1, str_col="name", id_col="id", compute_splits=16
+    )
 
 
 # ------------------------------------------------------ triangle counting ----
