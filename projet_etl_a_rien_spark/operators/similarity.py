@@ -151,6 +151,20 @@ def _probe_cells(q_df: DataFrame, centroids: list[list[int]], probes: int) -> Da
     )
 
 
+def _widen(cached_src: DataFrame, base: DataFrame, *cols: str) -> DataFrame:
+    """Widen a to-be-cached fit table ONLY when the source is narrower
+    than the session's cores: at fixture scale the source is often ONE
+    parquet file, so every Lloyd/encode job over the cached quantized
+    table runs on one core (the r5 parallelism audit flagged the whole
+    PQ/IVF family SERIAL for exactly this). When the input is already
+    at least cores-wide — the production case — no repartition happens
+    at all: forcing one would add a full corpus shuffle for nothing."""
+    cores = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() >= cores:
+        return cached_src
+    return cached_src.repartition(cores, *cols)
+
+
 def _round_half_away(x: float) -> int:
     # Spark ROUND / DuckDB round() semantics (half away from zero);
     # Python's built-in round is banker's and would diverge on exact .5
@@ -185,7 +199,7 @@ def kmeans_fit(
     q_all = df.select(
         F.col(id_col).alias("id"), quantize(vec_col, scale).alias("q")
     )
-    cached = q_all.persist()
+    cached = _widen(q_all, df, "id").persist()
     try:
         centroids = _fit_centroids(cached, k, iters)
     finally:
@@ -251,7 +265,7 @@ def kmeans_index(
     q_all = df.select(
         F.col(id_col).alias("id"), quantize(vec_col, scale).alias("q")
     )
-    cached = q_all.persist()
+    cached = _widen(q_all, df, "id").persist()
     try:
         centroids = _fit_centroids(cached, k, iters)
         assign = (
@@ -439,8 +453,16 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    compute_splits: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold within a blocking key."""
+    """All pairs with cosine >= threshold within a blocking key.
+
+    ``compute_splits``: same knob (and trap) as :func:`ann_knn_join` —
+    with few blocks, AQE's byte-based coalescing can serialize the
+    quadratic pair stage onto one task; S salts the left side per block
+    and replicates the right ×S for an identical pair set on blocks×S
+    evenly sized tasks. Use when #blocks < cores; leave None at scale.
+    """
     # Norms are per-vector, not per-pair: computing them before the join
     # turns 3 array folds per joined row (dot + two norms) into 1 — the
     # pair stage is the quadratic one, so this is a ~3× compute cut with
@@ -450,12 +472,27 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         as_double(vec_col).alias("vec"),
     ).withColumn("nrm", norm(F.col("vec")))
-    l, r = base.alias("l"), base.alias("r")
+    join_on = (F.col("l.blk") == F.col("r.blk")) & (
+        F.col("l.id") < F.col("r.id")
+    )
+    left = right = base
+    if compute_splits is not None and compute_splits > 1:
+        s = F.lit(compute_splits)
+        # explicit user repartition on the (block, salt) join keys: the
+        # join reuses this exact partitioning with no further exchange,
+        # and AQE's byte-based coalescing leaves user repartitions alone
+        # (a salted shuffle WITHOUT the explicit width still collapses
+        # to one task at small byte sizes)
+        left = base.withColumn(
+            "_cs", F.pmod(F.hash(F.col("id")), s)
+        ).repartition(compute_splits * 4, "blk", "_cs")
+        right = base.withColumn(
+            "_cs", F.explode(F.sequence(F.lit(0), s - F.lit(1)))
+        ).repartition(compute_splits * 4, "blk", "_cs")
+        join_on = join_on & (F.col("l._cs") == F.col("r._cs"))
+    l, r = left.alias("l"), right.alias("r")
     return (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")),
-        )
+        l.join(r, join_on)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
@@ -713,12 +750,16 @@ def ann_knn_join(
     neighbor_side = with_cell
     if compute_splits is not None and compute_splits > 1:
         s = F.lit(compute_splits)
+        # explicit user repartition on the (cell, salt) join keys — the
+        # join reuses it with no further exchange, and AQE's byte-based
+        # coalescing (which can still lump a salted-but-tiny shuffle
+        # back onto few tasks) leaves user repartitions alone
         query_side = query_side.withColumn(
             "_cs", F.pmod(F.hash(F.col(id_col)), s)
-        )
+        ).repartition(compute_splits * 2, cell_col, "_cs")
         neighbor_side = with_cell.withColumn(
             "_cs", F.explode(F.sequence(F.lit(0), s - F.lit(1)))
-        )
+        ).repartition(compute_splits * 2, cell_col, "_cs")
         join_on = join_on & (F.col("l._cs") == F.col("r._cs"))
     l, r = query_side.alias("l"), neighbor_side.alias("r")
     sims = (
@@ -927,7 +968,8 @@ def pq_fit_encode(
                 ]
             )
         ).alias("x"),
-    ).select("id", F.col("x.s").alias("s"), F.col("x.q").alias("q")).persist()
+    ).select("id", F.col("x.s").alias("s"), F.col("x.q").alias("q"))
+    long = _widen(long, df, "s", "id").persist()
     try:
         w = Window.partitionBy("s").orderBy("id")
         seed_rows = (

@@ -471,7 +471,8 @@ WHERE ROUND(list_dot_product(l.vec, r.vec)
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4,
+        compute_splits=16,  # 5 label blocks on a 32-core runner
     )
 
 

@@ -517,7 +517,9 @@ GROUP BY t.id
     "the dedup inverted index it can share.",
 )
 def q_doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from .catalog import widen_input
+
+    d = widen_input(load_table(spark, sf_dir, "documents"))
     base = d.select(
         F.col("doc_id").alias("id"),
         dedup.hashed_shingles("text", 3).alias("xs"),
@@ -827,7 +829,11 @@ def q_airports_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.airports import clean_coords, parse_json_messages
     from .operators.joins import grid_proximity_join
 
-    clean = clean_coords(parse_json_messages(airports_messages(spark, sf_dir)))
+    from .catalog import widen_input
+
+    clean = clean_coords(
+        parse_json_messages(widen_input(airports_messages(spark, sf_dir)))
+    )
     w = Window.partitionBy("id").orderBy("latitude", "longitude")
     pts = (
         clean.withColumn("_rn", F.row_number().over(w))
@@ -906,8 +912,10 @@ FROM spans""",
     "hash-keyed aggregate, one id-keyed window; no suffix array.",
 )
 def q_doc_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import widen_input
+
     return dedup.exact_substr_spans(
-        documents_with_dups(spark, sf_dir), k=EXSUB_K
+        widen_input(documents_with_dups(spark, sf_dir)), k=EXSUB_K
     )
 
 
@@ -937,8 +945,10 @@ GROUP BY t.id""",
     "equality join on (id, pos) — never a range join.",
 )
 def q_corpus_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import widen_input
+
     return dedup.exact_substr_rewrite(
-        documents_with_dups(spark, sf_dir), k=EXSUB_K
+        widen_input(documents_with_dups(spark, sf_dir)), k=EXSUB_K
     )
 
 
@@ -1518,7 +1528,9 @@ GROUP BY id
     "when the benchmark side is small enough.",
 )
 def q_ngram_overlap_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = documents_with_dups(spark, sf_dir)
+    from .catalog import widen_input
+
+    corpus = widen_input(documents_with_dups(spark, sf_dir))
     return dedup.ngram_contamination(
         corpus.where(F.col("doc_id") < 1_000_000),
         corpus.where(F.col("doc_id") >= 1_000_000),

@@ -238,3 +238,89 @@ def q_streaming_jdbc_totals_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_jdbc_cdc_merge",
+    """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS seq FROM orders
+),
+upd AS (
+    SELECT DISTINCT o.o_orderkey, 'R' AS o_orderstatus, 'U' AS op, 1 AS seq
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_returnflag = 'R'
+),
+del AS (
+    SELECT o_orderkey, o_orderstatus, 'D' AS op, 2 AS seq
+    FROM orders WHERE o_orderkey % 1000 = 0
+),
+merged AS (
+    SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+),
+latest AS (
+    SELECT * FROM merged
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) = 1
+)
+SELECT o_orderkey, o_orderstatus FROM latest WHERE op != 'D'
+""",
+    doc="Exactly-once streaming CDC into a RELATIONAL table "
+    "(streaming/windows.py:run_cdc_merge_jdbc): the orders changelog "
+    "replayed one change-file per micro-batch, each batch landed in a "
+    "Derby staging table and folded by one driver-side MERGE INTO with "
+    "the latest-by-(seq,op) newer-wins condition — tombstones retained, "
+    "replay-idempotent, order-independent, so the table equals the "
+    "one-shot batch MERGE and the oracle is the batch query's SQL.",
+)
+def q_streaming_jdbc_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.windows import run_cdc_merge_jdbc
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem")
+    upd = o.join(
+        li.where(F.col("l_returnflag") == "R").select("l_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    ).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    dels = o.where(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit("D").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    root = tempfile.mkdtemp(prefix="cdcjdbc_")
+    src = os.path.join(root, "changes")
+    spark._jvm.System.setProperty("derby.stream.error.file", f"{root}/derby.log")
+    url = f"jdbc:derby:{root}/db;create=true"
+    try:
+        # one file per change batch -> one micro-batch each (seq order
+        # not required: the merge condition is order-independent)
+        upd.coalesce(1).write.mode("append").parquet(src)
+        dels.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_orderstatus string, op string, seq long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return run_cdc_merge_jdbc(
+            stream,
+            o,
+            url,
+            "orders_tbl",
+            key_col="o_orderkey",
+            column_types="o_orderstatus VARCHAR(8), op VARCHAR(1)",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -80,10 +80,17 @@ def jdbc_overwrite_sink(
     driver: str = "org.postgresql.Driver",
     truncate: bool = True,
     batchsize: int = 10_000,
+    column_types: str | None = None,
 ) -> None:
-    """Idempotent full-replace (ref spark_airports_final.py:77-86, hardened)."""
+    """Idempotent full-replace (ref spark_airports_final.py:77-86, hardened).
+
+    ``column_types`` maps to ``createTableColumnTypes`` — needed when the
+    dialect's default string mapping is unusable downstream (e.g. Derby
+    maps StringType to CLOB, which cannot appear in comparison
+    predicates, so MERGE-consumed tables declare VARCHAR explicitly).
+    """
     try:
-        (
+        w = (
             df.write.format("jdbc")
             .option("url", url)
             .option("dbtable", table)
@@ -92,8 +99,9 @@ def jdbc_overwrite_sink(
             .option("driver", driver)
             .option("truncate", str(truncate).lower())
             .option("batchsize", str(batchsize))
-            .mode("overwrite")
-            .save()
         )
+        if column_types is not None:
+            w = w.option("createTableColumnTypes", column_types)
+        w.mode("overwrite").save()
     except Exception as e:
         raise RuntimeError(_MISSING) from e

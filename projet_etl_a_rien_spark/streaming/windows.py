@@ -343,6 +343,121 @@ def run_foreach_batch_jdbc(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def run_cdc_merge_jdbc(
+    change_stream: DataFrame,
+    base: DataFrame,
+    url: str,
+    table: str,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+    user: str = "app",
+    password: str = "app",
+    column_types: str | None = None,
+    init_target: bool = True,
+) -> DataFrame:
+    """Streaming CDC apply into a RELATIONAL table, exactly-once: the
+    production JDBC upsert pattern — land each micro-batch in a staging
+    table (executor-side JDBC writes), then one driver-side ``MERGE
+    INTO`` folds staging into the target atomically. The relational twin
+    of :func:`run_cdc_merge_sink`'s parquet fold.
+
+    Order-independence + replay idempotence come from the same
+    latest-by-(seq, op) contract: the target RETAINS tombstones and
+    sequence numbers, each batch is pre-collapsed to its newest change
+    per key, and the MERGE updates only when the staged row is strictly
+    newer — ``s.seq > t.seq OR (s.seq = t.seq AND s.op > t.op)`` — so a
+    checkpoint-recovery replay of an already-applied batch matches rows
+    but updates nothing, and late-arriving lower-seq batches lose to
+    the tombstone instead of resurrecting it. Deletes are filtered at
+    read time, exactly like the parquet sink.
+
+    The MERGE statement itself is control-plane (one statement per
+    batch over staging ∪ target, executed inside the database); row data
+    only ever moves executor→staging through JDBC batches.
+
+    ``init_target=False`` skips the base snapshot load and applies the
+    change stream onto the EXISTING target — the knob replay-idempotence
+    tests use to re-deliver the same changes against an already-merged
+    table and assert nothing moves.
+    """
+    from ..sources.jdbc import jdbc_overwrite_sink, jdbc_source
+    from ..operators.compaction import latest_by_key
+
+    spark = change_stream.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdcjdbc_")
+    staging = f"{table}_staging"
+    data_cols = [c for c in base.columns]
+    value_cols = [c for c in data_cols if c != key_col]
+
+    if init_target:
+        base.select(
+            *data_cols,
+            F.lit("I").alias(op_col),
+            F.lit(0).cast("long").alias(seq_col),
+        ).write.format("jdbc").options(
+            url=url, dbtable=table, user=user, password=password, driver=driver,
+            **({"createTableColumnTypes": column_types} if column_types else {}),
+        ).mode("overwrite").save()
+
+    # Spark's JDBC writer CREATEs columns with QUOTED (case-sensitive,
+    # lowercase) identifiers; an unquoted reference would fold to
+    # uppercase and miss them — quote every column the same way.
+    def q(c: str) -> str:
+        return f'"{c}"'
+
+    set_clause = ", ".join(
+        f"t.{q(c)} = s.{q(c)}" for c in value_cols + [op_col, seq_col]
+    )
+    all_cols = data_cols + [op_col, seq_col]
+    merge_sql = (
+        f"MERGE INTO {table} t USING {staging} s"
+        f" ON t.{q(key_col)} = s.{q(key_col)}"
+        f" WHEN MATCHED AND (s.{q(seq_col)} > t.{q(seq_col)}"
+        f"   OR (s.{q(seq_col)} = t.{q(seq_col)} AND s.{q(op_col)} > t.{q(op_col)}))"
+        f"   THEN UPDATE SET {set_clause}"
+        f" WHEN NOT MATCHED THEN INSERT ({', '.join(q(c) for c in all_cols)})"
+        f"   VALUES ({', '.join('s.' + q(c) for c in all_cols)})"
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        collapsed = latest_by_key(
+            batch_df, [key_col], seq_col, tiebreak_cols=[op_col]
+        )
+        jdbc_overwrite_sink(
+            collapsed, url, staging, user=user, password=password,
+            driver=driver, column_types=column_types,
+        )
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.createStatement()
+            stmt.execute(merge_sql)
+            stmt.close()
+        finally:
+            conn.close()
+
+    try:
+        q = (
+            change_stream.writeStream.foreachBatch(merge)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        jdbc_source(spark, url, table, user=user, password=password, driver=driver)
+        .where(F.col(op_col) != "D")
+        .select(*data_cols)
+        .localCheckpoint(eager=True)
+    )
+
+
 def run_console(stream_df: DataFrame, mode: str = "complete", bounded: bool = True):
     """Literal K2 form: console sink in complete mode
     (ref ``spark_kafka_direct.py:35-40``). ``bounded=True`` adds an

@@ -188,6 +188,63 @@ def test_corpus_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
 
 
+def test_jdbc_cdc_merge_replay_idempotent_and_order_independent(spark):
+    """The JDBC MERGE sink's newer-wins condition must make (a) a full
+    re-delivery of the same changes a no-op, and (b) arrival order
+    irrelevant: delete-before-update still ends deleted."""
+    import os
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.streaming.windows import run_cdc_merge_jdbc
+
+    root = tempfile.mkdtemp(prefix="cdcidem_")
+    spark._jvm.System.setProperty("derby.stream.error.file", f"{root}/derby.log")
+    url = f"jdbc:derby:{root}/db;create=true"
+    base = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "k bigint, v string"
+    )
+    # REVERSED order: the key-2 tombstone (seq 2) lands a micro-batch
+    # BEFORE the key-2 update (seq 1); newer-wins must keep the delete
+    changes = [
+        (2, "X", "D", 2),
+        (1, "A2", "U", 1),
+        (2, "B2", "U", 1),
+        (4, "D4", "U", 1),
+    ]
+    src = os.path.join(root, "changes")
+    try:
+        for row in changes:
+            spark.createDataFrame(
+                [row], "k bigint, v string, op string, seq long"
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = lambda: (  # noqa: E731
+            spark.readStream.schema("k bigint, v string, op string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        kw = dict(
+            key_col="k", column_types="v VARCHAR(8), op VARCHAR(1)"
+        )
+        first = {
+            (r.k, r.v)
+            for r in run_cdc_merge_jdbc(
+                stream(), base, url, "t_idem", **kw
+            ).collect()
+        }
+        assert first == {(1, "A2"), (3, "C"), (4, "D4")}, first
+        # replay the ENTIRE changelog against the already-merged table
+        again = {
+            (r.k, r.v)
+            for r in run_cdc_merge_jdbc(
+                stream(), base, url, "t_idem", init_target=False, **kw
+            ).collect()
+        }
+        assert again == first, "replay must be a no-op"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_knn_compute_splits_identical_results(spark):
     """compute_splits only changes the plan (salted query side, x S
     replicated neighbor side): the pair set — and therefore the exact
