@@ -324,3 +324,74 @@ def q_streaming_jdbc_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    # Real audio decode under the oracle gate (the audio twin of
+    # multimodal_png_roundtrip): payload bytes -> int16 PCM -> WAV
+    # container -> registered "audio" decoder -> exact-integer signal
+    # stats the oracle recomputes straight from the pre-encode bytes
+    # (little-endian int16 pairs): a wrong sample value breaks sum_sq,
+    # a sample-order or byte-order slip breaks zero_crossings.
+    """
+WITH p AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) >= 2),
+i AS (SELECT doc_id, hx, unnest(range(0, n // 2)) AS si FROM p),
+b AS (SELECT doc_id, si,
+        (strpos('0123456789ABCDEF', substr(hx, CAST(4*si+1 AS INTEGER), 1)) - 1) * 16
+      + (strpos('0123456789ABCDEF', substr(hx, CAST(4*si+2 AS INTEGER), 1)) - 1) AS b0,
+        (strpos('0123456789ABCDEF', substr(hx, CAST(4*si+3 AS INTEGER), 1)) - 1) * 16
+      + (strpos('0123456789ABCDEF', substr(hx, CAST(4*si+4 AS INTEGER), 1)) - 1) AS b1
+      FROM i),
+s AS (SELECT doc_id, si,
+        CASE WHEN b0 + 256*b1 >= 32768 THEN b0 + 256*b1 - 65536
+             ELSE b0 + 256*b1 END AS v
+      FROM b),
+w AS (SELECT doc_id, v,
+        LAG(v) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      FROM s)
+SELECT doc_id,
+       1 AS n_channels,
+       8000 AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN prev IS NOT NULL
+                      AND ((prev >= 0) != (v >= 0)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM w
+GROUP BY doc_id
+""",
+    doc="REAL audio decode under the oracle gate: payloads as int16 PCM "
+    "wrapped in WAV containers (stdlib wave codec, operators/wav.py) "
+    "decoded through the registered-decoder multimodal path; container "
+    "metadata + exact-int energy and zero-crossing stats verified "
+    "against the raw little-endian bytes.",
+)
+def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators import multimodal
+    from .operators.wav import register_builtin_wav_codec, wav_encode
+
+    register_builtin_wav_codec()
+    payloads = multimodal.with_binary_payload(_docs(spark, sf_dir)).where(
+        F.length("payload") >= 2
+    )
+
+    def to_wav(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = bytes(payload)
+                pcm = pcm[: len(pcm) - (len(pcm) % 2)]
+                rows.append((doc_id, wav_encode(pcm, sample_rate=8000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    wavs = payloads.mapInPandas(to_wav, schema="doc_id bigint, payload binary")
+    return multimodal.decode_payloads(
+        wavs,
+        "audio",
+        "doc_id bigint, n_channels int, sample_rate int, n_samples bigint, "
+        "sum_sq bigint, zero_crossings bigint",
+    )

@@ -188,6 +188,39 @@ def test_corpus_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
 
 
+def test_wav_codec_roundtrip_and_meta():
+    """decode(encode(x)) == x for mono and stereo int16 PCM; meta stats
+    match hand-computed energy and sign-change counts; malformed and
+    non-PCM containers are rejected loudly."""
+    import struct
+
+    from projet_etl_a_rien_spark.operators.wav import (
+        wav_decode,
+        wav_encode,
+        wav_meta,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 1, -1, 0]
+    for n_ch in (1, 2):
+        payload = wav_encode(samples, sample_rate=44100, n_channels=n_ch)
+        ch, rate, back = wav_decode(payload)
+        assert (ch, rate, back) == (n_ch, 44100, samples)
+    m = wav_meta(wav_encode(samples))
+    assert m["n_samples"] == len(samples)
+    assert m["sum_sq"] == sum(s * s for s in samples)
+    assert m["zero_crossings"] == sum(
+        (samples[i - 1] >= 0) != (samples[i] >= 0)
+        for i in range(1, len(samples))
+    )
+    # raw frame-bytes input equals list input
+    frames = struct.pack(f"<{len(samples)}h", *samples)
+    assert wav_encode(frames) == wav_encode(samples)
+    with pytest.raises(Exception):
+        wav_decode(b"RIFFgarbage")
+    with pytest.raises(ValueError, match="frame bytes"):
+        wav_encode(b"\x01\x02\x03")  # odd byte count for int16
+
+
 def test_jdbc_cdc_merge_replay_idempotent_and_order_independent(spark):
     """The JDBC MERGE sink's newer-wins condition must make (a) a full
     re-delivery of the same changes a no-op, and (b) arrival order
