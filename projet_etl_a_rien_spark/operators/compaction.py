@@ -170,7 +170,10 @@ def _snapshot_version(spark: SparkSession, path: str) -> int:
 
 
 def read_agg_sink(
-    spark: SparkSession, path: str, key_col: str = "event_type"
+    spark: SparkSession,
+    path: str,
+    key_col: str = "event_type",
+    as_of: int | None = None,
 ) -> DataFrame:
     """Current MV contents: newest snapshot folded with every partial
     NEWER than it. Partials at or below the snapshot version are already
@@ -189,8 +192,31 @@ def read_agg_sink(
     the snapshot and the partial side: a torn partial folded here (and
     then into a snapshot) would undercount permanently, because the
     stream's idempotent-replay rewrite of ``parts/batch_id=N`` lands at
-    or below the fold watermark and is never re-read."""
-    v = _snapshot_version(spark, path)
+    or below the fold watermark and is never re-read.
+
+    TIME TRAVEL: ``as_of=B`` reconstructs the MV as of batch ``B`` —
+    the newest retained snapshot with version <= B folded with committed
+    partials in (version, B]. Resolution is bounded by retention:
+    ``compact_agg_sink(retain_snapshots=k)`` keeps the k newest
+    snapshot versions (folded partials are always vacuumed), so only
+    retained versions and still-unfolded batches are reachable; asking
+    for an older point raises rather than silently undercounting."""
+    versions = _committed_partitions(spark, f"{path}/snap", "v=")
+    if as_of is None:
+        v = max(versions) if versions else -1
+    else:
+        eligible = [x for x in versions if x <= as_of]
+        v = max(eligible) if eligible else -1
+        if v < 0 and versions and min(versions) > as_of:
+            newest_parts = _committed_partitions(
+                spark, f"{path}/parts", "batch_id="
+            )
+            if not any(b <= as_of for b in newest_parts):
+                raise ValueError(
+                    f"as_of={as_of} predates the oldest retained snapshot "
+                    f"(v={min(versions)}) and no partials survive there; "
+                    "raise retain_snapshots at compaction time"
+                )
     pieces = []
     if v >= 0:
         pieces.append(
@@ -201,7 +227,7 @@ def read_agg_sink(
     newer = sorted(
         b
         for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
-        if b > v
+        if b > v and (as_of is None or b <= as_of)
     )
     if newer:
         pieces.append(
@@ -220,7 +246,10 @@ def read_agg_sink(
 
 
 def compact_agg_sink(
-    spark: SparkSession, path: str, key_col: str = "event_type"
+    spark: SparkSession,
+    path: str,
+    key_col: str = "event_type",
+    retain_snapshots: int = 1,
 ) -> int:
     """Fold everything visible now into snapshot ``v = max folded
     batch_id`` and drop the folded partial directories. The snapshot is
@@ -232,7 +261,12 @@ def compact_agg_sink(
 
     Single-writer maintenance contract: the vacuum step deletes files,
     so any LAZY DataFrame from an earlier ``read_agg_sink`` must be
-    materialized before calling this (see ``read_agg_sink``)."""
+    materialized before calling this (see ``read_agg_sink``).
+
+    ``retain_snapshots``: how many newest snapshot versions to KEEP at
+    vacuum time (default 1 = current behavior). Each retained version is
+    a time-travel point for ``read_agg_sink(as_of=...)`` — the same
+    retention/vacuum trade every table format exposes."""
     v = _snapshot_version(spark, path)
     committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
     max_b = max(committed) if committed else -1
@@ -248,7 +282,10 @@ def compact_agg_sink(
     # snapshots are those strictly below it (v == max_b is the one just
     # committed).
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
-    _vacuum_partitions(spark, f"{path}/snap", "v=", below=max_b)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[: max(1, retain_snapshots)]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
     return max_b
 
 

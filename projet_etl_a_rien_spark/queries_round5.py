@@ -395,3 +395,53 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_channels int, sample_rate int, n_samples bigint, "
         "sum_sq bigint, zero_crossings bigint",
     )
+
+
+@register(
+    "mv_time_travel_read",
+    """
+WITH ev AS (SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events WHERE event_id % 2 = 0 GROUP BY event_type),
+fl AS (SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM events GROUP BY event_type)
+SELECT 'v0' AS version, * FROM ev
+UNION ALL
+SELECT 'v1' AS version, * FROM fl
+""",
+    doc="Snapshot time travel on the incremental-MV sink "
+    "(operators/compaction.py): compact with retain_snapshots=2, then "
+    "read_agg_sink(as_of=v0) reconstructs the MV as of the first "
+    "snapshot while the current read sees the second fold — the "
+    "retention/vacuum trade every table format exposes, verified "
+    "against per-version batch aggregates.",
+)
+def q_mv_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.compaction import (
+        compact_agg_sink,
+        read_agg_sink,
+        write_agg_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="mvtt_")
+    try:
+        write_agg_partial(ev.where(F.col("event_id") % 2 == 0), path, 0)
+        v0 = compact_agg_sink(spark, path, retain_snapshots=2)
+        write_agg_partial(ev.where(F.col("event_id") % 2 == 1), path, v0 + 1)
+        compact_agg_sink(spark, path, retain_snapshots=2)
+        old = read_agg_sink(spark, path, as_of=v0).select(
+            F.lit("v0").alias("version"), "event_type", "n", "cents"
+        )
+        cur = read_agg_sink(spark, path).select(
+            F.lit("v1").alias("version"), "event_type", "n", "cents"
+        )
+        return old.unionByName(cur).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

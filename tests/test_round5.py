@@ -188,6 +188,60 @@ def test_corpus_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
 
 
+def test_mv_time_travel_retention_and_bounds(spark, sf_dir):
+    """retain_snapshots keeps older versions readable via as_of; the
+    default retain=1 vacuums them; asking below the retention floor
+    raises instead of silently undercounting."""
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.catalog import load_table as _lt
+    from projet_etl_a_rien_spark.operators.compaction import (
+        compact_agg_sink,
+        read_agg_sink,
+        write_agg_partial,
+    )
+
+    ev = _lt(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="mvttt_")
+    try:
+        write_agg_partial(ev.where(F.col("event_id") % 3 == 0), path, 0)
+        v0 = compact_agg_sink(spark, path, retain_snapshots=2)
+        write_agg_partial(ev.where(F.col("event_id") % 3 == 1), path, v0 + 1)
+        v1 = compact_agg_sink(spark, path, retain_snapshots=2)
+        third = {
+            r.event_type: r.n
+            for r in read_agg_sink(spark, path, as_of=v0).collect()
+        }
+        want_third = {
+            r.event_type: r.n
+            for r in ev.where(F.col("event_id") % 3 == 0)
+            .groupBy("event_type").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert third == want_third
+        # unfolded partials beyond the newest snapshot are reachable too
+        write_agg_partial(ev.where(F.col("event_id") % 3 == 2), path, v1 + 1)
+        mid = {
+            r.event_type: r.n
+            for r in read_agg_sink(spark, path, as_of=v1).collect()
+        }
+        want_mid = {
+            r.event_type: r.n
+            for r in ev.where(F.col("event_id") % 3 != 2)
+            .groupBy("event_type").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert mid == want_mid
+        # a retain=1 compaction vacuums v0: time travel below floor raises
+        v2 = compact_agg_sink(spark, path, retain_snapshots=1)
+        assert v2 == v1 + 1
+        with pytest.raises(ValueError, match="retain_snapshots"):
+            read_agg_sink(spark, path, as_of=v0)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_wav_codec_roundtrip_and_meta():
     """decode(encode(x)) == x for mono and stereo int16 PCM; meta stats
     match hand-computed energy and sign-change counts; malformed and
