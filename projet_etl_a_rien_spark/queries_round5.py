@@ -445,3 +445,110 @@ def q_mv_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return old.unionByName(cur).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "parquet_schema_evolution_read",
+    """
+WITH m AS (
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_orderstatus) AS BIGINT) AS n_with_status,
+       CAST(SUM(cents) AS BIGINT) / 100.0 AS total_price
+FROM m
+""",
+    doc="Schema evolution on the lake path: two parquet batches written "
+    "with DIFFERENT schemas (the second adds a column), read back as one "
+    "table via mergeSchema — missing columns null-fill, present ones "
+    "keep their values; the aggregate proves no row or value was "
+    "dropped or misaligned. The add-a-column migration every long-lived "
+    "100 TB table goes through.",
+)
+def q_parquet_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="schevo_")
+    try:
+        o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("append").parquet(root)
+        o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("append").parquet(root)
+        merged = spark.read.option("mergeSchema", "true").parquet(root)
+        from .functions.exactmath import sum_money
+
+        return (
+            merged.agg(
+                F.count("*").alias("n_rows"),
+                F.count("o_orderstatus").alias("n_with_status"),
+                sum_money("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "corpus_right_to_erasure",
+    """
+WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+docs AS (SELECT doc_id FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+stats AS (
+    SELECT 'documents' AS artifact,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(COUNT(CASE WHEN doc_id % 100 = 0 THEN 1 END) AS BIGINT) AS n_purged
+    FROM docs
+    UNION ALL
+    SELECT 'fingerprints',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN doc_id % 100 = 0 THEN 1 END) AS BIGINT)
+    FROM fps
+    UNION ALL
+    SELECT 'tokens',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN doc_id % 100 = 0 THEN 1 END) AS BIGINT)
+    FROM toks
+)
+SELECT artifact, n_before, n_purged, n_before - n_purged AS n_after
+FROM stats
+""",
+    doc="Right-to-erasure cascade accounting: a delete-list anti-joins "
+    "every derived artifact (doc store, fingerprint index, token "
+    "index) and the report reconciles before/purged/after per artifact "
+    "— the deletion-propagation audit a GDPR/CCPA-compliant corpus "
+    "pipeline runs after each purge. Pure key-partitioned anti-joins; "
+    "the delete-list broadcast is bounded by the request volume, not "
+    "the corpus.",
+)
+def q_corpus_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tokens as _toks
+
+    d = _docs(spark, sf_dir)
+    deletes = d.where(F.col("doc_id") % 100 == 0).select("doc_id")
+    artifacts = {
+        "documents": d.select("doc_id"),
+        "fingerprints": d.select("doc_id", F.md5("text").alias("fp")),
+        "tokens": d.select("doc_id", F.explode(_toks("text")).alias("tok")),
+    }
+    out = None
+    for name, art in artifacts.items():
+        purged = art.join(F.broadcast(deletes), "doc_id", "left_semi")
+        kept = art.join(F.broadcast(deletes), "doc_id", "left_anti")
+        row = (
+            art.agg(F.count("*").alias("n_before"))
+            .crossJoin(purged.agg(F.count("*").alias("n_purged")))
+            .crossJoin(kept.agg(F.count("*").alias("n_after")))
+            .select(F.lit(name).alias("artifact"), "n_before", "n_purged", "n_after")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

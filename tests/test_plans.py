@@ -36,6 +36,8 @@ EAGER = {name for name in REGISTRY if name.startswith("streaming_")} | {
     "parts_kcore",  # iterative peeling loop
     "parts_ktruss_affinity",  # iterative peeling loop
     "corpus_curriculum_order",  # source-dim count + checkpoint
+    "mv_time_travel_read",  # builds + compacts a sink, returns checkpoint
+    "parquet_schema_evolution_read",  # writes two batches, reads merged
 }
 
 
@@ -164,6 +166,7 @@ SCALAR_BNLJ_OK = {
     "source_token_drift",  # 1-row corpus-total (big_g) broadcast onto terms
     "customer_rfm_segments",  # 1-row quartile-thresholds broadcast
     "source_temperature_mix",  # 1-row N then 1-row share-normalizer broadcasts
+    "corpus_right_to_erasure",  # 1-row before/purged/after count joins
 }
 
 
