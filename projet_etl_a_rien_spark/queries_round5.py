@@ -552,3 +552,52 @@ def q_corpus_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "corpus_datacard",
+    """
+WITH fp AS (
+    SELECT doc_id, lang, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(text) AS fp
+    FROM documents
+),
+dups AS (
+    SELECT fp, COUNT(*) AS copies FROM fp GROUP BY fp
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_tokens,
+       CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+FROM fp JOIN dups USING (fp)
+GROUP BY lang, source
+""",
+    doc="Datasheet-style corpus card: per (lang, source) slice — doc and "
+    "token volume, mean length, and exact-duplicate incidence (md5 "
+    "fingerprint membership in a >1-copy group). The one-page summary a "
+    "training-data release ships; two shuffles (fingerprint count + "
+    "slice aggregate), integer-exact except one final division.",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source",
+        token_count("text").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    dups = d.groupBy("fp").agg(F.count("*").alias("copies"))
+    return (
+        d.join(dups, "fp")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.sum("n_tokens") / F.count("*")).alias("mean_tokens"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+    )

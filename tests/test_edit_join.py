@@ -60,6 +60,27 @@ def test_lossless_vs_all_pairs(spark, seed, d):
     assert got == _brute(rows, d)
 
 
+@pytest.mark.parametrize("splits", [2, 7])
+def test_compute_splits_identical_pairs(spark, splits):
+    """compute_splits only respreads the candidate and verify work — the
+    emitted pair set must equal the unsplit run's (which equals brute
+    force by the test above)."""
+    rng = random.Random(11)
+    rows = _edited_corpus(rng, 15, "ab")
+    df = spark.createDataFrame(rows, "id long, name string")
+    base = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, d=1, str_col="name", id_col="id").collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(
+            df, d=1, str_col="name", id_col="id", compute_splits=splits
+        ).collect()
+    }
+    assert salted == base
+
+
 def test_distances_exact_and_oriented(spark):
     rows = [(1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "mittens")]
     out = edit_distance_pairs(
