@@ -601,3 +601,68 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_docs"),
         )
     )
+
+
+@register(
+    "streaming_dynamic_session_windows",
+    """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                ELSE INTERVAL 20 MINUTE END AS gap
+    FROM events
+),
+marked AS (
+    SELECT user_id, ts, ts + gap AS e,
+           MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_end
+    FROM g
+),
+numbered AS (
+    SELECT user_id, ts, e,
+           SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(e) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+    doc="DYNAMIC-gap session windows (Spark session_window with a gap "
+    "COLUMN): purchases keep a session alive 60 min, everything else "
+    "20 — the per-event-type timeout real engagement analytics uses. "
+    "Oracle is the gaps-and-islands formulation generalized to a "
+    "running max of per-event window ends (merge iff the next event "
+    "starts before the furthest end seen). Equal-ts events always "
+    "merge (gap > 0), so tie order cannot flip a split.",
+)
+def q_streaming_dynamic_session_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming.windows import replay_events_stream, run_bounded
+
+    ev = replay_events_stream(spark, sf_dir)
+    # session_window's dynamic gap must be CalendarIntervalType —
+    # an INTERVAL literal under ANSI is DayTimeIntervalType and is
+    # rejected, so build the gap with make_interval()
+    gap = F.expr(
+        "CASE WHEN event_type = 'purchase' "
+        "THEN make_interval(0, 0, 0, 0, 0, 60, 0) "
+        "ELSE make_interval(0, 0, 0, 0, 0, 20, 0) END"
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_bounded(agg)
