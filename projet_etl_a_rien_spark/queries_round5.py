@@ -666,3 +666,52 @@ def q_streaming_dynamic_session_windows(
         )
     )
     return run_bounded(agg)
+
+
+@register(
+    "pyds_jsonl_sink_roundtrip",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY event_type
+""",
+    doc="Write-side Python DataSource (Spark 4 API, sources/pyds_sink.py): "
+    "events written through the custom jsonl_manifest sink — per-task "
+    "uuid part files, driver-side atomic manifest commit, torn files "
+    "invisible — then read back via the manifest and re-aggregated; "
+    "integer-exact roundtrip proves no row or value loss through the "
+    "engine-native custom writer.",
+)
+def q_pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources import pyds_sink
+
+    pyds_sink.register(spark)
+    root = tempfile.mkdtemp(prefix="jsonlsink_")
+    path = f"{root}/sink"
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        ev.write.format("jsonl_manifest").option("path", path).mode(
+            "append"
+        ).save()
+        back = pyds_sink.read_jsonl_sink(
+            spark, path, "event_id bigint, event_type string, cents bigint"
+        )
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

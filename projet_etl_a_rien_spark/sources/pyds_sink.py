@@ -1,0 +1,114 @@
+"""Custom Python DataSource WRITER (Spark 4 ``pyspark.sql.datasource``):
+the write-side twin of ``pyds.py``'s paged reader — together they cover
+both halves of the Python DataSource API.
+
+A JSONL directory sink with a MANIFEST commit protocol:
+
+- each write TASK lands its rows in a uniquely named
+  ``part-<uuid>.jsonl`` and returns the filename as its commit message;
+- the driver-side ``commit()`` writes ``_MANIFEST.json`` listing exactly
+  the files of the tasks that succeeded — the atomic publish point;
+- ``abort()`` deletes the orphaned part files of a failed job;
+- readers (``read_jsonl_sink``) open ONLY manifest-listed files, so a
+  torn task file from a crashed job is invisible — the same
+  commit-marker discipline as the MV sink's ``_SUCCESS`` gating
+  (operators/compaction.py), implemented at the DataSource API layer.
+
+Values cross the text format as exact integers (callers pre-convert
+money to cents), so the roundtrip is bit-exact and oracle-comparable —
+no float-to-decimal-text hazards.
+
+Registered under the short name ``jsonl_manifest``:
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    df.write.format("jsonl_manifest").option("path", dir).mode("append").save()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_manifest sink requires option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        # runs on the EXECUTOR, one call per task: unique name = no
+        # cross-task clobbering, retries land a fresh file and only the
+        # committed attempt enters the manifest
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+        return _FileCommit(fname)
+
+    def commit(self, messages):
+        # driver-side atomic publish: the manifest names the exact file
+        # set; files not listed (torn tasks, aborted attempts) stay
+        # invisible to readers
+        files = sorted(m.filename for m in messages if m is not None)
+        manifest = os.path.join(self.path, "_MANIFEST.json")
+        prior = []
+        if not self.overwrite and os.path.exists(manifest):
+            with open(manifest) as f:
+                prior = json.load(f)["files"]
+        tmp = manifest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(set(prior) | set(files))}, f)
+        os.replace(tmp, manifest)  # atomic on POSIX
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class JsonlManifestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlManifestWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the sink's short name."""
+    spark.dataSource.register(JsonlManifestDataSource)
+
+
+def read_jsonl_sink(spark, path: str, schema: str):
+    """Committed contents of a ``jsonl_manifest`` sink: only files the
+    manifest lists are read. Returns an empty DataFrame of ``schema``
+    when nothing has committed."""
+    manifest = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(manifest):
+        return spark.createDataFrame([], schema)
+    with open(manifest) as f:
+        files = json.load(f)["files"]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(
+        [os.path.join(path, fn) for fn in files]
+    )

@@ -242,6 +242,52 @@ def test_mv_time_travel_retention_and_bounds(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_pyds_jsonl_sink_manifest_protocol(spark):
+    """The Python DataSource writer's commit protocol: only
+    manifest-listed files are readable; a torn part file (crashed task,
+    never committed) stays invisible; append mode unions manifests."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.sources import pyds_sink
+
+    pyds_sink.register(spark)
+    root = tempfile.mkdtemp(prefix="jsonlproto_")
+    path = f"{root}/sink"
+    schema = "k bigint, v string"
+    try:
+        spark.createDataFrame([(1, "a"), (2, "b")], schema).write.format(
+            "jsonl_manifest"
+        ).option("path", path).mode("append").save()
+        # torn file: present on disk, absent from the manifest
+        with open(f"{path}/part-torn.jsonl", "w") as f:
+            f.write(json.dumps({"k": 99, "v": "ghost"}) + "\n")
+        got = {
+            (r.k, r.v)
+            for r in pyds_sink.read_jsonl_sink(spark, path, schema).collect()
+        }
+        assert got == {(1, "a"), (2, "b")}, "torn file leaked into the read"
+        # second append unions into the manifest
+        spark.createDataFrame([(3, "c")], schema).write.format(
+            "jsonl_manifest"
+        ).option("path", path).mode("append").save()
+        got2 = {
+            (r.k, r.v)
+            for r in pyds_sink.read_jsonl_sink(spark, path, schema).collect()
+        }
+        assert got2 == {(1, "a"), (2, "b"), (3, "c")}
+        # unmanifested sink reads as empty, not as an error
+        assert (
+            pyds_sink.read_jsonl_sink(spark, f"{root}/nowhere", schema).count()
+            == 0
+        )
+        assert os.path.exists(f"{path}/_MANIFEST.json")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_wav_codec_roundtrip_and_meta():
     """decode(encode(x)) == x for mono and stereo int16 PCM; meta stats
     match hand-computed energy and sign-change counts; malformed and
