@@ -715,3 +715,60 @@ def q_pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "doc_char_entropy",
+    """
+WITH ch AS (
+    SELECT doc_id, length(text) AS n,
+           unnest(string_split(text, '')) AS c
+    FROM documents WHERE length(text) > 0
+),
+cnt AS (
+    SELECT doc_id, n, c, COUNT(*) AS k FROM ch GROUP BY doc_id, n, c
+),
+terms AS (
+    SELECT doc_id, n,
+           CAST(ROUND(-(CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n)
+                      * 1000000000) AS BIGINT) AS t_nano
+    FROM cnt
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(SUM(t_nano) AS BIGINT) / 1e9 AS char_entropy
+FROM terms
+GROUP BY doc_id
+""",
+    doc="Per-document Shannon character entropy (nats): the "
+    "information-density quality signal — near-zero entropy flags "
+    "repeated-character junk, unusually high flags binary/encoded "
+    "blobs; per-(doc, char) -p*ln(p) terms quantized to the nano grid "
+    "and summed as BIGINT (the exactmath ln parity rule). One explode "
+    "+ two keyed aggregates; alphabet-bounded state per doc.",
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
+    ch = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(F.split(F.col("text"), "")).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "n", "c").agg(F.count("*").alias("k"))
+    terms = cnt.select(
+        "doc_id",
+        "n",
+        F.round(
+            -(F.col("k") / F.col("n"))
+            * F.log(F.col("k") / F.col("n"))
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("t_nano"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        (F.sum("t_nano") / F.lit(1e9)).alias("char_entropy"),
+    )
