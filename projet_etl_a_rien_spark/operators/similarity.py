@@ -1265,3 +1265,75 @@ def ivf_incremental_ingest(
         )
         fresh.write.mode("append").parquet(f"{path}/assign")
     return spark.read.parquet(f"{path}/assign")
+
+
+def cross_set_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    compute_splits: int | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: train vectors whose
+    cosine similarity to ANY eval vector reaches ``threshold``, with the
+    leak evidence (best-matching eval id, max similarity, match count).
+    The semantic complement to exact n-gram decontamination
+    (``dedup.ngram_contamination``): paraphrased eval items that share
+    no n-grams still sit next to their source in embedding space.
+
+    Same blocked-join scale shape as :func:`embedding_near_dup_pairs` —
+    candidates only within the blocking key, cost Σ|block_t|·|block_e|,
+    never |train|·|eval| — and the same ``compute_splits`` knob for the
+    few-blocks-many-cores regime. Deterministic evidence: ties on
+    max-sim break to the smallest eval id.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias(f"{tag}_id"),
+            as_double(vec_col).alias(f"{tag}_vec"),
+        ).withColumn(f"{tag}_nrm", norm(F.col(f"{tag}_vec")))
+
+    t, e = side(train, "t"), side(eval_df, "e")
+    join_on = F.col("l.blk") == F.col("r.blk")
+    if compute_splits is not None and compute_splits > 1:
+        s = F.lit(compute_splits)
+        t = t.withColumn("_cs", F.pmod(F.hash(F.col("t_id")), s)).repartition(
+            compute_splits * 4, "blk", "_cs"
+        )
+        e = e.withColumn(
+            "_cs", F.explode(F.sequence(F.lit(0), s - F.lit(1)))
+        ).repartition(compute_splits * 4, "blk", "_cs")
+        join_on = join_on & (F.col("l._cs") == F.col("r._cs"))
+    sims = (
+        t.alias("l")
+        .join(e.alias("r"), join_on)
+        .select(
+            F.col("l.t_id").alias("train_id"),
+            F.col("r.e_id").alias("eval_id"),
+            F.round(
+                dot(F.col("l.t_vec"), F.col("r.e_vec"))
+                / (F.col("l.t_nrm") * F.col("r.e_nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("train_id").orderBy(
+        F.desc("cos_sim"), F.asc("eval_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .groupBy("train_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("eval_id"))).alias(
+                "nearest_eval_id"
+            ),
+            F.max("cos_sim").alias("max_sim"),
+            F.count("*").alias("n_eval_hits"),
+        )
+    )

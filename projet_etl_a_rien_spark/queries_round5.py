@@ -772,3 +772,53 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_distinct_chars"),
         (F.sum("t_nano") / F.lit(1e9)).alias("char_entropy"),
     )
+
+
+EMB_CONTAM_THRESHOLD = 0.35
+
+
+@register(
+    "embedding_cross_set_contamination",
+    f"""
+WITH b AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+t AS (SELECT * FROM b WHERE vec_id % 10 != 0),
+e AS (SELECT * FROM b WHERE vec_id % 10 = 0),
+sims AS (
+    SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+           ROUND(list_dot_product(t.vec, e.vec)
+                 / (sqrt(list_dot_product(t.vec, t.vec))
+                    * sqrt(list_dot_product(e.vec, e.vec))), 6) AS cos_sim
+    FROM t JOIN e ON t.label = e.label
+),
+hits AS (SELECT * FROM sims WHERE cos_sim >= {EMB_CONTAM_THRESHOLD}),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY train_id
+                                 ORDER BY cos_sim DESC, eval_id) AS rn
+    FROM hits
+)
+SELECT train_id,
+       MAX(CASE WHEN rn = 1 THEN eval_id END) AS nearest_eval_id,
+       MAX(cos_sim) AS max_sim,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+FROM ranked
+GROUP BY train_id
+""",
+    doc="Embedding-space benchmark decontamination (semantic complement "
+    "of the exact n-gram gate): every 10th vector plays the eval set; "
+    "train vectors within cosine {th} of ANY eval vector are flagged "
+    "with the nearest eval id, max similarity, and hit count. Blocked "
+    "cross-set join (never |train|x|eval|), compute-splits salted for "
+    "the few-blocks regime.".format(th=EMB_CONTAM_THRESHOLD),
+)
+def q_embedding_cross_set_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cross_set_contamination(
+        emb.where(F.col("vec_id") % 10 != 0),
+        emb.where(F.col("vec_id") % 10 == 0),
+        threshold=EMB_CONTAM_THRESHOLD,
+        compute_splits=16,
+    )
