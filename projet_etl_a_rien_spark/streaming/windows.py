@@ -391,6 +391,34 @@ def run_cdc_merge_jdbc(
     data_cols = [c for c in base.columns]
     value_cols = [c for c in data_cols if c != key_col]
 
+    def _exec_sql(sql: str, swallow_states: tuple = ()) -> None:
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(sql)
+            except Exception as e:
+                if not any(st in str(e) for st in swallow_states):
+                    raise
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def _ensure_index(tbl: str) -> None:
+        # Without an index on the merge key, the database executes the
+        # MERGE's join as a nested-loop table scan — O(|target|·|batch|)
+        # per batch (measured: minutes at 150k×150k rows in Derby).
+        # Spark's JDBC CREATE TABLE declares no keys, so create the
+        # index explicitly; truncate-based overwrites preserve it.
+        # X0Y32 = Derby "object already exists" (replays/later batches).
+        _exec_sql(
+            f'CREATE INDEX {tbl}_mk ON {tbl} ("{key_col}")',
+            swallow_states=("X0Y32",),
+        )
+
     if init_target:
         base.select(
             *data_cols,
@@ -400,6 +428,7 @@ def run_cdc_merge_jdbc(
             url=url, dbtable=table, user=user, password=password, driver=driver,
             **({"createTableColumnTypes": column_types} if column_types else {}),
         ).mode("overwrite").save()
+    _ensure_index(table)
 
     # Spark's JDBC writer CREATEs columns with QUOTED (case-sensitive,
     # lowercase) identifiers; an unquoted reference would fold to
@@ -429,15 +458,8 @@ def run_cdc_merge_jdbc(
             collapsed, url, staging, user=user, password=password,
             driver=driver, column_types=column_types,
         )
-        jvm = spark._jvm
-        jvm.java.lang.Class.forName(driver)
-        conn = jvm.java.sql.DriverManager.getConnection(url)
-        try:
-            stmt = conn.createStatement()
-            stmt.execute(merge_sql)
-            stmt.close()
-        finally:
-            conn.close()
+        _ensure_index(staging)
+        _exec_sql(merge_sql)
 
     try:
         q = (
