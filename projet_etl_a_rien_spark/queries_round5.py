@@ -822,3 +822,107 @@ def q_embedding_cross_set_contamination(
         threshold=EMB_CONTAM_THRESHOLD,
         compute_splits=16,
     )
+
+
+RESIZE_W, RESIZE_H = 8, 4
+
+
+@register(
+    "multimodal_png_resize_stats",
+    # REAL resample under the oracle gate: the resized image's pixel
+    # (x, y, c) equals source pixel (x*W//w2, y*H//h2, c) by
+    # nearest-neighbor definition, and the source grid is the zero-padded
+    # payload — so the oracle re-derives every sampled byte's flat index
+    # (row*96 + col*3 + c) straight from the hex dump. Wrong kernel
+    # arithmetic, a flipped axis, or an off-by-one in the resampler
+    # breaks the positional checksum.
+    f"""
+WITH p AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+dims AS (SELECT doc_id, hx, n, CAST(ceil(n / 96.0) AS BIGINT) AS h FROM p),
+grid AS (
+    SELECT doc_id, hx, n, h,
+           unnest(range(0, {RESIZE_H * RESIZE_W * 3})) AS i
+    FROM dims
+),
+src AS (
+    SELECT doc_id, hx, n,
+           ((i // (3 * {RESIZE_W})) * h // {RESIZE_H}) * 96
+         + (((i // 3) % {RESIZE_W}) * 32 // {RESIZE_W}) * 3
+         + i % 3 AS k,
+           i
+    FROM grid
+),
+v AS (
+    SELECT doc_id, i,
+           CASE WHEN k < n THEN
+               (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INTEGER), 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INTEGER), 1)) - 1)
+           ELSE 0 END AS byte
+    FROM src
+)
+SELECT doc_id,
+       {RESIZE_W} AS width,
+       {RESIZE_H} AS height,
+       CAST(SUM(byte) AS BIGINT) AS pix_sum,
+       CAST(SUM((i + 1) * byte) AS BIGINT) AS pix_wsum
+FROM v
+GROUP BY doc_id
+""",
+    doc="REAL image resize under the oracle gate: payload-built PNGs "
+    "pushed through resize_images (decode -> nearest-neighbor -> "
+    "re-encode, pure-stdlib codec) then decoded again; the oracle "
+    "re-derives every sampled pixel's flat source index from the raw "
+    "bytes, so kernel arithmetic, axis order, and padding are all "
+    "pinned positionally.",
+)
+def q_multimodal_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators import multimodal
+    from .operators.png import png_decode, png_encode, register_builtin_png_codecs
+
+    register_builtin_png_codecs()
+    width, stride = 32, 96
+    payloads = multimodal.with_binary_payload(_docs(spark, sf_dir)).where(
+        F.length("payload") > 0
+    )
+
+    def to_png(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                h = -(-n // stride)
+                pix = bytes(payload) + bytes(h * stride - n)
+                rows.append(
+                    (doc_id, png_encode(width, h, pix, 2, int(doc_id) % 5))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    pngs = payloads.mapInPandas(to_png, schema="doc_id bigint, payload binary")
+    resized = multimodal.resize_images(pngs, RESIZE_W, RESIZE_H)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, pix = png_decode(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        sum(pix),
+                        sum((i + 1) * b for i, b in enumerate(pix)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pix_sum", "pix_wsum"]
+            )
+
+    return resized.select("doc_id", "payload").mapInPandas(
+        stats,
+        schema="doc_id bigint, width int, height int, "
+        "pix_sum bigint, pix_wsum bigint",
+    )
