@@ -72,6 +72,11 @@ SPOT = [
     "parts_kcore",
     "embedding_cosine_topk",
     "customer_name_edit_pairs",
+    # r5 additions with linear expectations over the documents table
+    "doc_bigram_logprob",
+    "doc_char_entropy",
+    "corpus_vocab_oov",
+    "corpus_datacard",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
