@@ -288,6 +288,117 @@ def test_pyds_jsonl_sink_manifest_protocol(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@pytest.mark.parametrize("seed", [3, 9])
+def test_jdbc_cdc_merge_equals_batch_apply_random(spark, seed):
+    """Property: for a RANDOM changelog (upserts + tombstones, duplicate
+    seqs per key, random batch partitioning and delivery order), the
+    streaming JDBC MERGE sink's final table equals the one-shot batch
+    apply_changes fold."""
+    import os
+    import random as _r
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.operators.compaction import apply_changes
+    from projet_etl_a_rien_spark.streaming.windows import run_cdc_merge_jdbc
+
+    rng = _r.Random(seed)
+    base_rows = [(k, f"v{k}") for k in range(1, 13)]
+    changes = []
+    for seq in range(1, 5):
+        for k in rng.sample(range(1, 16), rng.randint(3, 8)):
+            op = "D" if rng.random() < 0.3 else "U"
+            changes.append((k, f"s{seq}k{k}", op, seq))
+    rng.shuffle(changes)
+    batches = [changes[i::3] for i in range(3)]  # 3 interleaved batches
+
+    base = spark.createDataFrame(base_rows, "k bigint, v string")
+    cdf = spark.createDataFrame(changes, "k bigint, v string, op string, seq long")
+    want = {
+        (r.k, r.v)
+        for r in apply_changes(base, cdf, ["k"], "seq").collect()
+    }
+
+    root = tempfile.mkdtemp(prefix="cdcprop_")
+    spark._jvm.System.setProperty("derby.stream.error.file", f"{root}/derby.log")
+    url = f"jdbc:derby:{root}/db;create=true"
+    src = os.path.join(root, "changes")
+    try:
+        for b in batches:
+            if b:
+                spark.createDataFrame(
+                    b, "k bigint, v string, op string, seq long"
+                ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("k bigint, v string, op string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        got = {
+            (r.k, r.v)
+            for r in run_cdc_merge_jdbc(
+                stream, base, url, "t_prop", key_col="k",
+                column_types="v VARCHAR(16), op VARCHAR(1)",
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cross_set_contamination_matches_brute_force(spark):
+    """Property: blocked (+salted) cross-set contamination equals the
+    brute-force all-pairs scan within blocks, including evidence columns
+    (nearest eval id with deterministic tie-break, max sim, hit count)."""
+    import math
+    import random as _r
+
+    from projet_etl_a_rien_spark.operators.similarity import (
+        cross_set_contamination,
+    )
+
+    rng = _r.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)], rng.randrange(3))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    train = [r for r in rows if r[0] % 4 != 0]
+    evals = [r for r in rows if r[0] % 4 == 0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))),
+            6,
+        )
+
+    thr = 0.3
+    want = {}
+    for tid, tv, tl in train:
+        hits = sorted(
+            (
+                (-cos(tv, ev), eid)
+                for eid, ev, el in evals
+                if el == tl and cos(tv, ev) >= thr
+            ),
+        )
+        if hits:
+            want[tid] = (hits[0][1], -hits[0][0], len(hits))
+    got = {
+        r.train_id: (r.nearest_eval_id, r.max_sim, r.n_eval_hits)
+        for r in cross_set_contamination(
+            df.where(F.col("vec_id") % 4 != 0),
+            df.where(F.col("vec_id") % 4 == 0),
+            threshold=thr,
+            compute_splits=4,
+        ).collect()
+    }
+    assert got == want
+
+
 def test_wav_codec_roundtrip_and_meta():
     """decode(encode(x)) == x for mono and stereo int16 PCM; meta stats
     match hand-computed energy and sign-change counts; malformed and
