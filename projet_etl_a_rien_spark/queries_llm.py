@@ -780,10 +780,16 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.png import png_encode, register_builtin_png_codecs
 
+    from .catalog import widen_input
+
     register_builtin_png_codecs()
     width, stride = 32, 32 * 3
-    payloads = multimodal.with_binary_payload(_docs(spark, sf_dir)).where(
-        F.length("payload") > 0
+    # widen_input: the Arrow codec stages are per-row Python CPU work,
+    # and a single-file fixture would run them one-wide (r5 audit)
+    payloads = widen_input(
+        multimodal.with_binary_payload(_docs(spark, sf_dir)).where(
+            F.length("payload") > 0
+        )
     )
 
     def to_png(batches):
