@@ -198,9 +198,15 @@ def read_agg_sink(
     the newest retained snapshot with version <= B folded with committed
     partials in (version, B]. Resolution is bounded by retention:
     ``compact_agg_sink(retain_snapshots=k)`` keeps the k newest
-    snapshot versions (folded partials are always vacuumed), so only
-    retained versions and still-unfolded batches are reachable; asking
-    for an older point raises rather than silently undercounting."""
+    snapshot versions (folded partials are always vacuumed), so the
+    reachable time-travel points are exactly: each retained snapshot
+    version, and any batch at or above the NEWEST snapshot (rebuilt
+    from still-unfolded partials). Any other ``as_of`` raises rather
+    than silently undercounting — including a point BETWEEN two
+    retained snapshots (e.g. retained v=5 and v=9, ``as_of=7``): the
+    batches in (5, 7] were folded into v=9 and their partial dirs
+    vacuumed, so an exact as-of-7 state is no longer reconstructible
+    and returning the v=5 state would mislabel it."""
     versions = _committed_partitions(spark, f"{path}/snap", "v=")
     if as_of is None:
         v = max(versions) if versions else -1
@@ -217,6 +223,22 @@ def read_agg_sink(
                     f"(v={min(versions)}) and no partials survive there; "
                     "raise retain_snapshots at compaction time"
                 )
+        elif versions and v < as_of < max(versions):
+            # Between two retained snapshots: batches in (v, as_of]
+            # were folded into the newer snapshot and vacuumed (the
+            # fold is all-or-nothing up to its watermark), so exact
+            # reconstruction is impossible; a gap in batch ids is
+            # indistinguishable from a vacuum, so raise either way.
+            nxt = min(x for x in versions if x > as_of)
+            raise ValueError(
+                f"as_of={as_of} falls between retained snapshots "
+                f"v={v} and v={nxt}: batches in ({v}, {as_of}] were "
+                "folded into the newer snapshot and vacuumed, so an "
+                "exact as-of reconstruction is impossible; reachable "
+                "points are the retained snapshot versions and any "
+                "batch at or above the newest snapshot — raise "
+                "retain_snapshots at compaction time"
+            )
     pieces = []
     if v >= 0:
         pieces.append(

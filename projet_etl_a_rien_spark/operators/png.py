@@ -138,6 +138,8 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise ValueError(f"truncated {tag!r} body")
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated {tag!r} chunk CRC")
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if crc != zlib.crc32(tag + body) & 0xFFFFFFFF:
             raise ValueError(f"CRC mismatch in {tag!r}")

@@ -18,6 +18,13 @@ Values cross the text format as exact integers (callers pre-convert
 money to cents), so the roundtrip is bit-exact and oracle-comparable —
 no float-to-decimal-text hazards.
 
+FILESYSTEM CONTRACT: tasks land part files with local ``open()`` on the
+EXECUTORS while ``commit()``/``abort()`` manipulate the same directory on
+the DRIVER — the sink therefore requires a filesystem shared by driver
+and executors (local mode, NFS, or a FUSE-mounted object store). On a
+multi-node cluster without a shared mount, use the parquet/JDBC sinks
+instead; this sink exists to exercise the DataSource writer API.
+
 Registered under the short name ``jsonl_manifest``:
 
     spark.dataSource.register(JsonlManifestDataSource)
@@ -67,13 +74,26 @@ class JsonlManifestWriter(DataSourceWriter):
         files = sorted(m.filename for m in messages if m is not None)
         manifest = os.path.join(self.path, "_MANIFEST.json")
         prior = []
-        if not self.overwrite and os.path.exists(manifest):
+        if os.path.exists(manifest):
             with open(manifest) as f:
                 prior = json.load(f)["files"]
+        if self.overwrite:
+            survivors = files
+        else:
+            survivors = sorted(set(prior) | set(files))
         tmp = manifest + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"files": sorted(set(prior) | set(files))}, f)
+            json.dump({"files": survivors}, f)
         os.replace(tmp, manifest)  # atomic on POSIX
+        # overwrite de-lists the prior file set; reclaim those orphans
+        # AFTER the new manifest is live (a crash between replace and
+        # unlink leaks files but never breaks readers — they only open
+        # manifest-listed names)
+        for stale in set(prior) - set(survivors):
+            try:
+                os.remove(os.path.join(self.path, stale))
+            except OSError:
+                pass
 
     def abort(self, messages):
         for m in messages:

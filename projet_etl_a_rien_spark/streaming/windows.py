@@ -394,7 +394,11 @@ def run_cdc_merge_jdbc(
     def _exec_sql(sql: str, swallow_states: tuple = ()) -> None:
         jvm = spark._jvm
         jvm.java.lang.Class.forName(driver)
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        # Authenticate the control-plane statements (CREATE INDEX /
+        # MERGE INTO) the same way as the executor-side JDBC writes —
+        # embedded Derby ignores credentials, a real server rejects
+        # a credential-less DriverManager.getConnection(url).
+        conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
         try:
             stmt = conn.createStatement()
             try:

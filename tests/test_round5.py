@@ -67,6 +67,13 @@ def test_png_decode_rejects_corruption():
     )
     with pytest.raises(ValueError, match="depth"):
         png_decode(deep)
+    # a file truncated INSIDE a chunk's CRC field must follow the same
+    # ValueError contract as every other corruption path (not
+    # struct.error): body bytes present, CRC cut to 2 of 4 bytes
+    idat_len = struct.unpack(">I", good[idat_at - 4 : idat_at])[0]
+    cut_in_crc = good[: idat_at + 4 + idat_len + 2]
+    with pytest.raises(ValueError, match="truncated"):
+        png_decode(cut_in_crc)
 
 
 def test_resize_nearest_semantics():
@@ -233,9 +240,19 @@ def test_mv_time_travel_retention_and_bounds(spark, sf_dir):
             .withColumnRenamed("count", "n").collect()
         }
         assert mid == want_mid
-        # a retain=1 compaction vacuums v0: time travel below floor raises
-        v2 = compact_agg_sink(spark, path, retain_snapshots=1)
-        assert v2 == v1 + 1
+        # a point BETWEEN two retained snapshots is unreachable: fold
+        # batches v1+1 and v1+2 into one snapshot (retain keeps v1), then
+        # as_of=v1+1 sits in the vacuumed gap — the v1 state mislabeled
+        # as-of-(v1+1) would silently drop batch v1+1, so it must raise
+        write_agg_partial(ev.where(F.col("event_id") % 5 == 0), path, v1 + 2)
+        v2 = compact_agg_sink(spark, path, retain_snapshots=2)
+        assert v2 == v1 + 2
+        with pytest.raises(ValueError, match="between retained snapshots"):
+            read_agg_sink(spark, path, as_of=v1 + 1)
+        # a retain=1 compaction vacuums v0/v1: below the floor raises
+        write_agg_partial(ev.where(F.col("event_id") % 7 == 0), path, v2 + 1)
+        v3 = compact_agg_sink(spark, path, retain_snapshots=1)
+        assert v3 == v2 + 1
         with pytest.raises(ValueError, match="retain_snapshots"):
             read_agg_sink(spark, path, as_of=v0)
     finally:
@@ -284,6 +301,24 @@ def test_pyds_jsonl_sink_manifest_protocol(spark):
             == 0
         )
         assert os.path.exists(f"{path}/_MANIFEST.json")
+        # overwrite both replaces the manifest AND reclaims the
+        # de-listed part files — no orphan accumulation across
+        # repeated overwrites of the same sink directory
+        spark.createDataFrame([(7, "z")], schema).write.format(
+            "jsonl_manifest"
+        ).option("path", path).mode("overwrite").save()
+        got3 = {
+            (r.k, r.v)
+            for r in pyds_sink.read_jsonl_sink(spark, path, schema).collect()
+        }
+        assert got3 == {(7, "z")}
+        with open(f"{path}/_MANIFEST.json") as f:
+            listed = set(json.load(f)["files"])
+        on_disk = {
+            n for n in os.listdir(path)
+            if n.startswith("part-") and n != "part-torn.jsonl"
+        }
+        assert on_disk == listed, "overwrite leaked de-listed part files"
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
