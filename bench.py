@@ -68,6 +68,11 @@ HEADLINE = [
     # (shared k-means fit + multi-probe candidate join)
     "parts_kcore",
     "embedding_knn_join_multiprobe_top3",
+    # r6 additions: the corpus-scale index build (posexplode + double agg
+    # + vocab join — the heaviest new shuffle shape) and DSIR importance
+    # weighting (two corpus-scale shuffles + broadcast LLR fold)
+    "doc_inverted_index",
+    "dsir_importance_weights",
 ]
 
 

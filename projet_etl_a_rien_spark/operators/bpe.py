@@ -1,0 +1,170 @@
+"""Distributed byte-pair-encoding merge learning (Sennrich et al. 2016).
+
+The tokenizer-training half of an LLM data pipeline: learn the top-N
+BPE merges over a corpus. Classic word-level BPE — the corpus collapses
+to a (word, count) table first, so after the single corpus-scale
+shuffle every iteration runs on vocabulary-sized data (Heaps' law:
+tiny next to 100 TB of text, but still distributed — no driver-side
+corpus materialization).
+
+Per iteration:
+
+1. adjacent-pair counts: one HOF ``transform`` over each word's symbol
+   array (JVM-side, no Python) exploded and summed with the word's
+   corpus count — a vocab-scale groupBy;
+2. argmax pair with a deterministic tie-break (count desc, then
+   lexicographic) — ``TakeOrderedAndProject`` of ONE row to the driver,
+   the same index-sized driver materialization as ``kmeans_fit``'s
+   centroids;
+3. apply the merge with a greedy left-to-right ``F.aggregate`` fold
+   over each symbol array (the accumulator carries the flushed prefix
+   and one pending symbol; "a a a" under merge (a,a) correctly yields
+   ["aa", "a"]). ``localCheckpoint`` truncates the growing expression
+   lineage each iteration — ``num_merges`` nested folds would
+   otherwise stack into one giant Catalyst tree (the same
+   lineage-truncation discipline as the iterative graph operators).
+
+The merge loop is inherently sequential (merge i+1's counts depend on
+merge i's rewrite) — ``num_merges`` is a driver-latency knob, the
+data-side cost per iteration is O(vocab · avg word length).
+
+No SQL oracle: the iterative argmax/rewrite loop is the brief's
+"genuinely non-SQL-expressible" case; correctness is pinned by a
+pytest property test against a pure-Python reference implementation
+(tests/test_round6.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+END = "</w>"
+SEP = "\x1f"
+
+
+def _adjacent_pairs(sym_col):
+    """Array of 'left<SEP>right' strings for each adjacent symbol pair."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(sym_col) - 1),
+        lambda i: F.concat_ws(
+            SEP, F.element_at(sym_col, i), F.element_at(sym_col, i + 1)
+        ),
+    )
+
+
+def _apply_merge(sym_col, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of (left, right) →
+    left+right over a symbol array, as a single JVM-side fold.
+
+    Accumulator: (out = flushed symbols, pend = last unflushed symbol,
+    has = pend valid). Each step either completes a merge (pend == left
+    and s == right → flush merged token, clear pend) or flushes pend
+    and holds s. The finisher flushes the trailing pend.
+    """
+    merged = left + right
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("pend"),
+        F.lit(False).alias("has"),
+    )
+
+    def step(acc, s):
+        is_merge = acc["has"] & (acc["pend"] == F.lit(left)) & (s == F.lit(right))
+        return F.when(
+            is_merge,
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit("").alias("pend"),
+                F.lit(False).alias("has"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["has"], F.concat(acc["out"], F.array(acc["pend"]))
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                s.alias("pend"),
+                F.lit(True).alias("has"),
+            )
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["has"], F.concat(acc["out"], F.array(acc["pend"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(sym_col, init, step, finish)
+
+
+def word_symbol_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt, syms) — corpus word counts with each word split into
+    its initial symbol sequence: characters plus a terminal ``</w>``
+    marker (so merges cannot cross word boundaries and a word-final
+    subword is distinct from a word-internal one). The ONE corpus-scale
+    shuffle of BPE training."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(END))
+            ).alias("syms"),
+        )
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``num_merges`` BPE merges; returns [(rank, left, right,
+    pair_count)] in learned order. Stops early when no pair reaches
+    ``min_pair_count``. Deterministic: ties broken (count desc, left
+    asc, right asc)."""
+    seqs = word_symbol_table(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, num_merges + 1):
+            top = (
+                seqs.where(F.size("syms") >= 2)
+                .select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+                .groupBy("p")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), F.asc("p"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_pair_count:
+                break
+            left, right = top[0]["p"].split(SEP, 1)
+            merges.append((rank, left, right, int(top[0]["n"])))
+            nxt = seqs.select(
+                "word", "cnt", _apply_merge(F.col("syms"), left, right).alias("syms")
+            ).localCheckpoint(eager=True)
+            seqs.unpersist()
+            seqs = nxt
+    finally:
+        seqs.unpersist()
+    return merges
+
+
+def bpe_merge_table(
+    spark: SparkSession, df: DataFrame, num_merges: int = 10
+) -> DataFrame:
+    """Learned merges as a DataFrame (rank, left, right, pair_count)."""
+    rows = learn_bpe_merges(df, num_merges)
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    )

@@ -230,3 +230,151 @@ def bigram_logprob_scores(
             ),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted-index postings: one row per (token, doc)
+    with term frequency, first/last occurrence position (1-based), the
+    token's document frequency / corpus frequency, and a smoothed idf.
+
+    The relational form of the search-engine index build (the reference
+    surface has TF-IDF ranking, ``tfidf_top_terms``; this materializes
+    the index itself — the artifact a retrieval system ships):
+
+    - ``posexplode`` over the token array → (id, pos, token);
+    - postings = groupBy (token, id): tf + min/max position — the one
+      corpus-scale shuffle, keyed by (token, id) so hot tokens spread
+      over their documents instead of piling on one reducer (grouping
+      by token alone would put every posting of a stopword in one
+      partition);
+    - token stats (df, cf) = second agg over the postings (vocab-sized
+      output); idf = ln((N+1)/(df+1)) rounded to integer nanos at the
+      VOCAB level (exactmath parity rule), attached by a token join the
+      optimizer is free to broadcast (vocabulary-sized, no forced hint
+      — Heaps' law growth, cf. unigram_logprob_scores).
+
+    At 100 TB the output IS the big table (≈ one row per distinct
+    (token, doc)) — it streams out of the final join without any
+    driver materialization.
+    """
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    )
+    postings = occ.groupBy("token", "id").agg(
+        F.count("*").alias("tf"),
+        (F.min("pos") + 1).cast("long").alias("first_pos"),
+        (F.max("pos") + 1).cast("long").alias("last_pos"),
+    )
+    stats = postings.groupBy("token").agg(
+        F.count("*").alias("df_docs"), F.sum("tf").alias("cf")
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    stats = stats.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "df_docs",
+        "cf",
+        (
+            F.round(
+                F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1))
+                * 1_000_000_000
+            ).cast("long")
+            / F.lit(1e9)
+        ).alias("idf"),
+    )
+    return postings.join(stats, "token").select(
+        "token",
+        F.col("id").alias("doc_id"),
+        "tf",
+        "first_pos",
+        "last_pos",
+        "df_docs",
+        "cf",
+        "idf",
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k collocations (adjacent token pairs) by pointwise mutual
+    information: pmi(x,y) = ln( (c_xy/N_b) / ((c_x/N_u)(c_y/N_u)) ) with
+    N_b total bigram occurrences and N_u total token occurrences —
+    phrases whose parts co-occur far above chance ("New York"-finder;
+    Church & Hanks 1990). ``min_count`` suppresses the classic PMI
+    rare-pair artifact (a hapax pair of two hapax words maxes the score).
+
+    Plan: bigram + unigram model groupBys (both vocab-sized outputs),
+    two unigram joins onto the bigram model, scalar totals broadcast,
+    pmi rounded to integer nanos per distinct pair (exactmath rule),
+    then a global top-k that compiles to TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows, never a full sort).
+    Deterministic tie-break: (pmi desc, t1, t2).
+    """
+    from .dedup import _bind_once
+
+    SEP = "\x1f"
+    bigram_arr = _bind_once(
+        tokens(text_col),
+        lambda ts: F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                SEP, F.element_at(ts, i), F.element_at(ts, i + 1)
+            ),
+        ),
+    )
+    bi = (
+        df.where(F.size(tokens(text_col)) >= 2)
+        .select(F.explode(bigram_arr).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+        .select(
+            F.substring_index("bigram", SEP, 1).alias("t1"),
+            F.substring_index("bigram", SEP, -1).alias("t2"),
+            "c_xy",
+        )
+    )
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c_t"))
+    )
+    totals = (
+        df.select(
+            F.size(tokens(text_col)).cast("long").alias("nu"),
+            F.greatest(
+                F.size(tokens(text_col)).cast("long") - 1, F.lit(0).cast("long")
+            ).alias("nb"),
+        )
+        .agg(F.sum("nu").alias("n_uni"), F.sum("nb").alias("n_bi"))
+    )
+    scored = (
+        bi.join(uni.withColumnRenamed("token", "t1").withColumnRenamed("c_t", "c_x"), "t1")
+        .join(uni.withColumnRenamed("token", "t2").withColumnRenamed("c_t", "c_y"), "t2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "t1",
+            "t2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("n_bi"))
+                    / ((F.col("c_x") / F.col("n_uni")) * (F.col("c_y") / F.col("n_uni")))
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("pmi_nano"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_nano"), "t1", "t2")
+        .limit(top_k)
+        .select("t1", "t2", "c_xy", (F.col("pmi_nano") / F.lit(1e9)).alias("pmi"))
+    )

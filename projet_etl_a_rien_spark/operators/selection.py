@@ -1,0 +1,113 @@
+"""Data-selection operators: DSIR importance weighting.
+
+DSIR (Data Selection via Importance Resampling; Xie et al., NeurIPS
+2023) scores every raw-corpus document by how target-like it is under
+two bag-of-hashed-ngrams language models: log w(d) = Σ_features
+n_f(d) · (log p_target(f) − log p_raw(f)). Documents are then sampled
+proportionally to w — the standard recipe for tilting a 100 TB crawl
+toward a high-quality target corpus (Wikipedia/books) without training
+a classifier.
+
+Spark shape (everything pyspark.sql.functions, whole-stage codegen):
+
+- features are hashed unigrams — md5-prefix int64 mod ``n_buckets``
+  (the same portable hash idiom as the MinHash family, so the DuckDB
+  oracle reproduces it bit-for-bit);
+- the two feature distributions are ``n_buckets``-row aggregates
+  (one corpus-scale explode+groupBy each — the target side prunes its
+  scan with the membership predicate first);
+- their add-one-smoothed log-likelihood-ratio table is rounded to
+  integer nanos per BUCKET (exactmath vocab-level quantization), then
+  broadcast — it is n_buckets rows by construction, the one table here
+  that is genuinely O(1) in corpus size (unlike vocabulary tables,
+  which grow by Heaps' law and must never carry a forced broadcast);
+- per-doc weights are one more groupBy: Σ n_b(d)·llr_nano(b) as exact
+  BIGINT, divided back to a double at the end.
+
+Two corpus-scale shuffles total (feature histogram, per-doc fold); the
+score join is map-side against the broadcast LLR table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _feature_bucket(token: Column, n_buckets: int) -> Column:
+    """Portable hashed-feature id: first 8 md5 hex chars → int64 → mod
+    buckets. Matches DuckDB ``CAST('0x' || substr(md5(t),1,8) AS
+    BIGINT) % n`` exactly."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR log importance weight against the target slice.
+
+    ``target_pred`` selects the target distribution's documents from
+    ``df`` itself (e.g. ``F.col("source") == "src0"``) — the common
+    in-corpus setup where a trusted slice defines "good". Returns
+    (doc_id, n_tokens, logweight) for EVERY document, target rows
+    included (their weights are typically high — a useful sanity
+    signal, and the resampling step downstream decides what to keep).
+
+    Smoothing: p(b) = (cnt(b) + 1) / (total + n_buckets) on both sides,
+    so empty buckets are defined and the LLR is finite everywhere.
+    """
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_target"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).select("id", "is_target", _feature_bucket(F.col("token"), n_buckets).alias("b"))
+
+    hist = occ.groupBy("b").agg(
+        F.count("*").alias("cnt_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("cnt_tgt"),
+    )
+    totals = hist.agg(
+        F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")
+    )
+    # n_buckets rows — the one legitimately-broadcast model table here.
+    llr = (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.col("cnt_tgt") + 1)
+                        / (F.col("tot_tgt") + F.lit(n_buckets))
+                    )
+                    - F.log(
+                        (F.col("cnt_raw") + 1)
+                        / (F.col("tot_raw") + F.lit(n_buckets))
+                    )
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("llr_nano"),
+        )
+    )
+    per_doc_bucket = occ.groupBy("id", "b").agg(F.count("*").alias("n_b"))
+    return (
+        per_doc_bucket.join(F.broadcast(llr), "b")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.sum("n_b").alias("n_tokens"),
+            (F.sum(F.col("n_b") * F.col("llr_nano")) / F.lit(1e9)).alias(
+                "logweight"
+            ),
+        )
+    )

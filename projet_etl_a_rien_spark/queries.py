@@ -593,60 +593,42 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The external driver verifies queries in registration order and only has
 # budget for the first ~50 of them per round, so registration order IS the
-# verification sampling order. This list pins the front of the window to the
-# queries with the least accumulated driver evidence (rotated each round).
+# verification sampling order. This ordering pins the front of the window to
+# the queries with the least accumulated driver evidence (rotated each round).
 #
-# Evidence ledger after r4 (CORRECTNESS_r01-r04: 145 distinct names green,
-# zero red, zero err in r3+r4):
-#   * r4 window (50 green): curation/SCD2/ANN-variant/multimodal/retrieval/
-#     prefix-join/pagerank/ingest families.
-#   * r3 window (50 green): TPC-H Q2-Q22, all 12 streaming queries,
-#     ANN/dedup-cluster/as-of family, tfidf/lang-confusion.
-#   * r1/r2-only greens (45): airports, TPC-H Q1/Q3/Q6, relational/window
-#     family, doc text features, exact/minhash/ngram/simhash, cosine top-k.
-#   * NEVER driver-checked (31): the names below — all green on BOTH local
-#     gates (tools/oracle_check.py raw-cell and tools/driver_mimic.py
-#     hash-exact) at sf0.01, but with no driver CORRECTNESS row yet.
-#
-# r5 ROTATION: front-load the 31 never-checked names so the driver's
-# ~50-query window finally covers them; any round-5 additions land in the
-# `never` bucket right after; then refresh the oldest evidence (r1/r2-only
-# greens) with the remaining budget; r3 then r4 greens (freshest) go last.
-_DRIVER_PRIORITY: list[str] = [
-    "parts_basket_lift",
-    "events_markov_transitions",
-    "doc_weighted_sample",
-    "doc_quality_percentile_by_lang",
-    "doc_novelty_score",
-    "lineitem_feature_corr",
-    "events_seasonal_decompose",
-    "orders_cdc_merge",
-    "customer_yearly_rev_full_outer",
-    "airports_proximity_pairs",
-    "doc_exact_substr_spans",
-    "corpus_exact_substr_rewrite",
-    "customer_name_edit_pairs",
-    "parts_triangle_counts",
-    "doc_length_bucket_batches",
-    "corpus_curriculum_order",
-    "parts_kcore",
-    "supplier_ship_latency",
-    "customer_rfm_segments",
-    "events_xml_roundtrip_kpi",
-    "parts_ktruss_affinity",
-    "corpus_pack_sequences",
-    "ngram_overlap_contamination",
-    "source_token_drift",
-    "minhash_lsh_quality",
-    "streaming_incremental_mv_totals",
-    "streaming_click_attribution_outer",
-    "streaming_doc_classifier_gate",
-    "streaming_weighted_sample",
-    "streaming_orders_cdc_merge",
-    "streaming_contamination_gate",
-]
+# Evidence ledger after r5 (CORRECTNESS_r01-r05): every one of the 193
+# registry names is green in some round — the r4 VERDICT's #1 ask (a green
+# DRIVER row for all 31 never-sampled round-3/4 additions) closed in r5
+# (50/50 green, zero err). r6 ROTATION: round-6 additions (no driver row
+# yet) go first via the `never` bucket, then evidence oldest-first:
+# r1/r2-only greens, r3, r4, r5 (freshest) last. A name green in several
+# rounds buckets by its FRESHEST round.
+_DRIVER_PRIORITY: list[str] = []
 
-# Green in CORRECTNESS_r04.json (freshest evidence — demote to the back).
+# Green in CORRECTNESS_r05.json (freshest evidence — back of the window).
+_R5_CHECKED = {
+    "airports_clean", "airports_flagship", "airports_proximity_pairs",
+    "corpus_curriculum_order", "corpus_datacard", "corpus_exact_substr_rewrite",
+    "corpus_pack_sequences", "corpus_right_to_erasure", "corpus_shuffle_shards",
+    "corpus_vocab_oov", "customer_name_edit_pairs", "customer_rfm_segments",
+    "customer_yearly_rev_full_outer", "doc_bigram_logprob", "doc_char_entropy",
+    "doc_exact_substr_spans", "doc_length_bucket_batches", "doc_novelty_score",
+    "doc_quality_percentile_by_lang", "doc_weighted_sample",
+    "embedding_cross_set_contamination", "events_markov_transitions",
+    "events_seasonal_decompose", "events_xml_roundtrip_kpi",
+    "lineitem_feature_corr", "minhash_lsh_quality", "multimodal_png_resize_stats",
+    "multimodal_png_roundtrip", "multimodal_wav_roundtrip", "mv_time_travel_read",
+    "ngram_overlap_contamination", "orders_cdc_merge",
+    "parquet_schema_evolution_read", "parts_basket_lift", "parts_kcore",
+    "parts_ktruss_affinity", "parts_triangle_counts", "pyds_jsonl_sink_roundtrip",
+    "source_temperature_mix", "source_token_drift",
+    "streaming_click_attribution_outer", "streaming_contamination_gate",
+    "streaming_doc_classifier_gate", "streaming_dynamic_session_windows",
+    "streaming_incremental_mv_totals", "streaming_jdbc_cdc_merge",
+    "streaming_jdbc_totals_sink", "streaming_orders_cdc_merge",
+    "streaming_weighted_sample", "supplier_ship_latency",
+}
+
 _R4_CHECKED = {
     "api_airports_ingest", "bm25_score_docs", "corpus_clean_lang_stats",
     "corpus_curation_funnel", "corpus_curation_pipeline", "corpus_diversity_sample",
@@ -667,7 +649,6 @@ _R4_CHECKED = {
     "streaming_scd2_pit_enrich",
 }
 
-# Green in CORRECTNESS_r03.json (and not re-checked since).
 _R3_CHECKED = {
     "doc_lang_confusion", "doc_packing_bins", "doc_split_assignment",
     "doc_winnow_fingerprints", "embedding_ann_recall_at_10", "embedding_kmeans_assign",
@@ -690,7 +671,6 @@ _R3_CHECKED = {
     "tpch_q9_product_type_profit", "train_eval_contamination",
 }
 
-# Green only in CORRECTNESS_r01/r02 (oldest evidence, due a refresh).
 _R12_CHECKED = {
     "airports_clean", "airports_flagship", "airports_permissive_roundtrip",
     "airports_stats_permissive", "approx_distinct_parts",
@@ -712,23 +692,25 @@ _R12_CHECKED = {
 
 def _ordered_names() -> list[str]:
     """Registry names ordered by accumulated driver evidence, least first:
-    `_DRIVER_PRIORITY` (never driver-checked, verified locally), then names
-    never seen in any CORRECTNESS round (round-5 additions), then r1/r2-only
-    greens (oldest evidence, due a refresh), then r3 greens, then r4 greens
-    (freshest) — so however many queries the driver's ~50-query budget
-    covers, it always verifies the least-evidenced ones first."""
+    names never seen in any CORRECTNESS round (round-6 additions), then
+    r1/r2-only greens (oldest evidence, due a refresh), then r3, r4, and
+    r5 greens (freshest) — so however many queries the driver's ~50-query
+    budget covers, it always verifies the least-evidenced ones first. A
+    name green in several rounds buckets by its freshest round."""
     _load_extensions()
     pri = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
     seen = set(pri)
-    checked = _R12_CHECKED | _R3_CHECKED | _R4_CHECKED
-    never = [n for n in REGISTRY if n not in seen and n not in checked]
-    r12_only = [n for n in REGISTRY
-                if n not in seen and n in _R12_CHECKED and n not in _R4_CHECKED]
-    r3_green = [n for n in REGISTRY
-                if n not in seen and n in _R3_CHECKED
-                and n not in _R12_CHECKED and n not in _R4_CHECKED]
-    r4_green = [n for n in REGISTRY if n not in seen and n in _R4_CHECKED]
-    return pri + never + r12_only + r3_green + r4_green
+    buckets = [_R5_CHECKED, _R4_CHECKED, _R3_CHECKED, _R12_CHECKED]
+
+    def freshness(n: str) -> int:
+        for i, b in enumerate(buckets):
+            if n in b:
+                return len(buckets) - i  # r5 → 4 ... r12 → 1
+        return 0  # never driver-checked
+
+    rest = [n for n in REGISTRY if n not in seen]
+    rest.sort(key=freshness)  # stable: registration order within a bucket
+    return pri + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -752,5 +734,6 @@ def _load_extensions() -> None:
     from . import queries_relational  # noqa: F401
     from . import queries_round4  # noqa: F401
     from . import queries_round5  # noqa: F401
+    from . import queries_round6  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_tpch_full  # noqa: F401

@@ -1,0 +1,176 @@
+"""Round-6 registrations: inverted-index build, PMI collocations, DSIR
+importance weighting, and BPE tokenizer-merge learning.
+
+Imported for its registration side effects by ``queries._load_extensions``;
+same parity rules as every other registration module (adjacent DuckDB
+oracle, identical aliases, exactmath nano-grid quantization for every
+transcendental at the vocab/bucket level). ``bpe_learn_merges`` is the
+registry's one new oracle-less entry — the sequential merge loop is the
+brief's "iterative algorithm" carve-out; its correctness is pinned by a
+pytest property test against a pure-Python reference
+(tests/test_round6.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import bpe, retrieval, selection
+from .queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "doc_inverted_index",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+occ AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> struct_pack(p := i, t := ts[i]))) AS u
+    FROM toks
+),
+o2 AS (SELECT id, u.p AS pos, u.t AS token FROM occ),
+post AS (
+    SELECT token, id, COUNT(*) AS tf,
+           CAST(MIN(pos) AS BIGINT) AS first_pos,
+           CAST(MAX(pos) AS BIGINT) AS last_pos
+    FROM o2 GROUP BY 1, 2
+),
+st AS (
+    SELECT token, COUNT(*) AS df_docs, CAST(SUM(tf) AS BIGINT) AS cf
+    FROM post GROUP BY 1
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT post.token, post.id AS doc_id, tf, first_pos, last_pos, df_docs, cf,
+       CAST(ROUND(ln((n_docs + 1.0) / (df_docs + 1.0)) * 1000000000) AS BIGINT)
+           / 1e9 AS idf
+FROM post JOIN st ON post.token = st.token, n
+""",
+    doc="Positional inverted-index postings (token, doc, tf, first/last "
+    "pos, df, cf, smoothed idf) — the materialized search-index build; "
+    "(token, id)-keyed shuffle so stopword postings spread, vocab-level "
+    "nano-grid idf.",
+)
+def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.inverted_index(_docs(spark, sf_dir))
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@register(
+    "doc_pmi_collocations",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bi AS (
+    SELECT unnest(list_transform(range(1, len(ts)),
+                                 i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS u
+    FROM toks WHERE len(ts) >= 2
+),
+bm AS (
+    SELECT u.a AS t1, u.b AS t2, COUNT(*) AS c_xy
+    FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+uni AS (SELECT unnest(ts) AS token FROM toks),
+um AS (SELECT token, COUNT(*) AS c_t FROM uni GROUP BY 1),
+tot AS (
+    SELECT CAST(SUM(len(ts)) AS BIGINT) AS n_uni,
+           CAST(SUM(greatest(len(ts) - 1, 0)) AS BIGINT) AS n_bi
+    FROM toks
+),
+scored AS (
+    SELECT t1, t2, c_xy,
+           CAST(ROUND(ln((CAST(c_xy AS DOUBLE) / n_bi) /
+                         ((CAST(x.c_t AS DOUBLE) / n_uni)
+                          * (CAST(y.c_t AS DOUBLE) / n_uni)))
+                      * 1000000000) AS BIGINT) AS pmi_nano
+    FROM bm JOIN um x ON bm.t1 = x.token JOIN um y ON bm.t2 = y.token, tot
+)
+SELECT t1, t2, c_xy, pmi_nano / 1e9 AS pmi
+FROM scored
+ORDER BY pmi_nano DESC, t1, t2
+LIMIT {PMI_TOP_K}
+""",
+    doc="Top-20 adjacent-pair collocations by PMI (Church & Hanks), "
+    "min pair count 5 against the hapax artifact; vocab-level nano-grid "
+    "ln, TakeOrderedAndProject top-k (heap + driver merge of k rows, no "
+    "global sort), deterministic (pmi, t1, t2) tie-break.",
+)
+def q_doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.pmi_collocations(
+        _docs(spark, sf_dir), min_count=PMI_MIN_COUNT, top_k=PMI_TOP_K
+    )
+
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_SOURCE = "src0"
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+WITH tok AS (
+    SELECT doc_id AS id, source = '{DSIR_TARGET_SOURCE}' AS is_target,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+occ AS (
+    SELECT id, is_target,
+           CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {DSIR_BUCKETS} AS b
+    FROM tok
+),
+hist AS (
+    SELECT b, COUNT(*) AS cnt_raw,
+           CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
+    FROM occ GROUP BY b
+),
+tot AS (
+    SELECT CAST(SUM(cnt_raw) AS BIGINT) AS tot_raw,
+           CAST(SUM(cnt_tgt) AS BIGINT) AS tot_tgt
+    FROM hist
+),
+llr AS (
+    SELECT b,
+           CAST(ROUND((ln((cnt_tgt + 1.0) / (tot_tgt + {DSIR_BUCKETS}.0))
+                       - ln((cnt_raw + 1.0) / (tot_raw + {DSIR_BUCKETS}.0)))
+                      * 1000000000) AS BIGINT) AS llr_nano
+    FROM hist, tot
+),
+pdb AS (SELECT id, b, COUNT(*) AS n_b FROM occ GROUP BY 1, 2)
+SELECT id AS doc_id, CAST(SUM(n_b) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_b * llr_nano) AS BIGINT) / 1e9 AS logweight
+FROM pdb JOIN llr USING (b)
+GROUP BY id
+""",
+    doc="DSIR importance log-weights (Xie et al. 2023): per-doc "
+    "sum of hashed-unigram log-likelihood ratios target-vs-raw, "
+    "add-one smoothing over 256 md5 buckets; the LLR table is O(1)-"
+    "sized and broadcast, the histogram and per-doc fold are the two "
+    "corpus-scale shuffles.",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return selection.dsir_logweights(
+        _docs(spark, sf_dir),
+        F.col("source") == DSIR_TARGET_SOURCE,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
+@register(
+    "bpe_learn_merges",
+    None,  # iterative argmax/rewrite loop — the brief's non-SQL carve-out;
+    # pinned against a pure-Python reference in tests/test_round6.py
+    doc="Word-level BPE merge learning (Sennrich 2016): 10 merges over "
+    "the corpus word-count table; per-iteration JVM pair-count groupBy + "
+    "1-row argmax + greedy F.aggregate rewrite with localCheckpoint "
+    "lineage truncation. Deterministic (count desc, pair asc) tie-break.",
+)
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe.bpe_merge_table(spark, _docs(spark, sf_dir), num_merges=10)

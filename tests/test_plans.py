@@ -38,6 +38,7 @@ EAGER = {name for name in REGISTRY if name.startswith("streaming_")} | {
     "corpus_curriculum_order",  # source-dim count + checkpoint
     "mv_time_travel_read",  # builds + compacts a sink, returns checkpoint
     "parquet_schema_evolution_read",  # writes two batches, reads merged
+    "bpe_learn_merges",  # iterative merge loop; result is a local merge table
 }
 
 
@@ -167,6 +168,9 @@ SCALAR_BNLJ_OK = {
     "customer_rfm_segments",  # 1-row quartile-thresholds broadcast
     "source_temperature_mix",  # 1-row N then 1-row share-normalizer broadcasts
     "corpus_right_to_erasure",  # 1-row before/purged/after count joins
+    "doc_inverted_index",  # 1-row n_docs broadcast onto the vocab stats
+    "doc_pmi_collocations",  # 1-row (n_uni, n_bi) totals broadcast
+    "dsir_importance_weights",  # 1-row totals broadcast onto the 256-bucket hist
 }
 
 

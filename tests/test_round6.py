@@ -1,0 +1,206 @@
+"""Round-6 operator tests: inverted index, PMI collocations, DSIR
+importance weights, and the BPE merge learner (property-tested against
+a pure-Python reference — it is the registry's one oracle-less batch
+entry, so this test IS its correctness gate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.catalog import load_table
+from projet_etl_a_rien_spark.operators import bpe, retrieval, selection
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- BPE ----
+
+
+def _ref_bpe(texts: list[str], num_merges: int, min_pair_count: int = 2):
+    """Pure-Python word-level BPE with the exact tie-break contract of
+    ``bpe.learn_bpe_merges``: pair count desc, then lexicographic on
+    'left<SEP>right'."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w != "")
+    seqs = {w: list(w) + [bpe.END] for w in words}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        counts: Counter = Counter()
+        for w, syms in seqs.items():
+            c = words[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        best = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + bpe.SEP + kv[0][1]),
+        )
+        (left, right), n = best
+        if n < min_pair_count:
+            break
+        merges.append((rank, left, right, n))
+        for w, syms in seqs.items():
+            out, pend = [], None
+            for s in syms:
+                if pend == left and s == right:
+                    out.append(left + right)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_on_documents(spark, sf_dir):
+    texts = [r.text for r in _docs(spark, sf_dir).select("text").collect()]
+    want = _ref_bpe(texts, num_merges=8)
+    got = bpe.learn_bpe_merges(_docs(spark, sf_dir), num_merges=8)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_bpe_matches_reference_random_corpus(spark, seed):
+    """Randomized corpora with repeated/overlapping letters exercise the
+    greedy non-overlap fold ('aaa' under (a,a) → ['aa','a'])."""
+    import random
+
+    rng = random.Random(seed)
+    alpha = "abc"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    want = _ref_bpe(texts, num_merges=12)
+    got = bpe.learn_bpe_merges(df, num_merges=12)
+    assert got == want
+
+
+def test_bpe_greedy_fold_overlap_semantics(spark):
+    """The F.aggregate rewrite is greedy left-to-right non-overlapping:
+    'aaa' + END under merge (a,a) → ['aa', 'a', END]."""
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    out = (
+        bpe.word_symbol_table(df)
+        .select(bpe._apply_merge(F.col("syms"), "a", "a").alias("s"))
+        .collect()
+    )
+    assert out[0]["s"] == ["aa", "a", bpe.END]
+
+
+# ----------------------------------------------------- inverted index ----
+
+
+def test_inverted_index_positions_and_idf(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y z"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.token, r.doc_id): r
+        for r in retrieval.inverted_index(df).collect()
+    }
+    assert set(rows) == {("x", 1), ("y", 1), ("y", 2), ("z", 2), ("z", 3)}
+    x1 = rows[("x", 1)]
+    assert (x1.tf, x1.first_pos, x1.last_pos, x1.df_docs, x1.cf) == (2, 1, 3, 1, 2)
+    z3 = rows[("z", 3)]
+    assert (z3.tf, z3.first_pos, z3.last_pos, z3.df_docs, z3.cf) == (3, 1, 3, 2, 4)
+    # smoothed idf = round-to-nano ln((N+1)/(df+1)), N = 3 docs
+    assert z3.idf == pytest.approx(math.log(4 / 3), abs=1e-8)
+    assert x1.idf == pytest.approx(math.log(4 / 2), abs=1e-8)
+    # postings count equals distinct (token, doc) pairs; cf sums to corpus size
+    assert sum(r.tf for r in rows.values()) == 8
+
+
+# -------------------------------------------------------------- PMI ----
+
+
+def test_pmi_collocation_ranks_true_pair_first(spark):
+    # 'new york' always adjacent; fillers independent → PMI must rank it top
+    rows = [(i, "new york " + " ".join(["f%d" % (i % 3)] * 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = retrieval.pmi_collocations(df, min_count=5, top_k=3).collect()
+    assert (got[0].t1, got[0].t2) == ("new", "york")
+    assert got[0].c_xy == 12
+    # hand-check the PMI value: c_xy=12, n_bi=48, c_new=c_york=12, n_uni=60
+    want = math.log((12 / 48) / ((12 / 60) * (12 / 60)))
+    assert got[0].pmi == pytest.approx(want, abs=1e-8)
+
+
+def test_pmi_min_count_suppresses_hapax(spark):
+    df = spark.createDataFrame(
+        [(1, "rare pair"), (2, "a b a b a b a b a b")],
+        "doc_id long, text string",
+    )
+    got = retrieval.pmi_collocations(df, min_count=5, top_k=10).collect()
+    assert all((r.t1, r.t2) != ("rare", "pair") for r in got)
+    assert any((r.t1, r.t2) == ("a", "b") for r in got)
+
+
+# ------------------------------------------------------------- DSIR ----
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    # target docs use a disjoint vocabulary; raw-only docs must score
+    # strictly lower than target-like docs
+    rows = [(i, "good clean prose tokens here", "tgt") for i in range(10)]
+    rows += [(100 + i, "spam junk noise garbage blob", "raw") for i in range(10)]
+    rows += [(200, "good clean prose tokens here", "raw")]  # target-LIKE raw doc
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {
+        r.doc_id: r.logweight
+        for r in selection.dsir_logweights(
+            df, F.col("source") == "tgt", n_buckets=64
+        ).collect()
+    }
+    assert len(w) == 21
+    # the target-like raw doc scores like the target docs, above every spam doc
+    assert w[200] == w[0]
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
+
+
+def test_dsir_weight_value_matches_hand_formula(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b", "tgt"), (2, "b b b", "raw")],
+        "doc_id long, text string, source string",
+    )
+    B = 16
+    w = {
+        r.doc_id: r.logweight
+        for r in selection.dsir_logweights(
+            df, F.col("source") == "tgt", n_buckets=B
+        ).collect()
+    }
+
+    def bucket(tok):
+        import hashlib
+
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    ba, bb = bucket("a"), bucket("b")
+    cnt_raw = {ba: 2, bb: 4}
+    cnt_tgt = {ba: 2, bb: 1}
+    tot_raw, tot_tgt = 6, 3
+
+    def llr(b):
+        val = math.log((cnt_tgt.get(b, 0) + 1) / (tot_tgt + B)) - math.log(
+            (cnt_raw.get(b, 0) + 1) / (tot_raw + B)
+        )
+        return round(val * 1e9) / 1e9
+
+    assert w[1] == pytest.approx(2 * llr(ba) + llr(bb), abs=1e-8)
+    assert w[2] == pytest.approx(3 * llr(bb), abs=1e-8)
