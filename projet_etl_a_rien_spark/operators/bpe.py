@@ -168,3 +168,63 @@ def bpe_merge_table(
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count long"
     )
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Encode the corpus with a learned merge list: per-doc token stats
+    under the BPE segmentation (the tokenizer-application half —
+    ``learn_bpe_merges`` is the training half).
+
+    BPE encoding applies the merges IN LEARNED RANK ORDER (not longest-
+    match — that's WordPiece), so the rewrite is a chain of the same
+    greedy folds used during training, run over the DISTINCT-WORD table
+    (vocabulary-sized — the corpus-scale work is one word explode and
+    one word join). ``localCheckpoint`` every few merges keeps the
+    chained fold expressions from stacking into one giant Catalyst tree
+    (the bigger the merge list, the more the plan would otherwise
+    deepen; the data per step stays vocab-sized).
+
+    Returns (doc_id, n_words, n_bpe_tokens, bpe_per_word) — the
+    compression diagnostic a tokenizer-fit report needs (tokens/word
+    under the learned vocab; 1.0 means every word became one token).
+    """
+    syms = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .select(
+            "word",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(END))).alias(
+                "syms"
+            ),
+        )
+    )
+    for i, (_rank, left, right, _n) in enumerate(merges):
+        syms = syms.select(
+            "word", _apply_merge(F.col("syms"), left, right).alias("syms")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            nxt = syms.localCheckpoint(eager=True)
+            syms = nxt
+    lengths = syms.select(
+        "word", F.size("syms").cast("long").alias("n_sym")
+    )
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        occ.join(lengths, "word")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            # integer-ratio diagnostic: exact BIGINT/BIGINT division
+            (F.sum("n_sym") / F.count("*")).alias("bpe_per_word"),
+        )
+    )

@@ -4,11 +4,11 @@ importance weighting, and BPE tokenizer-merge learning.
 Imported for its registration side effects by ``queries._load_extensions``;
 same parity rules as every other registration module (adjacent DuckDB
 oracle, identical aliases, exactmath nano-grid quantization for every
-transcendental at the vocab/bucket level). ``bpe_learn_merges`` is the
-registry's one new oracle-less entry — the sequential merge loop is the
-brief's "iterative algorithm" carve-out; its correctness is pinned by a
-pytest property test against a pure-Python reference
-(tests/test_round6.py).
+transcendental at the vocab/bucket level). The two BPE entries
+(``bpe_learn_merges`` train / ``corpus_bpe_encode_stats`` encode) are
+the registry's only oracle-less batch entries — the sequential merge
+loop is the brief's "iterative algorithm" carve-out; both are pinned by
+property tests against a pure-Python reference (tests/test_round6.py).
 """
 
 from __future__ import annotations
@@ -174,3 +174,19 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_merge_table(spark, _docs(spark, sf_dir), num_merges=10)
+
+
+@register(
+    "corpus_bpe_encode_stats",
+    None,  # encode applies the learned (iterative) merge chain — same
+    # non-SQL carve-out as bpe_learn_merges; property-tested against the
+    # pure-Python encoder in tests/test_round6.py
+    doc="Tokenizer-application half of the BPE loop: per-doc word/BPE-"
+    "token counts under the 10 learned merges (train + encode on the "
+    "same corpus — the compression-fit report). Rank-ordered greedy "
+    "fold chain over the distinct-word table, vocab-sized throughout.",
+)
+def q_corpus_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    merges = bpe.learn_bpe_merges(docs, num_merges=10)
+    return bpe.apply_bpe_merges(docs, merges)

@@ -204,3 +204,55 @@ def test_dsir_weight_value_matches_hand_formula(spark):
 
     assert w[1] == pytest.approx(2 * llr(ba) + llr(bb), abs=1e-8)
     assert w[2] == pytest.approx(3 * llr(bb), abs=1e-8)
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Encode half: per-doc BPE token counts under the learned merges
+    equal a pure-Python rank-ordered greedy application."""
+    docs = _docs(spark, sf_dir)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    merges = bpe.learn_bpe_merges(docs, num_merges=6)
+
+    def encode_len(word: str) -> int:
+        syms = list(word) + [bpe.END]
+        for _rank, left, right, _n in merges:
+            out, pend = [], None
+            for s in syms:
+                if pend == left and s == right:
+                    out.append(left + right)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        return len(syms)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.apply_bpe_merges(docs, merges).collect()
+    }
+    for doc_id, text in texts.items():
+        words = [w for w in text.split(" ") if w != ""]
+        want = (len(words), sum(encode_len(w) for w in words))
+        assert got[doc_id] == want, doc_id
+
+
+def test_bpe_encode_compression_improves_with_merges(spark, sf_dir):
+    """More merges can only shrink (or keep) the encoded length — the
+    monotonicity a tokenizer-fit report relies on."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.learn_bpe_merges(docs, num_merges=8)
+    tot_few = (
+        bpe.apply_bpe_merges(docs, merges[:2])
+        .agg(F.sum("n_bpe_tokens"))
+        .collect()[0][0]
+    )
+    tot_all = (
+        bpe.apply_bpe_merges(docs, merges)
+        .agg(F.sum("n_bpe_tokens"))
+        .collect()[0][0]
+    )
+    assert tot_all < tot_few

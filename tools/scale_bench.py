@@ -77,6 +77,13 @@ SPOT = [
     "doc_char_entropy",
     "corpus_vocab_oov",
     "corpus_datacard",
+    # r6 additions: index build + DSIR are linear-with-constants; PMI is
+    # vocab-bounded after the bigram agg. (The per-token ~r{replica}
+    # suffix makes replica vocabularies disjoint, so vocab-sized model
+    # tables grow ~10x — still far below corpus scale.)
+    "doc_inverted_index",
+    "dsir_importance_weights",
+    "doc_pmi_collocations",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
