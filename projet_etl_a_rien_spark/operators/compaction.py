@@ -332,3 +332,66 @@ def _vacuum_partitions(
             continue
         if n < below:
             fs.delete(st.getPath(), True)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Diff two versions of a keyed table into a CDC changelog — the
+    INVERSE of :func:`apply_changes`: ``apply_changes(old,
+    snapshot_diff(old, new, keys) + seq, keys, seq)`` reproduces ``new``
+    exactly (property-pinned in tests/test_round6.py).
+
+    Emits one row per changed key with ``op_col``:
+
+    - ``'U'`` — key present in ``new`` with different (or no prior)
+      values; carries the NEW values (insert and update collapse to
+      upsert, matching ``apply_changes``' op vocabulary);
+    - ``'D'`` — key present only in ``old``; value columns are the OLD
+      values (diagnostic payload; the apply side only reads the key).
+
+    Unchanged keys emit nothing, so the changelog is minimal — the
+    table-format "table diff"/"incremental read" primitive that turns
+    two full snapshots into an incremental feed (backfill→stream
+    cutover, replication catch-up, audit).
+
+    One full-outer join on the key — a single co-partitioned shuffle,
+    no window. Value comparison is null-safe (``eqNullSafe`` per
+    column), so NULL→value and value→NULL both register as updates.
+    """
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    new_present = F.greatest(
+        *[F.col(f"n.{k}").isNotNull() for k in key_cols]
+    ) if len(key_cols) > 1 else F.col(f"n.{key_cols[0]}").isNotNull()
+    old_present = F.greatest(
+        *[F.col(f"o.{k}").isNotNull() for k in key_cols]
+    ) if len(key_cols) > 1 else F.col(f"o.{key_cols[0]}").isNotNull()
+    same_vals = F.lit(True)
+    for c in val_cols:
+        same_vals = same_vals & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    return (
+        joined.where(~(new_present & old_present & same_vals))
+        .select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in key_cols
+            ],
+            *[
+                F.when(new_present, F.col(f"n.{c}"))
+                .otherwise(F.col(f"o.{c}"))
+                .alias(c)
+                for c in val_cols
+            ],
+            F.when(new_present, F.lit("U")).otherwise(F.lit("D")).alias(op_col),
+        )
+    )

@@ -1,5 +1,5 @@
 """Round-6 registrations: inverted-index build, PMI collocations, DSIR
-importance weighting, and BPE tokenizer-merge learning.
+importance weighting, BPE tokenizer train/encode, and snapshot diff.
 
 Imported for its registration side effects by ``queries._load_extensions``;
 same parity rules as every other registration module (adjacent DuckDB
@@ -190,3 +190,72 @@ def q_corpus_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     merges = bpe.learn_bpe_merges(docs, num_merges=10)
     return bpe.apply_bpe_merges(docs, merges)
+
+
+@register(
+    "orders_snapshot_diff",
+    """
+WITH o AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+neww AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice
+    FROM o WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+    FROM o WHERE o_orderkey % 11 = 0
+),
+d AS (
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey
+                ELSE o.o_custkey END AS o_custkey,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+                ELSE o.o_orderstatus END AS o_orderstatus,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+                ELSE o.o_totalprice END AS o_totalprice,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN 'U' ELSE 'D' END AS op,
+           (n.o_orderkey IS NOT NULL AND o.o_orderkey IS NOT NULL
+            AND n.o_custkey IS NOT DISTINCT FROM o.o_custkey
+            AND n.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus
+            AND n.o_totalprice IS NOT DISTINCT FROM o.o_totalprice)
+               AS unchanged
+    FROM o FULL OUTER JOIN neww n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, op
+FROM d WHERE NOT unchanged
+""",
+    doc="Snapshot diff (table-format incremental read): full-outer join "
+    "two keyed versions into a minimal CDC changelog — U carries new "
+    "values (insert==upsert), D marks vanished keys, unchanged keys "
+    "emit nothing; null-safe per-column compare. Inverse of "
+    "apply_changes (roundtrip property-pinned). One co-partitioned "
+    "shuffle. Fixture: deletes keys %7, bumps price on %5, inserts "
+    "offset copies of %11.",
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compaction import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        o.where(k % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 5 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.where(k % 11 == 0).select(
+                (k + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(o, new, ["o_orderkey"])

@@ -256,3 +256,70 @@ def test_bpe_encode_compression_improves_with_merges(spark, sf_dir):
         .collect()[0][0]
     )
     assert tot_all < tot_few
+
+
+# ---------------------------------------------------- snapshot diff ----
+
+
+def test_snapshot_diff_roundtrip_and_minimality(spark, sf_dir):
+    """snapshot_diff is the inverse of apply_changes: applying the diff
+    to the old snapshot reproduces the new one exactly; and the diff is
+    minimal (one row per actually-changed key, nothing for unchanged)."""
+    from projet_etl_a_rien_spark.operators.compaction import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        o.where(k % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 5 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.where(k % 11 == 0).select(
+                (k + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    diff = snapshot_diff(o, new, ["o_orderkey"]).persist()
+    # minimality: changed keys only, one row per key
+    n_old = o.count()
+    n_del = o.where(k % 7 == 0).count()
+    n_upd = o.where((k % 5 == 0) & (k % 7 != 0)).count()
+    n_ins = o.where(k % 11 == 0).count()
+    by_op = {r.op: r.n for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    assert by_op == {"U": n_upd + n_ins, "D": n_del}
+    assert diff.groupBy("o_orderkey").count().where("count > 1").count() == 0
+    # roundtrip: old + diff == new
+    applied = apply_changes(
+        o, diff.withColumn("seq", F.lit(1).cast("long")), ["o_orderkey"], "seq"
+    )
+    assert applied.exceptAll(new).count() == 0
+    assert new.exceptAll(applied).count() == 0
+    assert applied.count() == n_old - n_del + n_ins
+    diff.unpersist()
+
+
+def test_snapshot_diff_null_transitions_register(spark):
+    """NULL→value, value→NULL and NULL→NULL are compared null-safely:
+    the first two are updates, the third is unchanged."""
+    from projet_etl_a_rien_spark.operators.compaction import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "k bigint, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "k bigint, v string"
+    )
+    got = {(r.k): (r.v, r.op) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: ("a", "U"), 2: (None, "U")}
