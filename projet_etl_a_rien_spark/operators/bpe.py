@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import tokens, widen_narrow_input
 
 END = "</w>"
 SEP = "\x1f"
@@ -109,7 +109,8 @@ def word_symbol_table(
     subword is distinct from a word-internal one). The ONE corpus-scale
     shuffle of BPE training."""
     return (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        widen_narrow_input(df)
+        .select(F.explode(tokens(text_col)).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
@@ -194,8 +195,9 @@ def apply_bpe_merges(
     compression diagnostic a tokenizer-fit report needs (tokens/word
     under the learned vocab; 1.0 means every word became one token).
     """
+    wdf = widen_narrow_input(df)
     syms = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        wdf.select(F.explode(tokens(text_col)).alias("word"))
         .where(F.col("word") != "")
         .distinct()
         .select(
@@ -215,7 +217,7 @@ def apply_bpe_merges(
     lengths = syms.select(
         "word", F.size("syms").cast("long").alias("n_sym")
     )
-    occ = df.select(
+    occ = wdf.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("word")
     ).where(F.col("word") != "")
     return (

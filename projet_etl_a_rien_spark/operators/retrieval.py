@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import tokens, widen_narrow_input
 
 
 def term_doc_tf(
@@ -259,6 +259,7 @@ def inverted_index(
     (token, doc)) — it streams out of the final join without any
     driver materialization.
     """
+    df = widen_narrow_input(df, id_col)
     occ = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
@@ -318,6 +319,7 @@ def pmi_collocations(
     """
     from .dedup import _bind_once
 
+    df = widen_narrow_input(df)
     SEP = "\x1f"
     bigram_arr = _bind_once(
         tokens(text_col),

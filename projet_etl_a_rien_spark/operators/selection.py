@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import tokens, widen_narrow_input
 
 
 def _feature_bucket(token: Column, n_buckets: int) -> Column:
@@ -65,7 +65,7 @@ def dsir_logweights(
     Smoothing: p(b) = (cnt(b) + 1) / (total + n_buckets) on both sides,
     so empty buckets are defined and the LLR is finite everywhere.
     """
-    occ = df.select(
+    occ = widen_narrow_input(df, id_col).select(
         F.col(id_col).alias("id"),
         target_pred.alias("is_target"),
         F.explode(tokens(text_col)).alias("token"),
