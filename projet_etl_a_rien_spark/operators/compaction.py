@@ -395,3 +395,84 @@ def snapshot_diff(
             F.when(new_present, F.lit("U")).otherwise(F.lit("D")).alias(op_col),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental inverted-index sink (postings partials + snapshot compaction)
+# ---------------------------------------------------------------------------
+#
+# Same layout and crash contract as the aggregate-MV sink above
+# (parts/batch_id=N partials, snap/v=maxBatch snapshot, _SUCCESS-gated
+# reads, version-as-fold-watermark), but the folded payload is POSTING
+# ROWS, not per-key sums: documents arrive exactly once, their postings
+# are disjoint row sets, so the fold is a plain union — no re-aggregation
+# across batches, per-batch work is O(batch postings). Token statistics
+# (df, cf, idf) are NOT stored; they are derived at read time from the
+# folded postings (they are corpus-global, so any stored copy would be
+# invalidated by every new batch anyway — the index stores what is
+# incremental, recomputes what is global).
+
+
+def write_postings_partial(
+    batch_df: DataFrame, path: str, batch_id: int
+) -> None:
+    """Land one micro-batch's positional postings idempotently under
+    ``parts/batch_id=N`` (checkpoint-recovery replays overwrite the same
+    dir instead of duplicating)."""
+    from .retrieval import doc_postings
+
+    doc_postings(batch_df).write.mode("overwrite").parquet(
+        f"{path}/parts/batch_id={batch_id}"
+    )
+
+
+def read_postings_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Folded postings: newest committed snapshot ∪ committed partials
+    NEWER than it (same reader-vs-vacuum and torn-commit rules as
+    ``read_agg_sink``). Returns the raw postings table; feed it to
+    ``retrieval.postings_with_stats`` for the queryable index."""
+    schema = (
+        "token string, id bigint, tf bigint, first_pos bigint, last_pos bigint"
+    )
+    v = _snapshot_version(spark, path)
+    pieces = []
+    if v >= 0:
+        pieces.append(
+            spark.read.option("basePath", f"{path}/snap")
+            .parquet(f"{path}/snap/v={v}")
+            .select("token", "id", "tf", "first_pos", "last_pos")
+        )
+    newer = sorted(
+        b
+        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
+        if b > v
+    )
+    if newer:
+        pieces.append(
+            spark.read.option("basePath", f"{path}/parts")
+            .parquet(*[f"{path}/parts/batch_id={b}" for b in newer])
+            .select("token", "id", "tf", "first_pos", "last_pos")
+        )
+    if not pieces:
+        return spark.createDataFrame([], schema)
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    return merged
+
+
+def compact_postings_sink(spark: SparkSession, path: str) -> int:
+    """Fold committed partials into ``snap/v=maxBatch`` (plain union —
+    postings are disjoint across batches) and vacuum the folded partial
+    dirs; crash-safe in the same order as ``compact_agg_sink`` (snapshot
+    commit first, deletes after). Returns the new version."""
+    v = _snapshot_version(spark, path)
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
+        return v
+    fold = read_postings_sink(spark, path).localCheckpoint(eager=True)
+    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=max_b)
+    return max_b

@@ -259,20 +259,41 @@ def inverted_index(
     (token, doc)) — it streams out of the final join without any
     driver materialization.
     """
+    postings = doc_postings(df, text_col, id_col)
+    return postings_with_stats(postings)
+
+
+def doc_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Raw positional postings (token, id, tf, first_pos, last_pos) —
+    the per-document half of the index build. Postings for distinct
+    documents are DISJOINT rows, which is what makes the index
+    incrementally maintainable: a new batch of documents contributes new
+    posting rows and touches nothing existing (see
+    ``streaming.windows.run_incremental_postings_sink``)."""
     df = widen_narrow_input(df, id_col)
     occ = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
     )
-    postings = occ.groupBy("token", "id").agg(
+    return occ.groupBy("token", "id").agg(
         F.count("*").alias("tf"),
         (F.min("pos") + 1).cast("long").alias("first_pos"),
         (F.max("pos") + 1).cast("long").alias("last_pos"),
     )
+
+
+def postings_with_stats(postings: DataFrame) -> DataFrame:
+    """Attach corpus-level token statistics (df, cf, smoothed idf) to a
+    postings table. ``n_docs`` is derived from the postings themselves
+    (every document owns >= 1 posting — a whitespace split never returns
+    an empty array), so the same fold works on a freshly-built index and
+    on one reassembled from incremental sink batches."""
     stats = postings.groupBy("token").agg(
         F.count("*").alias("df_docs"), F.sum("tf").alias("cf")
     )
-    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    n_docs = postings.agg(F.countDistinct("id").alias("n_docs"))
     stats = stats.crossJoin(F.broadcast(n_docs)).select(
         "token",
         "df_docs",

@@ -259,3 +259,76 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(o, new, ["o_orderkey"])
+
+
+@register(
+    "streaming_inverted_index_ingest",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+occ AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> struct_pack(p := i, t := ts[i]))) AS u
+    FROM toks
+),
+o2 AS (SELECT id, u.p AS pos, u.t AS token FROM occ),
+post AS (
+    SELECT token, id, COUNT(*) AS tf,
+           CAST(MIN(pos) AS BIGINT) AS first_pos,
+           CAST(MAX(pos) AS BIGINT) AS last_pos
+    FROM o2 GROUP BY 1, 2
+),
+st AS (
+    SELECT token, COUNT(*) AS df_docs, CAST(SUM(tf) AS BIGINT) AS cf
+    FROM post GROUP BY 1
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT post.token, post.id AS doc_id, tf, first_pos, last_pos, df_docs, cf,
+       CAST(ROUND(ln((n_docs + 1.0) / (df_docs + 1.0)) * 1000000000) AS BIGINT)
+           / 1e9 AS idf
+FROM post JOIN st ON post.token = st.token, n
+""",
+    doc="Incremental inverted-index maintenance, sink-is-the-state: a "
+    "streaming pass over even doc_ids lands postings partials "
+    "(idempotent parts/batch_id=N), compaction folds them by plain "
+    "union (postings of distinct docs are disjoint rows), then a batch "
+    "partial for odd docs lands ABOVE the fold watermark; the folded "
+    "sink + read-time df/cf/idf stats equal the one-shot batch index, "
+    "which the oracle asserts. The sink stores what is incremental and "
+    "recomputes what any batch would invalidate (corpus-global stats).",
+)
+def q_streaming_inverted_index_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.compaction import (
+        _snapshot_version,
+        read_postings_sink,
+        write_postings_partial,
+    )
+    from .streaming.windows import (
+        apply_runtime_confs,
+        run_incremental_postings_sink,
+    )
+
+    apply_runtime_confs(spark)
+    path = tempfile.mkdtemp(prefix="invsink_")
+    try:
+        even = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .where(F.col("doc_id") % 2 == 0)
+        )
+        run_incremental_postings_sink(even, path)
+        odd = _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
+        write_postings_partial(
+            odd, path, batch_id=_snapshot_version(spark, path) + 1
+        )
+        return retrieval.postings_with_stats(
+            read_postings_sink(spark, path)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

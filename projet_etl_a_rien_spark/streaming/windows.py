@@ -1007,3 +1007,42 @@ def run_cdc_merge_sink(
         .drop(op_col, seq_col)
         .localCheckpoint(eager=True)
     )
+
+
+def run_incremental_postings_sink(doc_stream: DataFrame, path: str) -> DataFrame:
+    """Incremental inverted-index maintenance with the SINK as the
+    state: each micro-batch of documents lands its positional postings
+    idempotently under ``parts/batch_id=N`` (postings of distinct docs
+    are disjoint rows — per-batch work is O(batch postings), the corpus
+    is never re-scanned), then a snapshot compaction folds partials by
+    plain union. Token statistics (df/cf/idf) are corpus-global and are
+    derived at read time via ``retrieval.postings_with_stats`` — the
+    sink stores what is incremental and recomputes what any new batch
+    would invalidate anyway. Returns the folded postings as a LAZY read
+    (same materialize-before-next-compaction contract as the MV sink).
+    """
+    from ..operators.compaction import (
+        compact_postings_sink,
+        read_postings_sink,
+        write_postings_partial,
+    )
+
+    spark = doc_stream.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_postings_")
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        write_postings_partial(batch_df, path, batch_id)
+
+    try:
+        q = (
+            doc_stream.writeStream.foreachBatch(land)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    compact_postings_sink(spark, path)
+    return read_postings_sink(spark, path)

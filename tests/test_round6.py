@@ -323,3 +323,58 @@ def test_snapshot_diff_null_transitions_register(spark):
     )
     got = {(r.k): (r.v, r.op) for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {1: ("a", "U"), 2: (None, "U")}
+
+
+# ------------------------------------- incremental postings sink ----
+
+
+def test_postings_sink_incremental_equals_batch(spark, sf_dir):
+    """Postings landed batch-by-batch, compacted, then extended with a
+    late partial fold to EXACTLY the one-shot batch index; replaying an
+    already-landed batch (idempotent overwrite) and a torn partial
+    (no _SUCCESS) change nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.operators.compaction import (
+        _snapshot_version,
+        compact_postings_sink,
+        read_postings_sink,
+        write_postings_partial,
+    )
+    from projet_etl_a_rien_spark.operators.retrieval import (
+        inverted_index,
+        postings_with_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="postsink_")
+    try:
+        third = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+        write_postings_partial(third[0], path, 0)
+        write_postings_partial(third[1], path, 1)
+        v = compact_postings_sink(spark, path)
+        assert v == 1
+        # replay of batch 1 (checkpoint recovery): lands below/at the
+        # fold watermark -> reader must ignore it
+        write_postings_partial(third[1], path, 1)
+        # late batch above the watermark
+        write_postings_partial(third[2], path, 2)
+        # torn partial: directory without _SUCCESS stays invisible
+        os.makedirs(f"{path}/parts/batch_id=9", exist_ok=True)
+        third[0].limit(3).write.mode("overwrite").parquet(
+            f"{path}/parts/batch_id=9/_tmp"
+        )
+        got = postings_with_stats(read_postings_sink(spark, path))
+        want = inverted_index(docs)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # second compaction folds batch 2, vacuums it, result unchanged
+        v2 = compact_postings_sink(spark, path)
+        assert v2 == 2 and _snapshot_version(spark, path) == 2
+        again = postings_with_stats(read_postings_sink(spark, path))
+        assert again.exceptAll(want).count() == 0
+        assert want.exceptAll(again).count() == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
