@@ -188,7 +188,11 @@ def kmeans_fit(
     the final centroids as driver-side literals (k×dim longs — the only
     data that ever reaches the driver, exactly like MLlib's aggregate
     step). Per iteration: broadcast literal centroids → exact-int argmin →
-    driver-side mean update.
+    driver-side mean update. ``iters`` is therefore a DRIVER-LATENCY
+    knob: each iteration launches one sequential Spark job (the data-
+    side cost is O(n·k·dim) per pass and fully parallel, but the
+    job-scheduling constants add up at small fixture scale — the r4
+    bench decomposition measured them at ~37% of the kNN composite).
 
     Determinism contract (the DuckDB oracle replicates it exactly):
     seed = the k vectors with smallest id, cluster c = rank order;

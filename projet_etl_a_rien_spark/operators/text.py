@@ -590,6 +590,7 @@ def segment_dedup_rewrite(
     seg_tokens: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    within_doc: bool = False,
 ) -> DataFrame:
     """Corpus-level segment REMOVAL + document reconstruction — the
     rewrite half of :func:`segment_dup_stats` (C4's famous line-dedup,
@@ -614,6 +615,16 @@ def segment_dedup_rewrite(
     any rewrite. The window is a row_number over (digest) — no global
     sort, and skew equals segment duplication, which is precisely what
     the operator deletes.
+
+    ``within_doc=True`` narrows the dedup scope to EACH DOCUMENT: keep
+    the first occurrence of a segment within its own doc, leave
+    cross-document duplication alone (the boilerplate-header/chorus
+    cleanup that precedes corpus-level dedup — Gopher's within-document
+    repetition removal as a rewrite). The window key gains the doc id,
+    so the rewrite becomes entirely doc-local: segment skew cannot
+    concentrate keys beyond one document's segments, and the reassembly
+    reuses the same shuffle key — at scale this variant is strictly
+    cheaper than the corpus-wide form.
     """
     from pyspark.sql.window import Window
 
@@ -626,7 +637,12 @@ def segment_dedup_rewrite(
     exploded = df.where(F.size(toks) >= seg_tokens).select(
         F.col(id_col), F.posexplode(segs).alias("pos", "seg")
     )
-    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy(id_col, "pos")
+    part = (
+        [F.col(id_col), F.md5(F.col("seg"))]
+        if within_doc
+        else [F.md5(F.col("seg"))]
+    )
+    w = Window.partitionBy(*part).orderBy(id_col, "pos")
     ranked = exploded.withColumn("rn", F.row_number().over(w))
     kept_struct = F.when(
         F.col("rn") == 1, F.struct(F.col("pos"), F.col("seg"))

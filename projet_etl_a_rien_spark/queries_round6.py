@@ -332,3 +332,48 @@ def q_streaming_inverted_index_ingest(
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+SEG_TOKENS_R6 = 10
+
+
+@register(
+    "doc_intradoc_dedup_rewrite",
+    f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WHERE len(string_split(text, ' ')) >= {SEG_TOKENS_R6}
+),
+segs AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(toks, i * {SEG_TOKENS_R6} + 1,
+                                      i * {SEG_TOKENS_R6} + {SEG_TOKENS_R6}), ' ') AS seg
+    FROM base, UNNEST(range(0, CAST(len(toks) // {SEG_TOKENS_R6} AS BIGINT))) AS u(i)
+),
+ranked AS (
+    SELECT doc_id, pos, seg,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, md5(seg)
+                              ORDER BY doc_id, pos) AS rn
+    FROM segs
+)
+SELECT doc_id,
+       COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+           AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+FROM ranked
+GROUP BY doc_id
+""",
+    doc="WITHIN-document segment dedup rewrite (Gopher's in-doc "
+    "repetition removal as a transform): keep each 10-token segment's "
+    "first occurrence inside its own doc, leave cross-doc duplication "
+    "to the corpus-level pass. Doc-local window — the shuffle key "
+    "includes the doc id, so segment skew is bounded by one document "
+    "and the reassembly reuses the same key.",
+)
+def q_doc_intradoc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as _text
+
+    return _text.segment_dedup_rewrite(
+        _docs(spark, sf_dir), seg_tokens=SEG_TOKENS_R6, within_doc=True
+    )

@@ -378,3 +378,30 @@ def test_postings_sink_incremental_equals_batch(spark, sf_dir):
         assert want.exceptAll(again).count() == 0
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_intradoc_dedup_scope(spark):
+    """within_doc=True removes repeats inside one doc but must NOT
+    remove a segment that only repeats across documents."""
+    from projet_etl_a_rien_spark.operators.text import segment_dedup_rewrite
+
+    seg_a = "a b"          # repeated inside doc 1 and also in doc 2
+    df = spark.createDataFrame(
+        [(1, f"{seg_a} {seg_a} c d"), (2, f"{seg_a} e f")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in segment_dedup_rewrite(
+            df, seg_tokens=2, within_doc=True
+        ).collect()
+    }
+    # doc 1: second "a b" removed; doc 2 untouched (cross-doc repeat kept)
+    assert got[1] == ("a b c d", 2, 1)
+    assert got[2] == ("a b e f", 2, 0)
+    # corpus-wide variant removes doc 2's copy too
+    got_corpus = {
+        r.doc_id: r.clean_text
+        for r in segment_dedup_rewrite(df, seg_tokens=2).collect()
+    }
+    assert got_corpus[2] == "e f"
