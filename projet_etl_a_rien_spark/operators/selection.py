@@ -46,6 +46,74 @@ def _feature_bucket(token: Column, n_buckets: int) -> Column:
     )
 
 
+def dsir_llr_table(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The fitted DSIR model: (b, llr_nano) add-one-smoothed target-vs-
+    raw log-likelihood ratios per hashed-unigram bucket — ``n_buckets``
+    rows by construction. Factored out so a STREAMING scorer can fit on
+    the batch corpus and apply in the ingest path (stream-static join),
+    exactly how DSIR deploys: the model is frozen, the stream is scored.
+    """
+    occ = widen_narrow_input(df).select(
+        target_pred.alias("is_target"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).select("is_target", _feature_bucket(F.col("token"), n_buckets).alias("b"))
+    hist = occ.groupBy("b").agg(
+        F.count("*").alias("cnt_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("cnt_tgt"),
+    )
+    totals = hist.agg(
+        F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")
+    )
+    return hist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("cnt_tgt") + 1) / (F.col("tot_tgt") + F.lit(n_buckets))
+                )
+                - F.log(
+                    (F.col("cnt_raw") + 1) / (F.col("tot_raw") + F.lit(n_buckets))
+                )
+            )
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("llr_nano"),
+    )
+
+
+def dsir_score_stream(
+    doc_stream: DataFrame,
+    llr: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score a DOCUMENT STREAM against a frozen LLR model: per-token
+    bucket → stream-static broadcast join onto the model → ONE stateful
+    per-doc aggregation (summing llr_nano per occurrence is integer-
+    identical to the batch per-bucket fold — Σ_tokens llr ==
+    Σ_buckets n_b·llr). Returns the streaming DataFrame (doc_id,
+    n_tokens, logweight); run it bounded and filter for the gate."""
+    occ = doc_stream.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).select("id", _feature_bucket(F.col("token"), n_buckets).alias("b"))
+    return (
+        occ.join(F.broadcast(llr), "b")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("llr_nano") / F.lit(1e9)).alias("logweight"),
+        )
+    )
+
+
 def dsir_logweights(
     df: DataFrame,
     target_pred: Column,

@@ -377,3 +377,86 @@ def q_doc_intradoc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.segment_dedup_rewrite(
         _docs(spark, sf_dir), seg_tokens=SEG_TOKENS_R6, within_doc=True
     )
+
+
+@register(
+    "streaming_dsir_gate",
+    f"""
+WITH tok AS (
+    SELECT doc_id AS id, source = '{DSIR_TARGET_SOURCE}' AS is_target,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+occ AS (
+    SELECT id, is_target,
+           CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {DSIR_BUCKETS} AS b
+    FROM tok
+),
+hist AS (
+    SELECT b, COUNT(*) AS cnt_raw,
+           CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
+    FROM occ GROUP BY b
+),
+tot AS (
+    SELECT CAST(SUM(cnt_raw) AS BIGINT) AS tot_raw,
+           CAST(SUM(cnt_tgt) AS BIGINT) AS tot_tgt
+    FROM hist
+),
+llr AS (
+    SELECT b,
+           CAST(ROUND((ln((cnt_tgt + 1.0) / (tot_tgt + {DSIR_BUCKETS}.0))
+                       - ln((cnt_raw + 1.0) / (tot_raw + {DSIR_BUCKETS}.0)))
+                      * 1000000000) AS BIGINT) AS llr_nano
+    FROM hist, tot
+),
+scored AS (
+    SELECT id AS doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(llr_nano) AS BIGINT) AS lw_nano
+    FROM occ JOIN llr USING (b)
+    GROUP BY id
+),
+thr AS (
+    SELECT CAST(SUM(lw_nano) AS BIGINT) AS total_nano,
+           COUNT(*) AS n_docs FROM scored
+)
+SELECT doc_id, n_tokens, lw_nano / 1e9 AS logweight
+FROM scored, thr
+WHERE lw_nano * n_docs >= total_nano
+""",
+    doc="DSIR as an INGEST gate: the LLR model is fitted on the batch "
+    "corpus (frozen), a document stream is scored by stream-static "
+    "broadcast join + one stateful per-doc aggregation (per-occurrence "
+    "llr sum is integer-identical to the batch per-bucket fold), and "
+    "docs at or above the corpus-mean log-weight pass — the comparison "
+    "runs in integer nano space (lw·n >= Σlw, no division) so the "
+    "threshold is exact on both engines. The deployment shape DSIR is "
+    "built for: fit once, gate the firehose.",
+)
+def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import apply_runtime_confs, run_bounded
+
+    apply_runtime_confs(spark)
+    llr = selection.dsir_llr_table(
+        _docs(spark, sf_dir),
+        F.col("source") == DSIR_TARGET_SOURCE,
+        n_buckets=DSIR_BUCKETS,
+    ).localCheckpoint(eager=True)  # freeze the model before the stream runs
+    doc_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = selection.dsir_score_stream(
+        doc_stream, llr, n_buckets=DSIR_BUCKETS
+    )
+    batch = run_bounded(scored, mode="complete").withColumn(
+        "lw_nano", F.round(F.col("logweight") * 1e9).cast("long")
+    )
+    thr = batch.agg(
+        F.sum("lw_nano").alias("total_nano"), F.count("*").alias("n_docs")
+    )
+    return (
+        batch.crossJoin(F.broadcast(thr))
+        .where(F.col("lw_nano") * F.col("n_docs") >= F.col("total_nano"))
+        .select("doc_id", "n_tokens", "logweight")
+    )
