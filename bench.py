@@ -29,6 +29,8 @@ _load_extensions()
 # round-over-round query regressions behind ingest noise.
 PIPELINES = [
     "minhash_incremental_ingest",
+    # r6: streaming postings ingest + compaction + folded read (sink I/O)
+    "streaming_inverted_index_ingest",
 ]
 
 # Headline set: flagship pipeline + heaviest relational, LLM-pipeline and

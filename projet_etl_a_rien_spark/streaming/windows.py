@@ -381,6 +381,17 @@ def run_cdc_merge_jdbc(
     change stream onto the EXISTING target — the knob replay-idempotence
     tests use to re-deliver the same changes against an already-merged
     table and assert nothing moves.
+
+    ``column_types`` guidance (measured Derby trap): override ONLY the
+    columns the MERGE *compares* — the key, ``seq_col``, ``op_col`` —
+    to comparable types (Derby cannot compare CLOBs, and Spark's Derby
+    dialect maps strings to CLOB). Leave pure PAYLOAD string columns at
+    the dialect default: Spark's writer calls ``setNull`` with the
+    DIALECT'S type for the DataFrame field, so a NULL payload (a
+    tombstone's value columns) against a VARCHAR-overridden column
+    raises Derby 22005 "VARCHAR from CLOB". Comparison columns are
+    never NULL in a well-formed changelog, so the override is safe
+    exactly where it is needed.
     """
     from ..sources.jdbc import jdbc_overwrite_sink, jdbc_source
     from ..operators.compaction import latest_by_key

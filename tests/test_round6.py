@@ -405,3 +405,19 @@ def test_intradoc_dedup_scope(spark):
         for r in segment_dedup_rewrite(df, seg_tokens=2).collect()
     }
     assert got_corpus[2] == "e f"
+
+
+def test_widen_narrow_input_contract(spark):
+    """Narrow inputs widen to core count; already-wide inputs pass
+    through UNTOUCHED (same plan object — no shuffle added at
+    production width)."""
+    from projet_etl_a_rien_spark.operators.text import widen_narrow_input
+
+    cores = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i, "t") for i in range(50)], "doc_id long, text string"
+    ).coalesce(1)
+    widened = widen_narrow_input(narrow, "doc_id")
+    assert widened.rdd.getNumPartitions() == cores
+    wide = narrow.repartition(cores + 2, "doc_id")
+    assert widen_narrow_input(wide, "doc_id") is wide
