@@ -421,3 +421,61 @@ def test_widen_narrow_input_contract(spark):
     assert widened.rdd.getNumPartitions() == cores
     wide = narrow.repartition(cores + 2, "doc_id")
     assert widen_narrow_input(wide, "doc_id") is wide
+
+
+@pytest.mark.parametrize("seed", [2, 11])
+def test_snapshot_diff_random_roundtrip(spark, seed):
+    """Property: for random old/new keyed tables (composite key, NULLs
+    in values, inserts/deletes/updates/unchanged mixed), the diff is
+    minimal and apply_changes(old, diff) == new."""
+    import random
+
+    from projet_etl_a_rien_spark.operators.compaction import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    rng = random.Random(seed)
+
+    def rand_rows(keys):
+        return [
+            (
+                k1,
+                k2,
+                rng.choice([None, "x", "y", "z"]),
+                rng.choice([None, 1, 2]),
+            )
+            for (k1, k2) in keys
+        ]
+
+    all_keys = [(a, b) for a in range(6) for b in ("p", "q", "r")]
+    old_keys = rng.sample(all_keys, 12)
+    new_keys = rng.sample(all_keys, 12)
+    schema = "k1 bigint, k2 string, v1 string, v2 bigint"
+    old = spark.createDataFrame(rand_rows(old_keys), schema)
+    new = spark.createDataFrame(rand_rows(new_keys), schema)
+    diff = snapshot_diff(old, new, ["k1", "k2"]).persist()
+    # every diff row is a real change; unchanged rows are absent
+    old_d = {(r.k1, r.k2): (r.v1, r.v2) for r in old.collect()}
+    new_d = {(r.k1, r.k2): (r.v1, r.v2) for r in new.collect()}
+    for r in diff.collect():
+        k = (r.k1, r.k2)
+        if r.op == "D":
+            assert k in old_d and k not in new_d
+            assert (r.v1, r.v2) == old_d[k]
+        else:
+            assert k in new_d and (r.v1, r.v2) == new_d[k]
+            assert old_d.get(k) != new_d[k] if k in old_d else True
+    expected_changed = (
+        {k for k in old_d if k not in new_d}
+        | {k for k in new_d if k not in old_d}
+        | {k for k in old_d if k in new_d and old_d[k] != new_d[k]}
+    )
+    assert diff.count() == len(expected_changed)
+    # roundtrip
+    applied = apply_changes(
+        old, diff.withColumn("seq", F.lit(1).cast("long")), ["k1", "k2"], "seq"
+    )
+    got = {(r.k1, r.k2): (r.v1, r.v2) for r in applied.collect()}
+    assert got == new_d
+    diff.unpersist()
