@@ -401,3 +401,73 @@ def pmi_collocations(
         .limit(top_k)
         .select("t1", "t2", "c_xy", (F.col("pmi_nano") / F.lit(1e9)).alias("pmi"))
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase query — the workload a POSITIONAL index exists for
+    (document-level postings can only say "both words occur somewhere";
+    adjacency needs positions). Returns (doc_id, n_matches, first_pos)
+    for documents containing the phrase's tokens at consecutive
+    positions, with occurrence counts and the 1-based position of the
+    first match.
+
+    Plan: one posexplode filtered to the phrase's tokens — the filter
+    prunes the exploded stream to phrase-term postings only, a tiny
+    fraction of the corpus — then a chain of equi-joins on
+    (id, pos + offset), each co-partitioned on the id. Candidate volume
+    after the first join is bounded by the rarer token's posting list,
+    exactly how a positional inverted index serves phrases; no
+    substring scan of full documents ever happens.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one token")
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    ).where(F.col("token").isin(phrase))
+    first = occ.where(F.col("token") == phrase[0]).select("id", "pos")
+    matched = first
+    for i, tok in enumerate(phrase[1:], start=1):
+        nxt = (
+            occ.where(F.col("token") == tok)
+            .select("id", (F.col("pos") - i).alias("pos"))
+        )
+        matched = matched.join(nxt, ["id", "pos"])
+    return matched.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_matches"),
+        (F.min("pos") + 1).cast("long").alias("first_pos"),
+    )
+
+
+def conjunctive_bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k search: documents containing ALL query terms (conjunctive /
+    AND semantics — the default retrieval mode), ranked by BM25. The
+    missing half of ``bm25_scores``, which scores any-term matches
+    without selecting.
+
+    The conjunctive filter is a HAVING over matched-term count (the
+    per-(doc, term) tf table already exists for scoring — distinct
+    terms per doc == len(query) means all present), so selection adds
+    no extra corpus pass; the top-k compiles to TakeOrderedAndProject
+    (per-partition heaps, driver merges k rows). Deterministic
+    tie-break (score desc, doc_id asc).
+    """
+    scored = bm25_scores(df, query_terms, text_col, id_col)
+    return (
+        scored.where(F.col("n_terms_matched") == len(set(query_terms)))
+        .withColumn("bm25_nano", F.round(F.col("bm25") * 1e9).cast("long"))
+        .orderBy(F.desc("bm25_nano"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_terms_matched", "bm25")
+    )

@@ -460,3 +460,83 @@ def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lw_nano") * F.col("n_docs") >= F.col("total_nano"))
         .select("doc_id", "n_tokens", "logweight")
     )
+
+
+PHRASE = ["table", "hash"]
+
+
+@register(
+    "docs_phrase_search",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+occ AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> struct_pack(p := i, t := ts[i]))) AS u
+    FROM toks
+),
+o2 AS (SELECT id, u.p AS pos, u.t AS token FROM occ),
+p0 AS (SELECT id, pos FROM o2 WHERE token = '{PHRASE[0]}'),
+p1 AS (SELECT id, pos FROM o2 WHERE token = '{PHRASE[1]}')
+SELECT p0.id AS doc_id, COUNT(*) AS n_matches,
+       CAST(MIN(p0.pos) AS BIGINT) AS first_pos
+FROM p0 JOIN p1 ON p0.id = p1.id AND p1.pos = p0.pos + 1
+GROUP BY p0.id
+""",
+    doc="Exact phrase query ('table hash') — the workload a POSITIONAL "
+    "index exists for: posexplode pruned to the phrase's tokens, then "
+    "(id, pos+offset) equi-joins; candidate volume is bounded by the "
+    "rarer token's posting list, no document substring scan.",
+)
+def q_docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.phrase_search(_docs(spark, sf_dir), PHRASE)
+
+
+@register(
+    "docs_conjunctive_bm25_topk",
+    """
+WITH occ AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT id, token, COUNT(*) AS tf FROM occ
+    WHERE token IN ('vector', 'stream', 'window')
+    GROUP BY id, token
+),
+dl AS (SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+idf AS (
+    SELECT token, ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)) AS idf
+    FROM dfreq CROSS JOIN stats
+),
+per AS (
+    SELECT tf.id,
+           CAST(ROUND(idf.idf * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             * 1000000000) AS BIGINT) AS w_nano
+    FROM tf JOIN idf USING (token) JOIN dl ON tf.id = dl.id CROSS JOIN stats
+),
+scored AS (
+    SELECT id AS doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(w_nano) AS BIGINT) AS bm25_nano
+    FROM per GROUP BY id
+    HAVING COUNT(*) = 3
+)
+SELECT doc_id, n_terms_matched, bm25_nano / 1e9 AS bm25
+FROM scored
+ORDER BY bm25_nano DESC, doc_id
+LIMIT 10
+""",
+    doc="Conjunctive (AND) BM25 top-10: docs containing ALL of "
+    "(vector, stream, window) ranked by BM25 — selection is a HAVING "
+    "over the matched-term count the scorer already computes (no extra "
+    "corpus pass); TakeOrderedAndProject top-k, (score, doc_id) "
+    "tie-break on the nano grid.",
+)
+def q_docs_conjunctive_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_round4 import BM25_QUERY_TERMS
+
+    return retrieval.conjunctive_bm25_topk(
+        _docs(spark, sf_dir), BM25_QUERY_TERMS, k=10
+    )

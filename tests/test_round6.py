@@ -479,3 +479,60 @@ def test_snapshot_diff_random_roundtrip(spark, seed):
     got = {(r.k1, r.k2): (r.v1, r.v2) for r in applied.collect()}
     assert got == new_d
     diff.unpersist()
+
+
+# ------------------------------------------------------ search side ----
+
+
+def test_phrase_search_adjacency_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b"),      # two matches of "a b"
+            (2, "b a"),            # reversed -> no match
+            (3, "a x b"),          # gap -> no match
+            (4, "a b"),            # one match
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in __import__(
+            "projet_etl_a_rien_spark.operators.retrieval", fromlist=["retrieval"]
+        ).phrase_search(df, ["a", "b"]).collect()
+    }
+    assert got == {1: (2, 1), 4: (1, 1)}
+    # trigram phrase: overlapping occurrences each count ("a a a a" has
+    # two "a a a" matches at positions 1 and 2)
+    tri = spark.createDataFrame([(9, "a a a a")], "doc_id long, text string")
+    got3 = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in __import__(
+            "projet_etl_a_rien_spark.operators.retrieval", fromlist=["retrieval"]
+        ).phrase_search(tri, ["a", "a", "a"]).collect()
+    }
+    assert got3 == {9: (2, 1)}
+
+
+def test_conjunctive_bm25_requires_all_terms(spark):
+    from projet_etl_a_rien_spark.operators.retrieval import (
+        bm25_scores,
+        conjunctive_bm25_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z filler filler"),
+            (2, "x y filler"),       # missing z
+            (3, "x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = conjunctive_bm25_topk(df, ["x", "y", "z"], k=10).collect()
+    assert [r.doc_id for r in got] and {r.doc_id for r in got} == {1, 3}
+    # every selected doc matched all three terms; scores agree with the scorer
+    any_scores = {
+        r.doc_id: r.bm25 for r in bm25_scores(df, ["x", "y", "z"]).collect()
+    }
+    for r in got:
+        assert r.n_terms_matched == 3
+        assert r.bm25 == any_scores[r.doc_id]
