@@ -179,3 +179,88 @@ def dsir_logweights(
             ),
         )
     )
+
+
+def dsir_token_budget_selection(
+    df: DataFrame,
+    target_pred: Column,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    quality_buckets: int = 1000,
+) -> DataFrame:
+    """DSIR-ranked greedy selection under a total token budget: keep the
+    most target-like documents first until the budget is spent — the
+    composition a real curation run executes (importance weighting says
+    WHAT is good; the budget selector takes the best N tokens).
+
+    Spec (what the DuckDB oracle runs): cumulative token prefix sum over
+    the total order (logweight DESC, id ASC); keep docs whose preceding
+    tokens are under ``budget``. A literal window over that order is a
+    single-reducer global sort at 100 TB, so the prefix sum decomposes
+    over AFFINE nano-weight buckets exactly like
+    ``text.token_budget_selection``'s quality buckets:
+
+        qb = (lw_nano - lo) * quality_buckets // (hi - lo + 1)
+
+    with (lo, hi) the global min/max nano-weight (a 2-value broadcast
+    aggregate). The bucketing is integer and MONOTONE in the weight, so
+    (qb DESC, lw_nano DESC, id) is exactly the spec order; bucket
+    totals are a quality_buckets-row broadcast and the within-bucket
+    window never holds more than one bucket's docs.
+
+    Returns (doc_id, n_tokens, logweight, tokens_before), selected only.
+    """
+    from pyspark.sql.window import Window
+
+    scored = dsir_logweights(
+        df, target_pred, text_col, id_col, n_buckets
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("logweight") * 1e9).cast("long").alias("lw_nano"),
+    )
+    rng = scored.agg(
+        F.min("lw_nano").alias("lo"), F.max("lw_nano").alias("hi")
+    )
+    # integer `div`, not double `/`: (lw-lo)*buckets can exceed 2^53,
+    # where double division mis-buckets boundary values cross-engine
+    d = scored.crossJoin(F.broadcast(rng)).select(
+        "doc_id",
+        "n_tokens",
+        "lw_nano",
+        F.expr(
+            f"((lw_nano - lo) * {quality_buckets}) div (hi - lo + 1)"
+        ).alias("qb"),
+    )
+    per_bucket = d.groupBy("qb").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    wb = Window.orderBy(F.desc("qb")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_bucket.select(
+        "qb",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias(
+            "bucket_tokens_before"
+        ),
+    )
+    wd = (
+        Window.partitionBy("qb")
+        .orderBy(F.desc("lw_nano"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(cum), "qb")
+        .withColumn(
+            "tokens_before",
+            F.col("bucket_tokens_before")
+            + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
+        )
+        .where(F.col("tokens_before") < budget)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("lw_nano") / F.lit(1e9)).alias("logweight"),
+            "tokens_before",
+        )
+    )

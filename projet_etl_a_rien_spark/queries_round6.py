@@ -540,3 +540,127 @@ def q_docs_conjunctive_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.conjunctive_bm25_topk(
         _docs(spark, sf_dir), BM25_QUERY_TERMS, k=10
     )
+
+
+@register(
+    "docs_bm25_hard_negatives",
+    """
+WITH occ AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT id, token, COUNT(*) AS tf FROM occ
+    WHERE token IN ('vector', 'stream', 'window')
+    GROUP BY id, token
+),
+dl AS (SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+idf AS (
+    SELECT token, ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)) AS idf
+    FROM dfreq CROSS JOIN stats
+),
+per AS (
+    SELECT tf.id,
+           CAST(ROUND(idf.idf * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             * 1000000000) AS BIGINT) AS w_nano
+    FROM tf JOIN idf USING (token) JOIN dl ON tf.id = dl.id CROSS JOIN stats
+),
+scored AS (
+    SELECT id AS doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(w_nano) AS BIGINT) AS bm25_nano
+    FROM per GROUP BY id
+    HAVING COUNT(*) < 3
+)
+SELECT doc_id, n_terms_matched, bm25_nano / 1e9 AS bm25
+FROM scored
+ORDER BY bm25_nano DESC, doc_id
+LIMIT 10
+""",
+    doc="BM25 hard-negative mining for contrastive retrieval training: "
+    "the top-scoring docs that match SOME but not ALL query terms — "
+    "lexically close, semantically incomplete, exactly the negatives "
+    "a dual-encoder needs. Same scorer pass as the conjunctive search "
+    "with the HAVING inverted; TakeOrderedAndProject top-k.",
+)
+def q_docs_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_round4 import BM25_QUERY_TERMS
+
+    scored = retrieval.bm25_scores(_docs(spark, sf_dir), BM25_QUERY_TERMS)
+    return (
+        scored.where(F.col("n_terms_matched") < len(BM25_QUERY_TERMS))
+        .withColumn("bm25_nano", F.round(F.col("bm25") * 1e9).cast("long"))
+        .orderBy(F.desc("bm25_nano"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_terms_matched", "bm25")
+    )
+
+
+DSIR_BUDGET = 15_000
+DSIR_QB = 1000
+
+
+@register(
+    "dsir_token_budget_selection",
+    f"""
+WITH tok AS (
+    SELECT doc_id AS id, source = '{DSIR_TARGET_SOURCE}' AS is_target,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+occ AS (
+    SELECT id, is_target,
+           CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {DSIR_BUCKETS} AS b
+    FROM tok
+),
+hist AS (
+    SELECT b, COUNT(*) AS cnt_raw,
+           CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
+    FROM occ GROUP BY b
+),
+tot AS (
+    SELECT CAST(SUM(cnt_raw) AS BIGINT) AS tot_raw,
+           CAST(SUM(cnt_tgt) AS BIGINT) AS tot_tgt
+    FROM hist
+),
+llr AS (
+    SELECT b,
+           CAST(ROUND((ln((cnt_tgt + 1.0) / (tot_tgt + {DSIR_BUCKETS}.0))
+                       - ln((cnt_raw + 1.0) / (tot_raw + {DSIR_BUCKETS}.0)))
+                      * 1000000000) AS BIGINT) AS llr_nano
+    FROM hist, tot
+),
+pdb AS (SELECT id, b, COUNT(*) AS n_b FROM occ GROUP BY 1, 2),
+scored AS (
+    SELECT id AS doc_id, CAST(SUM(n_b) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_b * llr_nano) AS BIGINT) AS lw_nano
+    FROM pdb JOIN llr USING (b)
+    GROUP BY id
+),
+sel AS (
+    SELECT doc_id, n_tokens, lw_nano,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY lw_nano DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tokens_before
+    FROM scored
+)
+SELECT doc_id, n_tokens, lw_nano / 1e9 AS logweight, tokens_before
+FROM sel WHERE tokens_before < {DSIR_BUDGET}
+""",
+    doc="DSIR-ranked greedy selection under a {:,}-token budget: most "
+    "target-like docs first until the budget is spent. Spec is a "
+    "cumulative prefix over (logweight desc, id) — executed WITHOUT a "
+    "global sort via monotone affine nano-weight buckets (integer div; "
+    "bucket-cum broadcast + bucket-partitioned window), the same "
+    "decomposition as corpus_token_budget_selection.".format(DSIR_BUDGET),
+)
+def q_dsir_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return selection.dsir_token_budget_selection(
+        _docs(spark, sf_dir),
+        F.col("source") == DSIR_TARGET_SOURCE,
+        budget=DSIR_BUDGET,
+        n_buckets=DSIR_BUCKETS,
+        quality_buckets=DSIR_QB,
+    )

@@ -536,3 +536,34 @@ def test_conjunctive_bm25_requires_all_terms(spark):
     for r in got:
         assert r.n_terms_matched == 3
         assert r.bm25 == any_scores[r.doc_id]
+
+
+def test_dsir_budget_selection_is_greedy_prefix(spark, sf_dir):
+    """The selected set is exactly the (logweight desc, id) prefix whose
+    preceding-token count stays under budget — verified against a
+    driver-side sort of the full weight table."""
+    from projet_etl_a_rien_spark.operators.selection import (
+        dsir_logweights,
+        dsir_token_budget_selection,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pred = F.col("source") == "src0"
+    budget = 3_000
+    all_w = dsir_logweights(docs, pred, n_buckets=64).collect()
+    order = sorted(
+        all_w, key=lambda r: (-round(r.logweight * 1e9), r.doc_id)
+    )
+    want, acc = {}, 0
+    for r in order:
+        if acc < budget:
+            want[r.doc_id] = acc
+        acc += r.n_tokens
+    got = {
+        r.doc_id: r.tokens_before
+        for r in dsir_token_budget_selection(
+            docs, pred, budget=budget, n_buckets=64
+        ).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(all_w)
