@@ -172,6 +172,9 @@ SCALAR_BNLJ_OK = {
     "doc_inverted_index",  # 1-row n_docs broadcast onto the vocab stats
     "doc_pmi_collocations",  # 1-row (n_uni, n_bi) totals broadcast
     "dsir_importance_weights",  # 1-row totals broadcast onto the 256-bucket hist
+    "docs_conjunctive_bm25_topk",  # bm25's 1-row (n_docs, avgdl) broadcast
+    "docs_bm25_hard_negatives",  # same scorer pass, same scalar broadcast
+    "dsir_token_budget_selection",  # 1-row totals + 1-row (lo, hi) broadcasts
 }
 
 
