@@ -38,7 +38,8 @@ def term_doc_tf(
     """(id, token, tf) term frequencies — explode + count, the one
     corpus-scale shuffle both operators below share."""
     return (
-        df.select(
+        widen_narrow_input(df, id_col)
+        .select(
             F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
         )
         .groupBy("id", "token")
@@ -426,7 +427,7 @@ def phrase_search(
     """
     if len(phrase) < 1:
         raise ValueError("phrase must have at least one token")
-    occ = df.select(
+    occ = widen_narrow_input(df, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
     ).where(F.col("token").isin(phrase))
