@@ -278,7 +278,17 @@ def doc_postings(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
     )
-    return occ.groupBy("token", "id").agg(
+    # Force the aggregation exchange onto (token, id): ClusteredDistribution
+    # is satisfied by any SUBSET partitioning, so without the explicit
+    # repartition Catalyst picks token-only partitioning to reuse the
+    # exchange for the downstream stats join — sending EVERY posting of a
+    # stopword to one reducer (no map-side collapse across doc ids). With
+    # (token, id) keying the agg spreads hub tokens over their documents;
+    # the later token-keyed join exchange is skew-safe separately (partial
+    # aggregation collapses stats map-side, AQE skew-splits the SMJ).
+    return occ.repartition(F.col("token"), F.col("id")).groupBy(
+        "token", "id"
+    ).agg(
         F.count("*").alias("tf"),
         (F.min("pos") + 1).cast("long").alias("first_pos"),
         (F.max("pos") + 1).cast("long").alias("last_pos"),

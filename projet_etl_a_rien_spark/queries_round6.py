@@ -664,3 +664,37 @@ def q_dsir_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame
         n_buckets=DSIR_BUCKETS,
         quality_buckets=DSIR_QB,
     )
+
+
+K_ANON = 5
+
+
+@register(
+    "customers_k_anonymity",
+    f"""
+WITH qi AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+    FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, group_size,
+       group_size < {K_ANON} AS at_risk
+FROM qi
+""",
+    doc="k-anonymity audit over the (nation, market-segment) quasi-"
+    "identifier: group sizes with a re-identification risk flag for "
+    "groups under k=5 — the governance check a training-data release "
+    "runs next to right-to-erasure. One groupBy on the QI columns; at "
+    "100 TB the QI-combination table is dimension-sized.",
+)
+def q_customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qi = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+    )
+    return qi.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        (F.col("group_size") < K_ANON).alias("at_risk"),
+    )

@@ -189,3 +189,17 @@ def test_no_cartesian_or_unexpected_nested_loops(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_BNLJ_OK:
             offenders.append((name, "nested-loop"))
     assert not offenders, offenders
+
+
+def test_inverted_index_shuffles_on_token_and_doc(spark, sf_dir):
+    """The postings aggregation must key its exchange on (token, id) —
+    keying on the token alone would send every posting of a stopword to
+    one reducer (hub-reducer skew at corpus scale)."""
+    plan = _plan(spark, sf_dir, "doc_inverted_index")
+    import re
+
+    posting_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(token#" in l and ", id#" in l
+    ]
+    assert posting_exchanges, "no (token, id)-keyed exchange in the plan"

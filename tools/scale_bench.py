@@ -84,6 +84,7 @@ SPOT = [
     "doc_inverted_index",
     "dsir_importance_weights",
     "doc_pmi_collocations",
+    "orders_snapshot_diff",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
