@@ -432,7 +432,8 @@ def read_postings_sink(spark: SparkSession, path: str) -> DataFrame:
     ``read_agg_sink``). Returns the raw postings table; feed it to
     ``retrieval.postings_with_stats`` for the queryable index."""
     schema = (
-        "token string, id bigint, tf bigint, first_pos bigint, last_pos bigint"
+        "token string, id bigint, tf bigint, first_pos bigint,"
+        " last_pos bigint, positions array<bigint>"
     )
     v = _snapshot_version(spark, path)
     pieces = []
@@ -440,7 +441,7 @@ def read_postings_sink(spark: SparkSession, path: str) -> DataFrame:
         pieces.append(
             spark.read.option("basePath", f"{path}/snap")
             .parquet(f"{path}/snap/v={v}")
-            .select("token", "id", "tf", "first_pos", "last_pos")
+            .select("token", "id", "tf", "first_pos", "last_pos", "positions")
         )
     newer = sorted(
         b
@@ -451,7 +452,7 @@ def read_postings_sink(spark: SparkSession, path: str) -> DataFrame:
         pieces.append(
             spark.read.option("basePath", f"{path}/parts")
             .parquet(*[f"{path}/parts/batch_id={b}" for b in newer])
-            .select("token", "id", "tf", "first_pos", "last_pos")
+            .select("token", "id", "tf", "first_pos", "last_pos", "positions")
         )
     if not pieces:
         return spark.createDataFrame([], schema)

@@ -292,6 +292,12 @@ def doc_postings(
         F.count("*").alias("tf"),
         (F.min("pos") + 1).cast("long").alias("first_pos"),
         (F.max("pos") + 1).cast("long").alias("last_pos"),
+        # full 1-based position list, sorted — what makes the index
+        # POSITIONAL (phrase/proximity queries); capped by per-doc token
+        # count, so no array outgrows a document
+        F.array_sort(
+            F.collect_list((F.col("pos") + 1).cast("long"))
+        ).alias("positions"),
     )
 
 
@@ -326,6 +332,34 @@ def postings_with_stats(postings: DataFrame) -> DataFrame:
         "df_docs",
         "cf",
         "idf",
+    )
+
+
+def phrase_search_postings(
+    postings: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase query served FROM a positional postings table (the
+    output of :func:`doc_postings`, fresh or reassembled from the
+    incremental sink) — no access to document text: explode each phrase
+    token's position lists and chain (id, pos + offset) equi-joins,
+    identical semantics to :func:`phrase_search` (equality pinned by
+    oracle + tests). The index-serves-queries half of the ingest loop.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one token")
+    occ = postings.where(F.col("token").isin(phrase)).select(
+        "id", "token", F.explode("positions").alias("pos")
+    )
+    matched = occ.where(F.col("token") == phrase[0]).select("id", "pos")
+    for i, tok in enumerate(phrase[1:], start=1):
+        nxt = (
+            occ.where(F.col("token") == tok)
+            .select("id", (F.col("pos") - i).alias("pos"))
+        )
+        matched = matched.join(nxt, ["id", "pos"])
+    return matched.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
     )
 
 

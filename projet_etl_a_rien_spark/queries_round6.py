@@ -698,3 +698,54 @@ def q_customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("group_size") < K_ANON).alias("at_risk"),
     )
+
+
+@register(
+    "streaming_index_phrase_search",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+occ AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> struct_pack(p := i, t := ts[i]))) AS u
+    FROM toks
+),
+o2 AS (SELECT id, u.p AS pos, u.t AS token FROM occ),
+p0 AS (SELECT id, pos FROM o2 WHERE token = '{PHRASE[0]}'),
+p1 AS (SELECT id, pos FROM o2 WHERE token = '{PHRASE[1]}')
+SELECT p0.id AS doc_id, COUNT(*) AS n_matches,
+       CAST(MIN(p0.pos) AS BIGINT) AS first_pos
+FROM p0 JOIN p1 ON p0.id = p1.id AND p1.pos = p0.pos + 1
+GROUP BY p0.id
+""",
+    doc="The full index loop, end to end: documents STREAM into the "
+    "incremental postings sink (micro-batch partials + snapshot "
+    "compaction), then the phrase query runs FROM the folded index's "
+    "position lists — never touching document text. Result equals the "
+    "direct corpus phrase scan, which the oracle asserts.",
+)
+def q_streaming_index_phrase_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.windows import (
+        apply_runtime_confs,
+        run_incremental_postings_sink,
+    )
+
+    apply_runtime_confs(spark)
+    path = tempfile.mkdtemp(prefix="invq_")
+    try:
+        doc_stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        folded = run_incremental_postings_sink(doc_stream, path)
+        return retrieval.phrase_search_postings(
+            folded, PHRASE
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -567,3 +567,26 @@ def test_dsir_budget_selection_is_greedy_prefix(spark, sf_dir):
     }
     assert got == want
     assert 0 < len(got) < len(all_w)
+
+
+def test_phrase_from_postings_equals_direct_scan(spark, sf_dir):
+    """Index-served phrase search (position lists from doc_postings)
+    returns exactly the direct corpus scan's matches."""
+    from projet_etl_a_rien_spark.operators.retrieval import (
+        doc_postings,
+        phrase_search,
+        phrase_search_postings,
+    )
+
+    docs = _docs(spark, sf_dir)
+    direct = {
+        (r.doc_id, r.n_matches, r.first_pos)
+        for r in phrase_search(docs, ["table", "hash"]).collect()
+    }
+    via_index = {
+        (r.doc_id, r.n_matches, r.first_pos)
+        for r in phrase_search_postings(
+            doc_postings(docs), ["table", "hash"]
+        ).collect()
+    }
+    assert direct == via_index and direct
