@@ -516,3 +516,59 @@ def conjunctive_bm25_topk(
         .limit(k)
         .select("doc_id", "n_terms_matched", "bm25")
     )
+
+
+def bm25_from_postings(
+    postings: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 scoring served FROM a positional postings table —
+    no document text: tf comes from the matching postings, document
+    length is the per-doc sum of tf over ALL postings (every token
+    occurrence owns exactly one posting slot), df and the corpus
+    constants from the same table. Bit-identical to
+    :func:`bm25_scores` over the source corpus (pinned by test), so an
+    incrementally-maintained index (``run_incremental_postings_sink``)
+    gives incrementally-correct ranking for free.
+
+    Scale shape mirrors ``bm25_scores``: the only corpus-scale pass is
+    the doc-length aggregate (keyed on the doc id — fine-grained, no
+    hub); the term-filtered tf rows are query-sized.
+    """
+    q = [t for t in query_terms]
+    tf = postings.where(F.col("token").isin(q)).select("id", "token", "tf")
+    dl = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+        ).alias("idf"),
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("w_nano"),
+        )
+    )
+    return per_term.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_terms_matched"),
+        (F.sum("w_nano") / F.lit(1e9)).alias("bm25"),
+    )

@@ -749,3 +749,78 @@ def q_streaming_index_phrase_search(
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "streaming_index_bm25_topk",
+    """
+WITH occ AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT id, token, COUNT(*) AS tf FROM occ
+    WHERE token IN ('vector', 'stream', 'window')
+    GROUP BY id, token
+),
+dl AS (SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+idf AS (
+    SELECT token, ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)) AS idf
+    FROM dfreq CROSS JOIN stats
+),
+per AS (
+    SELECT tf.id,
+           CAST(ROUND(idf.idf * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             * 1000000000) AS BIGINT) AS w_nano
+    FROM tf JOIN idf USING (token) JOIN dl ON tf.id = dl.id CROSS JOIN stats
+),
+scored AS (
+    SELECT id AS doc_id, COUNT(*) AS n_terms_matched,
+           CAST(SUM(w_nano) AS BIGINT) AS bm25_nano
+    FROM per GROUP BY id
+)
+SELECT doc_id, n_terms_matched, bm25_nano / 1e9 AS bm25
+FROM scored
+ORDER BY bm25_nano DESC, doc_id
+LIMIT 10
+""",
+    doc="Ranking off the streamed index: documents stream into the "
+    "incremental postings sink, and BM25 top-10 is computed FROM the "
+    "folded index (tf from matching postings, doc length as the "
+    "per-doc tf sum, df/constants from the same table — no text "
+    "access). Equals the direct text scorer, which the oracle asserts; "
+    "index maintenance therefore gives incrementally-correct ranking.",
+)
+def q_streaming_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .queries_round4 import BM25_QUERY_TERMS
+    from .streaming.windows import (
+        apply_runtime_confs,
+        run_incremental_postings_sink,
+    )
+
+    apply_runtime_confs(spark)
+    path = tempfile.mkdtemp(prefix="invbm_")
+    try:
+        doc_stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        folded = run_incremental_postings_sink(doc_stream, path)
+        scored = retrieval.bm25_from_postings(folded, BM25_QUERY_TERMS)
+        return (
+            scored.withColumn(
+                "bm25_nano", F.round(F.col("bm25") * 1e9).cast("long")
+            )
+            .orderBy(F.desc("bm25_nano"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", "n_terms_matched", "bm25")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -590,3 +590,23 @@ def test_phrase_from_postings_equals_direct_scan(spark, sf_dir):
         ).collect()
     }
     assert direct == via_index and direct
+
+
+def test_bm25_from_postings_equals_text_scorer(spark, sf_dir):
+    from projet_etl_a_rien_spark.operators.retrieval import (
+        bm25_from_postings,
+        bm25_scores,
+        doc_postings,
+    )
+
+    docs = _docs(spark, sf_dir)
+    terms = ["vector", "stream", "window"]
+    direct = {
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in bm25_scores(docs, terms).collect()
+    }
+    via_index = {
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in bm25_from_postings(doc_postings(docs), terms).collect()
+    }
+    assert direct == via_index and direct
