@@ -96,3 +96,99 @@ def register_builtin_wav_codec() -> None:
     from . import multimodal
 
     multimodal.register_decoder("audio", wav_meta)
+
+
+# -------------------------------------------------------------- DFT ----
+
+DFT_N = 16
+DFT_GRID = 1000  # twiddle quantization: round(cos * GRID) — see below
+
+
+def _dft_twiddles() -> tuple[list[list[int]], list[list[int]]]:
+    """Integer-quantized DFT twiddle tables, k = 0..N/2: round(cos·GRID)
+    and round(−sin·GRID). The tables are PYTHON-computed literals
+    inlined into BOTH the Spark plan and the DuckDB oracle, so no
+    engine ever evaluates a transcendental — the classic cos/sin
+    last-ulp divergence is designed out, and every downstream product
+    and sum is exact int64 (|re| ≤ N·32768·GRID ≈ 5.2e8, squares
+    ≤ 2.8e17, the 8-bin total ≤ 4.4e18 — inside int64)."""
+    import math
+
+    c = [
+        [round(math.cos(2 * math.pi * j * k / DFT_N) * DFT_GRID)
+         for k in range(DFT_N // 2 + 1)]
+        for j in range(DFT_N)
+    ]
+    s = [
+        [round(-math.sin(2 * math.pi * j * k / DFT_N) * DFT_GRID)
+         for k in range(DFT_N // 2 + 1)]
+        for j in range(DFT_N)
+    ]
+    return c, s
+
+
+def spectral_features(df, payload_col: str = "payload", id_col: str = "doc_id"):
+    """Exact-integer DFT power spectrum over each payload's first
+    ``DFT_N`` int16-LE samples — audio feature extraction with full
+    cross-engine parity (quantized twiddle tables shared as literals
+    with the oracle; see ``_dft_twiddles``).
+
+    Returns (doc_id, dc, dominant_bin, dominant_power, total_ac_power):
+    the DC term (exact sample sum × GRID), the argmax AC bin in 1..N/2
+    (ties → smaller bin), its power, and the total AC power. Pure
+    column arithmetic over a ``_bind_once``-bound sample array — one
+    narrow projection, no shuffle, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import _bind_once
+
+    c, s = _dft_twiddles()
+    hx = F.hex(F.col(payload_col))
+
+    def sample(j: int):
+        b0 = F.conv(F.substring(hx, 4 * j + 1, 2), 16, 10).cast("long")
+        b1 = F.conv(F.substring(hx, 4 * j + 3, 2), 16, 10).cast("long")
+        raw = b0 + 256 * b1
+        return F.when(raw >= 32768, raw - 65536).otherwise(raw)
+
+    arr = F.array(*[sample(j) for j in range(DFT_N)])
+
+    def powers(a):
+        out = []
+        for k in range(DFT_N // 2 + 1):
+            re = None
+            im = None
+            for j in range(DFT_N):
+                t_re = F.element_at(a, j + 1) * F.lit(c[j][k])
+                t_im = F.element_at(a, j + 1) * F.lit(s[j][k])
+                re = t_re if re is None else re + t_re
+                im = t_im if im is None else im + t_im
+            out.append((re * re + im * im).alias(f"p{k}"))
+        return F.struct(*out)
+
+    p = _bind_once(arr, powers)
+    kept = df.where(F.length(payload_col) >= 2 * DFT_N).select(
+        F.col(id_col), p.alias("p")
+    )
+    ac = [F.col("p")[f"p{k}"] for k in range(1, DFT_N // 2 + 1)]
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-ac[k - 1]).alias("neg_p"), F.lit(k).alias("k")
+                )
+                for k in range(1, DFT_N // 2 + 1)
+            ]
+        )
+    )[0]
+    total = None
+    for x in ac:
+        total = x if total is None else total + x
+    return kept.select(
+        id_col,
+        F.col("p")["p0"].alias("dc_power"),  # (Σv·GRID)², exact
+        best["k"].alias("dominant_bin"),
+        (-best["neg_p"]).alias("dominant_power"),
+        total.alias("total_ac_power"),
+    )

@@ -824,3 +824,74 @@ def q_streaming_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def _dft_oracle_sql() -> str:
+    """DuckDB oracle sharing the SAME Python-computed twiddle literals
+    as the Spark plan (operators/wav.py:_dft_twiddles) — neither engine
+    evaluates cos/sin, so parity is exact integer arithmetic."""
+    from .operators.wav import DFT_N, _dft_twiddles
+
+    c, s = _dft_twiddles()
+    samp_cols = ",\n           ".join(
+        "CASE WHEN CAST('0x' || substr(hx, {o1}, 2) AS BIGINT)"
+        " + 256 * CAST('0x' || substr(hx, {o2}, 2) AS BIGINT) >= 32768"
+        " THEN CAST('0x' || substr(hx, {o1}, 2) AS BIGINT)"
+        " + 256 * CAST('0x' || substr(hx, {o2}, 2) AS BIGINT) - 65536"
+        " ELSE CAST('0x' || substr(hx, {o1}, 2) AS BIGINT)"
+        " + 256 * CAST('0x' || substr(hx, {o2}, 2) AS BIGINT) END AS v{j}".format(
+            o1=4 * j + 1, o2=4 * j + 3, j=j
+        )
+        for j in range(DFT_N)
+    )
+    pow_cols = []
+    for k in range(DFT_N // 2 + 1):
+        re = " + ".join(f"v{j} * ({c[j][k]})" for j in range(DFT_N))
+        im = " + ".join(f"v{j} * ({s[j][k]})" for j in range(DFT_N))
+        pow_cols.append(f"(({re}) * ({re}) + ({im}) * ({im})) AS p{k}")
+    ac = [f"p{k}" for k in range(1, DFT_N // 2 + 1)]
+    arms = " ".join(
+        f"WHEN greatest({', '.join(ac)}) = p{k} THEN {k}"
+        for k in range(1, DFT_N // 2 + 1)
+    )
+    return f"""
+WITH raw AS (
+    SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    WHERE octet_length(encode(text)) >= {2 * DFT_N}
+),
+samp AS (
+    SELECT doc_id,
+           {samp_cols}
+    FROM raw
+),
+pw AS (
+    SELECT doc_id, {", ".join(pow_cols)} FROM samp
+)
+SELECT doc_id, p0 AS dc_power,
+       CASE {arms} END AS dominant_bin,
+       greatest({", ".join(ac)}) AS dominant_power,
+       {" + ".join(ac)} AS total_ac_power
+FROM pw
+"""
+
+
+from .operators.wav import DFT_N as _DFT_N  # noqa: E402
+
+
+@register(
+    "audio_spectral_features",
+    _dft_oracle_sql(),
+    doc="Exact-integer DFT power spectrum over each payload's first "
+    f"{_DFT_N} int16-LE samples: quantized twiddle tables (round(cos"
+    "*1000)) are Python-computed literals shared by BOTH engines — no "
+    "transcendental ever runs, every product/sum is exact int64. "
+    "Reports DC power, dominant AC bin (tie → smaller bin), its power, "
+    "and total AC power. One narrow projection, no shuffle, no Python.",
+)
+def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+    from .operators.wav import spectral_features
+
+    return spectral_features(
+        multimodal.with_binary_payload(_docs(spark, sf_dir))
+    )

@@ -610,3 +610,60 @@ def test_bm25_from_postings_equals_text_scorer(spark, sf_dir):
         for r in bm25_from_postings(doc_postings(docs), terms).collect()
     }
     assert direct == via_index and direct
+
+
+# --------------------------------------------------------------- DFT ----
+
+
+def test_dft_spectral_features_match_numpy_reference(spark):
+    """The exact-integer DFT equals a numpy recomputation with the SAME
+    quantized twiddles; a pure bin-2 sinusoid dominates bin 2."""
+    import math
+    import struct as _struct
+
+    import numpy as np
+
+    from projet_etl_a_rien_spark.operators.wav import (
+        DFT_N,
+        _dft_twiddles,
+        spectral_features,
+    )
+
+    c, s = _dft_twiddles()
+
+    def ref(samples):
+        v = np.array(samples, dtype=object)
+        p = []
+        for k in range(DFT_N // 2 + 1):
+            re = sum(int(v[j]) * c[j][k] for j in range(DFT_N))
+            im = sum(int(v[j]) * s[j][k] for j in range(DFT_N))
+            p.append(re * re + im * im)
+        ac = p[1:]
+        dom = max(range(len(ac)), key=lambda i: (ac[i], -i)) + 1
+        return p[0], dom, max(ac), sum(ac)
+
+    # payloads: a pure bin-2 cosine, a constant (DC only), random ints
+    rng = np.random.RandomState(3)
+    sins = [round(1000 * math.cos(2 * math.pi * 2 * j / DFT_N)) for j in range(DFT_N)]
+    cases = {
+        1: sins,
+        2: [500] * DFT_N,
+        3: [int(x) for x in rng.randint(-32768, 32767, DFT_N)],
+    }
+    rows = [
+        (i, _struct.pack(f"<{DFT_N}h", *v).decode("latin-1"))
+        for i, v in cases.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    payloads = df.select(
+        "doc_id", F.encode(F.col("text"), "ISO-8859-1").alias("payload")
+    )
+    got = {
+        r.doc_id: (r.dc_power, r.dominant_bin, r.dominant_power, r.total_ac_power)
+        for r in spectral_features(payloads).collect()
+    }
+    for i, v in cases.items():
+        assert got[i] == ref(v), i
+    # physics: the sinusoid's dominant bin is 2; the constant has ~no AC
+    assert got[1][1] == 2
+    assert got[2][3] <= got[2][0] // 1000  # AC ≈ 0 next to DC
