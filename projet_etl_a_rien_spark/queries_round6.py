@@ -895,3 +895,66 @@ def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectral_features(
         multimodal.with_binary_payload(_docs(spark, sf_dir))
     )
+
+
+@register(
+    "corpus_shard_manifest",
+    """
+WITH h AS (
+    SELECT doc_id, text,
+           md5(CAST(doc_id AS VARCHAR) || 'r5shuffle') AS hx
+    FROM documents
+),
+assigned AS (
+    SELECT CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 16 AS INTEGER)
+               AS shard,
+           doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h
+    FROM h
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       bit_xor(content_h) AS content_checksum,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM assigned
+GROUP BY shard
+""",
+    doc="Training-shard integrity manifest (the reproducibility artifact "
+    "next to corpus_shuffle_shards): per shard, doc/token counts, an "
+    "ORDER-INDEPENDENT content checksum (bit_xor of 60-bit md5-prefix "
+    "ints — commutative and associative with NO overflow at any corpus "
+    "size, so any task layout yields the same value), and the id "
+    "range. Two training runs read identical data iff manifests match.",
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_round5 import SHUFFLE_SALT, SHUFFLE_SHARDS
+
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT)))
+    shard = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % SHUFFLE_SHARDS
+    ).cast("int")
+    content_h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    from .operators.text import token_count
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            shard.alias("shard"),
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            content_h.alias("content_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.bit_xor("content_h").alias("content_checksum"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

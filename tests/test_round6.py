@@ -667,3 +667,42 @@ def test_dft_spectral_features_match_numpy_reference(spark):
     # physics: the sinusoid's dominant bin is 2; the constant has ~no AC
     assert got[1][1] == 2
     assert got[2][3] <= got[2][0] // 1000  # AC ≈ 0 next to DC
+
+
+def test_shard_manifest_detects_single_doc_change(spark, sf_dir):
+    """The checksum is layout-independent (repartition → identical
+    manifest) and sensitive (one changed doc flips exactly its shard's
+    checksum while counts stay equal)."""
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    fn = REGISTRY["corpus_shard_manifest"].fn
+    base = {r.shard: r for r in fn(spark, sf_dir).collect()}
+
+    import projet_etl_a_rien_spark.queries_round6 as r6
+    docs = r6._docs(spark, sf_dir)
+    # same data, different physical layout
+    relaid = docs.repartition(7, "source")
+    orig_docs = r6._docs
+    try:
+        r6._docs = lambda s, d: relaid
+        relaid_m = {r.shard: r for r in fn(spark, sf_dir).collect()}
+        assert {(k, v.content_checksum) for k, v in base.items()} == {
+            (k, v.content_checksum) for k, v in relaid_m.items()
+        }
+        # flip one document's text
+        tampered = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 7, F.concat(F.col("text"), F.lit(" x")))
+            .otherwise(F.col("text")),
+        )
+        r6._docs = lambda s, d: tampered
+        tm = {r.shard: r for r in fn(spark, sf_dir).collect()}
+    finally:
+        r6._docs = orig_docs
+    diff_shards = [
+        k for k in base
+        if tm[k].content_checksum != base[k].content_checksum
+    ]
+    assert len(diff_shards) == 1
+    assert tm[diff_shards[0]].n_docs == base[diff_shards[0]].n_docs
