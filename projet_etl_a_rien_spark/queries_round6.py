@@ -958,3 +958,42 @@ def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "events_next_event_dataset",
+    """
+WITH o AS (
+    SELECT user_id, event_id, event_type, ts,
+           LAG(event_type, 2) OVER w AS f1,
+           LAG(event_type, 1) OVER w AS f2,
+           event_type AS f3,
+           LEAD(event_type, 1) OVER w AS label
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, f1, f2, f3, label
+FROM o
+WHERE f1 IS NOT NULL AND label IS NOT NULL
+""",
+    doc="Sequence-model dataset builder: per user-ordered event stream, "
+    "emit (3-event context window, next-event label) training examples "
+    "— the supervised-dataset construction step between raw logs and a "
+    "next-action model. One keyed window (user partition, (ts, id) "
+    "order — deterministic under timestamp ties), boundary rows "
+    "without full context or label are dropped, never padded with "
+    "leakage-prone fillers.",
+)
+def q_events_next_event_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.lag("event_type", 2).over(w).alias("f1"),
+        F.lag("event_type", 1).over(w).alias("f2"),
+        F.col("event_type").alias("f3"),
+        F.lead("event_type", 1).over(w).alias("label"),
+    )
+    return o.where(F.col("f1").isNotNull() & F.col("label").isNotNull())

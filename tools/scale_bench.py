@@ -85,6 +85,8 @@ SPOT = [
     "dsir_importance_weights",
     "doc_pmi_collocations",
     "orders_snapshot_diff",
+    "audio_spectral_features",
+    "events_next_event_dataset",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
