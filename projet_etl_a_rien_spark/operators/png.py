@@ -250,3 +250,41 @@ def register_builtin_png_codecs() -> None:
 
     multimodal.register_decoder("image", png_meta)
     multimodal.register_decoder("image:resize", png_resize_codec)
+
+
+# -------------------------------------------------------------- DCT ----
+
+DCT_N = 8
+DCT_GRID = 1000
+
+
+def dct_twiddles() -> list[list[int]]:
+    """Integer-quantized DCT-II cosine table C[x][u] =
+    round(cos(pi*(2x+1)*u/16) * GRID) — Python-computed literals shared
+    verbatim by the Spark (pandas) path and the DuckDB oracle, so no
+    engine evaluates a transcendental (same design as the audio DFT's
+    twiddles; |F| ≤ 255·64·GRID² ≈ 1.6e10, well inside int64)."""
+    import math
+
+    return [
+        [
+            round(math.cos(math.pi * (2 * x + 1) * u / (2 * DCT_N)) * DCT_GRID)
+            for u in range(DCT_N)
+        ]
+        for x in range(DCT_N)
+    ]
+
+
+def dct2d_block(block) -> list[list[int]]:
+    """Exact-integer 2D DCT-II (unnormalized) of an 8×8 int block using
+    the quantized table: F[u][v] = Σ_x Σ_y p[x][y]·C[x][u]·C[y][v].
+    Pure Python ints — no float ever touches the data path."""
+    c = dct_twiddles()
+    n = DCT_N
+    # rows first: G[u][y] = Σ_x p[x][y]·C[x][u]
+    g = [[sum(block[x][y] * c[x][u] for x in range(n)) for y in range(n)]
+         for u in range(n)]
+    return [
+        [sum(g[u][y] * c[y][v] for y in range(n)) for v in range(n)]
+        for u in range(n)
+    ]

@@ -997,3 +997,143 @@ def q_events_next_event_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(w).alias("label"),
     )
     return o.where(F.col("f1").isNotNull() & F.col("label").isNotNull())
+
+
+def _image_dct_oracle_sql() -> str:
+    """Oracle for image_dct_features: pixel bytes re-derived from the
+    pre-encode payload hex dump (red channel of the 8-wide RGB layout,
+    zero-padded), DCT via a VALUES join on the SAME quantized cosine
+    literals as operators/png.py:dct_twiddles — 128 table rows instead
+    of 4096 inlined terms."""
+    from .operators.png import DCT_N, dct_twiddles
+
+    c = dct_twiddles()
+    vals = ", ".join(
+        f"({x}, {u}, {c[x][u]})" for x in range(DCT_N) for u in range(DCT_N)
+    )
+    return f"""
+WITH tw(i, k, val) AS (VALUES {vals}),
+p AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+cell AS (
+    SELECT doc_id, hx, n,
+           unnest(range(0, {DCT_N * DCT_N})) AS ci
+    FROM p
+),
+pix AS (
+    SELECT doc_id,
+           ci % {DCT_N} AS x, ci // {DCT_N} AS y,
+           CASE WHEN (ci // {DCT_N}) * 24 + (ci % {DCT_N}) * 3 < n THEN
+               (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2*((ci // {DCT_N})*24 + (ci % {DCT_N})*3)+1 AS INTEGER), 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2*((ci // {DCT_N})*24 + (ci % {DCT_N})*3)+2 AS INTEGER), 1)) - 1)
+           ELSE 0 END AS pv
+    FROM cell
+),
+coef AS (
+    SELECT pix.doc_id, cu.k AS u, cv.k AS v,
+           CAST(SUM(pv * cu.val * cv.val) AS BIGINT) AS f
+    FROM pix JOIN tw cu ON cu.i = pix.x JOIN tw cv ON cv.i = pix.y
+    GROUP BY 1, 2, 3
+),
+agg AS (
+    SELECT doc_id,
+           MAX(CASE WHEN u = 0 AND v = 0 THEN f END) AS f_dc,
+           MAX(CASE WHEN NOT (u = 0 AND v = 0) THEN abs(f) END) AS dom_abs,
+           CAST(SUM(CASE WHEN NOT (u = 0 AND v = 0) THEN abs(f) ELSE 0 END)
+                AS BIGINT) AS total_abs_ac
+    FROM coef GROUP BY doc_id
+),
+dom AS (
+    SELECT c.doc_id, MIN(c.u * {DCT_N} + c.v) AS dom_uv
+    FROM coef c JOIN agg a ON c.doc_id = a.doc_id
+    WHERE NOT (c.u = 0 AND c.v = 0) AND abs(c.f) = a.dom_abs
+    GROUP BY c.doc_id
+)
+SELECT a.doc_id, f_dc,
+       CAST(dom_uv // {DCT_N} AS BIGINT) AS dom_u,
+       CAST(dom_uv % {DCT_N} AS BIGINT) AS dom_v,
+       dom_abs, total_abs_ac
+FROM agg a JOIN dom d ON a.doc_id = d.doc_id
+"""
+
+
+@register(
+    "image_dct_features",
+    _image_dct_oracle_sql(),
+    doc="Image feature extraction through the REAL PNG codec: payloads "
+    "become 8-wide RGB PNGs (zero-padded to >= 8 rows, per-doc scanline "
+    "filter), the registered decoder reconstructs pixels, and an exact-"
+    "integer 2D DCT-II (quantized cosine literals shared with the "
+    "oracle, same design as the audio DFT) summarizes the red-channel "
+    "8x8 block: DC term, dominant AC coefficient (u, v, |F|; tie -> "
+    "smallest (u, v)), total AC energy. The oracle recomputes from the "
+    "pre-encode byte layout — a wrong decode, flipped axis, or kernel "
+    "slip breaks it. Arrow-batched mapInPandas; per-row CPU work, no "
+    "shuffle.",
+)
+def q_image_dct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .catalog import widen_input
+    from .operators import multimodal
+    from .operators.png import (
+        DCT_N,
+        dct2d_block,
+        png_decode,
+        png_encode,
+    )
+
+    width, stride = DCT_N, DCT_N * 3
+    payloads = widen_input(
+        multimodal.with_binary_payload(_docs(spark, sf_dir))
+    )
+
+    def dct_features(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                h = max(-(-n // stride), DCT_N)
+                pix = bytes(payload) + bytes(h * stride - n)
+                png = png_encode(width, h, pix, 2, int(doc_id) % 5)
+                _, _, _, decoded = png_decode(png)
+                block = [
+                    [decoded[y * stride + x * 3] for y in range(DCT_N)]
+                    for x in range(DCT_N)
+                ]
+                f = dct2d_block(block)
+                ac = [
+                    (abs(f[u][v]), u, v)
+                    for u in range(DCT_N)
+                    for v in range(DCT_N)
+                    if not (u == 0 and v == 0)
+                ]
+                dom_abs = max(a for a, _, _ in ac)
+                dom_u, dom_v = min(
+                    (u, v) for a, u, v in ac if a == dom_abs
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        f[0][0],
+                        dom_u,
+                        dom_v,
+                        dom_abs,
+                        sum(a for a, _, _ in ac),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "f_dc", "dom_u", "dom_v", "dom_abs",
+                    "total_abs_ac",
+                ],
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        dct_features,
+        schema="doc_id bigint, f_dc bigint, dom_u bigint, dom_v bigint,"
+        " dom_abs bigint, total_abs_ac bigint",
+    )

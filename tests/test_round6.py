@@ -706,3 +706,44 @@ def test_shard_manifest_detects_single_doc_change(spark, sf_dir):
     ]
     assert len(diff_shards) == 1
     assert tm[diff_shards[0]].n_docs == base[diff_shards[0]].n_docs
+
+
+def test_image_dct_block_physics(spark):
+    """A horizontal-stripe image concentrates AC energy in the vertical
+    frequency axis (u > 0, v = 0); a vertical-stripe image in the
+    horizontal axis — pins block orientation through encode+decode."""
+    from projet_etl_a_rien_spark.operators.png import (
+        DCT_N,
+        dct2d_block,
+        png_decode,
+        png_encode,
+    )
+
+    def feats(pix_fn):
+        stride = DCT_N * 3
+        pix = bytes(
+            pix_fn(x, y) if c == 0 else 0
+            for y in range(DCT_N)
+            for x in range(DCT_N)
+            for c in range(3)
+        )
+        png = png_encode(DCT_N, DCT_N, pix, 2, 4)
+        _, _, _, dec = png_decode(png)
+        block = [
+            [dec[y * stride + x * 3] for y in range(DCT_N)]
+            for x in range(DCT_N)
+        ]
+        f = dct2d_block(block)
+        ac = [
+            (abs(f[u][v]), u, v)
+            for u in range(DCT_N)
+            for v in range(DCT_N)
+            if (u, v) != (0, 0)
+        ]
+        return min((u, v) for a, u, v in ac if a == max(x[0] for x in ac))
+
+    # NOTE block[x][y]: x is the pixel column, y the row. Horizontal
+    # stripes (value depends on row y) → dominant v>0, u=0; vertical
+    # stripes (depends on column x) → dominant u>0, v=0.
+    assert feats(lambda x, y: 255 * (y % 2)) == (0, 7)
+    assert feats(lambda x, y: 255 * (x % 2)) == (7, 0)
