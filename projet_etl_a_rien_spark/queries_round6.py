@@ -890,10 +890,13 @@ from .operators.wav import DFT_N as _DFT_N  # noqa: E402
 )
 def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal
+    from .operators.text import widen_narrow_input
     from .operators.wav import spectral_features
 
     return spectral_features(
-        multimodal.with_binary_payload(_docs(spark, sf_dir))
+        multimodal.with_binary_payload(
+            widen_narrow_input(_docs(spark, sf_dir), "doc_id")
+        )
     )
 
 
