@@ -1140,3 +1140,63 @@ def q_image_dct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, f_dc bigint, dom_u bigint, dom_v bigint,"
         " dom_abs bigint, total_abs_ac bigint",
     )
+
+
+@register(
+    "streaming_pyds_jsonl_sink",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY event_type
+""",
+    doc="STREAMING half of the write-side Python DataSource "
+    "(DataSourceStreamWriter): the events stream writes through the "
+    "jsonl_manifest sink — per-task uuid part files, per-BATCH atomic "
+    "manifest commit keyed by batch id (replays rewrite their own "
+    "manifest, torn batches invisible) — then the committed manifests "
+    "are read back and re-aggregated; integer-exact equality with the "
+    "batch aggregate proves exactly-once delivery through the custom "
+    "streaming writer. Completes the Python DataSource API matrix: "
+    "batch/stream x read/write.",
+)
+def q_streaming_pyds_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources import pyds_sink
+    from .streaming.windows import apply_runtime_confs, events_stream
+
+    apply_runtime_confs(spark)
+    pyds_sink.register(spark)
+    root = tempfile.mkdtemp(prefix="jsonlstream_")
+    path = f"{root}/sink"
+    ckpt = f"{root}/ckpt"
+    try:
+        ev = events_stream(spark, sf_dir).select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        q = (
+            ev.writeStream.format("jsonl_manifest")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = pyds_sink.read_jsonl_sink(
+            spark, path, "event_id bigint, event_type string, cents bigint"
+        )
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -39,6 +39,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -104,6 +105,59 @@ class JsonlManifestWriter(DataSourceWriter):
                     pass
 
 
+class JsonlStreamManifestWriter(DataSourceStreamWriter):
+    """STREAMING half of the sink (Spark 4 ``DataSourceStreamWriter``):
+    tasks land uniquely-named part files exactly like the batch writer;
+    the driver-side ``commit(messages, batchId)`` publishes a PER-BATCH
+    manifest ``_MANIFEST-b<id>.json`` via atomic rename. Exactly-once
+    across checkpoint-recovery replays comes from the manifest being
+    keyed BY BATCH ID: a replayed batch re-lands fresh part files and
+    atomically REPLACES its own manifest, de-listing (and deleting) the
+    superseded attempt's files — the same idempotent-rewrite discipline
+    as the parquet batch_id=N sinks, at the DataSource API layer.
+    Readers union every committed batch manifest, so a torn batch
+    (files on disk, no manifest) stays invisible. Shares the batch
+    writer's shared-filesystem contract."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_manifest sink requires option('path', ...)")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+        return _FileCommit(fname)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(m.filename for m in messages if m is not None)
+        manifest = os.path.join(self.path, f"_MANIFEST-b{batchId}.json")
+        prior = []
+        if os.path.exists(manifest):  # checkpoint-recovery replay
+            with open(manifest) as f:
+                prior = json.load(f)["files"]
+        tmp = manifest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"files": files}, f)
+        os.replace(tmp, manifest)
+        for stale in set(prior) - set(files):
+            try:
+                os.remove(os.path.join(self.path, stale))
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
 class JsonlManifestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -111,6 +165,9 @@ class JsonlManifestDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlManifestWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlStreamManifestWriter(self.options)
 
 
 def register(spark) -> None:
@@ -122,13 +179,18 @@ def read_jsonl_sink(spark, path: str, schema: str):
     """Committed contents of a ``jsonl_manifest`` sink: only files the
     manifest lists are read. Returns an empty DataFrame of ``schema``
     when nothing has committed."""
-    manifest = os.path.join(path, "_MANIFEST.json")
-    if not os.path.exists(manifest):
-        return spark.createDataFrame([], schema)
-    with open(manifest) as f:
-        files = json.load(f)["files"]
+    import glob as _glob
+
+    files: list[str] = []
+    batch_manifest = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(batch_manifest):
+        with open(batch_manifest) as f:
+            files += json.load(f)["files"]
+    for m in sorted(_glob.glob(os.path.join(path, "_MANIFEST-b*.json"))):
+        with open(m) as f:
+            files += json.load(f)["files"]
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(
-        [os.path.join(path, fn) for fn in files]
+        [os.path.join(path, fn) for fn in sorted(set(files))]
     )

@@ -747,3 +747,54 @@ def test_image_dct_block_physics(spark):
     # stripes (depends on column x) → dominant u>0, v=0.
     assert feats(lambda x, y: 255 * (y % 2)) == (0, 7)
     assert feats(lambda x, y: 255 * (x % 2)) == (7, 0)
+
+
+def test_stream_jsonl_sink_replay_idempotent(spark, sf_dir):
+    """The streaming writer's per-batch manifest makes a replayed batch
+    REPLACE its own output: delivering the same micro-batch twice (fresh
+    checkpoint, same batch id) leaves exactly one copy visible and
+    reclaims the superseded part files."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.sources import pyds_sink
+
+    pyds_sink.register(spark)
+    root = tempfile.mkdtemp(prefix="jsonlreplay_")
+    path = f"{root}/sink"
+    schema = "k bigint, v string"
+    src = f"{root}/src"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    try:
+        for attempt in range(2):  # second run = fresh ckpt, same batch 0
+            ckpt = f"{root}/ckpt{attempt}"
+            q = (
+                spark.readStream.schema(schema).parquet(src)
+                .writeStream.format("jsonl_manifest")
+                .option("path", path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        got = {
+            (r.k, r.v)
+            for r in pyds_sink.read_jsonl_sink(spark, path, schema).collect()
+        }
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+        n_rows = pyds_sink.read_jsonl_sink(spark, path, schema).count()
+        assert n_rows == 3, "replayed batch duplicated rows"
+        # superseded part files were reclaimed: on-disk parts == listed
+        listed = set()
+        for m in glob.glob(os.path.join(path, "_MANIFEST-b*.json")):
+            with open(m) as f:
+                listed |= set(_json.load(f)["files"])
+        on_disk = {n for n in os.listdir(path) if n.startswith("part-")}
+        assert on_disk == listed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
