@@ -31,6 +31,8 @@ PIPELINES = [
     "minhash_incremental_ingest",
     # r6: streaming postings ingest + compaction + folded read (sink I/O)
     "streaming_inverted_index_ingest",
+    # r6: the full stream->index->rank loop (sink build + BM25 read-side)
+    "streaming_index_bm25_topk",
 ]
 
 # Headline set: flagship pipeline + heaviest relational, LLM-pipeline and
