@@ -426,16 +426,45 @@ def write_postings_partial(
     )
 
 
-def read_postings_sink(spark: SparkSession, path: str) -> DataFrame:
+def read_postings_sink(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
     """Folded postings: newest committed snapshot ∪ committed partials
     NEWER than it (same reader-vs-vacuum and torn-commit rules as
     ``read_agg_sink``). Returns the raw postings table; feed it to
-    ``retrieval.postings_with_stats`` for the queryable index."""
+    ``retrieval.postings_with_stats`` for the queryable index.
+
+    TIME TRAVEL: ``as_of=B`` reconstructs the index as of batch ``B``
+    under the SAME reachability contract as ``read_agg_sink`` —
+    retained snapshot versions plus anything at or above the newest
+    snapshot; a point between two retained snapshots, or below the
+    retention floor, raises rather than serving a stale index labeled
+    as-of-B (an index missing documents silently under-retrieves)."""
     schema = (
         "token string, id bigint, tf bigint, first_pos bigint,"
         " last_pos bigint, positions array<bigint>"
     )
-    v = _snapshot_version(spark, path)
+    versions = _committed_partitions(spark, f"{path}/snap", "v=")
+    if as_of is None:
+        v = max(versions) if versions else -1
+    else:
+        eligible = [x for x in versions if x <= as_of]
+        v = max(eligible) if eligible else -1
+        if v < 0 and versions and min(versions) > as_of:
+            parts = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+            if not any(b <= as_of for b in parts):
+                raise ValueError(
+                    f"as_of={as_of} predates the oldest retained snapshot "
+                    f"(v={min(versions)}) and no partials survive there; "
+                    "raise retain_snapshots at compaction time"
+                )
+        elif versions and v < as_of < max(versions):
+            nxt = min(x for x in versions if x > as_of)
+            raise ValueError(
+                f"as_of={as_of} falls between retained snapshots v={v} "
+                f"and v={nxt}: batches in ({v}, {as_of}] were folded and "
+                "vacuumed — raise retain_snapshots at compaction time"
+            )
     pieces = []
     if v >= 0:
         pieces.append(
@@ -446,7 +475,7 @@ def read_postings_sink(spark: SparkSession, path: str) -> DataFrame:
     newer = sorted(
         b
         for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
-        if b > v
+        if b > v and (as_of is None or b <= as_of)
     )
     if newer:
         pieces.append(
@@ -462,11 +491,16 @@ def read_postings_sink(spark: SparkSession, path: str) -> DataFrame:
     return merged
 
 
-def compact_postings_sink(spark: SparkSession, path: str) -> int:
+def compact_postings_sink(
+    spark: SparkSession, path: str, retain_snapshots: int = 1
+) -> int:
     """Fold committed partials into ``snap/v=maxBatch`` (plain union —
     postings are disjoint across batches) and vacuum the folded partial
     dirs; crash-safe in the same order as ``compact_agg_sink`` (snapshot
-    commit first, deletes after). Returns the new version."""
+    commit first, deletes after). ``retain_snapshots`` keeps the k
+    newest snapshot versions as ``as_of`` time-travel points (same
+    retention/vacuum trade as the aggregate-MV sink). Returns the new
+    version."""
     v = _snapshot_version(spark, path)
     committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
     max_b = max(committed) if committed else -1
@@ -475,5 +509,8 @@ def compact_postings_sink(spark: SparkSession, path: str) -> int:
     fold = read_postings_sink(spark, path).localCheckpoint(eager=True)
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
-    _vacuum_partitions(spark, f"{path}/snap", "v=", below=max_b)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[: max(1, retain_snapshots)]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
     return max_b

@@ -798,3 +798,48 @@ def test_stream_jsonl_sink_replay_idempotent(spark, sf_dir):
         assert on_disk == listed
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_postings_sink_time_travel(spark, sf_dir):
+    """Index time travel mirrors the MV sink: retained versions are
+    reconstructible (the as-of index equals the batch index over that
+    prefix of documents), between-retained and below-floor points
+    raise."""
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.operators.compaction import (
+        compact_postings_sink,
+        read_postings_sink,
+        write_postings_partial,
+    )
+    from projet_etl_a_rien_spark.operators.retrieval import (
+        inverted_index,
+        postings_with_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    thirds = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    path = tempfile.mkdtemp(prefix="postttt_")
+    try:
+        write_postings_partial(thirds[0], path, 0)
+        v0 = compact_postings_sink(spark, path, retain_snapshots=2)
+        write_postings_partial(thirds[1], path, v0 + 1)
+        write_postings_partial(thirds[2], path, v0 + 2)
+        v1 = compact_postings_sink(spark, path, retain_snapshots=2)
+        assert (v0, v1) == (0, 2)
+        # as-of v0 == the batch index over just the first third
+        old = postings_with_stats(read_postings_sink(spark, path, as_of=v0))
+        want = inverted_index(thirds[0])
+        assert old.exceptAll(want).count() == 0
+        assert want.exceptAll(old).count() == 0
+        # between retained snapshots (batch 1 folded+vacuumed) raises
+        with pytest.raises(ValueError, match="between retained snapshots"):
+            read_postings_sink(spark, path, as_of=1)
+        # retain=1 compaction drops v0; below the floor raises
+        write_postings_partial(thirds[0].limit(5), path, v1 + 1)
+        compact_postings_sink(spark, path, retain_snapshots=1)
+        with pytest.raises(ValueError, match="retain_snapshots"):
+            read_postings_sink(spark, path, as_of=v0)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
