@@ -1200,3 +1200,70 @@ def q_streaming_pyds_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+MATRYOSHKA_DIMS = [8, 16, 32]
+
+
+def _matryoshka_oracle_sql() -> str:
+    cos_full = (
+        "list_dot_product(b.vec, q.qvec) / (sqrt(list_dot_product(b.vec, "
+        "b.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))"
+    )
+    parts = []
+    for d in MATRYOSHKA_DIMS:
+        cos_p = (
+            f"list_dot_product(b.pv, q.pq) / (sqrt(list_dot_product(b.pv, "
+            f"b.pv)) * sqrt(list_dot_product(q.pq, q.pq)))"
+        )
+        parts.append(f"""
+SELECT {d} AS prefix_dim, COUNT(*) AS n_hits, COUNT(*) / 10.0 AS recall_at_10
+FROM (
+    SELECT b.vec_id
+    FROM (SELECT vec_id, list_slice(CAST(embedding AS DOUBLE[]), 1, {d}) AS pv
+          FROM embeddings WHERE vec_id != 7) b,
+         (SELECT list_slice(CAST(embedding AS DOUBLE[]), 1, {d}) AS pq
+          FROM embeddings WHERE vec_id = 7) q
+    ORDER BY {cos_p} DESC, b.vec_id LIMIT 10
+) approx
+JOIN (
+    SELECT b.vec_id
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+          FROM embeddings WHERE vec_id != 7) b,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+          FROM embeddings WHERE vec_id = 7) q
+    ORDER BY {cos_full} DESC, b.vec_id LIMIT 10
+) exact ON approx.vec_id = exact.vec_id""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "embedding_matryoshka_recall",
+    _matryoshka_oracle_sql(),
+    doc="Matryoshka truncation eval (Kusupati et al. 2022): recall@10 "
+    "of PREFIX-dimension cosine search (8/16/32 of 64 dims) against the "
+    "full-dimension exact top-10 for the same query — the measurement "
+    "that licenses serving truncated embeddings (memory/latency vs "
+    "recall trade). Each prefix run is a sliced-array scan + "
+    "TakeOrderedAndProject; the overlap join is k-row-sized.",
+)
+def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, query_id=7, k=10).select("vec_id")
+    out = None
+    for d in MATRYOSHKA_DIMS:
+        sliced = emb.select(
+            "vec_id", F.slice(F.col("embedding"), 1, d).alias("embedding")
+        )
+        approx = similarity.cosine_topk(sliced, query_id=7, k=10).select(
+            "vec_id"
+        )
+        r = approx.join(exact, "vec_id").agg(
+            F.lit(d).alias("prefix_dim"),
+            F.count("*").alias("n_hits"),
+            (F.count("*") / 10.0).alias("recall_at_10"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
