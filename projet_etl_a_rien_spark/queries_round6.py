@@ -1267,3 +1267,73 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+@register(
+    "orders_open_backlog_daily",
+    """
+WITH closes AS (
+    SELECT l_orderkey AS o_orderkey, MAX(l_shipdate) AS close_date
+    FROM lineitem GROUP BY 1
+),
+opened AS (
+    SELECT o_orderdate AS day, COUNT(*) AS n_opened FROM orders GROUP BY 1
+),
+closed AS (
+    SELECT close_date AS day, COUNT(*) AS n_closed
+    FROM orders JOIN closes USING (o_orderkey)
+    GROUP BY 1
+),
+deltas AS (
+    SELECT COALESCE(o.day, c.day) AS day,
+           COALESCE(n_opened, 0) AS n_opened,
+           COALESCE(n_closed, 0) AS n_closed
+    FROM opened o FULL OUTER JOIN closed c ON o.day = c.day
+)
+SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+       CAST(n_closed AS BIGINT) AS n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS backlog
+FROM deltas
+""",
+    doc="Open-order backlog by day — sweep-line interval counting: "
+    "+1 at order placement, -1 at the order's LAST line-item ship date, "
+    "cumulative sum over the day axis. The corpus-scale work is two "
+    "keyed aggregations (per-order close date, per-day deltas); the "
+    "unpartitioned cumulative window then runs over the DAY-grain "
+    "table, which is calendar-sized (~2.5k rows), not corpus-sized — "
+    "the decomposition that makes running totals safe at 100 TB. "
+    "Orders with no line items never close and stay in the backlog.",
+)
+def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("close_date")
+    )
+    opened = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_opened")
+    )
+    closed = (
+        orders.join(closes, "o_orderkey")
+        .groupBy(F.col("close_date").alias("day"))
+        .agg(F.count("*").alias("n_closed"))
+    )
+    deltas = (
+        opened.join(closed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias("backlog"),
+    )
