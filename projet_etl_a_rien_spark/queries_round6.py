@@ -1174,11 +1174,14 @@ def q_streaming_pyds_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{root}/sink"
     ckpt = f"{root}/ckpt"
     try:
+        # repartition inside the stream: the one-file source otherwise
+        # feeds the Python sink a single write task per batch — widening
+        # here exercises parallel part-file commits under one manifest
         ev = events_stream(spark, sf_dir).select(
             "event_id",
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
+        ).repartition(8, "event_id")
         q = (
             ev.writeStream.format("jsonl_manifest")
             .option("path", path)
@@ -1250,7 +1253,9 @@ JOIN (
 def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from .operators.text import widen_narrow_input
+
+    emb = widen_narrow_input(load_table(spark, sf_dir, "embeddings"), "vec_id")
     exact = similarity.cosine_topk(emb, query_id=7, k=10).select("vec_id")
     out = None
     for d in MATRYOSHKA_DIMS:

@@ -175,6 +175,7 @@ SCALAR_BNLJ_OK = {
     "docs_conjunctive_bm25_topk",  # bm25's 1-row (n_docs, avgdl) broadcast
     "docs_bm25_hard_negatives",  # same scorer pass, same scalar broadcast
     "dsir_token_budget_selection",  # 1-row totals + 1-row (lo, hi) broadcasts
+    "embedding_matryoshka_recall",  # 1-row query-vector broadcast per prefix
 }
 
 
