@@ -191,6 +191,7 @@ def bigram_logprob_scores(
     """
     from .dedup import _bind_once
 
+    df = widen_narrow_input(df, id_col)
     SEP = "\x1f"
     bigram_arr = _bind_once(
         tokens(text_col),
