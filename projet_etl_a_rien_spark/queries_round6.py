@@ -1342,3 +1342,95 @@ def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias("backlog"),
     )
+
+
+PARETO_QB = 1000
+
+
+@register(
+    "customer_revenue_pareto",
+    f"""
+WITH rev AS (
+    SELECT o_custkey AS c, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT c, cents,
+           ROW_NUMBER() OVER (ORDER BY cents DESC, c) AS rnk,
+           COUNT(*) OVER () AS n
+    FROM rev
+),
+dec AS (
+    SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS decile, cents FROM ranked
+),
+agg AS (
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM dec GROUP BY decile
+)
+SELECT decile, n_customers, cents,
+       CAST(SUM(cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+FROM agg
+""",
+    doc="Pareto revenue concentration by EXACT global revenue rank — "
+    "computed without a global sort: the spec rank (cents desc, id) "
+    "decomposes over monotone affine cent buckets exactly like the "
+    "budget selectors (bucket count-prefix broadcast + within-bucket "
+    "row_number), deciles then aggregate to ten rows and the cumulative "
+    "runs on that ten-row table. The 'top decile owns X% of revenue' "
+    "curve, exact to the cent.",
+)
+def q_customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    rng = rev.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    d = rev.crossJoin(F.broadcast(rng)).select(
+        "c",
+        "cents",
+        "n",
+        F.expr(f"((cents - lo) * {PARETO_QB}) div (hi - lo + 1)").alias("qb"),
+    )
+    per_bucket = d.groupBy("qb").agg(F.count("*").alias("bn"))
+    wb = Window.orderBy(F.desc("qb")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_bucket.select(
+        "qb", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("before")
+    )
+    wd = Window.partitionBy("qb").orderBy(F.desc("cents"), F.asc("c"))
+    ranked = d.join(F.broadcast(cum), "qb").select(
+        "cents",
+        "n",
+        (F.col("before") + F.row_number().over(wd)).alias("rnk"),
+    )
+    agg = (
+        ranked.select(
+            F.expr("CAST((rnk - 1) * 10 div n AS BIGINT)").alias("decile"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_customers"), F.sum("cents").alias("cents"))
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.sum("cents").over(wc).alias("cum_cents"),
+    )

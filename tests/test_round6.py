@@ -843,3 +843,75 @@ def test_postings_sink_time_travel(spark, sf_dir):
             read_postings_sink(spark, path, as_of=v0)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [4, 13])
+def test_bpe_fold_matches_python_greedy(spark, seed):
+    """Property: the F.aggregate greedy merge fold equals the Python
+    reference on random symbol arrays / random merge pairs (including
+    pathological all-same-symbol runs)."""
+    import random
+
+    from projet_etl_a_rien_spark.operators.bpe import _apply_merge
+
+    rng = random.Random(seed)
+    syms_rows = []
+    for i in range(60):
+        n = rng.randint(0, 10)
+        syms_rows.append((i, [rng.choice(["a", "b", "ab"]) for _ in range(n)]))
+    left, right = rng.choice([("a", "a"), ("a", "b"), ("ab", "a"), ("b", "b")])
+
+    def ref(syms):
+        out, pend = [], None
+        for s in syms:
+            if pend == left and s == right:
+                out.append(left + right)
+                pend = None
+            else:
+                if pend is not None:
+                    out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        return out
+
+    df = spark.createDataFrame(syms_rows, "i long, syms array<string>")
+    got = {
+        r.i: r.m
+        for r in df.select(
+            "i", _apply_merge(F.col("syms"), left, right).alias("m")
+        ).collect()
+    }
+    for i, syms in syms_rows:
+        assert got[i] == ref(syms), (i, syms, left, right)
+
+
+def test_pareto_rank_equals_spec_order(spark, sf_dir):
+    """The bucketed global rank reproduces the (cents desc, id) spec
+    exactly: decile totals equal a driver-side sorted computation."""
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    got = {
+        r.decile: (r.n_customers, r.cents, r.cum_cents)
+        for r in REGISTRY["customer_revenue_pareto"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    srt = sorted(rows, key=lambda r: (-r.cents, r.o_custkey))
+    n = len(srt)
+    want: dict = {}
+    for rank0, r in enumerate(srt):
+        d = rank0 * 10 // n
+        c, tot = want.get(d, (0, 0))
+        want[d] = (c + 1, tot + r.cents)
+    cum = 0
+    for d in sorted(want):
+        cum += want[d][1]
+        assert got[d] == (want[d][0], want[d][1], cum), d
+    # Pareto sanity: the top decile out-earns the bottom decile
+    assert got[0][1] > got[max(got)][1]
