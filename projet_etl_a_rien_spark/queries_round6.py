@@ -1386,8 +1386,10 @@ FROM agg
 def q_customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from .operators.text import widen_narrow_input
+
     rev = (
-        load_table(spark, sf_dir, "orders")
+        widen_narrow_input(load_table(spark, sf_dir, "orders"), "o_custkey")
         .groupBy(F.col("o_custkey").alias("c"))
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(

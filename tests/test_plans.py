@@ -176,6 +176,7 @@ SCALAR_BNLJ_OK = {
     "docs_bm25_hard_negatives",  # same scorer pass, same scalar broadcast
     "dsir_token_budget_selection",  # 1-row totals + 1-row (lo, hi) broadcasts
     "embedding_matryoshka_recall",  # 1-row query-vector broadcast per prefix
+    "customer_revenue_pareto",  # 1-row (lo, hi, n) range broadcast
 }
 
 
