@@ -1436,3 +1436,65 @@ def q_customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.sum("cents").over(wc).alias("cum_cents"),
     )
+
+
+@register(
+    "mv_snapshot_changelog",
+    """
+WITH v0 AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY event_type
+),
+v1 AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+)
+SELECT COALESCE(n1.event_type, n0.event_type) AS event_type,
+       CASE WHEN n1.event_type IS NOT NULL THEN n1.n ELSE n0.n END AS n,
+       CASE WHEN n1.event_type IS NOT NULL THEN n1.cents ELSE n0.cents END
+           AS cents,
+       CASE WHEN n1.event_type IS NOT NULL THEN 'U' ELSE 'D' END AS op
+FROM v0 n0 FULL OUTER JOIN v1 n1 ON n0.event_type = n1.event_type
+WHERE NOT (n0.event_type IS NOT NULL AND n1.event_type IS NOT NULL
+           AND n0.n IS NOT DISTINCT FROM n1.n
+           AND n0.cents IS NOT DISTINCT FROM n1.cents)
+""",
+    doc="Table-format INCREMENTAL READ composed from two r6 features: "
+    "an aggregate-MV sink is built across a snapshot boundary with "
+    "retain_snapshots=2, the two retained versions are read back via "
+    "as-of time travel, and snapshot_diff turns them into the minimal "
+    "U/D changelog between versions — the changes-between-versions "
+    "feed (Delta CDF / Iceberg incremental scan shape) derived purely "
+    "from retained snapshots, no change tracking at write time.",
+)
+def q_mv_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.compaction import (
+        compact_agg_sink,
+        read_agg_sink,
+        snapshot_diff,
+        write_agg_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="mvdiff_")
+    try:
+        write_agg_partial(ev.where(F.col("event_id") % 2 == 0), path, 0)
+        v0 = compact_agg_sink(spark, path, retain_snapshots=2)
+        write_agg_partial(ev.where(F.col("event_id") % 2 == 1), path, v0 + 1)
+        v1 = compact_agg_sink(spark, path, retain_snapshots=2)
+        old = read_agg_sink(spark, path, as_of=v0).localCheckpoint(eager=True)
+        new = read_agg_sink(spark, path, as_of=v1).localCheckpoint(eager=True)
+        return snapshot_diff(old, new, ["event_type"]).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

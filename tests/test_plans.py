@@ -40,6 +40,7 @@ EAGER = {name for name in REGISTRY if name.startswith("streaming_")} | {
     "parquet_schema_evolution_read",  # writes two batches, reads merged
     "bpe_learn_merges",  # iterative merge loop; result is a local merge table
     "corpus_bpe_encode_stats",  # learns merges (iterative) before encoding
+    "mv_snapshot_changelog",  # builds + compacts a sink, diffs two reads
 }
 
 
