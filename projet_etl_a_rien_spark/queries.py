@@ -593,123 +593,65 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The external driver verifies queries in registration order and only has
 # budget for the first ~50 of them per round, so registration order IS the
-# verification sampling order. This ordering pins the front of the window to
-# the queries with the least accumulated driver evidence (rotated each round).
-#
-# Evidence ledger after r5 (CORRECTNESS_r01-r05): every one of the 193
-# registry names is green in some round — the r4 VERDICT's #1 ask (a green
-# DRIVER row for all 31 never-sampled round-3/4 additions) closed in r5
-# (50/50 green, zero err). r6 ROTATION: round-6 additions (no driver row
-# yet) go first via the `never` bucket, then evidence oldest-first:
-# r1/r2-only greens, r3, r4, r5 (freshest) last. A name green in several
-# rounds buckets by its FRESHEST round.
+# verification sampling order. The evidence ledger is derived at runtime
+# from the CORRECTNESS_r*.json artifacts the driver commits (see
+# _correctness_evidence below) — never-checked names sample first, then
+# oldest evidence. _DRIVER_PRIORITY remains as a manual override slot for
+# names that must jump the queue in a given round (empty by default).
 _DRIVER_PRIORITY: list[str] = []
 
-# Green in CORRECTNESS_r05.json (freshest evidence — back of the window).
-_R5_CHECKED = {
-    "airports_clean", "airports_flagship", "airports_proximity_pairs",
-    "corpus_curriculum_order", "corpus_datacard", "corpus_exact_substr_rewrite",
-    "corpus_pack_sequences", "corpus_right_to_erasure", "corpus_shuffle_shards",
-    "corpus_vocab_oov", "customer_name_edit_pairs", "customer_rfm_segments",
-    "customer_yearly_rev_full_outer", "doc_bigram_logprob", "doc_char_entropy",
-    "doc_exact_substr_spans", "doc_length_bucket_batches", "doc_novelty_score",
-    "doc_quality_percentile_by_lang", "doc_weighted_sample",
-    "embedding_cross_set_contamination", "events_markov_transitions",
-    "events_seasonal_decompose", "events_xml_roundtrip_kpi",
-    "lineitem_feature_corr", "minhash_lsh_quality", "multimodal_png_resize_stats",
-    "multimodal_png_roundtrip", "multimodal_wav_roundtrip", "mv_time_travel_read",
-    "ngram_overlap_contamination", "orders_cdc_merge",
-    "parquet_schema_evolution_read", "parts_basket_lift", "parts_kcore",
-    "parts_ktruss_affinity", "parts_triangle_counts", "pyds_jsonl_sink_roundtrip",
-    "source_temperature_mix", "source_token_drift",
-    "streaming_click_attribution_outer", "streaming_contamination_gate",
-    "streaming_doc_classifier_gate", "streaming_dynamic_session_windows",
-    "streaming_incremental_mv_totals", "streaming_jdbc_cdc_merge",
-    "streaming_jdbc_totals_sink", "streaming_orders_cdc_merge",
-    "streaming_weighted_sample", "supplier_ship_latency",
-}
 
-_R4_CHECKED = {
-    "api_airports_ingest", "bm25_score_docs", "corpus_clean_lang_stats",
-    "corpus_curation_funnel", "corpus_curation_pipeline", "corpus_diversity_sample",
-    "corpus_segment_dedup_rewrite", "corpus_token_budget_selection", "doc_chunk_windows",
-    "doc_chunk_windows_udtf", "doc_classifier_gate", "doc_gopher_quality_flags",
-    "doc_pii_scan", "doc_repetition_stats", "doc_robust_stats_by_lang",
-    "doc_segment_dup_stats", "doc_source_caps", "doc_stratified_sample", "doc_token_rarity",
-    "doc_unigram_logprob", "embedding_ann_kmeans_topk", "embedding_ivf_incremental_ingest",
-    "embedding_ivfadc_topk", "embedding_knn_join_dedup_top3",
-    "embedding_knn_join_multiprobe_top3", "embedding_near_dup_pairs", "embedding_pq_adc_topk",
-    "embedding_pq_codes", "embedding_quantization_error", "embedding_semdedup",
-    "event_type_pagerank", "events_key_skew_profile", "events_props_variant_stats",
-    "events_scd2_pit_join", "events_sessionization", "events_user_scd2", "events_zone_map",
-    "events_zorder_values", "jaccard_prefix_pairs", "minhash_incremental_ingest",
-    "multimodal_byte_features", "multimodal_frame_sample", "multimodal_meta_stats",
-    "ngram_containment_pairs", "orders_cohort_retention", "orders_status_unpivot",
-    "salted_segment_revenue", "source_mixing_weights", "streaming_api_ingest",
-    "streaming_scd2_pit_enrich",
-}
+def _correctness_evidence() -> dict[str, int]:
+    """name → freshest round with a GREEN driver CORRECTNESS row, read
+    straight from the CORRECTNESS_r*.json files the driver commits into
+    the repo root. Deriving the evidence ledger from the artifacts
+    (instead of per-round hard-coded sets) makes the rotation
+    self-maintaining: a new round's file reorders the next round's
+    sampling automatically. Rows must be fully green to count — a
+    mismatch keeps the name at its previous evidence level, so it
+    re-sorts toward the front of the window."""
+    import glob
+    import json
+    import os
+    import re
 
-_R3_CHECKED = {
-    "doc_lang_confusion", "doc_packing_bins", "doc_split_assignment",
-    "doc_winnow_fingerprints", "embedding_ann_recall_at_10", "embedding_kmeans_assign",
-    "embedding_knn_join_top3", "embedding_lsh_near_dup_pairs", "events_funnel_counts",
-    "events_in_hot_windows", "events_orders_asof", "events_orders_asof_cogroup",
-    "events_rolling_hour_value", "events_time_rollup", "events_user_anomalies",
-    "minhash_dedup_clusters", "minhash_dedup_survivors",
-    "streaming_click_purchase_attribution", "streaming_dedup_event_counts",
-    "streaming_dedup_then_windows", "streaming_event_count", "streaming_event_type_counts",
-    "streaming_foreachbatch_sink_totals", "streaming_hourly_windows",
-    "streaming_session_windows", "streaming_sliding_windows", "streaming_stateful_user_totals",
-    "streaming_static_join_segments", "streaming_watermarked_append", "tfidf_top_terms",
-    "tpch_q10_returned_top_customers", "tpch_q11_important_stock",
-    "tpch_q12_priority_by_linestatus", "tpch_q13_custdist", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders", "tpch_q19_or_of_ands", "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_sole_return_supplier", "tpch_q22_idle_rich_customers",
-    "tpch_q2_min_cost_supplier", "tpch_q4_late_order_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q9_product_type_profit", "train_eval_contamination",
-}
-
-_R12_CHECKED = {
-    "airports_clean", "airports_flagship", "airports_permissive_roundtrip",
-    "airports_stats_permissive", "approx_distinct_parts",
-    "building_customers_without_f_orders", "cube_returnflag_status",
-    "customer_running_order_total", "customers_without_orders", "data_quality_report",
-    "dedup_exact_keepers", "doc_fingerprint_dups", "doc_lang_id", "doc_quality_features",
-    "doc_quality_score", "doc_subword_token_stats", "doc_token_stats",
-    "embedding_ann_pruned_topk", "embedding_cosine_topk", "events_hourly", "events_json_kpi",
-    "events_latest_per_user", "machinery_and_urgent_customers", "minhash_near_dup_pairs",
-    "mktsegment_stats", "nation_customer_extremes", "ngram_jaccard_pairs",
-    "order_price_histogram", "order_price_percentiles", "order_price_sketch_bounds",
-    "order_priority_rollup", "orders_by_year", "orders_lag_lead_gap", "part_type_brand_matrix",
-    "pivot_status_by_priority", "regional_revenue", "simhash_near_dup_pairs",
-    "sql_grouping_sets", "suppliers_with_returns", "table_stats_orders",
-    "token_frequency_top20", "topk_customers_per_segment", "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders", "tpch_q6_forecast_revenue",
-}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ledger: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            green = bool(v.get("rows_match")) and bool(
+                v.get("schema_match")
+            ) and bool(v.get("hash_match", True))
+            if green:
+                ledger[name] = max(ledger.get(name, 0), rnd)
+    return ledger
 
 
 def _ordered_names() -> list[str]:
-    """Registry names ordered by accumulated driver evidence, least first:
-    names never seen in any CORRECTNESS round (round-6 additions), then
-    r1/r2-only greens (oldest evidence, due a refresh), then r3, r4, and
-    r5 greens (freshest) — so however many queries the driver's ~50-query
-    budget covers, it always verifies the least-evidenced ones first. A
-    name green in several rounds buckets by its freshest round."""
+    """Registry names ordered by accumulated driver evidence, least
+    first: names with no green driver CORRECTNESS row in any recorded
+    round sample first (new additions), then oldest-evidence rounds
+    ascending — so however many queries the driver's ~50-query budget
+    covers, it always verifies the least-evidenced ones first. The
+    ledger is read from the CORRECTNESS_r*.json artifacts; with no
+    artifacts present the registration order stands."""
     _load_extensions()
     pri = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
     seen = set(pri)
-    buckets = [_R5_CHECKED, _R4_CHECKED, _R3_CHECKED, _R12_CHECKED]
-
-    def freshness(n: str) -> int:
-        for i, b in enumerate(buckets):
-            if n in b:
-                return len(buckets) - i  # r5 → 4 ... r12 → 1
-        return 0  # never driver-checked
-
+    ledger = _correctness_evidence()
     rest = [n for n in REGISTRY if n not in seen]
-    rest.sort(key=freshness)  # stable: registration order within a bucket
+    rest.sort(key=lambda n: ledger.get(n, 0))  # stable within a round
     return pri + rest
 
 

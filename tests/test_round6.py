@@ -915,3 +915,25 @@ def test_pareto_rank_equals_spec_order(spark, sf_dir):
         assert got[d] == (want[d][0], want[d][1], cum), d
     # Pareto sanity: the top decile out-earns the bottom decile
     assert got[0][1] > got[max(got)][1]
+
+
+def test_driver_sampling_order_derives_from_artifacts():
+    """The rotation ledger reads CORRECTNESS_r*.json directly: every
+    name with a green row in any round sorts AFTER every name without
+    one, and within the checked set older evidence sorts first."""
+    from projet_etl_a_rien_spark.queries import (
+        _correctness_evidence,
+        _ordered_names,
+    )
+
+    ledger = _correctness_evidence()
+    assert ledger, "no CORRECTNESS artifacts found in the repo root"
+    order = _ordered_names()
+    ranks = {n: i for i, n in enumerate(order)}
+    never = [n for n in order if ledger.get(n, 0) == 0]
+    checked = [n for n in order if ledger.get(n, 0) > 0]
+    assert never and checked
+    assert max(ranks[n] for n in never) < min(ranks[n] for n in checked)
+    # monotone by freshest-green round within the checked set
+    rounds = [ledger[n] for n in order if n in ledger]
+    assert rounds == sorted(rounds)
