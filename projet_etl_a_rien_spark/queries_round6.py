@@ -1498,3 +1498,46 @@ def q_mv_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "events_dow_hour_heatmap",
+    """
+WITH g AS (
+    SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+SELECT CAST(dow AS BIGINT) AS dow, hr,
+       CAST(n_events AS BIGINT) AS n_events, cents,
+       CAST(ROUND(n_events * 1000000.0 / total) AS BIGINT) AS share_ppm
+FROM g, tot
+""",
+    doc="Weekly activity heatmap: day-of-week x hour event counts, "
+    "exact-cents value, and share of total in integer parts-per-"
+    "million (one rounding per cell — no float sums). Spark's "
+    "1-Sunday dayofweek is shifted to DuckDB's 0-Sunday convention; "
+    "one grouped pass plus a 1-row total broadcast onto a 168-row "
+    "grid.",
+)
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    tot = g.agg(F.sum("n_events").alias("total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hr",
+        "n_events",
+        "cents",
+        F.round(F.col("n_events") * 1_000_000.0 / F.col("total"))
+        .cast("long")
+        .alias("share_ppm"),
+    )

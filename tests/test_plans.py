@@ -178,6 +178,7 @@ SCALAR_BNLJ_OK = {
     "dsir_token_budget_selection",  # 1-row totals + 1-row (lo, hi) broadcasts
     "embedding_matryoshka_recall",  # 1-row query-vector broadcast per prefix
     "customer_revenue_pareto",  # 1-row (lo, hi, n) range broadcast
+    "events_dow_hour_heatmap",  # 1-row total broadcast onto the 168-cell grid
 }
 
 
