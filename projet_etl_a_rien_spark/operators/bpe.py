@@ -13,8 +13,10 @@ Per iteration:
    array (JVM-side, no Python) exploded and summed with the word's
    corpus count — a vocab-scale groupBy;
 2. argmax pair with a deterministic tie-break (count desc, then
-   lexicographic) — ``TakeOrderedAndProject`` of ONE row to the driver,
-   the same index-sized driver materialization as ``kmeans_fit``'s
+   (left, right) tuple order — pairs travel as struct<l,r>, never a
+   separator-joined string, so a symbol containing ANY character is
+   safe) — ``TakeOrderedAndProject`` of ONE row to the driver, the
+   same index-sized driver materialization as ``kmeans_fit``'s
    centroids;
 3. apply the merge with a greedy left-to-right ``F.aggregate`` fold
    over each symbol array (the accumulator carries the flushed prefix
@@ -42,15 +44,18 @@ from pyspark.sql import functions as F
 from .text import tokens, widen_narrow_input
 
 END = "</w>"
-SEP = "\x1f"
 
 
 def _adjacent_pairs(sym_col):
-    """Array of 'left<SEP>right' strings for each adjacent symbol pair."""
+    """Array of struct<l,r> for each adjacent symbol pair. A struct key
+    (not a separator-joined string) so symbols containing control
+    characters cannot corrupt the pair decode, and the argmax tie-break
+    is plain (l, r) tuple order."""
     return F.transform(
         F.sequence(F.lit(1), F.size(sym_col) - 1),
-        lambda i: F.concat_ws(
-            SEP, F.element_at(sym_col, i), F.element_at(sym_col, i + 1)
+        lambda i: F.struct(
+            F.element_at(sym_col, i).alias("l"),
+            F.element_at(sym_col, i + 1).alias("r"),
         ),
     )
 
@@ -132,8 +137,8 @@ def learn_bpe_merges(
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(rank, left, right,
     pair_count)] in learned order. Stops early when no pair reaches
-    ``min_pair_count``. Deterministic: ties broken (count desc, left
-    asc, right asc)."""
+    ``min_pair_count``. Deterministic: ties broken (count desc, then
+    (left, right) tuple order — struct ordering is field-lexicographic)."""
     seqs = word_symbol_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -149,7 +154,7 @@ def learn_bpe_merges(
             )
             if not top or top[0]["n"] < min_pair_count:
                 break
-            left, right = top[0]["p"].split(SEP, 1)
+            left, right = top[0]["p"]["l"], top[0]["p"]["r"]
             merges.append((rank, left, right, int(top[0]["n"])))
             nxt = seqs.select(
                 "word", "cnt", _apply_merge(F.col("syms"), left, right).alias("syms")

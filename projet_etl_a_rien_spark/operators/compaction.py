@@ -361,21 +361,22 @@ def snapshot_diff(
     One full-outer join on the key — a single co-partitioned shuffle,
     no window. Value comparison is null-safe (``eqNullSafe`` per
     column), so NULL→value and value→NULL both register as updates.
+
+    Side presence is tracked with literal flags (``_o``/``_n``
+    lit(True) tagged before the join), NOT key-column nullness — the
+    join itself is null-safe on the keys, so an all-NULL-key row is a
+    legitimate matchable key and must not read as "absent".
     """
     val_cols = [c for c in new.columns if c not in key_cols]
-    o = old.alias("o")
-    n = new.alias("n")
+    o = old.withColumn("__snap_o", F.lit(True)).alias("o")
+    n = new.withColumn("__snap_n", F.lit(True)).alias("n")
     cond = None
     for k in key_cols:
         c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
-    new_present = F.greatest(
-        *[F.col(f"n.{k}").isNotNull() for k in key_cols]
-    ) if len(key_cols) > 1 else F.col(f"n.{key_cols[0]}").isNotNull()
-    old_present = F.greatest(
-        *[F.col(f"o.{k}").isNotNull() for k in key_cols]
-    ) if len(key_cols) > 1 else F.col(f"o.{key_cols[0]}").isNotNull()
+    new_present = F.col("n.__snap_n").isNotNull()
+    old_present = F.col("o.__snap_o").isNotNull()
     same_vals = F.lit(True)
     for c in val_cols:
         same_vals = same_vals & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))

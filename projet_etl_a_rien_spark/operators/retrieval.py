@@ -192,13 +192,15 @@ def bigram_logprob_scores(
     from .dedup import _bind_once
 
     df = widen_narrow_input(df, id_col)
-    SEP = "\x1f"
+    # pairs travel as struct<t1,t2>, never a separator-joined string —
+    # a token may legally contain ANY character, so no separator is safe
     bigram_arr = _bind_once(
         tokens(text_col),
         lambda ts: F.transform(
             F.sequence(F.lit(1), F.size(ts) - 1),
-            lambda i: F.concat_ws(
-                SEP, F.element_at(ts, i), F.element_at(ts, i + 1)
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("t1"),
+                F.element_at(ts, i + 1).alias("t2"),
             ),
         ),
     )
@@ -213,7 +215,7 @@ def bigram_logprob_scores(
     )
     bmodel = occ.groupBy("bigram").agg(F.count("*").alias("cnt_b"))
     lp = (
-        bmodel.withColumn("token", F.substring_index("bigram", SEP, 1))
+        bmodel.withColumn("token", F.col("bigram.t1"))
         .join(uni, "token")
         .select(
             "bigram",
@@ -387,13 +389,15 @@ def pmi_collocations(
     from .dedup import _bind_once
 
     df = widen_narrow_input(df)
-    SEP = "\x1f"
+    # pairs travel as struct<t1,t2>, never a separator-joined string —
+    # a token may legally contain ANY character, so no separator is safe
     bigram_arr = _bind_once(
         tokens(text_col),
         lambda ts: F.transform(
             F.sequence(F.lit(1), F.size(ts) - 1),
-            lambda i: F.concat_ws(
-                SEP, F.element_at(ts, i), F.element_at(ts, i + 1)
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("t1"),
+                F.element_at(ts, i + 1).alias("t2"),
             ),
         ),
     )
@@ -404,8 +408,8 @@ def pmi_collocations(
         .agg(F.count("*").alias("c_xy"))
         .where(F.col("c_xy") >= min_count)
         .select(
-            F.substring_index("bigram", SEP, 1).alias("t1"),
-            F.substring_index("bigram", SEP, -1).alias("t2"),
+            F.col("bigram.t1").alias("t1"),
+            F.col("bigram.t2").alias("t2"),
             "c_xy",
         )
     )

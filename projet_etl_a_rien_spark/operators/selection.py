@@ -57,6 +57,16 @@ def dsir_llr_table(
     rows by construction. Factored out so a STREAMING scorer can fit on
     the batch corpus and apply in the ingest path (stream-static join),
     exactly how DSIR deploys: the model is frozen, the stream is scored.
+
+    The model is DENSE: all ``n_buckets`` rows are emitted, including
+    buckets never observed at fit time (their counts are 0, so add-one
+    smoothing still defines a finite LLR). A streamed token hashing to
+    an unseen bucket therefore scores with the smoothed prior instead
+    of silently vanishing from the doc's n_tokens/logweight — the
+    fit-once / gate-the-firehose deployment must be total over the
+    feature space, not over the fit sample. Densifying changes nothing
+    for observed buckets (added rows are zero-count, so the totals are
+    already the corpus totals).
     """
     occ = widen_narrow_input(df).select(
         target_pred.alias("is_target"),
@@ -65,6 +75,12 @@ def dsir_llr_table(
     hist = occ.groupBy("b").agg(
         F.count("*").alias("cnt_raw"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("cnt_tgt"),
+    )
+    all_b = df.sparkSession.range(n_buckets).select(F.col("id").alias("b"))
+    hist = all_b.join(hist, "b", "left").select(
+        "b",
+        F.coalesce(F.col("cnt_raw"), F.lit(0)).alias("cnt_raw"),
+        F.coalesce(F.col("cnt_tgt"), F.lit(0)).alias("cnt_tgt"),
     )
     totals = hist.agg(
         F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")
@@ -99,7 +115,10 @@ def dsir_score_stream(
     per-doc aggregation (summing llr_nano per occurrence is integer-
     identical to the batch per-bucket fold — Σ_tokens llr ==
     Σ_buckets n_b·llr). Returns the streaming DataFrame (doc_id,
-    n_tokens, logweight); run it bounded and filter for the gate."""
+    n_tokens, lw_nano, logweight) — ``lw_nano`` is the EXACT BIGINT
+    nano sum (consume it for integer-exact thresholds instead of
+    reconstructing from the double, which loses bits past ~2^52); run
+    it bounded and filter for the gate."""
     occ = doc_stream.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col)).alias("token"),
@@ -109,8 +128,9 @@ def dsir_score_stream(
         .groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.count("*").alias("n_tokens"),
-            (F.sum("llr_nano") / F.lit(1e9)).alias("logweight"),
+            F.sum("llr_nano").alias("lw_nano"),
         )
+        .withColumn("logweight", F.col("lw_nano") / F.lit(1e9))
     )
 
 
@@ -120,6 +140,7 @@ def dsir_logweights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    with_nano: bool = False,
 ) -> DataFrame:
     """Per-document DSIR log importance weight against the target slice.
 
@@ -169,16 +190,21 @@ def dsir_logweights(
         )
     )
     per_doc_bucket = occ.groupBy("id", "b").agg(F.count("*").alias("n_b"))
-    return (
+    out = (
         per_doc_bucket.join(F.broadcast(llr), "b")
         .groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.sum("n_b").alias("n_tokens"),
-            (F.sum(F.col("n_b") * F.col("llr_nano")) / F.lit(1e9)).alias(
-                "logweight"
-            ),
+            F.sum(F.col("n_b") * F.col("llr_nano")).alias("lw_nano"),
         )
+        .withColumn("logweight", F.col("lw_nano") / F.lit(1e9))
     )
+    if with_nano:
+        # lw_nano is the EXACT BIGINT nano sum — downstream integer
+        # comparisons (budget selection, gates) must consume it instead
+        # of round(logweight * 1e9), which only roundtrips |x| < ~2^52.
+        return out.select("doc_id", "n_tokens", "lw_nano", "logweight")
+    return out.select("doc_id", "n_tokens", "logweight")
 
 
 def dsir_token_budget_selection(
@@ -215,12 +241,8 @@ def dsir_token_budget_selection(
     from pyspark.sql.window import Window
 
     scored = dsir_logweights(
-        df, target_pred, text_col, id_col, n_buckets
-    ).select(
-        "doc_id",
-        "n_tokens",
-        F.round(F.col("logweight") * 1e9).cast("long").alias("lw_nano"),
-    )
+        df, target_pred, text_col, id_col, n_buckets, with_nano=True
+    ).select("doc_id", "n_tokens", "lw_nano")
     rng = scored.agg(
         F.min("lw_nano").alias("lo"), F.max("lw_nano").alias("hi")
     )

@@ -449,9 +449,9 @@ def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = selection.dsir_score_stream(
         doc_stream, llr, n_buckets=DSIR_BUCKETS
     )
-    batch = run_bounded(scored, mode="complete").withColumn(
-        "lw_nano", F.round(F.col("logweight") * 1e9).cast("long")
-    )
+    # lw_nano is carried through the sink as the exact BIGINT nano sum
+    # (never reconstructed from the double — that loses bits past ~2^52)
+    batch = run_bounded(scored, mode="complete")
     thr = batch.agg(
         F.sum("lw_nano").alias("total_nano"), F.count("*").alias("n_docs")
     )

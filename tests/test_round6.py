@@ -23,8 +23,8 @@ def _docs(spark, sf_dir):
 
 def _ref_bpe(texts: list[str], num_merges: int, min_pair_count: int = 2):
     """Pure-Python word-level BPE with the exact tie-break contract of
-    ``bpe.learn_bpe_merges``: pair count desc, then lexicographic on
-    'left<SEP>right'."""
+    ``bpe.learn_bpe_merges``: pair count desc, then (left, right) tuple
+    order (struct ordering is field-lexicographic)."""
     from collections import Counter
 
     words = Counter(w for t in texts for w in t.split(" ") if w != "")
@@ -38,10 +38,7 @@ def _ref_bpe(texts: list[str], num_merges: int, min_pair_count: int = 2):
                 counts[(syms[i], syms[i + 1])] += c
         if not counts:
             break
-        best = min(
-            counts.items(),
-            key=lambda kv: (-kv[1], kv[0][0] + bpe.SEP + kv[0][1]),
-        )
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         (left, right), n = best
         if n < min_pair_count:
             break

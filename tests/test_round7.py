@@ -1,0 +1,173 @@
+"""Round-7 regression tests for the r6 ADVICE corners:
+
+- snapshot_diff side-presence is literal flags, not key nullness —
+  all-NULL-key rows (legitimately matchable under eqNullSafe) must diff
+  and roundtrip correctly;
+- the DSIR LLR model is DENSE (all n_buckets rows), so a streamed token
+  hashing to a bucket unseen at fit time scores with the smoothed prior
+  instead of silently vanishing;
+- DSIR budget selection consumes the EXACT BIGINT nano sum instead of
+  reconstructing it from the double (exact past 2^52);
+- BPE pair argmax carries struct<l,r>, so symbols containing the old
+  \\x1f separator can't corrupt the decode.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.operators import bpe, selection
+from projet_etl_a_rien_spark.operators.compaction import (
+    apply_changes,
+    snapshot_diff,
+)
+
+
+# ------------------------------------------------- snapshot_diff NULL keys
+
+
+def test_snapshot_diff_all_null_key_rows(spark):
+    """An all-NULL-key row is a matchable key under eqNullSafe: identical
+    rows emit nothing, a changed value emits 'U', a new-only NULL-key
+    row is 'U' (not a spurious 'D'), an old-only one is 'D'."""
+    schema = "k int, v int"
+    # identical all-NULL-key rows → no change row at all
+    old = spark.createDataFrame([(None, 1), (7, 7)], schema)
+    new = spark.createDataFrame([(None, 1), (7, 7)], schema)
+    assert snapshot_diff(old, new, ["k"]).count() == 0
+
+    # NULL-key value change → exactly one 'U' carrying the NEW value
+    new2 = spark.createDataFrame([(None, 2), (7, 7)], schema)
+    got = snapshot_diff(old, new2, ["k"]).collect()
+    assert [(r.k, r.v, r.op) for r in got] == [(None, 2, "U")]
+
+    # new-only NULL-key row → 'U'; old-only NULL-key row → 'D'
+    empty = spark.createDataFrame([], schema)
+    ins = {(r.k, r.v, r.op) for r in snapshot_diff(empty, old, ["k"]).collect()}
+    assert ins == {(None, 1, "U"), (7, 7, "U")}
+    dels = {(r.k, r.v, r.op) for r in snapshot_diff(old, empty, ["k"]).collect()}
+    assert dels == {(None, 1, "D"), (7, 7, "D")}
+
+
+def test_snapshot_diff_null_key_roundtrip(spark):
+    """apply_changes(old, snapshot_diff(old, new)) == new even when key
+    columns contain NULLs (window partitionBy groups NULL keys, matching
+    the diff's eqNullSafe join)."""
+    schema = "k1 int, k2 string, v int"
+    old = spark.createDataFrame(
+        [(None, None, 1), (None, "a", 2), (1, None, 3), (1, "a", 4)], schema
+    )
+    new = spark.createDataFrame(
+        [(None, None, 9), (1, None, 3), (2, "b", 5)], schema
+    )
+    diff = snapshot_diff(old, new, ["k1", "k2"]).withColumn(
+        "seq", F.lit(1).cast("long")
+    )
+    applied = apply_changes(old, diff, ["k1", "k2"], "seq")
+    assert {tuple(r) for r in applied.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+
+
+# ------------------------------------------------------- dense DSIR model
+
+
+def test_dsir_llr_table_is_dense(spark):
+    """All n_buckets rows exist even when the fit corpus observes only a
+    few, and observed buckets keep the exact counts-driven LLR."""
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha", "src0"), (2, "beta", "src1")],
+        "doc_id long, text string, source string",
+    )
+    llr = selection.dsir_llr_table(
+        docs, F.col("source") == "src0", n_buckets=64
+    )
+    rows = llr.collect()
+    assert len(rows) == 64
+    assert {r.b for r in rows} == set(range(64))
+    # unseen buckets all share the smoothed prior: ln(1/(2+64)) - ln(1/(3+64))
+    import math
+
+    prior = round((math.log(1 / 66) - math.log(1 / 67)) * 1e9)
+    seen = {
+        r.b
+        for r in docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .select(selection._feature_bucket(F.col("t"), 64).alias("b"))
+        .collect()
+    }
+    for r in rows:
+        if r.b not in seen:
+            assert r.llr_nano == prior
+
+
+def test_dsir_stream_scores_unseen_buckets(spark):
+    """A scored token hashing to a bucket absent from the fit corpus
+    still contributes to n_tokens and logweight (smoothed prior), so
+    the gate's docstring claim — the LLR is defined everywhere — holds."""
+    fit = spark.createDataFrame(
+        [(1, "alpha alpha", "src0"), (2, "beta", "src1")],
+        "doc_id long, text string, source string",
+    )
+    llr = selection.dsir_llr_table(fit, F.col("source") == "src0", n_buckets=64)
+    # pick a token whose bucket is NOT observed at fit time
+    seen = {
+        r.b
+        for r in fit.select(F.explode(F.split("text", " ")).alias("t"))
+        .select(selection._feature_bucket(F.col("t"), 64).alias("b"))
+        .collect()
+    }
+    probe = next(
+        w
+        for w in ("zeta", "omega", "kappa", "sigma", "theta", "lambda0")
+        if next(
+            iter(
+                spark.range(1)
+                .select(selection._feature_bucket(F.lit(w), 64).alias("b"))
+                .collect()
+            )
+        ).b
+        not in seen
+    )
+    stream = spark.createDataFrame(
+        [(10, f"alpha {probe}")], "doc_id long, text string"
+    )
+    out = selection.dsir_score_stream(stream, llr, n_buckets=64).collect()
+    assert len(out) == 1
+    assert out[0].n_tokens == 2  # the unseen-bucket token is NOT dropped
+    assert out[0].logweight == pytest.approx(out[0].lw_nano / 1e9)
+
+
+def test_dsir_logweights_nano_is_exact_bigint(spark, sf_dir):
+    """with_nano=True exposes the exact BIGINT fold; the double column is
+    its /1e9 image, and the budget selector consumes the integer."""
+    from projet_etl_a_rien_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = selection.dsir_logweights(
+        docs, F.col("source") == "src0", n_buckets=64, with_nano=True
+    ).collect()
+    assert rows
+    for r in rows:
+        assert isinstance(r.lw_nano, int)
+        assert r.logweight == pytest.approx(r.lw_nano / 1e9)
+
+
+# ----------------------------------------------------- BPE separator-proof
+
+
+def test_bpe_handles_tokens_containing_control_chars(spark):
+    """Symbols containing \\x1f (the old pair separator) learn and decode
+    correctly now that pairs travel as struct<l,r>."""
+    from tests.test_round6 import _ref_bpe
+
+    texts = ["a\x1fb a\x1fb a\x1fb", "a\x1fb xy xy"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe.learn_bpe_merges(df, num_merges=4)
+    want = _ref_bpe(texts, num_merges=4)
+    assert got == want
+    # the merge chain assembles the \x1f-bearing word (with its END
+    # marker) from correctly-decoded halves
+    assert any(left + right == "a\x1fb" + bpe.END for _, left, right, _ in got)
