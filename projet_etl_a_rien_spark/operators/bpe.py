@@ -45,6 +45,28 @@ from .text import tokens, widen_narrow_input
 
 END = "</w>"
 
+# The SHIPPED tokenizer: merge table learned ONCE from the sf0.01
+# documents corpus via ``learn_bpe_merges(num_merges=10)`` (deterministic
+# — pair count desc, (left, right) tuple tiebreak) and frozen, exactly
+# how production tokenizers deploy: training is a one-time job
+# (``bpe_learn_merges`` stays the registry's iterative rows-only entry),
+# encoding runs everywhere against the frozen table. Freezing is what
+# makes the ENCODE half SQL-expressible — ten rank-ordered bounded
+# rewrites, no iteration — so ``corpus_bpe_encode_stats`` carries a full
+# hash-exact DuckDB oracle.
+FIXED_MERGES: list[tuple[int, str, str, int]] = [
+    (1, "e", "r", 4568),
+    (2, "e", END, 4473),
+    (3, "n", END, 2834),
+    (4, "er", END, 2779),
+    (5, "o", "w", 2747),
+    (6, "ow", END, 2747),
+    (7, "o", "r", 2696),
+    (8, "s", "t", 2676),
+    (9, "h", END, 1884),
+    (10, "a", "t", 1845),
+]
+
 
 def _adjacent_pairs(sym_col):
     """Array of struct<l,r> for each adjacent symbol pair. A struct key

@@ -176,20 +176,69 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_merge_table(spark, _docs(spark, sf_dir), num_merges=10)
 
 
+def _bpe_encode_oracle(merges: list[tuple[int, str, str, int]]) -> str:
+    """DuckDB oracle for frozen-merge-table BPE encoding.
+
+    The greedy left-to-right non-overlapping merge over a symbol array
+    is EXACTLY one anchored string ``replace`` per merge when each
+    symbol is flanked by a separator on BOTH sides (double separator
+    between symbols): pattern ``⊔l⊔⊔r⊔`` → ``⊔lr⊔``. The flanks pin
+    matches to symbol boundaries; consuming both symbols' flanks makes
+    matches non-overlapping exactly like the fold ("aaa" under (a,a) →
+    ["aa","a"], "aaaa" → ["aa","aa"] — both verified in tests). The
+    separator is chr(30); valid because the corpus alphabet is
+    [a-y ] (no control chars) — an ORACLE assumption only, the Spark
+    side folds over arrays and needs no separator.
+    """
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    S = "chr(30)"
+    ctes = [
+        "occ AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word"
+        " FROM documents)",
+        "occ2 AS (SELECT id, word FROM occ WHERE word <> '')",
+        "w AS (SELECT DISTINCT word FROM occ2)",
+        f"r0 AS (SELECT word, regexp_replace(word, '(.)', {S} || '\\1' || {S},"
+        f" 'g') || {S} || {q(bpe.END)} || {S} AS rep FROM w)",
+    ]
+    prev = "r0"
+    for i, (_rank, left, right, _n) in enumerate(merges, start=1):
+        pat = f"{S} || {q(left)} || {S} || {S} || {q(right)} || {S}"
+        rep = f"{S} || {q(left + right)} || {S}"
+        ctes.append(
+            f"r{i} AS (SELECT word, replace(rep, {pat}, {rep}) AS rep"
+            f" FROM {prev})"
+        )
+        prev = f"r{i}"
+    ctes.append(
+        f"lens AS (SELECT word, CAST(len(string_split(rep, {S} || {S}))"
+        f" AS BIGINT) AS n_sym FROM {prev})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT id AS doc_id, COUNT(*) AS n_words,\n"
+        "       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,\n"
+        "       CAST(SUM(n_sym) AS BIGINT) / COUNT(*) AS bpe_per_word\n"
+        "FROM occ2 JOIN lens USING (word)\n"
+        "GROUP BY id"
+    )
+
+
 @register(
     "corpus_bpe_encode_stats",
-    None,  # encode applies the learned (iterative) merge chain — same
-    # non-SQL carve-out as bpe_learn_merges; property-tested against the
-    # pure-Python encoder in tests/test_round6.py
+    _bpe_encode_oracle(bpe.FIXED_MERGES),
     doc="Tokenizer-application half of the BPE loop: per-doc word/BPE-"
-    "token counts under the 10 learned merges (train + encode on the "
-    "same corpus — the compression-fit report). Rank-ordered greedy "
-    "fold chain over the distinct-word table, vocab-sized throughout.",
+    "token counts under the FROZEN 10-merge table (bpe.FIXED_MERGES — "
+    "learned once, shipped, applied everywhere: the production "
+    "deployment shape). Rank-ordered greedy fold chain over the "
+    "distinct-word table, vocab-sized throughout; freezing the table "
+    "makes encoding non-iterative, so this entry carries a full "
+    "hash-exact DuckDB oracle (anchored replace-chain rewrite).",
 )
 def q_corpus_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    merges = bpe.learn_bpe_merges(docs, num_merges=10)
-    return bpe.apply_bpe_merges(docs, merges)
+    return bpe.apply_bpe_merges(_docs(spark, sf_dir), bpe.FIXED_MERGES)
 
 
 @register(

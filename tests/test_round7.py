@@ -171,3 +171,68 @@ def test_bpe_handles_tokens_containing_control_chars(spark):
     # the merge chain assembles the \x1f-bearing word (with its END
     # marker) from correctly-decoded halves
     assert any(left + right == "a\x1fb" + bpe.END for _, left, right, _ in got)
+
+
+# ------------------------------------------------ frozen-merge BPE encode
+
+
+def test_bpe_fixed_merges_encode_matches_python(spark, sf_dir):
+    """corpus_bpe_encode_stats now encodes with the FROZEN shipped merge
+    table (bpe.FIXED_MERGES) — the Spark fold chain must equal a pure-
+    Python rank-ordered greedy application of the same table."""
+    from projet_etl_a_rien_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    def encode_len(word: str) -> int:
+        syms = list(word) + [bpe.END]
+        for _rank, left, right, _n in bpe.FIXED_MERGES:
+            out, pend = [], None
+            for s in syms:
+                if pend == left and s == right:
+                    out.append(left + right)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        return len(syms)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.apply_bpe_merges(docs, bpe.FIXED_MERGES).collect()
+    }
+    for doc_id, text in texts.items():
+        words = [w for w in text.split(" ") if w != ""]
+        want = (len(words), sum(encode_len(w) for w in words))
+        assert got[doc_id] == want, doc_id
+
+
+def test_bpe_encode_oracle_replace_chain_semantics(spark):
+    """The DuckDB oracle's anchored replace-chain rewrite is the greedy
+    fold: verified on the adversarial back-to-back cases directly in
+    DuckDB against the Spark fold."""
+    import duckdb
+
+    from projet_etl_a_rien_spark.queries_round6 import _bpe_encode_oracle
+
+    merges = [(1, "a", "a", 9), (2, "aa", "a", 5), (3, "aa", "aa", 3)]
+    texts = ["aaaa aaa aa a", "aaaaa b ab ba", "aaaaaaaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.apply_bpe_merges(df, merges).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(_bpe_encode_oracle(merges)).fetchall()
+    }
+    assert got == want
