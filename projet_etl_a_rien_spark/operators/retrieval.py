@@ -236,6 +236,88 @@ def bigram_logprob_scores(
     )
 
 
+def hashed_bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bigram_buckets: int = 4096,
+    n_unigram_buckets: int = 1024,
+) -> DataFrame:
+    """Mean bigram log-probability per document under a HASHED bucket
+    model — the bounded-model variant of :func:`bigram_logprob_scores`.
+
+    The exact bigram model's stat table grows with corpus vocabulary²
+    (measured 3.6× at 10× rows on the derived scale corpus); hashing
+    bigrams into ``n_bigram_buckets`` and context unigrams into
+    ``n_unigram_buckets`` (the DSIR trick — selection._feature_bucket's
+    portable md5 idiom over 't1<US>t2') caps BOTH model tables at a
+    CONSTANT size regardless of corpus scale: P(t2|t1) ≈ cnt_bb[h(t1,
+    t2)] / cnt_ub[h(t1)]. Hash collisions perturb the estimate (strictly
+    identically on both engines), exactly as in DSIR/feature-hashing
+    LMs — the score stays a corpus-calibrated fluency signal while the
+    model becomes broadcastable at 100 TB.
+
+    Parity: ln is quantized to the nano grid ONCE PER BUCKET in each
+    table (lnb_nano, lnu_nano); a bigram occurrence's logprob is their
+    integer difference, per-doc sums stay BIGINT, one final /1e9.
+
+    Plan shape: one bigram explode, two FIXED-size bucket groupBys
+    (legitimately force-broadcast — they are O(n_buckets), not
+    vocabulary-sized), map-side joins, one per-doc fold. No
+    vocabulary-scale join anywhere.
+    """
+    from .dedup import _bind_once
+    from .selection import _feature_bucket
+
+    df = widen_narrow_input(df, id_col)
+    US = "\x1f"  # hash-input delimiter only: collisions just move buckets
+    bigram_arr = _bind_once(
+        tokens(text_col),
+        lambda ts: F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("t1"),
+                F.element_at(ts, i + 1).alias("t2"),
+            ),
+        ),
+    )
+    occ = (
+        df.where(F.size(tokens(text_col)) >= 2)
+        .select(F.col(id_col).alias("id"), F.explode(bigram_arr).alias("bg"))
+        .select(
+            "id",
+            _feature_bucket(
+                F.concat_ws(US, F.col("bg.t1"), F.col("bg.t2")),
+                n_bigram_buckets,
+            ).alias("bb"),
+            _feature_bucket(F.col("bg.t1"), n_unigram_buckets).alias("ub"),
+        )
+    )
+    bb = occ.groupBy("bb").agg(
+        F.round(F.log(F.count("*")) * 1_000_000_000)
+        .cast("long")
+        .alias("lnb_nano")
+    )
+    ub = occ.groupBy("ub").agg(
+        F.round(F.log(F.count("*")) * 1_000_000_000)
+        .cast("long")
+        .alias("lnu_nano")
+    )
+    return (
+        occ.join(F.broadcast(bb), "bb")
+        .join(F.broadcast(ub), "ub")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(F.col("lnb_nano") - F.col("lnu_nano"))
+                / F.count("*")
+                / F.lit(1e9)
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1278,3 +1278,150 @@ def vocab_oov_rates(
         )
         .withColumn("oov_rate", F.col("n_oov") / F.col("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-web normalization: markup strip + entity decode, mojibake repair
+# ---------------------------------------------------------------------------
+#
+# A training-data pipeline meets HTML and encoding damage BEFORE any of
+# the quality gates above (Gopher/C4 flags assume plain text). Both
+# normalizers are pure regexp_replace/replace chains — JVM-side, whole-
+# stage codegen, per-row projections with no shuffle — and both are
+# mirrored 1:1 in DuckDB regexp/replace for hash-exact oracles. The
+# registered queries synthesize the dirty input DETERMINISTICALLY from
+# the plain-text corpus (the same fixture discipline as
+# fixtures.airports_messages: the sandbox has no raw-web crawl, so the
+# damage is injected column-side, identically on both engines).
+
+# (entity, decoded) in DECODE ORDER: every other entity decodes before
+# &amp; so a double-escaped '&amp;lt;' correctly yields the LITERAL
+# string '&lt;' (standard entity-decode ordering).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+# UTF-8 bytes mis-decoded as cp1252 (the classic double-encoding
+# mojibake), LONGEST FIRST so 3-byte sequences repair before their
+# 2-byte suffixes could be touched. Only well-defined cp1252 images are
+# listed (sequences through 0x81/0x8d/0x8f/0x90/0x9d are unmappable).
+MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # â€™ → ’
+    ("â€œ", "“"),  # â€œ → “
+    ("â€”", "—"),  # â€” → —
+    ("â€“", "–"),  # â€“ → –
+    ("Ã©", "é"),  # Ã© → é
+    ("Ã¨", "è"),  # Ã¨ → è
+    ("Ã\u00a0", "à"),  # C3 A0 read as cp1252 = Ã + NBSP → à
+    ("Ã¯", "ï"),  # Ã¯ → ï
+    ("Ã§", "ç"),  # Ã§ → ç
+    ("Ã¼", "ü"),  # Ã¼ → ü
+    ("Ã¶", "ö"),  # Ã¶ → ö
+    ("Ã¤", "ä"),  # Ã¤ → ä
+    ("Ã±", "ñ"),  # Ã± → ñ
+)
+
+# Typographic folding AFTER repair: curly quotes/dashes/nbsp to ASCII —
+# the practical "NFKC-ish" canonicalization a tokenizer wants.
+PUNCT_FOLDS: tuple[tuple[str, str], ...] = (
+    ("’", "'"),
+    ("‘", "'"),
+    ("“", '"'),
+    ("”", '"'),
+    ("—", "-"),
+    ("–", "-"),
+    ("\u00a0", " "),  # NBSP
+)
+
+_CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Strip markup to plain text: drop <script>/<style> blocks and
+    comments wholesale, replace every remaining tag with a space, decode
+    the common named/numeric entities (&amp; last, so double-escapes
+    yield literals), then collapse whitespace and trim. Each step is one
+    JVM regexp/replace; the DuckDB mirror is the identical chain (RE2
+    and Java agree on every construct used: (?is), non-greedy .*?,
+    \\b, character classes, \\s)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def unicode_repair(col: Column | str) -> Column:
+    """Encoding-damage repair: undo cp1252-decoded UTF-8 mojibake
+    (longest sequences first), fold typographic punctuation and NBSP to
+    ASCII, strip control characters, collapse whitespace. Replace/regexp
+    chain only — the column-contract stand-in for a full ftfy/NFC pass
+    (the repair TABLE is the swappable part; the plan shape is the
+    point)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_REPAIRS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    for bad, good in PUNCT_FOLDS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    c = F.regexp_replace(c, _CONTROL_CHARS, "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# Shared fixture literals — the SQL oracle builders in queries_round7
+# interpolate EXACTLY these strings, so Spark synthesis and DuckDB
+# synthesis cannot drift.
+HTML_PAGE_TITLE_PREFIX = "<html><head><title>d"
+HTML_PAGE_HEAD_REST = (
+    '</title><script type="text/javascript">if (a && b < c) '
+    '{ x = "<y>"; }</script><style>p { color: #fff; }</style>'
+    "</head><body><!-- generated fixture --><p>"
+)
+HTML_PAGE_SUFFIX = (
+    "</p><p>&quot;end&nbsp;of&nbsp;doc&quot; &amp; &#39;fin&#39;"
+    " &lt;eof&gt; &amp;lt;literal&amp;gt;</p></body></html>"
+)
+
+
+def html_noise(text_col: Column | str = "text", id_col: str = "doc_id") -> Column:
+    """Deterministic dirty-HTML synthesis from plain text (the fixture
+    half of the html_to_text oracle pair): wraps the document in a page
+    with a script block (containing <, &&, quotes — tag-strip bait), a
+    style block, a comment, entity-encoded punctuation, and — for
+    doc_id % 3 == 0 — the body re-paragraphed word-per-<p>."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    body = F.when(
+        F.col(id_col) % 3 == 0, F.replace(t, F.lit(" "), F.lit("</p><p>"))
+    ).otherwise(t)
+    return F.concat(
+        F.lit(HTML_PAGE_TITLE_PREFIX),
+        F.col(id_col).cast("string"),
+        F.lit(HTML_PAGE_HEAD_REST),
+        body,
+        F.lit(HTML_PAGE_SUFFIX),
+    )
+
+
+MOJI_PREFIX_EVEN = "cafÃ© rÃ©sumÃ© "
+MOJI_PREFIX_ODD = "naÃ¯ve dÃ©jÃ\u00a0 vu "
+MOJI_SUFFIX = " â€œquoted”\u00a0â€” itâ€™s done\x07here"
+
+
+def mojibake_noise(
+    text_col: Column | str = "text", id_col: str = "doc_id"
+) -> Column:
+    """Deterministic encoding-damage synthesis (the fixture half of the
+    unicode_repair oracle pair): mojibake words prefixed by doc_id
+    parity, curly-quoted/em-dashed/NBSP'd suffix, a stray control char."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    pre = F.when(
+        F.col(id_col) % 2 == 0, F.lit(MOJI_PREFIX_EVEN)
+    ).otherwise(F.lit(MOJI_PREFIX_ODD))
+    return F.concat(pre, t, F.lit(MOJI_SUFFIX))

@@ -236,3 +236,80 @@ def test_bpe_encode_oracle_replace_chain_semantics(spark):
         for r in con.sql(_bpe_encode_oracle(merges)).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------------- raw-web normalization
+
+
+def test_html_to_text_semantics(spark):
+    """Script/style/comment blocks vanish, tags become spaces, entities
+    decode (&amp; LAST so double-escapes yield literals), whitespace
+    collapses."""
+    from projet_etl_a_rien_spark.operators import text as T
+
+    cases = [
+        (
+            '<p>hello <b>world</b></p><script>x = "<y>"; a && b;</script>ok',
+            "hello world ok",
+        ),
+        ("<style>p { color: red; }</style>done", "done"),
+        ("<!-- note --><div>a</div>", "a"),
+        ("a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;", 'a&b <tag> "q" \'s\''),
+        ("&amp;lt;literal&amp;gt;", "&lt;literal&gt;"),
+        ("  lots   of\tspace  ", "lots of space"),
+        ("<SCRIPT>upper</SCRIPT>kept", "kept"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, raw string"
+    )
+    got = {
+        r.i: r.clean
+        for r in df.select("i", T.html_to_text("raw").alias("clean")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_unicode_repair_semantics(spark):
+    """Mojibake repairs (longest first), punctuation folding, control
+    strip, collapse."""
+    from projet_etl_a_rien_spark.operators import text as T
+
+    cases = [
+        ("cafÃ©", "café"),
+        ("naÃ¯ve dÃ©jÃ vu", "naïve déjàvu"),
+        ("â€œhiâ€™", "\"hi'"),
+        ("dash â€” here", "dash - here"),
+        ("curly ’ “ ” – fold", "curly ' \" \" - fold"),
+        ("nb sp", "nb sp"),
+        ("ctrl\x07gone", "ctrlgone"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, raw string"
+    )
+    got = {
+        r.i: r.clean
+        for r in df.select(
+            "i", T.unicode_repair("raw").alias("clean")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_noise_roundtrip_recovers_text(spark, sf_dir):
+    """Stripping the synthesized page recovers the original document text
+    followed by the fixed entity-decoded suffix — for every doc."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = "\"end of doc\" & 'fin' <eof> &lt;literal&gt;"
+    out = docs.select(
+        "doc_id",
+        "text",
+        T.html_to_text(T.html_noise("text", "doc_id")).alias("clean"),
+    ).collect()
+    assert out
+    for r in out:
+        assert r.clean == f"d{r.doc_id} {r.text} {suffix}", r.doc_id
