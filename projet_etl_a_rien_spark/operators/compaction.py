@@ -492,6 +492,48 @@ def read_postings_sink(
     return merged
 
 
+def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
+    """Right-to-erasure over the postings sink: physically REWRITE every
+    retained snapshot version AND every committed partial without the
+    erased doc ids, so the live index, future folds, and — critically —
+    TIME-TRAVEL reads as of ANY retained batch stop serving them.
+    Erasure rewrites history (the GDPR semantics); it does not merely
+    mask the head, because ``read_postings_sink(as_of=old)`` reads the
+    old snapshot bytes directly. Returns the number of posting rows
+    removed.
+
+    Token statistics need no treatment: df/cf/idf are derived at READ
+    time from the folded postings (`postings_with_stats`), so they
+    reflect the erasure immediately — the index stores what is
+    incremental and recomputes what is global.
+
+    Idempotence is the crash contract: each partition dir is rewritten
+    independently (filter → localCheckpoint → overwrite, the same
+    pattern as compaction), so a crash mid-way leaves some dirs erased
+    and some not — re-running the same erasure completes it. No reader
+    ever sees a torn dir (_SUCCESS-gated, same as compaction).
+    """
+    ids_df = (
+        ids.select(F.col("id"))
+        if isinstance(ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+    ).distinct()
+    removed = 0
+    for prefix, key in ((f"{path}/snap", "v="), (f"{path}/parts", "batch_id=")):
+        for n in _committed_partitions(spark, prefix, key):
+            sub = f"{prefix}/{key}{n}"
+            cur = spark.read.parquet(sub)
+            n_before = cur.count()
+            kept = cur.join(ids_df, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            n_after = kept.count()
+            if n_after != n_before:
+                kept.write.mode("overwrite").parquet(sub)
+                removed += n_before - n_after
+    return removed
+
+
 def compact_postings_sink(
     spark: SparkSession, path: str, retain_snapshots: int = 1
 ) -> int:

@@ -799,6 +799,48 @@ def neardup_merge_batch(
             pass
 
 
+def neardup_erase_ids(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col: str = "id",
+) -> int:
+    """Right-to-erasure over the near-dup sink: physically REWRITE
+    ``{path}/xs`` and ``{path}/bands`` without the erased ids, so no
+    future batch can match against an erased document's shingle set and
+    no probe of the band index can surface it. Returns the number of
+    erased docs that were actually present.
+
+    Crash contract reuses the sink's existing invariant: xs (the source
+    of truth) is rewritten FIRST; a crash before the bands rewrite
+    leaves ``bands ⊃ f(xs)``, which the next ``neardup_merge_batch``
+    detects via the row-count invariant (count(bands) != count(xs) ×
+    bands) and self-heals with ``recover_bands`` — rebuilt from the
+    already-erased xs, so the orphan band rows of erased ids disappear.
+    Idempotent: re-running the same erasure rewrites identical state.
+
+    Without this, the incremental LSH index retains erased ids forever —
+    the governance hole the batch-side ``corpus_right_to_erasure``
+    cascade cannot reach (sink state is not a registered table).
+    """
+    ids_df = (
+        ids.select(F.col(id_col).alias("id")).distinct()
+        if isinstance(ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+    )
+    xs = spark.read.parquet(f"{path}/xs")
+    n_before = xs.count()
+    kept = xs.join(ids_df, "id", "left_anti").localCheckpoint(eager=True)
+    kept.write.mode("overwrite").parquet(f"{path}/xs")
+    bd = (
+        spark.read.parquet(f"{path}/bands")
+        .join(ids_df, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    bd.write.mode("overwrite").parquet(f"{path}/bands")
+    return n_before - kept.count()
+
+
 # ----------------------------------------- prefix-filtered exact pairs ----
 
 

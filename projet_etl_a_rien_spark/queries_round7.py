@@ -245,3 +245,79 @@ def q_doc_quality_after_html_strip(
         _text.html_to_text(_text.html_noise("text", "doc_id")).alias("text"),
     )
     return _text.quality_score(cleaned)
+
+
+# ---------------------------------------------------------------------------
+# Governance: right-to-erasure propagated into the stateful index sink
+# ---------------------------------------------------------------------------
+
+ERASE_MOD = 50
+
+
+@register(
+    "postings_erasure_index",
+    f"""
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {ERASE_MOD} <> 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs2),
+occ AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> struct_pack(p := i, t := ts[i]))) AS u
+    FROM toks
+),
+o2 AS (SELECT id, u.p AS pos, u.t AS token FROM occ),
+post AS (
+    SELECT token, id, COUNT(*) AS tf,
+           CAST(MIN(pos) AS BIGINT) AS first_pos,
+           CAST(MAX(pos) AS BIGINT) AS last_pos
+    FROM o2 GROUP BY 1, 2
+),
+st AS (
+    SELECT token, COUNT(*) AS df_docs, CAST(SUM(tf) AS BIGINT) AS cf
+    FROM post GROUP BY 1
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM docs2)
+SELECT post.token, post.id AS doc_id, tf, first_pos, last_pos, df_docs, cf,
+       CAST(ROUND(ln((n_docs + 1.0) / (df_docs + 1.0)) * 1000000000) AS BIGINT)
+           / 1e9 AS idf
+FROM post JOIN st ON post.token = st.token, n
+""",
+    doc="Right-to-erasure PROPAGATED INTO THE POSTINGS SINK: ingest the "
+    "corpus as two compacted partials plus one uncompacted one, erase "
+    f"doc_id % {ERASE_MOD} == 0 via compaction.postings_erase_ids "
+    "(physically rewrites every retained snapshot AND partial — time "
+    "travel cannot resurrect erased docs), then serve the index from "
+    "the sink. Oracle = the one-shot batch index over the surviving "
+    "documents; read-time df/cf/idf derive from the folded postings, so "
+    "the statistics reflect the erasure with no stored-stat "
+    "invalidation.",
+)
+def q_postings_erasure_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.compaction import (
+        compact_postings_sink,
+        postings_erase_ids,
+        read_postings_sink,
+        write_postings_partial,
+    )
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="erasink_")
+    try:
+        write_postings_partial(d.where(F.col("doc_id") % 3 == 0), path, 0)
+        write_postings_partial(d.where(F.col("doc_id") % 3 == 1), path, 1)
+        v = compact_postings_sink(spark, path, retain_snapshots=2)
+        write_postings_partial(d.where(F.col("doc_id") % 3 == 2), path, v + 1)
+        erase = d.where(F.col("doc_id") % ERASE_MOD == 0).select(
+            F.col("doc_id").alias("id")
+        )
+        postings_erase_ids(spark, path, erase)
+        return retrieval.postings_with_stats(
+            read_postings_sink(spark, path)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -313,3 +313,167 @@ def test_html_noise_roundtrip_recovers_text(spark, sf_dir):
     assert out
     for r in out:
         assert r.clean == f"d{r.doc_id} {r.text} {suffix}", r.doc_id
+
+
+# ------------------------------------------- erasure in the stateful sinks
+
+
+def test_neardup_sink_erasure(spark):
+    """Ingest → erase → re-probe: after erasing an accepted doc from the
+    near-dup sink, (a) the band index carries no trace of it, (b) a
+    previously-rejected near-dup of it now ingests cleanly, (c) the
+    xs/bands row-count invariant holds (bands == xs × bands_per_doc)."""
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.operators.dedup import (
+        neardup_erase_ids,
+        neardup_merge_batch,
+    )
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    other = "zero one two three four five six seven eight nine ten eleven"
+    batch1 = spark.createDataFrame(
+        [(1, words), (2, other)], "doc_id long, text string"
+    )
+    # doc 11 is a near-dup of doc 1 (one word changed); doc 12 is novel
+    batch2 = spark.createDataFrame(
+        [(11, words.replace("juliet", "kilo")), (12, "p q r s t u v w x y z aa")],
+        "doc_id long, text string",
+    )
+    path = tempfile.mkdtemp(prefix="nderase_")
+    try:
+        neardup_merge_batch(batch1, path)
+        neardup_merge_batch(batch2, path)
+        accepted = {r.id for r in spark.read.parquet(f"{path}/xs").collect()}
+        assert 1 in accepted and 2 in accepted and 12 in accepted
+        assert 11 not in accepted  # rejected as near-dup of 1
+
+        n = neardup_erase_ids(spark, path, [1, 999])
+        assert n == 1  # 999 was never in the sink
+        xs_ids = {r.id for r in spark.read.parquet(f"{path}/xs").collect()}
+        band_ids = {r.id for r in spark.read.parquet(f"{path}/bands").collect()}
+        assert 1 not in xs_ids and 1 not in band_ids
+        assert xs_ids == band_ids == accepted - {1}
+
+        # the near-dup of the erased doc now ingests (nothing to match)
+        neardup_merge_batch(batch2, path)
+        xs_ids2 = {r.id for r in spark.read.parquet(f"{path}/xs").collect()}
+        assert 11 in xs_ids2
+        # row-count invariant intact after erase + re-merge
+        assert (
+            spark.read.parquet(f"{path}/bands").count()
+            == spark.read.parquet(f"{path}/xs").count() * 4
+        )
+        # idempotent: erasing again removes nothing
+        assert neardup_erase_ids(spark, path, [1]) == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_postings_sink_erasure_rewrites_history(spark, sf_dir):
+    """Erasure drops the ids from the live index, from uncompacted
+    partials, AND from every retained time-travel snapshot — reads older
+    than the erasure also stop serving them."""
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators.compaction import (
+        compact_postings_sink,
+        postings_erase_ids,
+        read_postings_sink,
+    )
+    from projet_etl_a_rien_spark.operators.compaction import (
+        write_postings_partial,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).localCheckpoint()
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    half1 = docs.where(F.col("doc_id").isin(ids[:30]))
+    half2 = docs.where(F.col("doc_id").isin(ids[30:55]))
+    late = ids[55]  # arrives after the last compaction, stays uncompacted
+    ingested = set(ids[:56])
+    erase = ids[:3] + ids[50:53]
+
+    path = tempfile.mkdtemp(prefix="posterase_")
+    try:
+        write_postings_partial(half1, path, 0)
+        v0 = compact_postings_sink(spark, path, retain_snapshots=2)
+        write_postings_partial(half2, path, v0 + 1)
+        v1 = compact_postings_sink(spark, path, retain_snapshots=2)
+        # leave one UNCOMPACTED partial too
+        write_postings_partial(docs.where(F.col("doc_id") == late), path, v1 + 1)
+
+        removed = postings_erase_ids(spark, path, erase)
+        assert removed > 0
+
+        live_ids = {
+            r.id for r in read_postings_sink(spark, path).select("id").collect()
+        }
+        assert live_ids.isdisjoint(set(erase))
+        # the late (not erased) doc still present via its uncompacted partial
+        assert late in live_ids
+
+        # time travel to BOTH retained snapshots: erased ids gone there too
+        for v in (v0, v1):
+            old_ids = {
+                r.id
+                for r in read_postings_sink(spark, path, as_of=v)
+                .select("id")
+                .collect()
+            }
+            assert old_ids.isdisjoint(set(erase)), v
+
+        # surviving docs keep their full postings (compare against a
+        # fresh batch index over the surviving documents)
+        from projet_etl_a_rien_spark.operators.retrieval import doc_postings
+
+        want = doc_postings(
+            docs.where(
+                F.col("doc_id").isin(list(ingested - set(erase)))
+            )
+        )
+        got = read_postings_sink(spark, path).select(*want.columns)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+        # idempotent
+        assert postings_erase_ids(spark, path, erase) == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------- graph peeling-cap firing
+
+
+def test_kcore_raises_when_peeling_exceeds_cap(spark):
+    """A long path under k=2 peels two endpoints per round (peeling depth
+    ~len/2) — with max_iter=2 the cap must FIRE, not silently return a
+    partial core."""
+    from projet_etl_a_rien_spark.operators.graph import kcore
+
+    path_edges = [(i, i + 1) for i in range(12)]
+    e = spark.createDataFrame(path_edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(e, k=2, max_iter=2)
+    # the same graph converges (to the empty core) with enough budget
+    assert kcore(e, k=2, max_iter=12).count() == 0
+
+
+def test_ktruss_raises_when_peeling_exceeds_cap(spark):
+    """An edge-sharing triangle chain under k=4 peels one triangle per
+    round from each end — with max_iter=1 the cap must fire."""
+    from projet_etl_a_rien_spark.operators.graph import ktruss
+
+    # triangles (i, i+1, i+2) for i in 0..7 share edges with neighbors:
+    # interior edges sit in 2 triangles, the chain ends in 1 — k=4
+    # (support >= 2) erodes inward one layer per peel.
+    edges = set()
+    for i in range(8):
+        edges |= {(i, i + 1), (i + 1, i + 2), (i, i + 2)}
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ktruss(e, k=4, max_iter=1)
+    # converges (to empty — erosion consumes the whole chain) with budget
+    assert ktruss(e, k=4, max_iter=10).count() == 0
