@@ -39,7 +39,7 @@ EAGER = {name for name in REGISTRY if name.startswith("streaming_")} | {
     "mv_time_travel_read",  # builds + compacts a sink, returns checkpoint
     "parquet_schema_evolution_read",  # writes two batches, reads merged
     "bpe_learn_merges",  # iterative merge loop; result is a local merge table
-    "corpus_bpe_encode_stats",  # learns merges (iterative) before encoding
+    "corpus_bpe_encode_stats",  # fold chain localCheckpoints every 3 merges
     "mv_snapshot_changelog",  # builds + compacts a sink, diffs two reads
 }
 
@@ -207,3 +207,21 @@ def test_inverted_index_shuffles_on_token_and_doc(spark, sf_dir):
         if "Exchange hashpartitioning(token#" in l and ", id#" in l
     ]
     assert posting_exchanges, "no (token, id)-keyed exchange in the plan"
+
+
+def test_events_json_kpi_single_scan_map_side_partial_agg(spark, sf_dir):
+    """Plan pin for the r6 watch item: one parquet scan, JSON extraction
+    inside the aggregate (no separate projection stage forcing an extra
+    exchange), and PARTIAL aggregation strictly below the lowest
+    exchange (map-side combine — the shuffle carries per-(type,user)
+    partials, never raw events). The two exchanges are the standard
+    count-distinct expansion and carry aggregate-sized rows only."""
+    plan = _plan(spark, sf_dir, "events_json_kpi")
+    assert plan.count("Scan ") == 1, plan
+    assert "Join" not in plan
+    # tree string lists the final operator first; the deepest segment
+    # (after the LAST Exchange) must still contain a HashAggregate above
+    # the scan — i.e. partial agg happens before any data moves
+    below_last_exchange = plan.rsplit("Exchange", 1)[1]
+    assert "HashAggregate" in below_last_exchange, plan
+    assert "Scan " in below_last_exchange, plan
