@@ -1425,3 +1425,69 @@ def mojibake_noise(
         F.col(id_col) % 2 == 0, F.lit(MOJI_PREFIX_EVEN)
     ).otherwise(F.lit(MOJI_PREFIX_ODD))
     return F.concat(pre, t, F.lit(MOJI_SUFFIX))
+
+
+# --------------------------------------------------------------------------
+# Typed PII redaction (the rewrite half of pii_scan) — shared literals +
+# RE2-safe patterns, mirrored verbatim in the queries_round7 oracle.
+# --------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-555-[0-9]{4}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_NUM_RE = "[0-9]+"
+
+# Redaction ORDER IS THE CONTRACT: emails first (their local parts
+# contain digits), then phones (contain hyphens + digit runs), then IPs
+# (dotted digit runs), then bare digit runs mop up the rest. Reversing
+# any pair corrupts the earlier type's match.
+PII_MASKS = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+    (PII_IP_RE, "<IP>"),
+    (PII_NUM_RE, "<NUM>"),
+)
+
+PII_NOISE_PREFIX = "Contact user"
+PII_NOISE_MAIL_HOST = "@mail.example.com or +1-555-"
+PII_NOISE_AT_IP = " at 10."
+
+
+def pii_noise(text_col: Column | str = "text", id_col: str = "doc_id") -> Column:
+    """Deterministic PII injection (the fixture half of the pii_redact
+    oracle pair): a doc_id-derived email, a +1-555 phone, and a dotted
+    IP prepended to the document text."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    d = F.col(id_col)
+    return F.concat(
+        F.lit(PII_NOISE_PREFIX), d.cast("string"),
+        F.lit(PII_NOISE_MAIL_HOST),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(PII_NOISE_AT_IP),
+        (d % 256).cast("string"), F.lit("."),
+        ((d * 7) % 256).cast("string"), F.lit("."),
+        ((d * 13) % 256).cast("string"),
+        F.lit(". "), t,
+    )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Typed PII redaction rewrite: sequentially mask emails, phones,
+    IPs, then residual digit runs, counting each type on the text AS IT
+    STANDS when that pattern runs (so an email's digits are never
+    double-counted as <NUM>). Pure per-row regexp chain — no shuffle,
+    whole-stage codegen; the production redactor a curation pipeline
+    runs corpus-wide after pii_scan triages.
+    """
+    c = F.col(text_col)
+    out = [F.col("doc_id")]
+    for pat, mask in PII_MASKS:
+        label = "n_" + mask.strip("<>").lower() + "s"
+        out.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(label)
+        )
+        c = F.regexp_replace(c, pat, mask)
+    out.append(c.alias("text_redacted"))
+    return df.select(*out)

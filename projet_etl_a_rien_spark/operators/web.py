@@ -1,0 +1,284 @@
+"""Web/URL operators — the step-0 surface of a crawl-derived training
+corpus: URL canonicalization, registered-domain extraction, URL-level
+exact dedup, and domain/path blocklist filtering.
+
+A 100 TB web corpus starts life as (url, payload) pairs, and the first
+three things every pipeline does happen BEFORE any text quality gate:
+
+1. canonicalize the URL (case-fold scheme/host, strip ``www.`` and
+   default ports, drop fragments, drop tracking params, order-normalize
+   the query string) so that syntactic variants of one resource collide;
+2. exact-dedup on the canonical URL (recrawls and parameter-jittered
+   refetches are the single biggest duplicate source in CommonCrawl-
+   style data — cheaper to kill here than in MinHash);
+3. drop blocklisted domains / path prefixes.
+
+Scale shape: canonicalization is a pure per-row projection built from
+``regexp_extract`` / higher-order array functions — no shuffle, fully
+inside whole-stage codegen, and it vectorizes identically at any corpus
+size. URL dedup groups by a canonical-URL digest (one exchange keyed by
+``md5(url_canon)``, never the raw string — constant-width shuffle rows).
+Blocklist filtering is a broadcast-friendly literal table join expressed
+as a pure predicate here (the list is O(100k) domains in production — it
+would arrive as a small DataFrame and AQE would broadcast it; the
+operator keeps the registered-domain extraction separate from the
+predicate so that swap is one join).
+
+The sandbox corpus has no URL column, so URLs are SYNTHESIZED
+deterministically from (doc_id, source, lang) with the literal constants
+below — the same shared-literal discipline as the HTML/mojibake fixtures
+(``operators/text.py``): the DuckDB oracles interpolate the very same
+constants, so the two engines parse identical strings.
+
+Every regex used is RE2-safe (no lookaround/backrefs) and parses
+identically in java.util.regex and DuckDB's RE2.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Shared literals (interpolated verbatim into the DuckDB oracles)
+# --------------------------------------------------------------------------
+
+# Dirty-URL synthesis: one underlying resource per floor(doc_id / 3), so
+# canonical-URL dedup groups have size <= 3 at ANY scale factor (group
+# size is a property of the synthesis, not of the corpus size).
+URL_GROUP_DIV = 3
+
+# Language section of the synthesized path — a function of the RESOURCE
+# id (collision-relevant parts must not vary inside a dedup group).
+URL_LANGS = ("en", "de", "es", "fr", "zh")
+
+# Tracking query parameters a canonicalizer strips (prefix match on the
+# key, the industry-standard list head).
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+
+# Split a URL into (scheme)://(authority)(path)[?query][#fragment].
+# Group numbers: 1=scheme, 2=host[:port], 3=path, 4=query-with-?, 5=frag.
+URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+# Registered domain = last two dot-labels of the host (public-suffix
+# lists collapse to this for the synthesized *.{src}.com space).
+REG_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+# Blocklist fixture: registered domains dropped wholesale, plus one
+# path-prefix rule (language-section takedown).
+BLOCKED_DOMAINS = ("src1.com", "src3.com", "src13.com")
+BLOCKED_PATH_PREFIX = "/es/"
+
+
+def synth_url(doc_id: Column | str = "doc_id") -> Column:
+    """Deterministic dirty URL for a document row.
+
+    The underlying resource identity is ``rid = floor(doc_id /
+    URL_GROUP_DIV)`` and EVERY collision-relevant URL part (host core,
+    path, surviving query params) is a function of ``rid`` alone, so
+    the ``URL_GROUP_DIV`` consecutive doc_ids alias to one canonical
+    URL — bounded dedup groups at any scale. Noise axes are driven by
+    ``doc_id % k`` so every canonicalizer rule is exercised in any
+    100-doc window:
+
+    - ``doc_id % 7 == 0``  → scheme spelled ``HTTPS`` (case noise);
+    - ``doc_id % 3 == 0``  → host carries a ``WWW.`` prefix;
+    - ``doc_id % 5 == 0``  → explicit default port ``:443``;
+    - ``doc_id % 2 == 0``  → tracking params appended, param order
+      swapped, trailing slash, and a fragment present.
+    """
+    d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    rid = F.floor(d / URL_GROUP_DIV)
+    scheme = F.when(d % 7 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    lang_seg = F.lit(None).cast("string")
+    for i, lg in enumerate(URL_LANGS):
+        lang_seg = F.when(rid % len(URL_LANGS) == i, F.lit(lg)).otherwise(
+            lang_seg
+        )
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Host"), (rid % 4).cast("string"),
+        F.lit(".src"), (rid % 20).cast("string"), F.lit(".com"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+    )
+    path = F.concat(F.lit("/"), lang_seg, F.lit("/doc/"), rid.cast("string"),
+                    F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")))
+    q_keep = F.concat(F.lit("id="), rid.cast("string"), F.lit("&page="),
+                      (rid % 4).cast("string"))
+    q_dirty = F.concat(F.lit("page="), (rid % 4).cast("string"),
+                       F.lit("&utm_source=feed&id="), rid.cast("string"),
+                       F.lit("&fbclid=zz"), (d % 9).cast("string"))
+    query = F.when(d % 2 == 0, q_dirty).otherwise(q_keep)
+    frag = F.when(d % 2 == 0, F.lit("#sec1")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, F.lit("?"), query, frag)
+
+
+def _part(url: Column, group: int) -> Column:
+    return F.regexp_extract(url, URL_PARTS_RE, group)
+
+
+def canonical_host(url: Column) -> Column:
+    """lower(host), strip one leading ``www.``, strip ``:443``/``:80``."""
+    h = F.lower(_part(url, 2))
+    h = F.regexp_replace(h, r"^www\.", "")
+    return F.regexp_replace(h, r":(443|80)$", "")
+
+
+def canonical_path(url: Column) -> Column:
+    """Strip one trailing slash (non-root); empty path becomes ``/``."""
+    p = _part(url, 3)
+    p = F.regexp_replace(p, r"(.)/$", r"$1")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def canonical_query_params(url: Column) -> Column:
+    """Surviving query params: tracking keys dropped, sorted bytewise."""
+    q = F.regexp_replace(_part(url, 4), r"^\?", "")
+    kvs = F.filter(
+        F.split(q, "&"),
+        lambda kv: (kv != "")
+        & ~reduce(
+            lambda a, b: a | b,
+            [kv.startswith(p) for p in TRACKING_PREFIXES],
+        ),
+    )
+    return F.array_sort(kvs)
+
+
+def canonical_query(url: Column) -> Column:
+    """Drop tracking params, sort survivors bytewise, rejoin with ``&``.
+
+    Array built per-row with split/filter/array_sort — no shuffle, no
+    Python. Empty result collapses to the empty string (no dangling
+    ``?`` in the canonical form).
+    """
+    return F.array_join(canonical_query_params(url), "&")
+
+
+def canonical_url(url: Column) -> Column:
+    scheme = F.lower(_part(url, 1))
+    qs = canonical_query(url)
+    return F.concat(
+        scheme, F.lit("://"), canonical_host(url), canonical_path(url),
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    return F.regexp_extract(host, REG_DOMAIN_RE, 1)
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-row canonicalization + URL anatomy (host, registered domain,
+    path depth, query-param count, tracking flag). Pure projection."""
+    u = F.col(url_col)
+    host = canonical_host(u)
+    path = canonical_path(u)
+    raw_q = F.regexp_replace(_part(u, 4), r"^\?", "")
+    raw_kvs = F.filter(F.split(raw_q, "&"), lambda kv: kv != "")
+    tracked = F.exists(
+        raw_kvs,
+        lambda kv: reduce(
+            lambda a, b: a | b,
+            [kv.startswith(p) for p in TRACKING_PREFIXES],
+        ),
+    )
+    return df.select(
+        "doc_id",
+        u.alias("url_raw"),
+        canonical_url(u).alias("url_canon"),
+        host.alias("host"),
+        registered_domain(host).alias("registered_domain"),
+        F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+        .cast("long")
+        .alias("path_depth"),
+        F.size(canonical_query_params(u)).cast("long").alias("n_query_params"),
+        tracked.alias("had_tracking"),
+    )
+
+
+def url_dedup_keepers(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Exact dedup on the canonical URL: keeper = smallest doc_id.
+
+    The exchange is keyed by ``md5(url_canon)`` (constant 32-char rows at
+    any URL length); the canonical string rides along only for the output
+    projection. One shuffle, map-side partial min/count.
+    """
+    u = F.col(url_col)
+    canon = df.select(
+        "doc_id",
+        canonical_url(u).alias("url_canon"),
+    ).withColumn("url_h", F.md5("url_canon"))
+    return (
+        canon.groupBy("url_h")
+        .agg(
+            F.min("url_canon").alias("url_canon"),
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .select("url_canon", "keeper_id", "n_docs")
+    )
+
+
+def domain_blocklist_verdicts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-document blocklist verdict with reason precedence
+    domain > path > allowed. Expressed as a literal predicate here; the
+    production swap-in is a broadcast anti-join against a blocklist
+    DataFrame keyed on registered_domain — the extraction below is the
+    join key either way."""
+    u = F.col(url_col)
+    host = canonical_host(u)
+    dom = registered_domain(host)
+    path = canonical_path(u)
+    dom_blocked = dom.isin(*BLOCKED_DOMAINS)
+    path_blocked = path.startswith(BLOCKED_PATH_PREFIX)
+    return df.select(
+        "doc_id",
+        dom.alias("registered_domain"),
+        path.alias("path"),
+        F.when(dom_blocked, F.lit("domain"))
+        .when(path_blocked, F.lit("path"))
+        .otherwise(F.lit("allowed"))
+        .alias("verdict"),
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Per-registered-domain corpus profile: doc count, distinct hosts,
+    token total, and an exact parts-per-million share of all docs.
+
+    Two aggregations (domain grain, then the 1-row total joined back as
+    a broadcast scalar) — the standard exact-share idiom; ppm is integer
+    so cross-engine hash parity is exact.
+    """
+    u = F.col(url_col)
+    host = canonical_host(u)
+    per_dom = (
+        df.select(
+            registered_domain(host).alias("registered_domain"),
+            host.alias("host"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("registered_domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    total = per_dom.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        per_dom.crossJoin(F.broadcast(total))
+        .select(
+            "registered_domain",
+            "n_docs",
+            "n_hosts",
+            "n_tokens",
+            F.round(F.col("n_docs") * 1_000_000.0 / F.col("total_docs"))
+            .cast("long")
+            .alias("docs_ppm"),
+        )
+    )

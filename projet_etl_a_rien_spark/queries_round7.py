@@ -321,3 +321,402 @@ def q_postings_erasure_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Web/URL step-0 operators (operators/web.py) — crawl-side canonicalize,
+# URL-level dedup, blocklist, domain profile. URLs synthesized with the
+# shared literals in operators/web.py; the SQL below interpolates the SAME
+# constants (one constant, two renderings — the airports-fixture rule).
+# ---------------------------------------------------------------------------
+
+from .operators import web as _web
+
+_URL_RE = _web.URL_PARTS_RE  # RE2-safe; identical string on both engines
+
+
+def _url_synth_sql() -> str:
+    g = _web.URL_GROUP_DIV
+    langs = _web.URL_LANGS
+    lang_case = "CASE " + " ".join(
+        f"WHEN (doc_id // {g}) % {len(langs)} = {i} THEN '{lg}'"
+        for i, lg in enumerate(langs)
+    ) + " END"
+    return f"""
+    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || 'Host' || CAST((doc_id // {g}) % 4 AS VARCHAR)
+    || '.src' || CAST((doc_id // {g}) % 20 AS VARCHAR) || '.com'
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/' || ({lang_case}) || '/doc/' || CAST(doc_id // {g} AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+    || '?'
+    || (CASE WHEN doc_id % 2 = 0
+        THEN 'page=' || CAST((doc_id // {g}) % 4 AS VARCHAR)
+             || '&utm_source=feed&id=' || CAST(doc_id // {g} AS VARCHAR)
+             || '&fbclid=zz' || CAST(doc_id % 9 AS VARCHAR)
+        ELSE 'id=' || CAST(doc_id // {g} AS VARCHAR)
+             || '&page=' || CAST((doc_id // {g}) % 4 AS VARCHAR) END)
+    || (CASE WHEN doc_id % 2 = 0 THEN '#sec1' ELSE '' END)
+    """
+
+
+def _sql_host(u: str = "url") -> str:
+    return (
+        "regexp_replace(regexp_replace("
+        f"lower(regexp_extract({u}, '{_URL_RE}', 2)),"
+        " '^www\\.', ''), ':(443|80)$', '')"
+    )
+
+
+def _sql_path(u: str = "url") -> str:
+    p = f"regexp_replace(regexp_extract({u}, '{_URL_RE}', 3), '(.)/$', '\\1')"
+    return f"(CASE WHEN {p} = '' THEN '/' ELSE {p} END)"
+
+
+def _sql_is_tracking(kv: str = "kv") -> str:
+    return "(" + " OR ".join(
+        f"starts_with({kv}, '{p}')" for p in _web.TRACKING_PREFIXES
+    ) + ")"
+
+
+def _sql_not_tracking(kv: str = "kv") -> str:
+    return f" AND NOT {_sql_is_tracking(kv)}"
+
+
+def _sql_raw_params(u: str = "url") -> str:
+    q = f"regexp_replace(regexp_extract({u}, '{_URL_RE}', 4), '^\\?', '')"
+    return f"list_filter(string_split({q}, '&'), kv -> kv <> '')"
+
+
+def _sql_canon_params(u: str = "url") -> str:
+    return (
+        f"list_sort(list_filter({_sql_raw_params(u)},"
+        f" kv -> kv <> ''{_sql_not_tracking()}))"
+    )
+
+
+def _sql_canon_url(u: str = "url") -> str:
+    qs = f"array_to_string({_sql_canon_params(u)}, '&')"
+    return (
+        f"lower(regexp_extract({u}, '{_URL_RE}', 1)) || '://' || "
+        f"{_sql_host(u)} || {_sql_path(u)} || "
+        f"(CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)"
+    )
+
+
+@register(
+    "web_url_canonicalize",
+    f"""
+WITH urls AS (
+    SELECT doc_id, {_url_synth_sql()} AS url FROM documents
+)
+SELECT doc_id, url AS url_raw,
+       {_sql_canon_url()} AS url_canon,
+       {_sql_host()} AS host,
+       regexp_extract({_sql_host()}, '{_web.REG_DOMAIN_RE}', 1)
+           AS registered_domain,
+       CAST(len(list_filter(string_split({_sql_path()}, '/'), s -> s <> ''))
+            AS BIGINT) AS path_depth,
+       CAST(len({_sql_canon_params()}) AS BIGINT) AS n_query_params,
+       len(list_filter({_sql_raw_params()},
+           kv -> {_sql_is_tracking()})) > 0 AS had_tracking
+FROM urls
+""",
+    doc="URL canonicalization + anatomy over deterministically synthesized "
+    "crawl URLs: case-fold scheme/host, strip www./default ports, drop "
+    "fragments + tracking params (utm_*/fbclid/gclid), order-normalize "
+    "the query string. Pure regexp/array projection — zero shuffle, "
+    "whole-stage codegen; the step-0 op of a web-scale corpus.",
+)
+def q_web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    urls = d.select("doc_id", _web.synth_url().alias("url"))
+    return _web.url_features(urls)
+
+
+@register(
+    "web_url_dedup_keepers",
+    f"""
+WITH urls AS (
+    SELECT doc_id, {_url_synth_sql()} AS url FROM documents
+),
+canon AS (SELECT doc_id, {_sql_canon_url()} AS url_canon FROM urls)
+SELECT url_canon, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+FROM canon GROUP BY 1
+""",
+    doc="Exact URL-level dedup: recrawls and parameter-jittered refetches "
+    "of one resource collide on the canonical URL; keeper = smallest "
+    "doc_id. The exchange is keyed on md5(url_canon) so shuffle rows are "
+    "constant-width regardless of URL length; synthesis guarantees group "
+    f"size <= {_web.URL_GROUP_DIV} at any scale factor.",
+)
+def q_web_url_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    urls = d.select("doc_id", _web.synth_url().alias("url"))
+    return _web.url_dedup_keepers(urls)
+
+
+@register(
+    "web_domain_blocklist",
+    f"""
+WITH urls AS (
+    SELECT doc_id, {_url_synth_sql()} AS url FROM documents
+)
+SELECT doc_id,
+       regexp_extract({_sql_host()}, '{_web.REG_DOMAIN_RE}', 1)
+           AS registered_domain,
+       {_sql_path()} AS path,
+       CASE WHEN regexp_extract({_sql_host()}, '{_web.REG_DOMAIN_RE}', 1)
+                 IN ({", ".join("'" + d_ + "'" for d_ in _web.BLOCKED_DOMAINS)})
+            THEN 'domain'
+            WHEN starts_with({_sql_path()}, '{_web.BLOCKED_PATH_PREFIX}')
+            THEN 'path'
+            ELSE 'allowed' END AS verdict
+FROM urls
+""",
+    doc="Domain/path blocklist verdicts with reason precedence "
+    "domain > path > allowed. Expressed as a literal predicate (the "
+    "production swap-in is a broadcast anti-join against a blocklist "
+    "table keyed on registered_domain — same extraction, one join).",
+)
+def q_web_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    urls = d.select("doc_id", _web.synth_url().alias("url"))
+    return _web.domain_blocklist_verdicts(urls)
+
+
+@register(
+    "web_domain_stats",
+    f"""
+WITH urls AS (
+    SELECT doc_id, text, {_url_synth_sql()} AS url FROM documents
+),
+per AS (
+    SELECT regexp_extract({_sql_host()}, '{_web.REG_DOMAIN_RE}', 1)
+               AS registered_domain,
+           {_sql_host()} AS host,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM urls
+),
+agg AS (
+    SELECT registered_domain, COUNT(*) AS n_docs,
+           COUNT(DISTINCT host) AS n_hosts,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM per GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs) AS total_docs FROM agg)
+SELECT registered_domain, n_docs, n_hosts, n_tokens,
+       CAST(ROUND(n_docs * 1000000.0 / total_docs) AS BIGINT) AS docs_ppm
+FROM agg, tot
+""",
+    doc="Per-registered-domain corpus profile (doc count, distinct hosts, "
+    "token total, exact ppm share) — the table a crawl curator reads "
+    "before setting per-domain caps. Domain-grain aggregate plus a "
+    "broadcast 1-row total; integer ppm for cross-engine hash parity.",
+)
+def q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    urls = d.select("doc_id", "text", _web.synth_url().alias("url"))
+    return _web.domain_stats(urls)
+
+
+# ---------------------------------------------------------------------------
+# Typed PII redaction (rewrite half of pii_scan), hourly gap-fill resample,
+# ORC format roundtrip.
+# ---------------------------------------------------------------------------
+
+
+def _pii_dirty_sql() -> str:
+    return (
+        f"{_sq(_text.PII_NOISE_PREFIX)} || CAST(doc_id AS VARCHAR)"
+        f" || {_sq(_text.PII_NOISE_MAIL_HOST)}"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        f" || {_sq(_text.PII_NOISE_AT_IP)}"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 13) % 256 AS VARCHAR) || '. ' || text"
+    )
+
+
+def _pii_redact_oracle() -> str:
+    sql = f"WITH s0 AS (SELECT doc_id, {_pii_dirty_sql()} AS t FROM documents)"
+    cols = []
+    prev = "s0"
+    for i, (pat, mask) in enumerate(_text.PII_MASKS, start=1):
+        label = "n_" + mask.strip("<>").lower() + "s"
+        carry = ", ".join(cols)
+        carry = carry + ", " if carry else ""
+        sql += (
+            f", s{i} AS (SELECT doc_id, {carry}"
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS {label},"
+            f" regexp_replace(t, '{pat}', '{mask}', 'g') AS t FROM {prev})"
+        )
+        cols.append(label)
+        prev = f"s{i}"
+    return sql + (
+        f" SELECT doc_id, {', '.join(cols)}, t AS text_redacted FROM {prev}"
+    )
+
+
+@register(
+    "doc_pii_redact",
+    _pii_redact_oracle(),
+    doc="Typed PII redaction REWRITE (the production half of pii_scan's "
+    "audit): sequentially mask emails, +N-555 phones, dotted IPs, then "
+    "residual digit runs, counting each type on the text as it stands "
+    "when that pattern runs — so an email's digits never double-count "
+    "as <NUM>. Injection fixture + patterns are shared literals "
+    "(operators/text.py PII_*); every pattern is RE2-safe so Java and "
+    "RE2 match identically. Pure per-row regexp chain, zero shuffle.",
+)
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    dirty = d.select(
+        "doc_id", _text.pii_noise("text", "doc_id").alias("text")
+    )
+    return _text.pii_redact(dirty)
+
+
+GAP_USER_MOD = 19
+
+
+@register(
+    "events_gap_fill_hourly",
+    f"""
+WITH ev AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
+           CAST(ROUND(value * 1000000) AS BIGINT) AS vmic
+    FROM events WHERE user_id % {GAP_USER_MOD} = 0
+),
+ranked AS (
+    SELECT user_id, hr, vmic,
+           ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id, hr) AS cnt
+    FROM ev
+),
+hourly AS (
+    SELECT user_id, hr, CAST(cnt AS BIGINT) AS n_events, vmic AS last_vmic
+    FROM ranked WHERE rn = 1
+),
+bounds AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM ev GROUP BY 1),
+grid AS (
+    SELECT user_id,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+    FROM bounds
+),
+j AS (
+    SELECT g.user_id, g.hr, h.n_events, h.last_vmic
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+),
+f AS (
+    SELECT *, COUNT(last_vmic) OVER (PARTITION BY user_id ORDER BY hr) AS grp
+    FROM j
+)
+SELECT user_id, hr AS hour_ts,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       MAX(last_vmic) OVER (PARTITION BY user_id, grp) AS level_micro,
+       n_events IS NULL AS is_gap
+FROM f
+""",
+    doc="Time-series resample + forward fill: per-user hourly grid from "
+    "first to last observation (sequence/explode — the grid is generated "
+    "distributed, never collected), left-joined to the per-hour last "
+    "event level (max_by over (ts, event_id) — deterministic tiebreak), "
+    "then gap hours carry the last known level via the engine-neutral "
+    "'running count of non-nulls defines the fill group' trick (no "
+    "IGNORE NULLS dependence, identical semantics on both engines). "
+    "Level carried as exact micro-units BIGINT. One shuffle keyed by "
+    "user; per-user state bounded by the observation span, so the plan "
+    "is skew-safe at any user count.",
+)
+def q_events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").where(
+        F.col("user_id") % GAP_USER_MOD == 0
+    )
+    base = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    hourly = base.groupBy("user_id", "hr").agg(
+        F.count("*").alias("n_events"),
+        F.max_by("vmic", F.struct("ts", "event_id")).alias("last_vmic"),
+    )
+    bounds = base.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f2 = j.withColumn("grp", F.count("last_vmic").over(w_run))
+    w_grp = Window.partitionBy("user_id", "grp")
+    return f2.select(
+        "user_id",
+        F.col("hr").alias("hour_ts"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.max("last_vmic").over(w_grp).alias("level_micro"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "orc_roundtrip_stats",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+    doc="ORC source/sink roundtrip: project events to stable types, "
+    "write spark.write.orc, read back with spark.read.orc, aggregate "
+    "from the ORC scan. Oracle is the same aggregate over the original "
+    "parquet — hash-equality proves the ORC writer/reader preserved "
+    "every row and type bit-for-bit. Columnar-format breadth next to "
+    "parquet/json/xml/csv/jdbc; vectorized ORC reader, predicate "
+    "pushdown semantics identical to the parquet path.",
+)
+def q_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="orcrt_")
+    try:
+        ev.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

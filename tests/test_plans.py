@@ -179,6 +179,7 @@ SCALAR_BNLJ_OK = {
     "embedding_matryoshka_recall",  # 1-row query-vector broadcast per prefix
     "customer_revenue_pareto",  # 1-row (lo, hi, n) range broadcast
     "events_dow_hour_heatmap",  # 1-row total broadcast onto the 168-cell grid
+    "web_domain_stats",  # 1-row total_docs broadcast onto the domain table
 }
 
 

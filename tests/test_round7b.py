@@ -1,0 +1,192 @@
+"""Round-7 (second half) tests: web/URL step-0 operators, typed PII
+redaction, hourly gap-fill resample, ORC roundtrip.
+
+Semantics are unit-pinned here on tiny literal frames; cross-engine
+hash-exactness is separately enforced by the DuckDB oracles
+(tools/driver_mimic.py over queries_round7 registrations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.operators import text as T
+from projet_etl_a_rien_spark.operators import web as W
+
+
+# ------------------------------------------------------- URL canonicalize
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_canonical_url_rules(spark):
+    """Every canonicalizer rule on one handcrafted URL: scheme+host
+    case-fold, www./default-port strip, trailing-slash strip, fragment
+    drop, tracking-param drop, query order-normalization."""
+    df = _urls(
+        spark,
+        [
+            (
+                1,
+                "HTTPS://WWW.Host1.src3.com:443/es/doc/7/"
+                "?page=3&utm_source=feed&id=7&fbclid=zz4#sec1",
+            )
+        ],
+    )
+    got = W.url_features(df).collect()[0]
+    assert got.url_canon == "https://host1.src3.com/es/doc/7?id=7&page=3"
+    assert got.host == "host1.src3.com"
+    assert got.registered_domain == "src3.com"
+    assert got.path_depth == 3
+    assert got.n_query_params == 2
+    assert got.had_tracking is True
+
+
+def test_canonical_url_already_clean_is_fixpoint(spark):
+    u = "https://host0.src2.com/en/doc/4?id=4&page=0"
+    df = _urls(spark, [(2, u)])
+    got = W.url_features(df).collect()[0]
+    assert got.url_canon == u
+    assert got.had_tracking is False
+    # canonicalization is idempotent
+    again = W.url_features(df.select("doc_id", F.col("url"))).select(
+        F.col("url_canon").alias("url"), F.lit(3).cast("long").alias("doc_id")
+    )
+    assert W.url_features(again).collect()[0].url_canon == u
+
+
+def test_root_path_and_port_80(spark):
+    df = _urls(spark, [(5, "http://example.com:80?b=2&a=1#x")])
+    got = W.url_features(df).collect()[0]
+    assert got.url_canon == "http://example.com/?a=1&b=2"
+    assert got.path_depth == 0
+
+
+def test_url_dedup_groups_bounded(spark, sf_dir):
+    """Synthesis contract: every canonical URL collects exactly the
+    URL_GROUP_DIV consecutive doc_ids (bounded groups at any SF), and
+    the keeper is the smallest id in its group."""
+    from projet_etl_a_rien_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", W.synth_url().alias("url")
+    )
+    keep = W.url_dedup_keepers(d)
+    stats = keep.agg(
+        F.max("n_docs").alias("mx"),
+        F.sum("n_docs").alias("tot"),
+        F.count("*").alias("groups"),
+    ).collect()[0]
+    assert stats.mx <= W.URL_GROUP_DIV
+    assert stats.tot == d.count()
+    bad = keep.where(F.col("keeper_id") % W.URL_GROUP_DIV != 0).count()
+    # group of rid r spans doc_ids [3r, 3r+2] → keeper ≡ 0 (mod 3) unless
+    # the group is truncated at the corpus head (never: ids start at 0)
+    assert bad == 0
+
+
+def test_blocklist_precedence(spark):
+    df = _urls(
+        spark,
+        [
+            (1, "https://a.src1.com/en/doc/1?id=1"),  # domain-blocked
+            (2, "https://a.src9.com/es/doc/2?id=2"),  # path-blocked
+            (3, "https://a.src1.com/es/doc/3?id=3"),  # domain wins
+            (4, "https://a.src9.com/en/doc/4?id=4"),  # allowed
+        ],
+    )
+    got = {
+        r.doc_id: r.verdict for r in W.domain_blocklist_verdicts(df).collect()
+    }
+    assert got == {1: "domain", 2: "path", 3: "domain", 4: "allowed"}
+
+
+def test_web_projections_have_no_exchange(spark):
+    """Canonicalize + blocklist are pure per-row projections: the plan
+    must contain no Exchange at all (step-0 ops run inside the scan
+    stage at 100 TB — a shuffle here would be a design bug)."""
+    df = _urls(spark, [(1, "https://a.b.com/x?id=1")])
+    for op in (W.url_features, W.domain_blocklist_verdicts):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------------- PII redaction
+
+
+def test_pii_redact_order_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail bob99@x.org call +1-555-0042 from 10.0.0.7 badge 1234",
+            )
+        ],
+        "doc_id long, text string",
+    )
+    got = T.pii_redact(df).collect()[0]
+    assert got.n_emails == 1
+    assert got.n_phones == 1
+    assert got.n_ips == 1
+    # the email's digits (99) and the phone/ip digits are consumed by
+    # their typed masks BEFORE the digit-run pass: only "1234" remains
+    assert got.n_nums == 1
+    assert (
+        got.text_redacted
+        == "mail <EMAIL> call <PHONE> from <IP> badge <NUM>"
+    )
+
+
+def test_pii_redact_no_exchange(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = T.pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------------- gap-fill resample
+
+
+def test_gap_fill_semantics(spark, monkeypatch, tmp_path):
+    """3 events across 5 hours for one user: gap hours carry the last
+    known level, hours before the first observation don't exist (grid
+    starts at the first event), n_events=0 marks gaps."""
+    import datetime as dt
+
+    from projet_etl_a_rien_spark import queries_round7 as R
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5, 10), 0, "c", 1.25, "{}"),
+        (2, dt.datetime(2024, 1, 1, 5, 40), 0, "c", 2.50, "{}"),
+        (3, dt.datetime(2024, 1, 1, 9, 5), 0, "c", 4.00, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    ev.write.mode("overwrite").parquet(p)
+
+    import projet_etl_a_rien_spark.catalog as cat
+
+    real = cat.load_table
+
+    def fake(s, d, name):
+        if name == "events":
+            return spark.read.parquet(p)
+        return real(s, d, name)
+
+    monkeypatch.setattr(cat, "load_table", fake)
+    out = {
+        (r.hour_ts.hour): (r.n_events, r.level_micro, r.is_gap)
+        for r in R.q_events_gap_fill_hourly(spark, "unused").collect()
+    }
+    assert out == {
+        5: (2, 2_500_000, False),  # last event in hour wins
+        6: (0, 2_500_000, True),  # forward-filled
+        7: (0, 2_500_000, True),
+        8: (0, 2_500_000, True),
+        9: (1, 4_000_000, False),
+    }
