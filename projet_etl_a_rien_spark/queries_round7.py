@@ -720,3 +720,228 @@ def q_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Epoch oversampling materializer + CSV permissive-parse audit
+# ---------------------------------------------------------------------------
+
+EPOCH_TEMP = 0.7  # same temperature as source_temperature_mix
+EPOCH_BUDGET_MULT = 2  # budget = 2x corpus size → epochs ≈ 2, reshaped by T
+
+
+@register(
+    "corpus_epoch_oversample",
+    f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n FROM counts),
+shares AS (
+    SELECT source, n_docs,
+           CAST(ROUND(pow(CAST(n_docs AS DOUBLE) / n, 1.0 / {EPOCH_TEMP})
+                      * 1000000000) AS BIGINT) AS share_nano
+    FROM counts CROSS JOIN tot
+),
+norm AS (SELECT SUM(share_nano) AS z, SUM(n_docs) AS n FROM shares),
+targets AS (
+    SELECT source, n_docs,
+           CAST(ROUND({EPOCH_BUDGET_MULT} * n * CAST(share_nano AS DOUBLE) / z)
+                AS BIGINT) AS sample_target
+    FROM shares CROSS JOIN norm
+),
+ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+    FROM documents
+),
+copies AS (
+    SELECT r.doc_id, r.source,
+           t.sample_target // t.n_docs
+           + CASE WHEN r.rn <= t.sample_target % t.n_docs THEN 1 ELSE 0 END
+               AS n_copies
+    FROM ranked r JOIN targets t ON r.source = t.source
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+FROM copies WHERE n_copies > 0
+""",
+    doc="Physical epoch-oversampling materializer: turn temperature-mix "
+    "sample targets (p_s ~ share^(1/T), budget = "
+    f"{EPOCH_BUDGET_MULT}x corpus) into an EXACT per-source row count "
+    "via largest-remainder allocation — every doc gets target DIV n "
+    "copies, the first target MOD n docs in deterministic md5 order get "
+    "one more, so the materialized epoch hits each source target "
+    "exactly (no sampling variance, idempotent across reruns). The "
+    "explode generates copies distributed (sequence per row, never a "
+    "driver loop); shuffle keys are source (rank) then nothing — at "
+    "100 TB the only state is the per-source rank window, and the same "
+    "allocation runs per-shard by ranking within (source, shard) and "
+    "splitting the remainder by shard size.",
+)
+def q_corpus_epoch_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n",
+        F.round(
+            F.pow(F.col("n_docs") / F.col("n"), 1.0 / EPOCH_TEMP)
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("share_nano"),
+    )
+    norm = shares.agg(F.sum("share_nano").alias("z"), F.max("n").alias("nn"))
+    targets = shares.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.lit(EPOCH_BUDGET_MULT)
+            * F.col("nn")
+            * F.col("share_nano")
+            / F.col("z")
+        )
+        .cast("long")
+        .alias("sample_target"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("doc_id", "source").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    copies = ranked.join(targets, "source").select(
+        "doc_id",
+        "source",
+        (
+            (F.col("sample_target") / F.col("n_docs")).cast("long")
+            + F.when(
+                F.col("rn") <= F.col("sample_target") % F.col("n_docs"), 1
+            ).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return copies.where(F.col("n_copies") > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1).cast("long"), "n_copies")).alias(
+            "copy_idx"
+        ),
+    )
+
+
+# CSV permissive-parse audit: corruption INJECTED deterministically, so
+# the oracle can classify rows by the same mod rules the synthesizer
+# uses (short row → prefix parsed + corrupt; non-numeric field → null +
+# corrupt; extra field → prefix parsed + corrupt; EMPTY field → null,
+# NOT corrupt — the exact PERMISSIVE semantics probed and pinned in
+# tests/test_round7b.py).
+CSV_SHORT_MOD = 13
+CSV_BADNUM_MOD = 17
+CSV_EXTRA_MOD = 19
+
+
+@register(
+    "csv_permissive_audit",
+    f"""
+WITH base AS (
+    SELECT event_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           CASE
+             WHEN event_id % {CSV_SHORT_MOD} = 0 THEN 'short'
+             WHEN event_id % {CSV_BADNUM_MOD} = 0 THEN 'badnum'
+             WHEN event_id % {CSV_EXTRA_MOD} = 0 THEN 'extra'
+             ELSE 'clean' END AS kind
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN kind <> 'clean' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_corrupt,
+       CAST(SUM(CASE WHEN kind IN ('short', 'badnum') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cents_null,
+       CAST(SUM(CASE WHEN kind IN ('short', 'badnum') THEN 0 ELSE cents END)
+            AS BIGINT) AS sum_cents
+FROM base GROUP BY 1
+""",
+    doc="Malformed-record audit through the real CSV parser: synthesize "
+    "one CSV line per event (deterministically corrupted: every "
+    f"{CSV_SHORT_MOD}th id loses its trailing field, every "
+    f"{CSV_BADNUM_MOD}th gets a non-numeric amount, every "
+    f"{CSV_EXTRA_MOD}th an extra column), parse with from_csv in "
+    "PERMISSIVE mode + columnNameOfCorruptRecord, and aggregate "
+    "good/corrupt/null-field counts per event type FROM THE PARSER "
+    "OUTPUT. The oracle classifies by the injection rules — "
+    "hash-equality proves the parser's permissive semantics match the "
+    "documented contract (short/badnum/extra → corrupt captured, "
+    "prefix fields still parsed; sums exclude unparseable amounts). "
+    "The quarantine path a 100 TB ingest runs on every raw feed.",
+)
+def q_csv_permissive_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    eid = F.col("event_id")
+    line = (
+        F.when(
+            eid % CSV_SHORT_MOD == 0,
+            F.concat_ws(",", eid.cast("string"), "event_type"),
+        )
+        .when(
+            eid % CSV_BADNUM_MOD == 0,
+            F.concat_ws(
+                ",",
+                eid.cast("string"),
+                F.col("event_type"),
+                F.concat(F.lit("x"), F.col("cents").cast("string")),
+            ),
+        )
+        .when(
+            eid % CSV_EXTRA_MOD == 0,
+            F.concat_ws(
+                ",",
+                eid.cast("string"),
+                F.col("event_type"),
+                F.col("cents").cast("string"),
+                F.lit("9"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",", eid.cast("string"), "event_type",
+                F.col("cents").cast("string"),
+            )
+        )
+    )
+    schema = "event_id bigint, event_type string, cents bigint, _corrupt string"
+    parsed = ev.select(line.alias("line")).select(
+        F.from_csv(
+            "line",
+            F.lit(schema),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p")
+    )
+    return (
+        parsed.select("p.*")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)
+            ).alias("n_corrupt"),
+            F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0)).alias(
+                "n_cents_null"
+            ),
+            F.sum(F.coalesce("cents", F.lit(0))).alias("sum_cents"),
+        )
+    )

@@ -190,3 +190,87 @@ def test_gap_fill_semantics(spark, monkeypatch, tmp_path):
         8: (0, 2_500_000, True),
         9: (1, 4_000_000, False),
     }
+
+
+# ------------------------------------------- epoch oversample + CSV audit
+
+
+def test_epoch_oversample_hits_targets_exactly(spark, sf_dir):
+    """Largest-remainder allocation: the materialized epoch's per-source
+    row counts equal the integer sample targets EXACTLY (no sampling
+    variance), and the grand total equals the budget."""
+    from projet_etl_a_rien_spark import queries_round7 as R
+
+    out = R.q_corpus_epoch_oversample(spark, sf_dir)
+    per = {
+        r.source: r.n for r in out.groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # recompute targets independently
+    import math
+
+    d = R._docs(spark, sf_dir)
+    counts = {r.source: r.n for r in d.groupBy("source").count()
+              .withColumnRenamed("count", "n").collect()}
+    n = sum(counts.values())
+    nano = {
+        s: round((c / n) ** (1 / R.EPOCH_TEMP) * 1_000_000_000)
+        for s, c in counts.items()
+    }
+    z = sum(nano.values())
+    targets = {
+        s: round(R.EPOCH_BUDGET_MULT * n * v / z) for s, v in nano.items()
+    }
+    assert per == {s: t for s, t in targets.items() if t > 0}
+    assert math.isclose(
+        sum(per.values()), R.EPOCH_BUDGET_MULT * n, abs_tol=len(counts)
+    )
+
+
+def test_epoch_oversample_copy_idx_dense(spark, sf_dir):
+    """copy_idx enumerates 1..n_copies per doc (dense, no gaps): max
+    copy_idx per doc equals that doc's row count."""
+    from projet_etl_a_rien_spark import queries_round7 as R
+    from pyspark.sql import functions as F2
+
+    out = R.q_corpus_epoch_oversample(spark, sf_dir)
+    bad = (
+        out.groupBy("doc_id")
+        .agg(
+            F2.max("copy_idx").alias("mx"), F2.count("*").alias("c"),
+            F2.min("copy_idx").alias("mn"),
+        )
+        .where((F2.col("mx") != F2.col("c")) | (F2.col("mn") != 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_csv_permissive_audit_counts(spark, sf_dir):
+    """The parser-derived corrupt/null counts equal the injection-rule
+    counts (PERMISSIVE semantics: short/badnum/extra all corrupt;
+    only short/badnum null the cents field)."""
+    from projet_etl_a_rien_spark import queries_round7 as R
+    from projet_etl_a_rien_spark.catalog import load_table
+
+    got = R.q_csv_permissive_audit(spark, sf_dir)
+    tot = got.agg(
+        F.sum("n_rows").alias("n"),
+        F.sum("n_corrupt").alias("c"),
+        F.sum("n_cents_null").alias("z"),
+    ).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    short = ev.where(F.col("event_id") % R.CSV_SHORT_MOD == 0).count()
+    badnum = ev.where(
+        (F.col("event_id") % R.CSV_SHORT_MOD != 0)
+        & (F.col("event_id") % R.CSV_BADNUM_MOD == 0)
+    ).count()
+    extra = ev.where(
+        (F.col("event_id") % R.CSV_SHORT_MOD != 0)
+        & (F.col("event_id") % R.CSV_BADNUM_MOD != 0)
+        & (F.col("event_id") % R.CSV_EXTRA_MOD == 0)
+    ).count()
+    assert tot.n == n
+    assert tot.c == short + badnum + extra
+    assert tot.z == short + badnum
