@@ -87,6 +87,21 @@ SPOT = [
     "orders_snapshot_diff",
     "audio_spectral_features",
     "events_next_event_dataset",
+    # r7 additions. doc_bigram_logprob_hashed is the bounded-model twin
+    # of doc_bigram_logprob (3.62x at 10x in r6 — the hashed model table
+    # is O(1)-sized, so its growth should track the corpus scan, not
+    # vocab²). Web/PII/CSV ops are per-row projections or single hash
+    # aggs; gap-fill's grid is bounded by users x span-hours; the epoch
+    # oversample's output is budget-proportional (2x corpus).
+    "doc_bigram_logprob_hashed",
+    "web_url_canonicalize",
+    "web_url_dedup_keepers",
+    "web_domain_stats",
+    "doc_pii_redact",
+    "doc_html_to_text",
+    "events_gap_fill_hourly",
+    "corpus_epoch_oversample",
+    "csv_permissive_audit",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
