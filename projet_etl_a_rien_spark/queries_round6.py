@@ -359,18 +359,14 @@ def q_streaming_inverted_index_ingest(
     )
     from .streaming.windows import (
         apply_runtime_confs,
+        docs_stream,
         run_incremental_postings_sink,
     )
 
     apply_runtime_confs(spark)
     path = tempfile.mkdtemp(prefix="invsink_")
     try:
-        even = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-            .where(F.col("doc_id") % 2 == 0)
-        )
+        even = docs_stream(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
         run_incremental_postings_sink(even, path)
         odd = _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
         write_postings_partial(
@@ -482,7 +478,11 @@ WHERE lw_nano * n_docs >= total_nano
     "built for: fit once, gate the firehose.",
 )
 def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.windows import apply_runtime_confs, run_bounded
+    from .streaming.windows import (
+        apply_runtime_confs,
+        docs_stream,
+        run_bounded,
+    )
 
     apply_runtime_confs(spark)
     llr = selection.dsir_llr_table(
@@ -490,11 +490,7 @@ def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source") == DSIR_TARGET_SOURCE,
         n_buckets=DSIR_BUCKETS,
     ).localCheckpoint(eager=True)  # freeze the model before the stream runs
-    doc_stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    doc_stream = docs_stream(spark, sf_dir)
     scored = selection.dsir_score_stream(
         doc_stream, llr, n_buckets=DSIR_BUCKETS
     )
@@ -781,17 +777,14 @@ def q_streaming_index_phrase_search(
 
     from .streaming.windows import (
         apply_runtime_confs,
+        docs_stream,
         run_incremental_postings_sink,
     )
 
     apply_runtime_confs(spark)
     path = tempfile.mkdtemp(prefix="invq_")
     try:
-        doc_stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-        )
+        doc_stream = docs_stream(spark, sf_dir)
         folded = run_incremental_postings_sink(doc_stream, path)
         return retrieval.phrase_search_postings(
             folded, PHRASE
@@ -849,17 +842,14 @@ def q_streaming_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_round4 import BM25_QUERY_TERMS
     from .streaming.windows import (
         apply_runtime_confs,
+        docs_stream,
         run_incremental_postings_sink,
     )
 
     apply_runtime_confs(spark)
     path = tempfile.mkdtemp(prefix="invbm_")
     try:
-        doc_stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-        )
+        doc_stream = docs_stream(spark, sf_dir)
         folded = run_incremental_postings_sink(doc_stream, path)
         scored = retrieval.bm25_from_postings(folded, BM25_QUERY_TERMS)
         return (

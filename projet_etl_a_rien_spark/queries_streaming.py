@@ -17,6 +17,7 @@ from .catalog import load_table
 from .queries import register
 from .streaming.windows import (
     dedup_within_watermark,
+    docs_stream,
     stream_stream_interval_join,
     stream_stream_left_outer_join,
     replay_events_stream,
@@ -608,11 +609,7 @@ def q_streaming_doc_classifier_gate(
     from .streaming.windows import apply_runtime_confs
 
     apply_runtime_confs(spark)
-    src = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    src = docs_stream(spark, sf_dir)
     return run_bounded(hashed_classifier_score(src), mode="append")
 
 
@@ -768,11 +765,7 @@ def q_streaming_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFram
         .select("bid", F.md5("g").alias("gh"))
     )
     # stream side: the raw documents table IS the training split
-    src = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    src = docs_stream(spark, sf_dir)
     hits = (
         src.select(
             F.col("doc_id").alias("id"),

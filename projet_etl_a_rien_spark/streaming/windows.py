@@ -26,6 +26,7 @@ no-checkpoint in-memory state is documented as a defect, SURVEY.md §4.2).
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -58,6 +59,31 @@ EVENTS_SCHEMA_TS = (
 )
 
 
+def _table_file_stream(
+    spark: SparkSession, path: str, glob: str, schema: str
+) -> DataFrame:
+    """File-source stream over a fixture table that may be laid out as a
+    single file ``<path>/<glob>`` (the driver testdata) OR as a
+    Spark-written directory of part files under ``<path>/<glob>/`` (any
+    real table, including the derived scale-bench dataset). The file
+    stream source requires its basePath to be a directory, so a
+    directory table is monitored directly and a flat file falls back to
+    monitoring ``path`` with a leaf-name filter — same rows either way."""
+    sub = os.path.join(path, glob)
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(sub):
+        return reader.parquet(sub)
+    return reader.option("pathGlobFilter", glob).parquet(path)
+
+
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a bounded file stream (both table layouts)."""
+    apply_runtime_confs(spark)
+    return _table_file_stream(
+        spark, sf_dir, "documents.parquet", "doc_id long, text string"
+    )
+
+
 def events_stream(
     spark: SparkSession, path: str, glob: str = "events.parquet"
 ) -> DataFrame:
@@ -75,12 +101,13 @@ def events_stream(
     dtype guard on the batch side.
     """
     apply_runtime_confs(spark)
-    probe = spark.read.option("pathGlobFilter", glob).parquet(path)
+    probe = spark.read.parquet(os.path.join(path, glob))
     ts_is_long = dict(probe.dtypes).get("ts") == "bigint"
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA if ts_is_long else EVENTS_SCHEMA_TS)
-        .option("pathGlobFilter", glob)
-        .parquet(path)
+    src = _table_file_stream(
+        spark,
+        path,
+        glob,
+        EVENTS_SCHEMA if ts_is_long else EVENTS_SCHEMA_TS,
     )
     if ts_is_long:
         return src.withColumn(

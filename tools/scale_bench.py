@@ -201,11 +201,9 @@ def _time_pipelines(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
         path = tempfile.mkdtemp(prefix="sbidx_")
         ckpt = tempfile.mkdtemp(prefix="sbidx_ckpt_")
         try:
-            stream = (
-                spark.readStream.schema("doc_id long, text string")
-                .option("pathGlobFilter", "documents.parquet")
-                .parquet(sf_dir)
-            )
+            from projet_etl_a_rien_spark.streaming.windows import docs_stream
+
+            stream = docs_stream(spark, sf_dir)
             from projet_etl_a_rien_spark.operators.compaction import (
                 write_postings_partial,
             )
