@@ -945,3 +945,135 @@ def q_csv_permissive_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("cents", F.lit(0))).alias("sum_cents"),
         )
     )
+
+
+@register(
+    "events_interpolate_hourly",
+    f"""
+WITH ev AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
+           CAST(ROUND(value * 1000000) AS BIGINT) AS vmic
+    FROM events WHERE user_id % {GAP_USER_MOD} = 0
+),
+ranked AS (
+    SELECT user_id, hr, vmic,
+           ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev
+),
+hourly AS (
+    SELECT user_id, hr, vmic AS last_vmic FROM ranked WHERE rn = 1
+),
+bounds AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM ev GROUP BY 1),
+grid AS (
+    SELECT user_id,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+    FROM bounds
+),
+j AS (
+    SELECT g.user_id, g.hr, h.last_vmic
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+),
+f AS (
+    SELECT *,
+           COUNT(last_vmic) OVER (PARTITION BY user_id ORDER BY hr) AS lg,
+           COUNT(last_vmic) OVER (PARTITION BY user_id ORDER BY hr DESC)
+               AS rg
+    FROM j
+),
+anch AS (
+    SELECT user_id, hr, last_vmic,
+           MAX(last_vmic) OVER (PARTITION BY user_id, lg) AS lv,
+           MIN(hr) OVER (PARTITION BY user_id, lg) AS lhr,
+           MAX(last_vmic) OVER (PARTITION BY user_id, rg) AS rv,
+           MAX(hr) OVER (PARTITION BY user_id, rg) AS rhr
+    FROM f
+)
+SELECT user_id, hr AS hour_ts,
+       last_vmic IS NULL AS interpolated,
+       CASE
+         WHEN last_vmic IS NOT NULL THEN last_vmic
+         WHEN rv IS NULL THEN lv
+         ELSE lv + CAST(ROUND(
+              (rv - lv) * ((epoch(hr) - epoch(lhr)) / 3600.0)
+              / ((epoch(rhr) - epoch(lhr)) / 3600.0)) AS BIGINT)
+       END AS level_micro
+FROM anch
+""",
+    doc="Linear-interpolation resample (the interpolating twin of "
+    "events_gap_fill_hourly): gap hours take the value linearly "
+    "interpolated between the bracketing observations; trailing gaps "
+    "hold the last level (no right anchor). Left/right anchors come "
+    "from the same running-non-null-count trick run in BOTH directions "
+    "— two window passes over one user-keyed exchange, engine-neutral. "
+    "Arithmetic is exact-integer micro-units with one correctly-rounded "
+    "double division shared by both engines (identical operand order, "
+    "identical IEEE semantics), so parity is bit-stable.",
+)
+def q_events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").where(
+        F.col("user_id") % GAP_USER_MOD == 0
+    )
+    base = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    hourly = base.groupBy("user_id", "hr").agg(
+        F.max_by("vmic", F.struct("ts", "event_id")).alias("last_vmic")
+    )
+    bounds = base.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left")
+    asc = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("hr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f2 = j.withColumn("lg", F.count("last_vmic").over(asc)).withColumn(
+        "rg", F.count("last_vmic").over(desc)
+    )
+    wl = Window.partitionBy("user_id", "lg")
+    wr = Window.partitionBy("user_id", "rg")
+    anch = f2.select(
+        "user_id",
+        "hr",
+        "last_vmic",
+        F.max("last_vmic").over(wl).alias("lv"),
+        F.min("hr").over(wl).alias("lhr"),
+        F.max("last_vmic").over(wr).alias("rv"),
+        F.max("hr").over(wr).alias("rhr"),
+    )
+    k = (F.unix_timestamp("hr") - F.unix_timestamp("lhr")) / 3600.0
+    span = (F.unix_timestamp("rhr") - F.unix_timestamp("lhr")) / 3600.0
+    interp = (
+        F.col("lv")
+        + F.round((F.col("rv") - F.col("lv")) * k / span).cast("long")
+    )
+    return anch.select(
+        "user_id",
+        F.col("hr").alias("hour_ts"),
+        F.col("last_vmic").isNull().alias("interpolated"),
+        F.when(F.col("last_vmic").isNotNull(), F.col("last_vmic"))
+        .when(F.col("rv").isNull(), F.col("lv"))
+        .otherwise(interp)
+        .alias("level_micro"),
+    )

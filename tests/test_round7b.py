@@ -274,3 +274,47 @@ def test_csv_permissive_audit_counts(spark, sf_dir):
     assert tot.n == n
     assert tot.c == short + badnum + extra
     assert tot.z == short + badnum
+
+
+def test_interpolate_semantics(spark, monkeypatch, tmp_path):
+    """Linear ramp across a 3-hour gap lands on the exact integer grid;
+    trailing gaps hold the last level; observed hours keep their own
+    (last-in-hour) value."""
+    import datetime as dt
+
+    from projet_etl_a_rien_spark import queries_round7 as R
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5, 10), 0, "c", 1.00, "{}"),
+        (2, dt.datetime(2024, 1, 1, 8, 40), 0, "c", 4.00, "{}"),
+        (3, dt.datetime(2024, 1, 1, 9, 5), 0, "c", 2.00, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    ev.write.mode("overwrite").parquet(p)
+
+    import projet_etl_a_rien_spark.catalog as cat
+
+    real = cat.load_table
+
+    def fake(s, d, name):
+        if name == "events":
+            return spark.read.parquet(p)
+        return real(s, d, name)
+
+    monkeypatch.setattr(cat, "load_table", fake)
+    out = {
+        r.hour_ts.hour: (r.level_micro, r.interpolated)
+        for r in R.q_events_interpolate_hourly(spark, "unused").collect()
+    }
+    assert out == {
+        5: (1_000_000, False),
+        6: (2_000_000, True),  # 1M + (4M-1M) * 1/3
+        7: (3_000_000, True),
+        8: (4_000_000, False),
+        9: (2_000_000, False),
+    }
