@@ -318,3 +318,36 @@ def test_interpolate_semantics(spark, monkeypatch, tmp_path):
         8: (4_000_000, False),
         9: (2_000_000, False),
     }
+
+
+def test_table_file_stream_reads_both_layouts(spark, tmp_path, sf_dir):
+    """_table_file_stream must stream identical rows from the flat
+    single-file fixture layout and from a Spark-written directory table
+    (the layout every real table has — and the one the r7 scale bench
+    initially streamed ZERO rows from)."""
+    from projet_etl_a_rien_spark.streaming.windows import (
+        _table_file_stream,
+        run_bounded,
+    )
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    droot = str(tmp_path / "tbl")
+    flat.write.mode("overwrite").parquet(f"{droot}/documents.parquet")
+
+    def total(path):
+        src = _table_file_stream(
+            spark, path, "documents.parquet", "doc_id long, text string"
+        )
+        got = run_bounded(
+            src.groupBy().agg(
+                F.count("*").alias("n"), F.sum("doc_id").alias("s")
+            ),
+            mode="complete",
+        )
+        return got.collect()[0]
+
+    a, b = total(sf_dir), total(droot)
+    assert (a.n, a.s) == (b.n, b.s)
+    assert a.n > 0
