@@ -180,6 +180,7 @@ SCALAR_BNLJ_OK = {
     "customer_revenue_pareto",  # 1-row (lo, hi, n) range broadcast
     "events_dow_hour_heatmap",  # 1-row total broadcast onto the 168-cell grid
     "web_domain_stats",  # 1-row total_docs broadcast onto the domain table
+    "corpus_epoch_oversample",  # 1-row corpus-total + 1-row normalizer
 }
 
 
