@@ -4,11 +4,13 @@ importance weighting, BPE tokenizer train/encode, and snapshot diff.
 Imported for its registration side effects by ``queries._load_extensions``;
 same parity rules as every other registration module (adjacent DuckDB
 oracle, identical aliases, exactmath nano-grid quantization for every
-transcendental at the vocab/bucket level). The two BPE entries
-(``bpe_learn_merges`` train / ``corpus_bpe_encode_stats`` encode) are
-the registry's only oracle-less batch entries — the sequential merge
-loop is the brief's "iterative algorithm" carve-out; both are pinned by
-property tests against a pure-Python reference (tests/test_round6.py).
+transcendental at the vocab/bucket level). Both BPE entries carry full
+DuckDB oracles: the encode half as a frozen-merge-table replace chain
+(r7), and the LEARN half as a bounded unrolled iteration — num_merges
+is a fixed constant, so the sequential argmax/rewrite loop unrolls to
+one MATERIALIZED CTE block per merge (r7); both are additionally
+pinned by property tests against a pure-Python reference
+(tests/test_round6.py).
 """
 
 from __future__ import annotations
@@ -163,14 +165,78 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_learn_oracle(num_merges: int = 10, min_count: int = 2) -> str:
+    """DuckDB oracle for BPE merge LEARNING — the loop is iterative, but
+    ``num_merges`` is a fixed constant, so it unrolls: one CTE block per
+    merge (pair counts from the current symbol strings → 1-row argmax
+    with the (count desc, l, r) tie-break → anchored boundary-replace
+    rewrite, the same ⊔l⊔⊔r⊔ → ⊔lr⊔ trick the encode oracle uses).
+
+    Early stop (max pair count < ``min_count``) is reproduced by a
+    PER-ITERATION gate, which equals the global stop by monotonicity:
+    a below-threshold argmax leaves the table unchanged, so every later
+    iteration re-finds the same below-threshold pair and emits nothing.
+
+    ``MATERIALIZED`` on each per-iteration CTE is essential: the rewrite
+    references the previous state twice (FROM + the top-pair join), so
+    default CTE inlining would expand the chain exponentially
+    (2^num_merges scans of the corpus)."""
+    S = "chr(30)"
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ctes = [
+        "occ AS (SELECT unnest(string_split(text, ' ')) AS word"
+        " FROM documents)",
+        "occ2 AS (SELECT word FROM occ WHERE word <> '')",
+        "wc AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM occ2"
+        " GROUP BY word)",
+        f"r0 AS MATERIALIZED (SELECT cnt, regexp_replace(word, '(.)',"
+        f" {S} || '\\1' || {S}, 'g') || {S} || {q(bpe.END)} || {S} AS rep"
+        " FROM wc)",
+    ]
+    outs = []
+    prev = "r0"
+    for i in range(1, num_merges + 1):
+        ctes.append(
+            f"p{i} AS (SELECT u.l AS l, u.r AS r, CAST(SUM(cnt) AS BIGINT)"
+            f" AS n FROM (SELECT cnt, unnest(list_transform(range(1,"
+            f" len(ss)), j -> struct_pack(l := ss[j], r := ss[j + 1]))) AS u"
+            f" FROM (SELECT cnt, string_split(trim(rep, {S}), {S} || {S})"
+            f" AS ss FROM {prev}) WHERE len(ss) >= 2) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT l, r, n FROM p{i}"
+            " ORDER BY n DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT cnt, CASE WHEN t.n >= {min_count}"
+            f" THEN replace(rep, {S} || t.l || {S} || {S} || t.r || {S},"
+            f" {S} || t.l || t.r || {S}) ELSE rep END AS rep"
+            f" FROM {prev}, t{i} t)"
+        )
+        prev = f"r{i}"
+        outs.append(
+            f'SELECT CAST({i} AS INTEGER) AS rank, l AS "left",'
+            f' r AS "right", n AS pair_count FROM t{i}'
+            f" WHERE n >= {min_count}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
 @register(
     "bpe_learn_merges",
-    None,  # iterative argmax/rewrite loop — the brief's non-SQL carve-out;
-    # pinned against a pure-Python reference in tests/test_round6.py
+    _bpe_learn_oracle(num_merges=10, min_count=2),
     doc="Word-level BPE merge learning (Sennrich 2016): 10 merges over "
     "the corpus word-count table; per-iteration JVM pair-count groupBy + "
     "1-row argmax + greedy F.aggregate rewrite with localCheckpoint "
-    "lineage truncation. Deterministic (count desc, pair asc) tie-break.",
+    "lineage truncation. Deterministic (count desc, pair asc) tie-break. "
+    "The oracle unrolls the bounded loop into one MATERIALIZED CTE block "
+    "per merge (argmax + anchored boundary-replace), with the early-stop "
+    "gate reproduced per iteration — so even the registry's iterative "
+    "entry is hash-exact against DuckDB; the pure-Python property test "
+    "(tests/test_round6.py) remains as an independent third opinion.",
 )
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_merge_table(spark, _docs(spark, sf_dir), num_merges=10)

@@ -351,3 +351,56 @@ def test_table_file_stream_reads_both_layouts(spark, tmp_path, sf_dir):
     a, b = total(sf_dir), total(droot)
     assert (a.n, a.s) == (b.n, b.s)
     assert a.n > 0
+
+
+def test_bpe_learn_oracle_early_stop(spark):
+    """The unrolled learn oracle's per-iteration gate reproduces the
+    global early stop (monotonicity: a below-threshold argmax leaves
+    the table unchanged, so later iterations re-find it and emit
+    nothing). Tiny corpus stops after 2 merges; DuckDB output equals
+    the pure-Python reference exactly."""
+    import collections
+
+    import duckdb
+
+    from projet_etl_a_rien_spark.operators.bpe import END
+    from projet_etl_a_rien_spark.queries_round6 import _bpe_learn_oracle
+
+    texts = ["ab ab xq", "ab zz"]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(text VARCHAR)")
+    for t in texts:
+        con.sql("INSERT INTO documents VALUES (?)", params=[t])
+    got = [tuple(r) for r in con.sql(_bpe_learn_oracle(10, 2)).fetchall()]
+
+    words = collections.Counter(
+        w for t in texts for w in t.split(" ") if w
+    )
+    vocab = {w: list(w) + [END] for w in words}
+    ref = []
+    for rank in range(1, 11):
+        pc = collections.Counter()
+        for w, s in vocab.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        (left, right), n = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        if n < 2:
+            break
+        ref.append((rank, left, right, n))
+        for w in vocab:
+            s = vocab[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    assert got == ref
+    assert len(got) == 2  # stopped early, not 10
