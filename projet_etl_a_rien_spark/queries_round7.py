@@ -12,13 +12,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_table
+from .catalog import load_table, widen_input
 from .operators import retrieval
 from .queries import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # Widened at the QUERY layer (operators stay shuffle-free): the
+    # single-file fixture otherwise runs this module's heavy per-row
+    # regexp/parse work on one task (r5 parallelism-audit discipline);
+    # no-op at production scan widths.
+    return widen_input(load_table(spark, sf_dir, "documents"))
 
 
 BB_BUCKETS = 4096
@@ -637,8 +641,10 @@ def q_events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events").where(
-        F.col("user_id") % GAP_USER_MOD == 0
+    ev = widen_input(
+        _lt(spark, sf_dir, "events").where(
+            F.col("user_id") % GAP_USER_MOD == 0
+        )
     )
     base = ev.select(
         "user_id",
@@ -699,11 +705,13 @@ def q_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ev = widen_input(
+        _lt(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
     )
     path = tempfile.mkdtemp(prefix="orcrt_")
     try:
@@ -886,10 +894,12 @@ FROM base GROUP BY 1
 def q_csv_permissive_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ev = widen_input(
+        _lt(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
     )
     eid = F.col("event_id")
     line = (
@@ -1015,8 +1025,10 @@ def q_events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events").where(
-        F.col("user_id") % GAP_USER_MOD == 0
+    ev = widen_input(
+        _lt(spark, sf_dir, "events").where(
+            F.col("user_id") % GAP_USER_MOD == 0
+        )
     )
     base = ev.select(
         "user_id",
