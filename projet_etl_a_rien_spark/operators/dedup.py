@@ -1212,3 +1212,94 @@ def ngram_contamination(
         F.count_distinct("gh").alias("n_hit_ngrams"),
         F.count_distinct("bid").alias("n_bench_docs"),
     )
+
+
+def bloom_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-pre-filtered benchmark decontamination — the at-scale form
+    of :func:`ngram_contamination`: the benchmark's n-grams are folded
+    into an ``m_bits``-bit Bloom filter (k=2 double-hashed positions
+    from one md5: ``p_i = (h1 + i*h2) mod m``), and every training
+    gram probes the filter BEFORE any equality join runs. At 100 TB
+    the filter is a ~m/32-row (word, bits) table that AQE broadcasts —
+    the corpus-side pass is then map-side only, and the expensive
+    exact join runs on the tiny bloom-positive survivor set.
+
+    Here the exact join also runs on ALL grams so the output QUANTIFIES
+    the filter: per training doc (n_grams, n_bloom_hits, n_exact_hits,
+    n_false_pos) — the false-positive column is the measured cost of
+    the m/k trade, fully deterministic (md5 positions, no RNG).
+
+    Every arithmetic step is portable: 32-bit words keep the per-bit
+    masks in positive int64 on both engines, and the position hashes
+    reuse the ``CAST('0x' || substr(md5(g), …) AS BIGINT)`` idiom the
+    DSIR bucket model already proved hash-exact.
+    """
+    words = 32  # bits per bitmap word — masks stay positive int64
+
+    def h(g, off):  # first/second 8 md5 hex chars → int64
+        return F.conv(F.substring(F.md5(g), off, 8), 16, 10).cast("bigint")
+
+    def positions(g):
+        h1, h2 = h(g, 1), h(g, 9)
+        return F.array(h1 % m_bits, (h1 + h2) % m_bits)
+
+    tg = train.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
+    )
+    bgd = (
+        bench.select(F.explode(shingles(text_col, n)).alias("g")).distinct()
+    )
+    bloom = (
+        bgd.select(F.explode(positions(F.col("g"))).alias("p"))
+        .select(
+            (F.col("p") / words).cast("bigint").alias("w"),
+            (F.col("p") % words).cast("int").alias("b"),
+        )
+        .distinct()
+        .groupBy("w")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("bits")
+        )
+    )
+    probes = tg.select(
+        "id", "g", F.explode(positions(F.col("g"))).alias("p")
+    ).select(
+        "id",
+        "g",
+        (F.col("p") / words).cast("bigint").alias("w"),
+        (F.col("p") % words).cast("int").alias("b"),
+    )
+    per_gram = (
+        probes.join(bloom, "w", "left")
+        .select(
+            "id",
+            "g",
+            F.coalesce(
+                F.expr(
+                    "(bits & shiftleft(CAST(1 AS BIGINT), b)) <> 0"
+                ),
+                F.lit(False),
+            ).alias("bit_set"),
+        )
+        .groupBy("id", "g")
+        .agg(F.bool_and("bit_set").alias("bloom_pass"))
+    )
+    exact = bgd.withColumn("e", F.lit(True))
+    flagged = per_gram.join(exact, "g", "left")
+    return flagged.groupBy("id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_bloom_hits"
+        ),
+        F.sum(F.when(F.col("e"), 1).otherwise(0)).alias("n_exact_hits"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("e").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )

@@ -1089,3 +1089,103 @@ def q_events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp)
         .alias("level_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pre-filtered decontamination: the at-scale gate pattern, with the
+# false-positive cost quantified per document.
+# ---------------------------------------------------------------------------
+
+# Deliberately sized so the false-positive column is non-trivially
+# exercised at the gate's sf0.01 corpus (measured: 9 FPs at 2^15 bits vs
+# 0 at 2^18 for ~24k probed grams) — production picks m from the target
+# FP budget; the audit columns are how you check the choice.
+BLOOM_M_BITS = 1 << 15
+BLOOM_N = 8  # same gram width as ngram_overlap_contamination
+
+
+def _bloom_oracle() -> str:
+    from .fixtures import DOCUMENTS_WITH_DUPS_ORACLE_CTE
+
+    n, m, w = BLOOM_N, BLOOM_M_BITS, 32
+    gram_list = (
+        f"list_distinct(list_transform("
+        f"range(len(string_split(text, ' ')) - {n - 1}),"
+        f" i -> array_to_string(string_split(text, ' ')[i + 1:i + {n}], ' ')))"
+    )
+    h1 = "CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(g), 9, 8) AS BIGINT)"
+    return f"""
+WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+tg AS (
+    SELECT doc_id AS id, unnest({gram_list}) AS g
+    FROM docs_dup
+    WHERE doc_id < 1000000 AND len(string_split(text, ' ')) >= {n}
+),
+bgd AS (
+    SELECT DISTINCT unnest({gram_list}) AS g
+    FROM docs_dup
+    WHERE doc_id >= 1000000 AND len(string_split(text, ' ')) >= {n}
+),
+bpos AS (
+    SELECT DISTINCT p // {w} AS wd, p % {w} AS b
+    FROM (SELECT unnest([{h1} % {m}, ({h1} + {h2}) % {m}]) AS p FROM bgd)
+),
+bloom AS (
+    SELECT wd, CAST(bit_or(CAST(1 AS BIGINT) << CAST(b AS INTEGER)) AS BIGINT)
+               AS bits
+    FROM bpos GROUP BY wd
+),
+tp AS (
+    SELECT id, g, unnest([{h1} % {m}, ({h1} + {h2}) % {m}]) AS p FROM tg
+),
+tpl AS (SELECT id, g, p // {w} AS wd, p % {w} AS b FROM tp),
+per_gram AS (
+    SELECT id, g,
+           bool_and(COALESCE(
+               (bits & (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) <> 0,
+               FALSE)) AS bloom_pass
+    FROM tpl LEFT JOIN bloom USING (wd)
+    GROUP BY id, g
+),
+flagged AS (
+    SELECT id, bloom_pass, e.g IS NOT NULL AS is_exact
+    FROM per_gram LEFT JOIN (SELECT g FROM bgd) e USING (g)
+)
+SELECT id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits,
+       CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_hits,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_exact THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM flagged GROUP BY id
+"""
+
+
+@register(
+    "bloom_contamination_gate",
+    _bloom_oracle(),
+    doc=f"Bloom-pre-filtered {BLOOM_N}-gram decontamination — the at-scale "
+    "form of ngram_overlap_contamination: benchmark grams fold into a "
+    f"{BLOOM_M_BITS}-bit filter (k=2 double-hashed md5 positions, 32-bit "
+    "words so masks stay positive int64 cross-engine); training grams "
+    "probe the broadcast-sized (word, bits) table map-side BEFORE any "
+    "equality join. Output quantifies the filter per doc: gram count, "
+    "bloom hits, exact hits, and measured false positives — "
+    "deterministic (no RNG), so the m/k trade is auditable, and at "
+    "100 TB the exact join runs only on the bloom-positive survivor "
+    "set.",
+)
+def q_bloom_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import documents_with_dups
+    from .operators import dedup as _dedup
+
+    corpus = widen_input(documents_with_dups(spark, sf_dir))
+    return _dedup.bloom_contamination(
+        corpus.where(F.col("doc_id") < 1_000_000),
+        corpus.where(F.col("doc_id") >= 1_000_000),
+        n=BLOOM_N,
+        m_bits=BLOOM_M_BITS,
+    )

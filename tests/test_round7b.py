@@ -404,3 +404,23 @@ def test_bpe_learn_oracle_early_stop(spark):
             vocab[w] = out
     assert got == ref
     assert len(got) == 2  # stopped early, not 10
+
+
+def test_bloom_contamination_soundness(spark, sf_dir):
+    """Bloom filters have NO false negatives: every exact hit must also
+    be a bloom hit, and false positives are exactly bloom - exact."""
+    from projet_etl_a_rien_spark import queries_round7 as R
+
+    df = R.q_bloom_contamination_gate(spark, sf_dir)
+    bad = df.where(
+        (F.col("n_bloom_hits") < F.col("n_exact_hits"))
+        | (
+            F.col("n_false_pos")
+            != F.col("n_bloom_hits") - F.col("n_exact_hits")
+        )
+    ).count()
+    assert bad == 0
+    tot = df.agg(
+        F.sum("n_exact_hits").alias("e"), F.sum("n_false_pos").alias("fp")
+    ).collect()[0]
+    assert tot.e > 0  # planted dups guarantee real contamination
