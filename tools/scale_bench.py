@@ -102,6 +102,8 @@ SPOT = [
     "events_gap_fill_hourly",
     "corpus_epoch_oversample",
     "csv_permissive_audit",
+    "events_interpolate_hourly",
+    "bloom_contamination_gate",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
