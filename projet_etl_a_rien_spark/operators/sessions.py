@@ -66,3 +66,80 @@ def sessionize(
             F.sum("_cents").alias("sum_value_cents"),
         )
     )
+
+
+def session_event_sequences(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    pattern: str = "v[^p]*c[^p]*p",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sequence-pattern matching over sessions — the MATCH_RECOGNIZE /
+    CEP stand-in: render each session's events (ordered by (ts, id) —
+    fully deterministic under timestamp ties) as a compact initials
+    string and count non-overlapping regex matches of ``pattern``
+    (default: a view→click→purchase conversion with no intervening
+    purchase).
+
+    The order-SENSITIVE aggregation is the interesting part at scale:
+    ``collect_list`` order is partition-dependent, so the sequence is
+    built as ``array_sort(collect_list(struct(us, id, ini)))`` — the
+    sort key rides inside the collected struct and the ordering is
+    re-established per group, independent of task layout. One shuffle
+    on the user key shared by the session windows and the final
+    groupBy; per-group state is bounded by session length, not corpus
+    size. The regex is RE2-safe (char classes only) so Spark and any
+    RE2 engine count identical non-overlapping leftmost matches.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_ord = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = F.lit(gap_seconds * 1_000_000)
+    flagged = events.select(
+        user_col,
+        F.col(ts_col),
+        F.col(id_col),
+        us.alias("_us"),
+        F.substring(F.col(type_col), 1, 1).alias("_ini"),
+        F.when(
+            F.lag(us).over(w_ord).isNull()
+            | ((us - F.lag(us).over(w_ord)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("_ns"),
+    )
+    with_sid = flagged.select(
+        user_col,
+        "_us",
+        id_col,
+        "_ini",
+        F.sum("_ns").over(w_ord).alias("session_id"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_us", id_col, "_ini"))
+            ),
+            lambda x: x["_ini"],
+        ),
+        "",
+    )
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            seq.alias("seq"),
+        )
+        .select(
+            user_col,
+            "session_id",
+            "n_events",
+            "seq",
+            F.regexp_count(F.col("seq"), F.lit(pattern))
+            .cast("long")
+            .alias("n_conversions"),
+        )
+    )

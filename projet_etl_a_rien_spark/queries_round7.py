@@ -1189,3 +1189,57 @@ def q_bloom_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=BLOOM_N,
         m_bits=BLOOM_M_BITS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching over sessions (MATCH_RECOGNIZE / CEP stand-in)
+# ---------------------------------------------------------------------------
+
+SEQ_GAP_S = 86400  # daily sessions: the fixture averages ~2 events/user/day
+SEQ_PATTERN = "v[^p]*c[^p]*p"  # view -> click -> purchase, no purchase between
+
+
+@register(
+    "events_session_patterns",
+    f"""
+WITH e AS (
+    SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+           substr(event_type, 1, 1) AS ini
+    FROM events
+),
+f AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > {SEQ_GAP_S * 1_000_000}
+                   THEN 1 ELSE 0 END AS ns
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS session_id
+    FROM f
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       string_agg(ini, '' ORDER BY us, event_id) AS seq,
+       CAST(len(regexp_extract_all(
+                string_agg(ini, '' ORDER BY us, event_id),
+                '{SEQ_PATTERN}')) AS BIGINT) AS n_conversions
+FROM s GROUP BY user_id, session_id
+""",
+    doc="Sequence-pattern matching over gap-sessionized event streams — "
+    "the MATCH_RECOGNIZE/CEP stand-in: each session rendered as an "
+    f"initials string (ordered by (ts, event_id) — deterministic under "
+    f"timestamp ties), '{SEQ_PATTERN}' conversions counted as "
+    "non-overlapping RE2-safe regex matches. The order-sensitive "
+    "aggregation carries its sort key inside the collected struct "
+    "(array_sort(collect_list(struct))), so the sequence is "
+    "partition-layout independent; one user-keyed shuffle shared by "
+    "the session windows and the rollup.",
+)
+def q_events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import session_event_sequences
+
+    ev = widen_input(load_table(spark, sf_dir, "events"))
+    return session_event_sequences(
+        ev, gap_seconds=SEQ_GAP_S, pattern=SEQ_PATTERN
+    )

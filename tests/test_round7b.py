@@ -424,3 +424,57 @@ def test_bloom_contamination_soundness(spark, sf_dir):
         F.sum("n_exact_hits").alias("e"), F.sum("n_false_pos").alias("fp")
     ).collect()[0]
     assert tot.e > 0  # planted dups guarantee real contamination
+
+
+def test_session_pattern_semantics(spark):
+    """Hand-built session: v c p v p → pattern v[^p]*c[^p]*p matches
+    once (the second v..p lacks a c); ordering must follow (ts,
+    event_id) even when collect order differs."""
+    import datetime as dt
+
+    from projet_etl_a_rien_spark.operators.sessions import (
+        session_event_sequences,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (i + 1, t0 + dt.timedelta(minutes=i), 7, t, 1.0, "{}")
+        for i, t in enumerate(
+            ["view", "click", "purchase", "view", "purchase"]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = session_event_sequences(ev, gap_seconds=1800).collect()
+    assert len(got) == 1
+    assert got[0].seq == "vcpvp"
+    assert got[0].n_conversions == 1
+
+
+def test_session_pattern_tie_determinism(spark):
+    """Equal timestamps order by event_id — the struct-carried sort key
+    makes the sequence independent of input partitioning."""
+    import datetime as dt
+
+    from projet_etl_a_rien_spark.operators.sessions import (
+        session_event_sequences,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (3, t0, 7, "purchase", 1.0, "{}"),
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0, 7, "click", 1.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    for parts in (1, 3):
+        ev = spark.createDataFrame(rows, schema).repartition(parts)
+        got = session_event_sequences(ev, gap_seconds=1800).collect()
+        assert got[0].seq == "vcp"
+        assert got[0].n_conversions == 1
