@@ -104,6 +104,7 @@ SPOT = [
     "csv_permissive_audit",
     "events_interpolate_hourly",
     "bloom_contamination_gate",
+    "events_session_patterns",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
