@@ -202,3 +202,70 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=f"{id_col} bigint, payload binary, width int, height int"
     )
+
+
+def arrow_zero_copy_byte_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-payload byte statistics via ``mapInArrow`` — the zero-copy
+    member of the Python-execution matrix (mapInPandas / applyInPandas /
+    cogroup / applyInPandasWithState / UDTF all exist elsewhere; this is
+    the RecordBatch-level API those wrap).
+
+    Why it matters at 100 TB: binary columns through the pandas APIs
+    materialize one Python ``bytes`` object per row; here the batch's
+    entire payload region is read IN PLACE from the Arrow value buffer
+    (``np.frombuffer`` — no copy, no per-row objects) and per-row sums
+    come from ONE vectorized ``np.add.reduceat`` over the offsets
+    buffer. Python cost is O(batches), not O(rows) — the only per-row
+    work is SIMD-width numpy arithmetic.
+
+    Emits (id, n_bytes, byte_sum, n_space) — all replicated byte-for-
+    byte by the DuckDB oracle from the hex dump, so the zero-copy path
+    is under the same positional-checksum gate as the PNG codec.
+    Callers must pre-filter empty payloads (``reduceat`` has no clean
+    empty-segment semantics, and the registered query's oracle applies
+    the same ``octet_length > 0`` guard).
+    """
+    schema = (
+        f"{id_col} long, n_bytes long, byte_sum long, n_space long"
+    )
+
+    def stats(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index(payload_col))
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            n = len(arr)
+            if n == 0:
+                continue
+            # BinaryArray buffers: [validity, int32 offsets, data]
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + n + 1
+            ].astype(np.int64)
+            # reduceat's final segment runs to the END of the operand —
+            # clamp the buffer to this slice's last offset (a shared or
+            # padded value buffer may extend past it)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+                : off[-1]
+            ]
+            lens = off[1:] - off[:-1]
+            sums = np.add.reduceat(
+                data.astype(np.int64), off[:-1]
+            )
+            spaces = np.add.reduceat(
+                (data == 0x20).astype(np.int64), off[:-1]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(lens, type=pa.int64()),
+                    pa.array(sums, type=pa.int64()),
+                    pa.array(spaces, type=pa.int64()),
+                ],
+                names=[id_col, "n_bytes", "byte_sum", "n_space"],
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(stats, schema=schema)

@@ -1243,3 +1243,51 @@ def q_events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_event_sequences(
         ev, gap_seconds=SEQ_GAP_S, pattern=SEQ_PATTERN
     )
+
+
+@register(
+    "multimodal_arrow_zero_copy_stats",
+    """
+WITH p AS (
+    SELECT doc_id, encode(text) AS b FROM documents
+    WHERE octet_length(encode(text)) > 0
+),
+g AS (
+    SELECT doc_id, hex(b) AS hx, octet_length(b) AS n,
+           unnest(range(octet_length(b))) AS k
+    FROM p
+),
+v AS (
+    SELECT doc_id, n,
+           (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INTEGER), 1))
+            - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INTEGER), 1))
+            - 1) AS byte
+    FROM g
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(SUM(byte) AS BIGINT) AS byte_sum,
+       CAST(SUM(CASE WHEN byte = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_space
+FROM v GROUP BY doc_id, n
+""",
+    doc="Zero-copy Arrow byte statistics via mapInArrow — the "
+    "RecordBatch-level member of the Python-execution matrix: the "
+    "batch's payload region is read in place from the Arrow value "
+    "buffer (np.frombuffer, no per-row bytes objects) and per-row "
+    "sums come from one vectorized np.add.reduceat over the offsets "
+    "buffer — Python cost O(batches), not O(rows). The oracle "
+    "re-derives every byte positionally from the hex dump, putting "
+    "the zero-copy path under the same positional-checksum gate as "
+    "the PNG codec.",
+)
+def q_multimodal_arrow_zero_copy_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import multimodal as _mm
+
+    payloads = widen_input(
+        _mm.with_binary_payload(_docs(spark, sf_dir)).where(
+            F.length("payload") > 0
+        )
+    )
+    return _mm.arrow_zero_copy_byte_stats(payloads)

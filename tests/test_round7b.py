@@ -478,3 +478,34 @@ def test_session_pattern_tie_determinism(spark):
         got = session_event_sequences(ev, gap_seconds=1800).collect()
         assert got[0].seq == "vcp"
         assert got[0].n_conversions == 1
+
+
+def test_arrow_zero_copy_stats_vs_jvm(spark):
+    """mapInArrow byte stats equal the JVM-computed truth (aggregate
+    over the encoded bytes) row for row, and the plan carries a
+    MapInArrow node — the zero-copy API, not row-pickled Python."""
+    from projet_etl_a_rien_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "ab c", "en", "s", 4), (2, "  ", "en", "s", 2),
+         (3, "zzz", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    payloads = mm.with_binary_payload(df).where(F.length("payload") > 0)
+    got = {
+        r.doc_id: (r.n_bytes, r.byte_sum, r.n_space)
+        for r in mm.arrow_zero_copy_byte_stats(payloads).collect()
+    }
+    assert got == {
+        1: (4, 97 + 98 + 32 + 99, 1),
+        2: (2, 64, 2),
+        3: (3, 3 * 122, 0),
+    }
+    plan = (
+        mm.arrow_zero_copy_byte_stats(payloads)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
