@@ -929,8 +929,12 @@ def test_driver_sampling_order_derives_from_artifacts():
     ranks = {n: i for i, n in enumerate(order)}
     never = [n for n in order if ledger.get(n, 0) == 0]
     checked = [n for n in order if ledger.get(n, 0) > 0]
-    assert never and checked
-    assert max(ranks[n] for n in never) < min(ranks[n] for n in checked)
+    # Full driver coverage (never == []) is the success state; the
+    # never-before-checked ordering rule only applies while some
+    # query still lacks a driver row.
+    assert checked
+    if never:
+        assert max(ranks[n] for n in never) < min(ranks[n] for n in checked)
     # monotone by freshest-green round within the checked set
     rounds = [ledger[n] for n in order if n in ledger]
     assert rounds == sorted(rounds)
