@@ -408,10 +408,12 @@ def snapshot_diff(
 # ROWS, not per-key sums: documents arrive exactly once, their postings
 # are disjoint row sets, so the fold is a plain union — no re-aggregation
 # across batches, per-batch work is O(batch postings). Token statistics
-# (df, cf, idf) are NOT stored; they are derived at read time from the
-# folded postings (they are corpus-global, so any stored copy would be
-# invalidated by every new batch anyway — the index stores what is
-# incremental, recomputes what is global).
+# (df, cf, n_docs) are MATERIALIZED vocab-sized at compaction time
+# (stats/v=N) because they are additive across disjoint document sets:
+# a serve reads stored snapshot stats + stats over only the uncompacted
+# partials and merges by summation (read_postings_sink_with_stats) — the
+# corpus is never re-aggregated per read. idf alone is derived at read
+# time (it mixes n_docs with df, so it is not additive).
 
 
 def write_postings_partial(
@@ -445,6 +447,36 @@ def read_postings_sink(
         "token string, id bigint, tf bigint, first_pos bigint,"
         " last_pos bigint, positions array<bigint>"
     )
+    v, newer = _resolve_postings_fold(spark, path, as_of)
+    pieces = []
+    if v >= 0:
+        pieces.append(
+            spark.read.option("basePath", f"{path}/snap")
+            .parquet(f"{path}/snap/v={v}")
+            .select("token", "id", "tf", "first_pos", "last_pos", "positions")
+        )
+    if newer:
+        pieces.append(
+            spark.read.option("basePath", f"{path}/parts")
+            .parquet(*[f"{path}/parts/batch_id={b}" for b in newer])
+            .select("token", "id", "tf", "first_pos", "last_pos", "positions")
+        )
+    if not pieces:
+        return spark.createDataFrame([], schema)
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    return merged
+
+
+def _resolve_postings_fold(
+    spark: SparkSession, path: str, as_of: int | None
+) -> tuple[int, list[int]]:
+    """Resolve which snapshot version and which newer committed partials
+    a sink read folds (shared by ``read_postings_sink`` and the
+    stored-stats serve path), enforcing the time-travel reachability
+    contract: a point between retained snapshots, or below the
+    retention floor, raises rather than silently under-retrieving."""
     versions = _committed_partitions(spark, f"{path}/snap", "v=")
     if as_of is None:
         v = max(versions) if versions else -1
@@ -466,30 +498,93 @@ def read_postings_sink(
                 f"and v={nxt}: batches in ({v}, {as_of}] were folded and "
                 "vacuumed — raise retain_snapshots at compaction time"
             )
-    pieces = []
-    if v >= 0:
-        pieces.append(
-            spark.read.option("basePath", f"{path}/snap")
-            .parquet(f"{path}/snap/v={v}")
-            .select("token", "id", "tf", "first_pos", "last_pos", "positions")
-        )
     newer = sorted(
         b
         for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
         if b > v and (as_of is None or b <= as_of)
     )
-    if newer:
-        pieces.append(
-            spark.read.option("basePath", f"{path}/parts")
-            .parquet(*[f"{path}/parts/batch_id={b}" for b in newer])
-            .select("token", "id", "tf", "first_pos", "last_pos", "positions")
+    return v, newer
+
+
+def write_postings_stats(spark: SparkSession, path: str, v: int) -> None:
+    """Materialize the per-token statistics of snapshot ``v`` under
+    ``stats/v=N`` (vocab-sized ``(token, df_docs, cf, n_docs)``), so the
+    serve path joins stored stats instead of re-aggregating the full
+    postings on every read. Committed AFTER the snapshot itself (same
+    _SUCCESS gating); a crash in between leaves a snapshot without
+    stats, which the serve path detects and falls back to the read-time
+    derive — never a torn or stale stats read."""
+    from .retrieval import postings_token_stats
+
+    snap = spark.read.parquet(f"{path}/snap/v={v}").select(
+        "token", "id", "tf", "first_pos", "last_pos", "positions"
+    )
+    postings_token_stats(snap).write.mode("overwrite").parquet(
+        f"{path}/stats/v={v}"
+    )
+
+
+def read_postings_sink_with_stats(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
+    """The queryable index served from the sink: folded postings joined
+    with per-token statistics (df_docs, cf, smoothed idf) — bit-identical
+    to ``retrieval.postings_with_stats(read_postings_sink(...))`` (same
+    ``attach_token_stats`` tail), but when the served snapshot carries
+    stats MATERIALIZED at compaction time the corpus-scale read-time
+    aggregation disappears: stored vocab-sized stats merge with stats
+    aggregated over only the partials NEWER than the snapshot (df_docs /
+    cf / n_docs are additive across batches because documents arrive
+    exactly once and postings of distinct docs are disjoint rows). The
+    serve pass is then one linear postings scan + a vocab-sized join —
+    O(read postings), not O(full index) per read. Falls back to the full
+    read-time derive when no stats are committed for the served version
+    (pre-stats sink layout, or a crash between snapshot and stats
+    commit)."""
+    from .retrieval import (
+        attach_token_stats,
+        postings_token_stats,
+        postings_with_stats,
+    )
+
+    v, newer = _resolve_postings_fold(spark, path, as_of)
+    if v < 0 or v not in _committed_partitions(spark, f"{path}/stats", "v="):
+        return postings_with_stats(read_postings_sink(spark, path, as_of))
+    snap = (
+        spark.read.option("basePath", f"{path}/snap")
+        .parquet(f"{path}/snap/v={v}")
+        .select("token", "id", "tf", "first_pos", "last_pos", "positions")
+    )
+    stored = spark.read.parquet(f"{path}/stats/v={v}")
+    if not newer:
+        return attach_token_stats(snap, stored)
+    parts = (
+        spark.read.option("basePath", f"{path}/parts")
+        .parquet(*[f"{path}/parts/batch_id={b}" for b in newer])
+        .select("token", "id", "tf", "first_pos", "last_pos", "positions")
+    )
+    # incremental stats over ONLY the uncompacted partials (small), then
+    # an additive vocab-sized merge with the stored snapshot stats
+    part_stats = postings_token_stats(parts)
+    n_total = (
+        stored.agg(F.max("n_docs").alias("snap_n"))
+        .crossJoin(
+            F.broadcast(parts.agg(F.countDistinct("id").alias("part_n")))
         )
-    if not pieces:
-        return spark.createDataFrame([], schema)
-    merged = pieces[0]
-    for p in pieces[1:]:
-        merged = merged.unionByName(p)
-    return merged
+        .select(
+            (
+                F.coalesce(F.col("snap_n"), F.lit(0)) + F.col("part_n")
+            ).alias("n_docs")
+        )
+    )
+    merged = (
+        stored.select("token", "df_docs", "cf")
+        .unionByName(part_stats.select("token", "df_docs", "cf"))
+        .groupBy("token")
+        .agg(F.sum("df_docs").alias("df_docs"), F.sum("cf").alias("cf"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    return attach_token_stats(snap.unionByName(parts), merged)
 
 
 def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
@@ -502,10 +597,13 @@ def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
     old snapshot bytes directly. Returns the number of posting rows
     removed.
 
-    Token statistics need no treatment: df/cf/idf are derived at READ
-    time from the folded postings (`postings_with_stats`), so they
-    reflect the erasure immediately — the index stores what is
-    incremental and recomputes what is global.
+    Token statistics stored at compaction time (``stats/v=N``) are
+    REBUILT from each rewritten snapshot before its postings overwrite
+    commits relative to readers — an erased doc must vanish from
+    df_docs/cf/n_docs too, or the stored-stats serve path
+    (:func:`read_postings_sink_with_stats`) would keep scoring with its
+    ghost counts. Read-time-derived stats (the fallback path) reflect
+    the erasure with no treatment.
 
     Idempotence is the crash contract: each partition dir is rewritten
     independently (filter → localCheckpoint → overwrite, the same
@@ -518,6 +616,9 @@ def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
         if isinstance(ids, DataFrame)
         else spark.createDataFrame([(int(i),) for i in ids], "id bigint")
     ).distinct()
+    from .retrieval import postings_token_stats
+
+    stat_versions = set(_committed_partitions(spark, f"{path}/stats", "v="))
     removed = 0
     for prefix, key in ((f"{path}/snap", "v="), (f"{path}/parts", "batch_id=")):
         for n in _committed_partitions(spark, prefix, key):
@@ -530,6 +631,10 @@ def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
             n_after = kept.count()
             if n_after != n_before:
                 kept.write.mode("overwrite").parquet(sub)
+                if key == "v=" and n in stat_versions:
+                    postings_token_stats(kept).write.mode(
+                        "overwrite"
+                    ).parquet(f"{path}/stats/v={n}")
                 removed += n_before - n_after
     return removed
 
@@ -551,9 +656,13 @@ def compact_postings_sink(
         return v
     fold = read_postings_sink(spark, path).localCheckpoint(eager=True)
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    # stats commit AFTER the snapshot (crash in between => serve path
+    # falls back to the read-time derive for this version, never torn)
+    write_postings_stats(spark, path, max_b)
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
     keep = sorted(
         _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
     )[: max(1, retain_snapshots)]
     _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
+    _vacuum_partitions(spark, f"{path}/stats", "v=", below=min(keep))
     return max_b

@@ -386,17 +386,30 @@ def doc_postings(
     )
 
 
-def postings_with_stats(postings: DataFrame) -> DataFrame:
-    """Attach corpus-level token statistics (df, cf, smoothed idf) to a
-    postings table. ``n_docs`` is derived from the postings themselves
-    (every document owns >= 1 posting — a whitespace split never returns
-    an empty array), so the same fold works on a freshly-built index and
-    on one reassembled from incremental sink batches."""
+def postings_token_stats(postings: DataFrame) -> DataFrame:
+    """Vocab-sized per-token statistics of a postings table: ``(token,
+    df_docs, cf, n_docs)``. ``n_docs`` is repeated per row — a constant
+    column that parquet RLE-compresses to nothing — so the table is
+    self-contained when persisted into a compacted index snapshot
+    (``compaction.compact_postings_sink``). Because documents arrive
+    exactly once and postings of distinct documents are disjoint rows,
+    df_docs/cf/n_docs are ADDITIVE across batches — stored snapshot
+    stats merge with incremental partial stats by plain summation."""
     stats = postings.groupBy("token").agg(
         F.count("*").alias("df_docs"), F.sum("tf").alias("cf")
     )
     n_docs = postings.agg(F.countDistinct("id").alias("n_docs"))
-    stats = stats.crossJoin(F.broadcast(n_docs)).select(
+    return stats.crossJoin(F.broadcast(n_docs))
+
+
+def attach_token_stats(postings: DataFrame, stats: DataFrame) -> DataFrame:
+    """Join a postings table with precomputed ``(token, df_docs, cf,
+    n_docs)`` statistics, deriving the smoothed nano-rounded idf —
+    shared by the derive-at-read path (:func:`postings_with_stats`) and
+    the stored-stats serve path
+    (``compaction.read_postings_sink_with_stats``), so both are
+    bit-identical by construction."""
+    stats = stats.select(
         "token",
         "df_docs",
         "cf",
@@ -418,6 +431,19 @@ def postings_with_stats(postings: DataFrame) -> DataFrame:
         "cf",
         "idf",
     )
+
+
+def postings_with_stats(postings: DataFrame) -> DataFrame:
+    """Attach corpus-level token statistics (df, cf, smoothed idf) to a
+    postings table, deriving them from the postings themselves
+    (``n_docs`` works because every document owns >= 1 posting — a
+    whitespace split never returns an empty array), so the same fold
+    works on a freshly-built index and on one reassembled from
+    incremental sink batches. For a COMPACTED sink prefer
+    ``compaction.read_postings_sink_with_stats``, which serves the
+    stats stored at compaction time instead of re-aggregating the full
+    postings on every read."""
+    return attach_token_stats(postings, postings_token_stats(postings))
 
 
 def phrase_search_postings(

@@ -420,7 +420,7 @@ def q_streaming_inverted_index_ingest(
 
     from .operators.compaction import (
         _snapshot_version,
-        read_postings_sink,
+        read_postings_sink_with_stats,
         write_postings_partial,
     )
     from .streaming.windows import (
@@ -438,9 +438,13 @@ def q_streaming_inverted_index_ingest(
         write_postings_partial(
             odd, path, batch_id=_snapshot_version(spark, path) + 1
         )
-        return retrieval.postings_with_stats(
-            read_postings_sink(spark, path)
-        ).localCheckpoint(eager=True)
+        # serve through the stored-stats path: snapshot stats written at
+        # compaction + additive merge with the odd-docs partial landed
+        # above the fold watermark (the oracle pins it equal to the
+        # one-shot batch index, so the merge itself is hash-checked)
+        return read_postings_sink_with_stats(spark, path).localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -305,7 +305,7 @@ def q_postings_erasure_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.compaction import (
         compact_postings_sink,
         postings_erase_ids,
-        read_postings_sink,
+        read_postings_sink_with_stats,
         write_postings_partial,
     )
 
@@ -320,9 +320,12 @@ def q_postings_erasure_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("id")
         )
         postings_erase_ids(spark, path, erase)
-        return retrieval.postings_with_stats(
-            read_postings_sink(spark, path)
-        ).localCheckpoint(eager=True)
+        # serve through the stored-stats path: erasure must have REBUILT
+        # the snapshot's stats/v=N table (ghost df/cf counts would
+        # hash-mismatch the surviving-docs oracle)
+        return read_postings_sink_with_stats(spark, path).localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -1053,11 +1053,12 @@ def run_incremental_postings_sink(doc_stream: DataFrame, path: str) -> DataFrame
     idempotently under ``parts/batch_id=N`` (postings of distinct docs
     are disjoint rows — per-batch work is O(batch postings), the corpus
     is never re-scanned), then a snapshot compaction folds partials by
-    plain union. Token statistics (df/cf/idf) are corpus-global and are
-    derived at read time via ``retrieval.postings_with_stats`` — the
-    sink stores what is incremental and recomputes what any new batch
-    would invalidate anyway. Returns the folded postings as a LAZY read
-    (same materialize-before-next-compaction contract as the MV sink).
+    plain union and MATERIALIZES the vocab-sized token statistics
+    (df/cf/n_docs, additive across disjoint batches) beside the
+    snapshot, so serves join stored stats instead of re-aggregating the
+    index (``compaction.read_postings_sink_with_stats``). Returns the
+    folded postings as a LAZY read (same
+    materialize-before-next-compaction contract as the MV sink).
     """
     from ..operators.compaction import (
         compact_postings_sink,

@@ -169,8 +169,11 @@ def build(spark) -> None:
 # Each runs end-to-end against a fresh mkdtemp sink; the inverted-index
 # pipeline is DECOMPOSED so the postings-compaction cost is visible
 # separately (the verdict's ask): land = streamed per-batch partial
-# writes (O(batch postings) each), compact = the fold+vacuum, serve =
-# read-time stats + full index scan to a noop sink.
+# writes (O(batch postings) each), compact = the fold+vacuum+stats
+# materialization, serve = stored-stats join + full index scan to a
+# noop sink (read_postings_sink_with_stats — the r7 verdict's 4.09x
+# was the read-time stats re-derive + token-keyed SMJ of the whole
+# postings table; stored stats remove both corpus-scale passes).
 # ---------------------------------------------------------------------------
 
 
@@ -179,9 +182,8 @@ def _time_pipelines(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
 
     from projet_etl_a_rien_spark.operators.compaction import (
         compact_postings_sink,
-        read_postings_sink,
+        read_postings_sink_with_stats,
     )
-    from projet_etl_a_rien_spark.operators.retrieval import postings_with_stats
     from projet_etl_a_rien_spark.streaming.windows import apply_runtime_confs
 
     apply_runtime_confs(spark)
@@ -229,7 +231,7 @@ def _time_pipelines(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
             record("index_compaction", time.perf_counter() - t0)
 
             t0 = time.perf_counter()
-            postings_with_stats(read_postings_sink(spark, path)).write.format(
+            read_postings_sink_with_stats(spark, path).write.format(
                 "noop"
             ).mode("overwrite").save()
             record("index_read_serve", time.perf_counter() - t0)
