@@ -87,7 +87,15 @@ def synth_url(doc_id: Column | str = "doc_id") -> Column:
     - ``doc_id % 3 == 0``  → host carries a ``WWW.`` prefix;
     - ``doc_id % 5 == 0``  → explicit default port ``:443``;
     - ``doc_id % 2 == 0``  → tracking params appended, param order
-      swapped, trailing slash, and a fragment present.
+      swapped, trailing slash, and a fragment present;
+    - ``doc_id % 11 == 0`` → the ``doc`` path segment spelled
+      ``d%6Fc`` (uppercase-hex escape of unreserved ``o``);
+    - ``doc_id % 11 == 1`` → the same spelled ``d%6fc`` (lowercase
+      hex), so both escape cases decode to one canonical path;
+    - every query carries ``u=~a`` spelled ``u=%7ea`` on the dirty
+      branch (unreserved-tilde decode) and a RETAINED reserved escape
+      ``q=a%2Fb`` spelled with lowercase hex ``a%2fb`` on the dirty
+      branch (hex-case normalization).
     """
     d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
     rid = F.floor(d / URL_GROUP_DIV)
@@ -103,11 +111,19 @@ def synth_url(doc_id: Column | str = "doc_id") -> Column:
         F.lit(".src"), (rid % 20).cast("string"), F.lit(".com"),
         F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
     )
-    path = F.concat(F.lit("/"), lang_seg, F.lit("/doc/"), rid.cast("string"),
+    doc_seg = (
+        F.when(d % 11 == 0, F.lit("d%6Fc"))
+        .when(d % 11 == 1, F.lit("d%6fc"))
+        .otherwise(F.lit("doc"))
+    )
+    path = F.concat(F.lit("/"), lang_seg, F.lit("/"), doc_seg, F.lit("/"),
+                    rid.cast("string"),
                     F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")))
     q_keep = F.concat(F.lit("id="), rid.cast("string"), F.lit("&page="),
-                      (rid % 4).cast("string"))
+                      (rid % 4).cast("string"),
+                      F.lit("&q=a%2Fb&u=~a"))
     q_dirty = F.concat(F.lit("page="), (rid % 4).cast("string"),
+                       F.lit("&q=a%2fb&u=%7ea"),
                        F.lit("&utm_source=feed&id="), rid.cast("string"),
                        F.lit("&fbclid=zz"), (d % 9).cast("string"))
     query = F.when(d % 2 == 0, q_dirty).otherwise(q_keep)
@@ -119,25 +135,95 @@ def _part(url: Column, group: int) -> Column:
     return F.regexp_extract(url, URL_PARTS_RE, group)
 
 
+def _hex_nibble(c: Column) -> Column:
+    """Value of one hex digit (case-insensitive), -1 if not hex — pure
+    ascii() arithmetic so the DuckDB rendering is character-identical."""
+    a = F.ascii(F.lower(c))
+    return (
+        F.when((a >= 48) & (a <= 57), a - 48)
+        .when((a >= 97) & (a <= 102), a - 87)
+        .otherwise(F.lit(-1))
+    )
+
+
+def normalize_pct_escapes(s: Column) -> Column:
+    """RFC 3986 §2.3/§6.2.2 percent-escape normalization: escapes of
+    UNRESERVED characters (ALPHA / DIGIT / ``-._~``) decode to the
+    literal character (``%7Euser`` and ``%7euser`` both become
+    ``~user``), every RETAINED escape gets uppercase hex digits
+    (``%2f`` -> ``%2F``), and malformed escapes (``%``, ``%Z9``) stay
+    byte-for-byte literal. Without this a web-scale URL dedup
+    under-merges immediately — crawlers emit both encodings of the same
+    resource.
+
+    Shape: split on ``%`` + one higher-order ``transform`` over the
+    tail segments — per-row array work, no shuffle, no Python; the
+    nibble arithmetic is plain ascii() math so the DuckDB oracle
+    renders the identical expression.
+    """
+    segs = F.split(s, "%", -1)
+    head = F.element_at(segs, 1)
+
+    def _fix(seg: Column) -> Column:
+        n1 = _hex_nibble(F.substring(seg, 1, 1))
+        n2 = _hex_nibble(F.substring(seg, 2, 1))
+        code = n1 * 16 + n2
+        valid = (F.length(seg) >= 2) & (n1 >= 0) & (n2 >= 0)
+        unreserved = (
+            ((code >= 48) & (code <= 57))
+            | ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | code.isin(45, 46, 95, 126)
+        )
+        rest = F.substr(seg, F.lit(3))
+        return (
+            F.when(valid & unreserved, F.concat(F.char(code), rest))
+            .when(
+                valid,
+                F.concat(
+                    F.lit("%"), F.upper(F.substring(seg, 1, 2)), rest
+                ),
+            )
+            .otherwise(F.concat(F.lit("%"), seg))
+        )
+
+    tail = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    return F.concat(head, F.array_join(F.transform(tail, _fix), ""))
+
+
 def canonical_host(url: Column) -> Column:
-    """lower(host), strip one leading ``www.``, strip ``:443``/``:80``."""
+    """lower(host) — Unicode-aware, so internationalized (IDN) hosts
+    case-fold too — strip one leading ``www.``, and strip only the
+    scheme's OWN default port: ``:443`` under https, ``:80`` under
+    http. ``http://host:443`` names a non-default port (a different
+    resource) and keeps it."""
+    scheme = F.lower(_part(url, 1))
     h = F.lower(_part(url, 2))
     h = F.regexp_replace(h, r"^www\.", "")
-    return F.regexp_replace(h, r":(443|80)$", "")
+    return (
+        F.when(scheme == "https", F.regexp_replace(h, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(h, r":80$", ""))
+        .otherwise(h)
+    )
 
 
 def canonical_path(url: Column) -> Column:
-    """Strip one trailing slash (non-root); empty path becomes ``/``."""
-    p = _part(url, 3)
+    """Normalize percent-escapes, strip one trailing slash (non-root);
+    empty path becomes ``/``."""
+    p = normalize_pct_escapes(_part(url, 3))
     p = F.regexp_replace(p, r"(.)/$", r"$1")
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
 def canonical_query_params(url: Column) -> Column:
-    """Surviving query params: tracking keys dropped, sorted bytewise."""
+    """Surviving query params: each param percent-normalized FIRST (so
+    an encoded ``%75tm_source`` is recognized as tracking and two
+    encodings of one value collide), tracking keys dropped, survivors
+    sorted bytewise."""
     q = F.regexp_replace(_part(url, 4), r"^\?", "")
+    kvs = F.transform(F.split(q, "&"), normalize_pct_escapes)
     kvs = F.filter(
-        F.split(q, "&"),
+        kvs,
         lambda kv: (kv != "")
         & ~reduce(
             lambda a, b: a | b,
@@ -177,9 +263,14 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     host = canonical_host(u)
     path = canonical_path(u)
     raw_q = F.regexp_replace(_part(u, 4), r"^\?", "")
-    raw_kvs = F.filter(F.split(raw_q, "&"), lambda kv: kv != "")
+    # tracking detection on the NORMALIZED params, so an encoded
+    # %75tm_source counts as tracking just as the canonicalizer drops it
+    norm_kvs = F.filter(
+        F.transform(F.split(raw_q, "&"), normalize_pct_escapes),
+        lambda kv: kv != "",
+    )
     tracked = F.exists(
-        raw_kvs,
+        norm_kvs,
         lambda kv: reduce(
             lambda a, b: a | b,
             [kv.startswith(p) for p in TRACKING_PREFIXES],

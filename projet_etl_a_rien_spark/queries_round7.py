@@ -356,29 +356,79 @@ def _url_synth_sql() -> str:
     || 'Host' || CAST((doc_id // {g}) % 4 AS VARCHAR)
     || '.src' || CAST((doc_id // {g}) % 20 AS VARCHAR) || '.com'
     || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
-    || '/' || ({lang_case}) || '/doc/' || CAST(doc_id // {g} AS VARCHAR)
+    || '/' || ({lang_case}) || '/'
+    || (CASE WHEN doc_id % 11 = 0 THEN 'd%6Fc'
+             WHEN doc_id % 11 = 1 THEN 'd%6fc' ELSE 'doc' END)
+    || '/' || CAST(doc_id // {g} AS VARCHAR)
     || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
     || '?'
     || (CASE WHEN doc_id % 2 = 0
         THEN 'page=' || CAST((doc_id // {g}) % 4 AS VARCHAR)
+             || '&q=a%2fb&u=%7ea'
              || '&utm_source=feed&id=' || CAST(doc_id // {g} AS VARCHAR)
              || '&fbclid=zz' || CAST(doc_id % 9 AS VARCHAR)
         ELSE 'id=' || CAST(doc_id // {g} AS VARCHAR)
-             || '&page=' || CAST((doc_id // {g}) % 4 AS VARCHAR) END)
+             || '&page=' || CAST((doc_id // {g}) % 4 AS VARCHAR)
+             || '&q=a%2Fb&u=~a' END)
     || (CASE WHEN doc_id % 2 = 0 THEN '#sec1' ELSE '' END)
     """
 
 
-def _sql_host(u: str = "url") -> str:
+def _sql_pct_norm(expr: str) -> str:
+    """DuckDB rendering of web.normalize_pct_escapes — the identical
+    split-on-%% / per-segment nibble-arithmetic normalization (decode
+    unreserved escapes, uppercase retained hex, keep malformed escapes
+    literal). ascii('')=0 / chr / substr / trailing-empty split all
+    behave identically on both engines (probed)."""
+
+    def nib(c: str) -> str:
+        a = f"ascii(lower({c}))"
+        return (
+            f"(CASE WHEN {a} BETWEEN 48 AND 57 THEN {a} - 48"
+            f" WHEN {a} BETWEEN 97 AND 102 THEN {a} - 87"
+            " ELSE -1 END)"
+        )
+
+    n1 = nib("substr(seg, 1, 1)")
+    n2 = nib("substr(seg, 2, 1)")
+    code = f"({n1} * 16 + {n2})"
+    valid = f"(length(seg) >= 2 AND {n1} >= 0 AND {n2} >= 0)"
+    unres = (
+        f"({code} BETWEEN 48 AND 57 OR {code} BETWEEN 65 AND 90"
+        f" OR {code} BETWEEN 97 AND 122 OR {code} IN (45, 46, 95, 126))"
+    )
+    fix = (
+        f"CASE WHEN {valid} AND {unres} THEN chr({code}) || substr(seg, 3)"
+        f" WHEN {valid} THEN '%' || upper(substr(seg, 1, 2)) || substr(seg, 3)"
+        " ELSE '%' || seg END"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — an escape-free string must pass through
+    segs = f"string_split({expr}, '%')"
     return (
-        "regexp_replace(regexp_replace("
-        f"lower(regexp_extract({u}, '{_URL_RE}', 2)),"
-        " '^www\\.', ''), ':(443|80)$', '')"
+        f"({segs}[1] || coalesce(array_to_string(list_transform("
+        f"list_slice({segs}, 2, len({segs})), seg -> {fix}), ''), ''))"
+    )
+
+
+def _sql_host(u: str = "url") -> str:
+    h = (
+        "regexp_replace("
+        f"lower(regexp_extract({u}, '{_URL_RE}', 2)), '^www\\.', '')"
+    )
+    scheme = f"lower(regexp_extract({u}, '{_URL_RE}', 1))"
+    return (
+        f"(CASE WHEN {scheme} = 'https'"
+        f" THEN regexp_replace({h}, ':443$', '')"
+        f" WHEN {scheme} = 'http'"
+        f" THEN regexp_replace({h}, ':80$', '')"
+        f" ELSE {h} END)"
     )
 
 
 def _sql_path(u: str = "url") -> str:
-    p = f"regexp_replace(regexp_extract({u}, '{_URL_RE}', 3), '(.)/$', '\\1')"
+    raw = _sql_pct_norm(f"regexp_extract({u}, '{_URL_RE}', 3)")
+    p = f"regexp_replace({raw}, '(.)/$', '\\1')"
     return f"(CASE WHEN {p} = '' THEN '/' ELSE {p} END)"
 
 
@@ -394,7 +444,13 @@ def _sql_not_tracking(kv: str = "kv") -> str:
 
 def _sql_raw_params(u: str = "url") -> str:
     q = f"regexp_replace(regexp_extract({u}, '{_URL_RE}', 4), '^\\?', '')"
-    return f"list_filter(string_split({q}, '&'), kv -> kv <> '')"
+    kvs = f"string_split({q}, '&')"
+    # params are percent-normalized BEFORE the tracking filter / sort,
+    # mirroring web.canonical_query_params
+    return (
+        f"list_filter(list_transform({kvs},"
+        f" s -> {_sql_pct_norm('s')}), kv -> kv <> '')"
+    )
 
 
 def _sql_canon_params(u: str = "url") -> str:

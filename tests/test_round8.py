@@ -162,3 +162,91 @@ def test_stored_stats_time_travel(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ----------------------------------------------- URL canonicalization v2
+
+
+from projet_etl_a_rien_spark.operators import web as W  # noqa: E402
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_pct_escape_normalization_rules(spark):
+    """RFC 3986 percent-escape normalization inside the canonical URL:
+    unreserved escapes decode (both hex cases), retained escapes get
+    uppercase hex, malformed escapes stay literal."""
+    df = _urls(
+        spark,
+        [
+            (1, "https://h.com/%7Euser/d%6fc?x=a%2fb"),
+            (2, "https://h.com/%7euser/d%6Fc?x=a%2Fb"),
+            (3, "https://h.com/a%2/b%zz?ok=1"),
+        ],
+    )
+    got = {r.doc_id: r.url_canon for r in W.url_features(df).collect()}
+    assert got[1] == "https://h.com/~user/doc?x=a%2Fb"
+    assert got[2] == got[1]  # hex case folds to ONE canonical form
+    assert got[3] == "https://h.com/a%2/b%zz?ok=1"  # malformed = literal
+
+
+def test_default_port_strip_is_scheme_aware(spark):
+    """Only the scheme's own default port is stripped: http://h:443 and
+    https://h:80 are non-default ports naming distinct resources."""
+    df = _urls(
+        spark,
+        [
+            (1, "https://h.com:443/p"),
+            (2, "http://h.com:80/p"),
+            (3, "http://h.com:443/p"),
+            (4, "https://h.com:80/p"),
+        ],
+    )
+    got = {r.doc_id: r.url_canon for r in W.url_features(df).collect()}
+    assert got[1] == "https://h.com/p"
+    assert got[2] == "http://h.com/p"
+    assert got[3] == "http://h.com:443/p"
+    assert got[4] == "https://h.com:80/p"
+
+
+def test_idn_host_case_folds(spark):
+    """Internationalized hostnames case-fold too (Unicode-aware lower),
+    so mixed-case IDN variants of one host collide."""
+    df = _urls(
+        spark,
+        [(1, "https://MÜNCHEN.example/p"), (2, "https://münchen.example/p")],
+    )
+    got = {r.doc_id: r.url_canon for r in W.url_features(df).collect()}
+    assert got[1] == got[2] == "https://münchen.example/p"
+
+
+def test_encoded_tracking_param_is_dropped_and_flagged(spark):
+    """A percent-encoded tracking key (%75tm_source = utm_source) is
+    normalized BEFORE the tracking filter: dropped from the canonical
+    query and counted by had_tracking."""
+    df = _urls(spark, [(1, "https://h.com/p?%75tm_source=x&id=1")])
+    row = W.url_features(df).collect()[0]
+    assert row.url_canon == "https://h.com/p?id=1"
+    assert row.had_tracking is True
+    assert row.n_query_params == 1
+
+
+def test_escape_variant_urls_dedup_to_one_keeper(spark):
+    """The dedup ask end-to-end: three escape variants of ONE resource
+    (tilde literal, %7E, %7e + hex-case-jittered retained escape)
+    collapse to a single keeper."""
+    df = _urls(
+        spark,
+        [
+            (10, "https://h.com/~u/doc?q=a%2Fb"),
+            (11, "https://h.com/%7Eu/doc?q=a%2fb"),
+            (12, "https://h.com/%7eu/d%6Fc?q=a%2Fb"),
+            (13, "https://h.com/other"),
+        ],
+    )
+    got = {r.url_canon: (r.keeper_id, r.n_docs)
+           for r in W.url_dedup_keepers(df).collect()}
+    assert got["https://h.com/~u/doc?q=a%2Fb"] == (10, 3)
+    assert got["https://h.com/other"] == (13, 1)
