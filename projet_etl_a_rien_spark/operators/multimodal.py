@@ -216,16 +216,16 @@ def arrow_zero_copy_byte_stats(
     materialize one Python ``bytes`` object per row; here the batch's
     entire payload region is read IN PLACE from the Arrow value buffer
     (``np.frombuffer`` — no copy, no per-row objects) and per-row sums
-    come from ONE vectorized ``np.add.reduceat`` over the offsets
+    come from one vectorized prefix-sum differenced at the offsets
     buffer. Python cost is O(batches), not O(rows) — the only per-row
     work is SIMD-width numpy arithmetic.
 
     Emits (id, n_bytes, byte_sum, n_space) — all replicated byte-for-
     byte by the DuckDB oracle from the hex dump, so the zero-copy path
     is under the same positional-checksum gate as the PNG codec.
-    Callers must pre-filter empty payloads (``reduceat`` has no clean
-    empty-segment semantics, and the registered query's oracle applies
-    the same ``octet_length > 0`` guard).
+    Empty payloads are well-defined (all-zero rows): the cumsum
+    differencing gives exact per-segment sums with no reduceat
+    empty-segment pitfall, so no caller-side pre-filter is required.
     """
     schema = (
         f"{id_col} long, n_bytes long, byte_sum long, n_space long"
@@ -245,19 +245,27 @@ def arrow_zero_copy_byte_stats(
             off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
                 arr.offset : arr.offset + n + 1
             ].astype(np.int64)
-            # reduceat's final segment runs to the END of the operand —
             # clamp the buffer to this slice's last offset (a shared or
             # padded value buffer may extend past it)
             data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
                 : off[-1]
             ]
             lens = off[1:] - off[:-1]
-            sums = np.add.reduceat(
-                data.astype(np.int64), off[:-1]
+            # prefix-sum segment reduction instead of np.add.reduceat:
+            # reduceat silently returns the element AT the offset for an
+            # empty segment (and raises only when the empty row is
+            # batch-final), so empty payloads would corrupt neighbors'
+            # sums; cumsum differencing gives exact per-segment sums —
+            # zeros for empty rows — with the same one-vectorized-pass
+            # cost (no 255*2^31 overflow risk in int64)
+            cs = np.concatenate(
+                ([0], np.cumsum(data.astype(np.int64)))
             )
-            spaces = np.add.reduceat(
-                (data == 0x20).astype(np.int64), off[:-1]
+            sums = cs[off[1:]] - cs[off[:-1]]
+            css = np.concatenate(
+                ([0], np.cumsum((data == 0x20).astype(np.int64)))
             )
+            spaces = css[off[1:]] - css[off[:-1]]
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,

@@ -1471,7 +1471,9 @@ def pii_noise(text_col: Column | str = "text", id_col: str = "doc_id") -> Column
     )
 
 
-def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Typed PII redaction rewrite: sequentially mask emails, phones,
     IPs, then residual digit runs, counting each type on the text AS IT
     STANDS when that pattern runs (so an email's digits are never
@@ -1480,7 +1482,7 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     runs corpus-wide after pii_scan triages.
     """
     c = F.col(text_col)
-    out = [F.col("doc_id")]
+    out = [F.col(id_col)]
     for pat, mask in PII_MASKS:
         label = "n_" + mask.strip("<>").lower() + "s"
         out.append(

@@ -68,10 +68,20 @@ def _table_file_stream(
     real table, including the derived scale-bench dataset). The file
     stream source requires its basePath to be a directory, so a
     directory table is monitored directly and a flat file falls back to
-    monitoring ``path`` with a leaf-name filter — same rows either way."""
+    monitoring ``path`` with a leaf-name filter — same rows either way.
+
+    Directory-ness is probed through the Hadoop FileSystem API of the
+    path's OWN scheme (not driver-local os.path), so hdfs:// / s3a://
+    tables resolve correctly — a driver-local isdir would be False for
+    any remote directory table and the leaf filter would silently match
+    zero part files (the exact empty-stream bug this helper fixed for
+    the local scale-bench layout)."""
     sub = os.path.join(path, glob)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(sub)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     reader = spark.readStream.schema(schema)
-    if os.path.isdir(sub):
+    if fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory():
         return reader.parquet(sub)
     return reader.option("pathGlobFilter", glob).parquet(path)
 

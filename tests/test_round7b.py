@@ -206,20 +206,25 @@ def test_epoch_oversample_hits_targets_exactly(spark, sf_dir):
         r.source: r.n for r in out.groupBy("source").count()
         .withColumnRenamed("count", "n").collect()
     }
-    # recompute targets independently
+    # recompute targets independently — rounding HALF-AWAY-FROM-ZERO
+    # like both engines (Python round() is banker's and would flake on
+    # an exact .5 share at some scale factor)
     import math
+
+    def rnd(x: float) -> int:
+        return math.floor(x + 0.5)
 
     d = R._docs(spark, sf_dir)
     counts = {r.source: r.n for r in d.groupBy("source").count()
               .withColumnRenamed("count", "n").collect()}
     n = sum(counts.values())
     nano = {
-        s: round((c / n) ** (1 / R.EPOCH_TEMP) * 1_000_000_000)
+        s: rnd((c / n) ** (1 / R.EPOCH_TEMP) * 1_000_000_000)
         for s, c in counts.items()
     }
     z = sum(nano.values())
     targets = {
-        s: round(R.EPOCH_BUDGET_MULT * n * v / z) for s, v in nano.items()
+        s: rnd(R.EPOCH_BUDGET_MULT * n * v / z) for s, v in nano.items()
     }
     assert per == {s: t for s, t in targets.items() if t > 0}
     assert math.isclose(

@@ -250,3 +250,50 @@ def test_escape_variant_urls_dedup_to_one_keeper(spark):
            for r in W.url_dedup_keepers(df).collect()}
     assert got["https://h.com/~u/doc?q=a%2Fb"] == (10, 3)
     assert got["https://h.com/other"] == (13, 1)
+
+
+# ------------------------------------------- arrow byte stats: empties
+
+
+def test_arrow_byte_stats_empty_payloads_are_zero_rows(spark):
+    """Empty payloads — mid-batch AND batch-final — produce exact
+    (0, 0, 0) rows without corrupting neighbors (the np.add.reduceat
+    empty-segment pitfall the cumsum differencing removes)."""
+    from projet_etl_a_rien_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ab c")), (2, bytearray(b"")),
+         (3, bytearray(b"z")), (4, bytearray(b""))],
+        "doc_id long, payload binary",
+    ).coalesce(1)
+    got = {
+        r.doc_id: (r.n_bytes, r.byte_sum, r.n_space)
+        for r in mm.arrow_zero_copy_byte_stats(df).collect()
+    }
+    assert got == {
+        1: (4, 97 + 98 + 32 + 99, 1),
+        2: (0, 0, 0),
+        3: (1, 122, 0),
+        4: (0, 0, 0),
+    }
+    # all-empty batch: the degenerate data buffer still yields zeros
+    empt = spark.createDataFrame(
+        [(7, bytearray(b"")), (8, bytearray(b""))],
+        "doc_id long, payload binary",
+    ).coalesce(1)
+    rows = mm.arrow_zero_copy_byte_stats(empt).collect()
+    assert {(r.doc_id, r.n_bytes, r.byte_sum, r.n_space) for r in rows} == {
+        (7, 0, 0, 0), (8, 0, 0, 0),
+    }
+
+
+def test_pii_redact_custom_id_col(spark):
+    """pii_redact honors a non-default id column name."""
+    from projet_etl_a_rien_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(5, "mail me: a.b@x.com now")], "rec_id long, body string"
+    )
+    got = T.pii_redact(df, text_col="body", id_col="rec_id").collect()[0]
+    assert got.rec_id == 5
+    assert "<EMAIL>" in got.text_redacted
