@@ -52,6 +52,18 @@ def main(argv: list[str] | None = None) -> int:
         try:
             for name in REGISTRY:
                 print(name)
+            from .queries_streaming import _have_protobuf
+
+            if not _have_protobuf():
+                # keep the count honest across environments: one query
+                # is gated on the protobuf runtime and is NOT in this
+                # environment's registry (see README)
+                print(
+                    f"# {len(REGISTRY)} queries registered; +1 gated "
+                    "query (streaming_tws_user_type_totals) requires "
+                    "the protobuf package, absent here",
+                    file=sys.stderr,
+                )
         except BrokenPipeError:  # `| head` closed the pipe; not an error
             sys.stderr.close()
         return 0

@@ -356,6 +356,87 @@ def triangle_counts(
     return out
 
 
+def triangle_count_estimate(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    keep_num: int = 1,
+    keep_den: int = 2,
+    salt: str = "tri8",
+) -> DataFrame:
+    """DOULION-style approximate GLOBAL triangle count (Tsourakakis,
+    Kang, Miller, Faloutsos, KDD'09): toss a p = keep_num/keep_den coin
+    per undirected edge, count triangles in the sparsified graph with
+    the exact degree-oriented enumerator, scale by 1/p³. The documented
+    100 TB path for triangle statistics — the exact enumerator's work is
+    Θ(|E|^1.5), so halving the edges cuts the intersection work ~2.8×
+    (and p=0.1 cuts it ~31×) while the estimator stays unbiased with
+    variance O(1/p³) per triangle (concentrated for graphs with many
+    triangles, which is exactly when exact counting is expensive).
+
+    The coin is a SALTED md5 of the canonical edge key — deterministic,
+    replayable, and independent of partitioning (re-running on a
+    differently-sharded copy of the graph samples the SAME subgraph),
+    which also makes the estimate exactly reproducible by the DuckDB
+    oracle. Returns one row: (n_sampled_edges, n_sampled_triangles,
+    est_triangles) with est = sampled · keep_den³ / keep_num³ kept in
+    exact integer arithmetic.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("u").cast("string"),
+                        F.lit(":"),
+                        F.col("v").cast("string"),
+                        F.lit(":"),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % keep_den
+    )
+    sampled = und.where(coin < keep_num).persist()
+    tri_per_node = triangle_counts(sampled, "u", "v")
+    n_tris = tri_per_node.agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+        .cast("long")
+        .alias("n_sampled_triangles")
+    )
+    n_edges = sampled.agg(F.count("*").alias("n_sampled_edges"))
+    out = (
+        n_edges.crossJoin(F.broadcast(n_tris))
+        .select(
+            "n_sampled_edges",
+            "n_sampled_triangles",
+            (
+                F.col("n_sampled_triangles")
+                * (keep_den**3)
+                / F.lit(keep_num**3)
+            )
+            .cast("long")
+            .alias("est_triangles"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sampled.unpersist()
+    return out
+
+
 def kcore(
     edges: DataFrame,
     k: int,

@@ -297,3 +297,53 @@ def test_pii_redact_custom_id_col(spark):
     got = T.pii_redact(df, text_col="body", id_col="rec_id").collect()[0]
     assert got.rec_id == 5
     assert "<EMAIL>" in got.text_redacted
+
+
+# ------------------------------------------- DOULION triangle estimate
+
+
+def test_triangle_estimate_error_bound_sf001(spark):
+    """Property bound for the at-scale twin: at sf0.01 the DOULION
+    p=1/2 estimate lands within 10% of the exact degree-oriented count
+    (measured: 0.15%), and the deterministic coin keeps ~half the
+    edges. The estimate must also be exactly 8x the sampled-subgraph
+    triangle count (pure integer scaling, no float drift)."""
+    from projet_etl_a_rien_spark import queries_round8 as R8
+    from projet_etl_a_rien_spark.operators import graph
+
+    sf = "/root/testdata/sf0.01"
+    edges = R8._copurchase_edges(spark, sf)
+    exact = (
+        graph.triangle_counts(edges)
+        .agg((F.sum("n_triangles") / 3).cast("long").alias("t"))
+        .collect()[0]
+        .t
+    )
+    row = R8.q_parts_triangle_estimate(spark, sf).collect()[0]
+    assert row.est_triangles == row.n_sampled_triangles * 8
+    assert abs(row.est_triangles - exact) / exact < 0.10
+    n_edges = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .count()
+    )
+    assert 0.45 * n_edges < row.n_sampled_edges < 0.55 * n_edges
+
+
+def test_triangle_estimate_partition_independent(spark, sf_dir):
+    """The salted-hash coin samples the SAME subgraph whatever the
+    input partitioning — repartitioned edges give identical output."""
+    from projet_etl_a_rien_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 30) for b in range(a + 1, 30)
+         if (a * b) % 3 != 0],
+        "src long, dst long",
+    )
+    one = graph.triangle_count_estimate(edges.coalesce(1)).collect()[0]
+    many = graph.triangle_count_estimate(edges.repartition(16)).collect()[0]
+    assert one == many

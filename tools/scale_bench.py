@@ -105,6 +105,9 @@ SPOT = [
     "events_interpolate_hourly",
     "bloom_contamination_gate",
     "events_session_patterns",
+    # r8: the DOULION twin should grow ~(E/2)^1.5 vs the exact
+    # enumerator's E^1.5 — i.e. the same shape at ~35% of the constant.
+    "parts_triangle_estimate",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
