@@ -1493,3 +1493,73 @@ def pii_redact(
         c = F.regexp_replace(c, pat, mask)
     out.append(c.alias("text_redacted"))
     return df.select(*out)
+
+
+# --------------------------------------------------------------------------
+# Fill-in-middle (FIM) training-example assembly
+# --------------------------------------------------------------------------
+
+FIM_PRE = "<PRE> "
+FIM_SUF = " <SUF> "
+FIM_MID = " <MID> "
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_num: int = 1,
+    fim_den: int = 2,
+    salt: str = "fim8:",
+    min_tokens: int = 4,
+) -> DataFrame:
+    """Fill-in-middle pretraining transform (Bavarian et al. 2022; the
+    StarCoder / Code Llama data prep): with probability fim_num/fim_den
+    a document is rearranged into PSM layout — two uniform token cut
+    points split it into (prefix, middle, suffix), emitted as
+    ``<PRE> prefix <SUF> suffix <MID> middle`` so the model learns to
+    infill — and otherwise passes through unchanged (mode ``ar``).
+
+    Every random choice (the mode coin and both cut points) is a
+    salted-md5 hash of the document id, NOT rand(): the transform is a
+    pure per-row projection that is reproducible across runs, engines,
+    partitionings and corpus growth — rerunning the prep on a resharded
+    100 TB corpus yields byte-identical examples, and the DuckDB oracle
+    replays the identical arithmetic. Zero shuffle, no Python; documents
+    shorter than ``min_tokens`` stay autoregressive (a degenerate split
+    of a 2-token doc teaches nothing).
+
+    Emits (id, mode, n_tokens, n_prefix, n_middle, n_suffix, text_out);
+    the three span lengths are NULL on ``ar`` rows.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    coin = split_bucket(id_col, salt=salt + "coin:", n_buckets=fim_den)
+    big = 2_147_483_647
+    c1 = split_bucket(id_col, salt=salt + "c1:", n_buckets=big) % (n + 1)
+    c2 = split_bucket(id_col, salt=salt + "c2:", n_buckets=big) % (n + 1)
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    is_fim = (coin < fim_num) & (n >= min_tokens)
+    prefix = F.slice(toks, F.lit(1), lo)
+    middle = F.slice(toks, lo + 1, hi - lo)
+    suffix = F.slice(toks, hi + 1, n - hi)
+    fim_text = F.concat(
+        F.lit(FIM_PRE), F.array_join(prefix, " "),
+        F.lit(FIM_SUF), F.array_join(suffix, " "),
+        F.lit(FIM_MID), F.array_join(middle, " "),
+    )
+    null_l = F.lit(None).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.when(is_fim, F.lit("fim")).otherwise(F.lit("ar")).alias("mode"),
+        n.cast("long").alias("n_tokens"),
+        F.when(is_fim, lo.cast("long")).otherwise(null_l).alias("n_prefix"),
+        F.when(is_fim, (hi - lo).cast("long"))
+        .otherwise(null_l)
+        .alias("n_middle"),
+        F.when(is_fim, (n - hi).cast("long"))
+        .otherwise(null_l)
+        .alias("n_suffix"),
+        F.when(is_fim, fim_text).otherwise(F.col(text_col)).alias("text_out"),
+    )

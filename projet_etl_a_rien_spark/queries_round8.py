@@ -88,3 +88,83 @@ def q_parts_triangle_estimate(
         keep_den=TRI_KEEP_DEN,
         salt=TRI_SALT,
     )
+
+
+# --------------------------------------------------------------------------
+# Fill-in-middle training-example assembly (operators/text.py:fim_transform)
+# --------------------------------------------------------------------------
+
+FIM_NUM = 1
+FIM_DEN = 2
+FIM_SALT = "fim8:"
+FIM_MIN_TOKENS = 4
+_FIM_BIG = 2_147_483_647
+
+
+def _fim_oracle_sql() -> str:
+    from .operators import text as _t
+
+    def bucket(salt: str, den) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),"
+            f" 1, 8) AS BIGINT) % {den}"
+        )
+
+    pre, suf, mid = _t.FIM_PRE, _t.FIM_SUF, _t.FIM_MID
+    join = "coalesce(array_to_string({}, ' '), '')"
+    return f"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n,
+           {bucket(FIM_SALT + 'coin:', FIM_DEN)} AS coin,
+           ({bucket(FIM_SALT + 'c1:', _FIM_BIG)})
+               % (len(string_split(text, ' ')) + 1) AS c1,
+           ({bucket(FIM_SALT + 'c2:', _FIM_BIG)})
+               % (len(string_split(text, ' ')) + 1) AS c2
+    FROM documents
+),
+cut AS (
+    SELECT doc_id, text, toks, n,
+           (coin < {FIM_NUM} AND n >= {FIM_MIN_TOKENS}) AS is_fim,
+           LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+    FROM t
+)
+SELECT doc_id,
+       CASE WHEN is_fim THEN 'fim' ELSE 'ar' END AS mode,
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN is_fim THEN CAST(lo AS BIGINT) END AS n_prefix,
+       CASE WHEN is_fim THEN CAST(hi - lo AS BIGINT) END AS n_middle,
+       CASE WHEN is_fim THEN CAST(n - hi AS BIGINT) END AS n_suffix,
+       CASE WHEN is_fim
+            THEN '{pre}' || {join.format('list_slice(toks, 1, lo)')}
+              || '{suf}' || {join.format('list_slice(toks, hi + 1, n)')}
+              || '{mid}' || {join.format('list_slice(toks, lo + 1, hi)')}
+            ELSE text END AS text_out
+FROM cut
+"""
+
+
+@register(
+    "doc_fim_transform",
+    _fim_oracle_sql(),
+    doc="Fill-in-middle pretraining transform (PSM layout, Bavarian et "
+    "al. 2022 / the StarCoder-CodeLlama prep): a salted-md5 coin picks "
+    f"{FIM_NUM}/{FIM_DEN} of documents, two hash-uniform token cut "
+    "points split each into prefix/middle/suffix, emitted as <PRE> p "
+    "<SUF> s <MID> m; the rest pass through autoregressive. All "
+    "randomness is hash-of-id — a pure per-row projection, zero "
+    "shuffle, byte-identical across runs/engines/partitionings (which "
+    "is what the oracle certifies), so a 100 TB prep is restartable "
+    "and shard-order-independent.",
+)
+def q_doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as _t
+
+    return _t.fim_transform(
+        load_table(spark, sf_dir, "documents"),
+        fim_num=FIM_NUM,
+        fim_den=FIM_DEN,
+        salt=FIM_SALT,
+        min_tokens=FIM_MIN_TOKENS,
+    )

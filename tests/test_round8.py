@@ -347,3 +347,44 @@ def test_triangle_estimate_partition_independent(spark, sf_dir):
     one = graph.triangle_count_estimate(edges.coalesce(1)).collect()[0]
     many = graph.triangle_count_estimate(edges.repartition(16)).collect()[0]
     assert one == many
+
+
+# ------------------------------------------------------- FIM transform
+
+
+def test_fim_transform_reconstructs_and_is_deterministic(spark, sf_dir):
+    """FIM invariants: span lengths sum to n_tokens; concatenating
+    prefix+middle+suffix (recovered from the PSM layout) restores the
+    original token sequence; ar rows pass through byte-identical; and
+    the transform is partition-independent."""
+    from projet_etl_a_rien_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.fim_transform(docs).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    rows = out.collect()
+    n_fim = 0
+    for r in rows:
+        if r.mode == "ar":
+            assert r.text_out == r.text
+            assert r.n_prefix is None
+            continue
+        n_fim += 1
+        assert r.n_prefix + r.n_middle + r.n_suffix == r.n_tokens
+        body = r.text_out
+        assert body.startswith(T.FIM_PRE)
+        pre_rest = body[len(T.FIM_PRE):]
+        pre, rest = pre_rest.split(T.FIM_SUF, 1)
+        suf, mid = rest.split(T.FIM_MID, 1)
+        toks = [t for t in (pre.split(" ") if pre else [])] + \
+               [t for t in (mid.split(" ") if mid else [])] + \
+               [t for t in (suf.split(" ") if suf else [])]
+        assert toks == r.text.split(" ")
+    # the coin is ~fair: both modes occur in any few-hundred-doc corpus
+    assert 0 < n_fim < len(rows)
+    one = {r.doc_id: r.text_out
+           for r in T.fim_transform(docs.coalesce(1)).collect()}
+    many = {r.doc_id: r.text_out
+            for r in T.fim_transform(docs.repartition(16)).collect()}
+    assert one == many
