@@ -507,20 +507,25 @@ def _resolve_postings_fold(
 
 
 def write_postings_stats(spark: SparkSession, path: str, v: int) -> None:
-    """Materialize the per-token statistics of snapshot ``v`` under
-    ``stats/v=N`` (vocab-sized ``(token, df_docs, cf, n_docs)``), so the
-    serve path joins stored stats instead of re-aggregating the full
-    postings on every read. Committed AFTER the snapshot itself (same
-    _SUCCESS gating); a crash in between leaves a snapshot without
-    stats, which the serve path detects and falls back to the read-time
-    derive — never a torn or stale stats read."""
-    from .retrieval import postings_token_stats
+    """Materialize the derived statistics of snapshot ``v``: per-token
+    ``(token, df_docs, cf, n_docs)`` under ``stats/v=N`` (vocab-sized)
+    and per-document lengths ``(id, dl)`` under ``dlen/v=N``
+    (doc-count-sized), so serve paths join stored tables instead of
+    re-aggregating the full postings on every read. Both are additive
+    across disjoint document batches. Committed AFTER the snapshot
+    itself (same _SUCCESS gating); a crash in between leaves a snapshot
+    without stats, which every serve path detects and falls back to the
+    read-time derive — never a torn or stale stats read."""
+    from .retrieval import postings_doc_lengths, postings_token_stats
 
     snap = spark.read.parquet(f"{path}/snap/v={v}").select(
         "token", "id", "tf", "first_pos", "last_pos", "positions"
     )
     postings_token_stats(snap).write.mode("overwrite").parquet(
         f"{path}/stats/v={v}"
+    )
+    postings_doc_lengths(snap).write.mode("overwrite").parquet(
+        f"{path}/dlen/v={v}"
     )
 
 
@@ -587,6 +592,94 @@ def read_postings_sink_with_stats(
     return attach_token_stats(snap.unionByName(parts), merged)
 
 
+def read_sink_doc_lengths(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
+    """Per-document lengths ``(id, dl)`` of the folded sink — the
+    doc-count-sized table BM25 needs (dl and the avgdl/n_docs corpus
+    constants). Served from the ``dlen/v=N`` table materialized at
+    compaction plus a partial-only aggregate over batches newer than
+    the snapshot (documents arrive whole in one batch, so per-doc
+    lengths are plain-union additive — no re-aggregation); falls back
+    to aggregating the full folded postings when no dlen is committed
+    for the served version."""
+    from .retrieval import postings_doc_lengths
+
+    v, newer = _resolve_postings_fold(spark, path, as_of)
+    if v < 0 or v not in _committed_partitions(spark, f"{path}/dlen", "v="):
+        return postings_doc_lengths(read_postings_sink(spark, path, as_of))
+    stored = spark.read.parquet(f"{path}/dlen/v={v}").select("id", "dl")
+    if not newer:
+        return stored
+    parts = (
+        spark.read.option("basePath", f"{path}/parts")
+        .parquet(*[f"{path}/parts/batch_id={b}" for b in newer])
+        .select("id", "tf")
+    )
+    return stored.unionByName(postings_doc_lengths(parts))
+
+
+def bm25_topk_from_sink(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 served from the compacted sink with NO corpus-scale
+    pass at query time: tf rows come from a token-PREDICATE-PUSHDOWN
+    scan of the postings parquet (only the query terms' row groups are
+    read), document lengths and the n_docs/avgdl constants from the
+    doc-count-sized ``dlen`` table materialized at compaction
+    (:func:`read_sink_doc_lengths`). Query cost is O(postings of the
+    query terms) + O(n_docs) instead of ``bm25_from_postings``'s
+    O(full index) per read — the difference between an index you can
+    serve interactively at 100 TB and one you re-scan per query.
+    Bit-identical to ``bm25_from_postings`` over the folded postings
+    (same nano-quantized per-term weights; dl sums are exact integer
+    sums, so assembly order cannot drift the average)."""
+    q = list(query_terms)
+    tf = (
+        read_postings_sink(spark, path, as_of)
+        .where(F.col("token").isin(q))
+        .select("id", "token", "tf")
+    )
+    dl = read_sink_doc_lengths(spark, path, as_of)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+        ).alias("idf"),
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("w_nano"),
+        )
+    )
+    return per_term.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_terms_matched"),
+        (F.sum("w_nano") / F.lit(1e9)).alias("bm25"),
+    )
+
+
 def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
     """Right-to-erasure over the postings sink: physically REWRITE every
     retained snapshot version AND every committed partial without the
@@ -636,6 +729,16 @@ def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
                         "overwrite"
                     ).parquet(f"{path}/stats/v={n}")
                 removed += n_before - n_after
+    # the materialized per-doc length tables carry the erased ids as
+    # whole rows — drop them the same idempotent rewrite way
+    for n in _committed_partitions(spark, f"{path}/dlen", "v="):
+        sub = f"{path}/dlen/v={n}"
+        cur = spark.read.parquet(sub)
+        kept = cur.join(ids_df, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if kept.count() != cur.count():
+            kept.write.mode("overwrite").parquet(sub)
     return removed
 
 
@@ -665,4 +768,5 @@ def compact_postings_sink(
     )[: max(1, retain_snapshots)]
     _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
     _vacuum_partitions(spark, f"{path}/stats", "v=", below=min(keep))
+    _vacuum_partitions(spark, f"{path}/dlen", "v=", below=min(keep))
     return max_b

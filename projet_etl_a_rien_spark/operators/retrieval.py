@@ -433,6 +433,17 @@ def attach_token_stats(postings: DataFrame, stats: DataFrame) -> DataFrame:
     )
 
 
+def postings_doc_lengths(postings: DataFrame) -> DataFrame:
+    """Per-document token counts ``(id, dl)`` from a postings table
+    (every token occurrence owns exactly one posting slot, so dl is the
+    per-doc sum of tf). Doc-count-sized; additive across disjoint
+    document batches — what compaction materializes under ``dlen/v=N``
+    so BM25 serves never re-scan the index for lengths."""
+    return postings.groupBy("id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+
+
 def postings_with_stats(postings: DataFrame) -> DataFrame:
     """Attach corpus-level token statistics (df, cf, smoothed idf) to a
     postings table, deriving them from the postings themselves

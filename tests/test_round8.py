@@ -388,3 +388,85 @@ def test_fim_transform_reconstructs_and_is_deterministic(spark, sf_dir):
     many = {r.doc_id: r.text_out
             for r in T.fim_transform(docs.repartition(16)).collect()}
     assert one == many
+
+
+# --------------------------------------------- BM25 served from the sink
+
+
+def test_bm25_from_sink_equals_text_scorer(spark, sf_dir):
+    """bm25_topk_from_sink (token-pushdown tf + compaction-materialized
+    dlen) equals bm25_from_postings over the folded index — with an
+    uncompacted partial above the watermark AND after erasure."""
+    from projet_etl_a_rien_spark.operators.compaction import (
+        bm25_topk_from_sink,
+        compact_postings_sink,
+        postings_erase_ids,
+        read_postings_sink,
+        write_postings_partial,
+    )
+    from projet_etl_a_rien_spark.operators.retrieval import (
+        bm25_from_postings,
+    )
+
+    terms = ["data", "merge", "stream"]
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bm25sink_")
+
+    def _want():
+        return {
+            r.doc_id: (r.n_terms_matched, r.bm25)
+            for r in bm25_from_postings(
+                read_postings_sink(spark, path), terms
+            ).collect()
+        }
+
+    def _got():
+        return {
+            r.doc_id: (r.n_terms_matched, r.bm25)
+            for r in bm25_topk_from_sink(spark, path, terms).collect()
+        }
+
+    try:
+        write_postings_partial(docs.where(F.col("doc_id") % 2 == 0), path, 0)
+        v = compact_postings_sink(spark, path)
+        assert _got() == _want()  # snapshot-only serve
+        write_postings_partial(
+            docs.where(F.col("doc_id") % 2 == 1), path, v + 1
+        )
+        assert _got() == _want()  # additive dlen merge with partials
+        postings_erase_ids(
+            spark,
+            path,
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                F.col("doc_id").alias("id")
+            ),
+        )
+        assert _got() == _want()  # erasure dropped dlen rows too
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bm25_from_sink_pushes_token_filter_to_scan(spark, sf_dir):
+    """The serve plan's tf side reads the postings parquet with the
+    token predicate PUSHED to the scan (PushedFilters carries In(token),
+    the 100 TB serve contract: only query-term row groups are read)."""
+    from projet_etl_a_rien_spark.operators.compaction import (
+        bm25_topk_from_sink,
+        compact_postings_sink,
+        write_postings_partial,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bm25push_")
+    try:
+        write_postings_partial(docs, path, 0)
+        compact_postings_sink(spark, path)
+        plan = (
+            bm25_topk_from_sink(spark, path, ["data", "merge"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters" in plan and "In(token" in plan
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
