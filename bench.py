@@ -77,6 +77,11 @@ HEADLINE = [
     # weighting (two corpus-scale shuffles + broadcast LLR fold)
     "doc_inverted_index",
     "dsir_importance_weights",
+    # r8 additions: the DOULION sampled-triangle twin (tracked beside
+    # the exact enumerator so the claimed ~0.35x work reduction stays a
+    # measured fact) and the FIM per-row assembly transform
+    "parts_triangle_estimate",
+    "doc_fim_transform",
 ]
 
 

@@ -261,7 +261,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via DEGREE-ORDERED edge orientation plus
     per-edge adjacency-array intersection (the compact-forward flavor of
@@ -294,17 +297,27 @@ def triangle_counts(
     broadcasts it when it fits, shuffles on the node key when it
     doesn't), and the corner-count groupBy over triangle rows only.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+    if assume_normalized:
+        # caller certifies edges are already canonical (u<v), loop-free,
+        # distinct AND persisted (triangle_count_estimate's sampled set):
+        # re-normalizing would add a full extra exchange over the edge
+        # set for nothing, and the caller owns the persistence
+        und = edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
         )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        # consumed twice (degree aggregate + orientation join): persist so
-        # an expensive upstream edge derivation is not recomputed
-        .persist()
-    )
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            # consumed twice (degree aggregate + orientation join):
+            # persist so an expensive upstream edge derivation is not
+            # recomputed
+            .persist()
+        )
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
@@ -352,7 +365,8 @@ def triangle_counts(
         .localCheckpoint(eager=True)
     )
     oriented.unpersist()
-    und.unpersist()
+    if not assume_normalized:
+        und.unpersist()
     return out
 
 
@@ -411,7 +425,9 @@ def triangle_count_estimate(
         % keep_den
     )
     sampled = und.where(coin < keep_num).persist()
-    tri_per_node = triangle_counts(sampled, "u", "v")
+    tri_per_node = triangle_counts(
+        sampled, "u", "v", assume_normalized=True
+    )
     n_tris = tri_per_node.agg(
         (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
         .cast("long")
