@@ -258,12 +258,14 @@ def arrow_zero_copy_byte_stats(
             # sums; cumsum differencing gives exact per-segment sums —
             # zeros for empty rows — with the same one-vectorized-pass
             # cost (no 255*2^31 overflow risk in int64)
+            # dtype=int64 accumulates without materializing an int64
+            # copy of the payload first (half the transient footprint)
             cs = np.concatenate(
-                ([0], np.cumsum(data.astype(np.int64)))
+                ([0], np.cumsum(data, dtype=np.int64))
             )
             sums = cs[off[1:]] - cs[off[:-1]]
             css = np.concatenate(
-                ([0], np.cumsum((data == 0x20).astype(np.int64)))
+                ([0], np.cumsum(data == 0x20, dtype=np.int64))
             )
             spaces = css[off[1:]] - css[off[:-1]]
             yield pa.RecordBatch.from_arrays(
