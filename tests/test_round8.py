@@ -470,3 +470,33 @@ def test_bm25_from_sink_pushes_token_filter_to_scan(spark, sf_dir):
         assert "PushedFilters" in plan and "In(token" in plan
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stored_stats_serve_plan_has_no_corpus_aggregate(spark, sf_dir):
+    """With materialized stats and no uncompacted partials, the serve
+    plan is scan + vocab-sized join — ZERO aggregate nodes (the r7
+    4.09x came from a full groupBy(token) + countDistinct(id) over all
+    postings per read). With a partial above the watermark, aggregation
+    reappears but only over the partial piece."""
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="statplan_")
+    try:
+        write_postings_partial(docs, path, 0)
+        v = compact_postings_sink(spark, path)
+        plan = (
+            read_postings_sink_with_stats(spark, path)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Aggregate" not in plan
+        write_postings_partial(docs.limit(0), path, v + 1)
+        plan2 = (
+            read_postings_sink_with_stats(spark, path)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Aggregate" in plan2  # partial-only stats derive
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
