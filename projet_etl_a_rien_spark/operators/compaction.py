@@ -506,7 +506,12 @@ def _resolve_postings_fold(
     return v, newer
 
 
-def write_postings_stats(spark: SparkSession, path: str, v: int) -> None:
+def write_postings_stats(
+    spark: SparkSession,
+    path: str,
+    v: int,
+    postings: DataFrame | None = None,
+) -> None:
     """Materialize the derived statistics of snapshot ``v``: per-token
     ``(token, df_docs, cf, n_docs)`` under ``stats/v=N`` (vocab-sized)
     and per-document lengths ``(id, dl)`` under ``dlen/v=N``
@@ -515,16 +520,20 @@ def write_postings_stats(spark: SparkSession, path: str, v: int) -> None:
     across disjoint document batches. Committed AFTER the snapshot
     itself (same _SUCCESS gating); a crash in between leaves a snapshot
     without stats, which every serve path detects and falls back to the
-    read-time derive — never a torn or stale stats read."""
+    read-time derive — never a torn or stale stats read. ``postings``
+    lets compaction pass its already-checkpointed fold instead of
+    re-reading the snapshot parquet it just wrote; it MUST equal the
+    committed snapshot's rows."""
     from .retrieval import postings_doc_lengths, postings_token_stats
 
-    snap = spark.read.parquet(f"{path}/snap/v={v}").select(
-        "token", "id", "tf", "first_pos", "last_pos", "positions"
-    )
-    postings_token_stats(snap).write.mode("overwrite").parquet(
+    if postings is None:
+        postings = spark.read.parquet(f"{path}/snap/v={v}").select(
+            "token", "id", "tf", "first_pos", "last_pos", "positions"
+        )
+    postings_token_stats(postings).write.mode("overwrite").parquet(
         f"{path}/stats/v={v}"
     )
-    postings_doc_lengths(snap).write.mode("overwrite").parquet(
+    postings_doc_lengths(postings).write.mode("overwrite").parquet(
         f"{path}/dlen/v={v}"
     )
 
@@ -760,8 +769,10 @@ def compact_postings_sink(
     fold = read_postings_sink(spark, path).localCheckpoint(eager=True)
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     # stats commit AFTER the snapshot (crash in between => serve path
-    # falls back to the read-time derive for this version, never torn)
-    write_postings_stats(spark, path, max_b)
+    # falls back to the read-time derive for this version, never torn);
+    # derived from the in-memory checkpointed fold, not a parquet
+    # re-read of the snapshot just written
+    write_postings_stats(spark, path, max_b, postings=fold)
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
     keep = sorted(
         _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
