@@ -143,3 +143,66 @@ def session_event_sequences(
             .alias("n_conversions"),
         )
     )
+
+
+def user_value_trend(df: DataFrame) -> DataFrame:
+    """Per-user linear trend of event value over time — closed-form OLS
+    fitted IN the engine: one pass accumulates exact int64 sums (n, Σx,
+    Σy, Σxy, Σx²) per user and the slope/intercept come from the normal
+    equations — no iteration, no collect, one shuffle keyed by user.
+    The per-entity drift detector a monitoring pipeline runs over every
+    key at corpus scale.
+
+    Numeric contract (the z-score/exactmath discipline): x = seconds
+    since the USER's first event (int64 — centering keeps Σx² well
+    inside int64 at any realistic span/count), y = exact cents. The
+    final slope/intercept combine those identical int64s as IEEE
+    doubles in a fixed expression shape, so both engines compute
+    bit-identical values; outputs quantized to micro-units for the
+    hash gate. Users with a singular design (n < 2 or zero x-variance)
+    emit NULL slope/intercept rather than ±Inf.
+
+    Output: (user_id, n_events, span_seconds, slope_ucents_per_hour,
+    intercept_ucents).
+    """
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = df.select("user_id", um.alias("um"), cents.alias("cy"))
+    lo = base.groupBy("user_id").agg(F.min("um").alias("um0"))
+    xy = base.join(lo, "user_id").select(
+        "user_id",
+        ((F.col("um") - F.col("um0")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("x"),
+        F.col("cy").alias("y"),
+    )
+    s = xy.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("span_seconds"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("span_seconds").cast("long").alias("span_seconds"),
+        F.when(
+            den > 0,
+            F.round(slope * 3_600 * 1_000_000).cast("long"),
+        ).alias("slope_ucents_per_hour"),
+        F.when(
+            den > 0, F.round(intercept * 1_000_000).cast("long")
+        ).alias("intercept_ucents"),
+    )

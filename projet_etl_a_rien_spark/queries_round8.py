@@ -168,3 +168,71 @@ def q_doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=FIM_SALT,
         min_tokens=FIM_MIN_TOKENS,
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user value trend (operators/sessions.py:user_value_trend)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_user_value_trend",
+    """
+WITH base AS (
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS um,
+           CAST(ROUND(value * 100) AS BIGINT) AS cy
+    FROM events
+),
+lo AS (SELECT user_id, MIN(um) AS um0 FROM base GROUP BY user_id),
+xy AS (
+    SELECT b.user_id,
+           CAST((b.um - l.um0) // 1000000 AS BIGINT) AS x,
+           b.cy AS y
+    FROM base b JOIN lo l ON b.user_id = l.user_id
+),
+s AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(MAX(x) AS BIGINT) AS span_seconds
+    FROM xy GROUP BY user_id
+),
+fit AS (
+    SELECT user_id, n, span_seconds,
+           CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+           CAST(n AS DOUBLE) AS nd
+    FROM s
+)
+SELECT user_id, n AS n_events, span_seconds,
+       CASE WHEN den > 0
+            THEN CAST(ROUND((num / den) * 3600 * 1000000) AS BIGINT) END
+           AS slope_ucents_per_hour,
+       CASE WHEN den > 0
+            THEN CAST(ROUND(((syd - (num / den) * sxd) / nd) * 1000000)
+                      AS BIGINT) END
+           AS intercept_ucents
+FROM fit
+""",
+    doc="Per-user OLS value trend fitted IN the engine "
+    "(operators/sessions.py:user_value_trend): one pass accumulates "
+    "exact int64 normal-equation sums per user (x = seconds since the "
+    "user's first event — centering keeps every sum inside int64; y = "
+    "exact cents), slope/intercept combine them as IEEE doubles in a "
+    "fixed expression shape (the z-score exactmath discipline), "
+    "micro-unit quantized. Closed form — no iteration, no driver "
+    "round-trips, two user-keyed exchanges (min-ts then sums; the join "
+    "reuses the first partitioning); the per-entity drift detector at "
+    "any key cardinality. Singular fits (n<2 or zero x-variance) emit "
+    "NULL, never Inf.",
+)
+def q_events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import user_value_trend
+
+    return user_value_trend(load_table(spark, sf_dir, "events"))

@@ -500,3 +500,37 @@ def test_stored_stats_serve_plan_has_no_corpus_aggregate(spark, sf_dir):
         assert "Aggregate" in plan2  # partial-only stats derive
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ------------------------------------------------- per-user OLS trend
+
+
+def test_user_value_trend_known_slopes(spark):
+    """Hand-checkable fits: a perfect +100 cents/hour line recovers its
+    slope and intercept exactly; a singular design (single event, or
+    all events in one second) emits NULL, never Inf."""
+    import datetime as dt
+
+    from projet_etl_a_rien_spark.operators.sessions import user_value_trend
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: value = 5.00 + 1.00/hour, sampled hourly for 5 points
+    for i in range(5):
+        rows.append((1, t0 + dt.timedelta(hours=i), 5.0 + 1.0 * i))
+    # user 2: one event
+    rows.append((2, t0, 9.99))
+    # user 3: three events, same timestamp (zero x-variance)
+    for v in (1.0, 2.0, 3.0):
+        rows.append((3, t0, v))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double"
+    )
+    got = {r.user_id: r for r in user_value_trend(df).collect()}
+    assert got[1].n_events == 5
+    assert got[1].span_seconds == 4 * 3600
+    assert got[1].slope_ucents_per_hour == 100 * 1_000_000
+    assert got[1].intercept_ucents == 500 * 1_000_000
+    assert got[2].slope_ucents_per_hour is None
+    assert got[2].intercept_ucents is None
+    assert got[3].slope_ucents_per_hour is None
