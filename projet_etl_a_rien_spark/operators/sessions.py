@@ -149,7 +149,9 @@ def user_value_trend(df: DataFrame) -> DataFrame:
     """Per-user linear trend of event value over time — closed-form OLS
     fitted IN the engine: one pass accumulates exact int64 sums (n, Σx,
     Σy, Σxy, Σx²) per user and the slope/intercept come from the normal
-    equations — no iteration, no collect, one shuffle keyed by user.
+    equations — no iteration, no collect; exchanges key on user_id and the
+    min-ts join is AQE's choice (broadcast when the per-user table
+    fits, co-partitioned SMJ at scale — never a cartesian).
     The per-entity drift detector a monitoring pipeline runs over every
     key at corpus scale.
 

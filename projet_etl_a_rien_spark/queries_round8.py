@@ -227,8 +227,8 @@ FROM fit
     "exact cents), slope/intercept combine them as IEEE doubles in a "
     "fixed expression shape (the z-score exactmath discipline), "
     "micro-unit quantized. Closed form — no iteration, no driver "
-    "round-trips, two user-keyed exchanges (min-ts then sums; the join "
-    "reuses the first partitioning); the per-entity drift detector at "
+    "round-trips; exchanges key on user_id (AQE broadcasts the min-ts "
+    "side when it fits, co-partitioned SMJ at scale); the per-entity drift detector at "
     "any key cardinality. Singular fits (n<2 or zero x-variance) emit "
     "NULL, never Inf.",
 )
