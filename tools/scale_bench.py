@@ -108,6 +108,10 @@ SPOT = [
     # r8: the DOULION twin should grow ~(E/2)^1.5 vs the exact
     # enumerator's E^1.5 — i.e. the same shape at ~35% of the constant.
     "parts_triangle_estimate",
+    # r8: per-row projection (FIM) and two user-keyed aggs (trend) —
+    # both should track the corpus scan
+    "doc_fim_transform",
+    "events_user_value_trend",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
