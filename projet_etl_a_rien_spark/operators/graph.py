@@ -396,14 +396,10 @@ def triangle_count_estimate(
     est_triangles) with est = sampled · keep_den³ / keep_num³ kept in
     exact integer arithmetic.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    und = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+    ).where(F.col("u") != F.col("v"))
     coin = (
         F.conv(
             F.substring(
@@ -424,7 +420,12 @@ def triangle_count_estimate(
         ).cast("long")
         % keep_den
     )
-    sampled = und.where(coin < keep_num).persist()
+    # the coin is a pure function of the canonical pair, so filtering
+    # BEFORE the dedup exchange keeps the same sampled edge set while
+    # the distinct shuffles only p of the raw pair volume — on a dense
+    # co-occurrence derivation the dedup exchange is the biggest
+    # fixed cost the estimator shares with the exact operator
+    sampled = und.where(coin < keep_num).distinct().persist()
     tri_per_node = triangle_counts(
         sampled, "u", "v", assume_normalized=True
     )
