@@ -452,3 +452,110 @@ def test_agg_sink_fold_invariant_under_splits_and_compaction(
         assert got == want
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------- round-8 properties
+
+
+URLISH = st.text(
+    alphabet="abxyz%257EfF/~._-",
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(URLISH, min_size=1, max_size=20))
+def test_pct_normalization_idempotent_and_case_folding(spark, segs):
+    """normalize_pct_escapes is IDEMPOTENT (a canonical form), and
+    lower/upper hex spellings of the same escape normalize to one
+    string. Adversarial inputs: bare %, truncated escapes, escapes of
+    unreserved and reserved bytes, literal tildes."""
+    from projet_etl_a_rien_spark.operators.web import normalize_pct_escapes
+
+    rows = [(i, s) for i, s in enumerate(segs)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    once = normalize_pct_escapes(F.col("s"))
+    out = df.select(
+        "i",
+        once.alias("n1"),
+        normalize_pct_escapes(once).alias("n2"),
+        normalize_pct_escapes(F.upper(F.col("s"))).alias("nu"),
+        normalize_pct_escapes(F.lower(F.col("s"))).alias("nl"),
+    ).collect()
+    for r in out:
+        assert r.n2 == r.n1  # idempotent
+        # hex-case variants of the same byte sequence agree wherever the
+        # non-escape characters agree modulo case
+        assert r.nu.lower() == r.nl.lower()
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij kl".split()),
+                 min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fim_reconstruction_property(spark, docs):
+    """For ANY corpus: FIM span lengths partition the token count, PSM
+    segments reassemble to the original token sequence, and short docs
+    (< min_tokens) always pass through autoregressive."""
+    from projet_etl_a_rien_spark.operators.text import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in fim_transform(df, min_tokens=4).collect()}
+    for i, toks in enumerate(docs):
+        r = out[i]
+        assert r.n_tokens == len(toks)
+        if len(toks) < 4:
+            assert r.mode == "ar" and r.text_out == " ".join(toks)
+            continue
+        if r.mode == "ar":
+            assert r.text_out == " ".join(toks)
+            continue
+        assert r.n_prefix + r.n_middle + r.n_suffix == len(toks)
+        body = r.text_out[len(FIM_PRE):]
+        pre, rest = body.split(FIM_SUF, 1)
+        suf, mid = rest.split(FIM_MID, 1)
+        rebuilt = [t for part in (pre, mid, suf) if part
+                   for t in part.split(" ")]
+        assert rebuilt == toks
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 25), st.integers(1, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_triangle_estimate_encoding_invariant(spark, raw_edges):
+    """The DOULION sample is a function of the CANONICAL edge set:
+    duplicated rows, reversed orientation, and self-loops change
+    nothing — the estimator returns identical counts."""
+    from projet_etl_a_rien_spark.operators.graph import (
+        triangle_count_estimate,
+    )
+
+    clean = spark.createDataFrame(raw_edges, "src long, dst long")
+    noisy_rows = (
+        raw_edges
+        + [(b, a) for a, b in raw_edges]          # reversed copies
+        + raw_edges[:3]                            # duplicates
+        + [(a, a) for a, _ in raw_edges[:2]]       # self-loops
+    )
+    noisy = spark.createDataFrame(noisy_rows, "src long, dst long")
+    assert (
+        triangle_count_estimate(clean).collect()
+        == triangle_count_estimate(noisy).collect()
+    )

@@ -534,3 +534,52 @@ def test_user_value_trend_known_slopes(spark):
     assert got[2].slope_ucents_per_hour is None
     assert got[2].intercept_ucents is None
     assert got[3].slope_ucents_per_hour is None
+
+
+# --------------------------------------- correction = erase + append
+
+
+def test_postings_correction_via_erase_and_append(spark, sf_dir):
+    """The sink's document-correction workflow needs NO new machinery:
+    because postings are disjoint by doc and stats/dlen rebuild on
+    erasure, correcting a bad document = postings_erase_ids(bad) +
+    write_postings_partial(corrected docs, next batch id). The served
+    index (including stored stats) then equals a from-scratch build of
+    the corrected corpus — history rewritten, time travel cannot serve
+    the bad rows."""
+    from projet_etl_a_rien_spark.operators.compaction import (
+        _snapshot_version,
+        compact_postings_sink,
+        postings_erase_ids,
+        write_postings_partial,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corrected_text = F.concat(F.lit("corrected "), F.col("text"))
+    bad_ids = F.col("doc_id") % 9 == 0
+    path = tempfile.mkdtemp(prefix="correct_")
+    try:
+        write_postings_partial(docs, path, 0)
+        compact_postings_sink(spark, path)
+        # correction: erase the bad docs everywhere, append fixed copies
+        postings_erase_ids(
+            spark, path,
+            docs.where(bad_ids).select(F.col("doc_id").alias("id")),
+        )
+        fixed = docs.where(bad_ids).select(
+            "doc_id", corrected_text.alias("text")
+        )
+        write_postings_partial(
+            fixed, path, _snapshot_version(spark, path) + 1
+        )
+        corrected_corpus = (
+            docs.where(~bad_ids).select("doc_id", "text").unionByName(fixed)
+        )
+        got = read_postings_sink_with_stats(spark, path)
+        _assert_frames_equal(got, inverted_index(corrected_corpus))
+        # fold the correction in; still equal, stats rematerialized
+        compact_postings_sink(spark, path)
+        got2 = read_postings_sink_with_stats(spark, path)
+        _assert_frames_equal(got2, inverted_index(corrected_corpus))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
