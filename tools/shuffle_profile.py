@@ -1,0 +1,120 @@
+"""Measured shuffle/spill profile of headline queries at sf0.1.
+
+SCALE_NOTES and the operator docstrings make claims like "pure per-row
+projection, zero shuffle" and "one exchange keyed by user" — this tool
+turns those from plan-reading claims into MEASURED bytes: it runs each
+query against a noop sink with the Spark UI's status API enabled and
+attributes the shuffle read/write and spill bytes of the stages each
+query submitted. Output: one JSON line
+{"metric": "shuffle_profile", "sf": ..., "queries": {name:
+{"shuffle_write_mb": .., "shuffle_read_mb": .., "spill_mb": ..,
+"n_stages": ..}}}.
+
+Zero-shuffle queries MUST report 0.0 shuffle_write_mb — a regression
+here means a projection operator silently grew an exchange.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+from projet_etl_a_rien_spark.session import get_spark
+
+# Claimed-zero-shuffle projections, then the shuffle-bearing shapes whose
+# volume is the scale story. doc_pii_redact / doc_html_to_text /
+# web_url_canonicalize are also pure projections at the OPERATOR level,
+# but their registry queries ride the fixture-parallelism widen_input
+# repartition (a no-op at production scan widths), so they report the
+# widen exchange's ~1 MB here — profiled to keep that distinction
+# measured, not asserted.
+PROFILE = [
+    "doc_fim_transform",
+    "events_zorder_values",
+    "doc_quality_score",
+    # projection operators behind the fixture widen
+    "doc_pii_redact",
+    "web_url_canonicalize",
+    "doc_html_to_text",
+    # shuffle-bearing
+    "events_user_value_trend",
+    "doc_inverted_index",
+    "minhash_near_dup_pairs",
+    "parts_triangle_estimate",
+    "web_url_dedup_keepers",
+]
+
+ZERO_EXPECTED = PROFILE[:3]
+
+
+def _api(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+def stage_totals(base: str) -> dict[int, tuple[int, int, int]]:
+    out = {}
+    for s in _api(f"{base}/stages?status=complete"):
+        sid = s["stageId"]
+        out[sid] = (
+            s.get("shuffleWriteBytes", 0),
+            s.get("shuffleReadBytes", 0),
+            s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0),
+        )
+    return out
+
+
+def main() -> None:
+    _load_extensions()
+    spark = get_spark("shuffle-profile", ui=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    base = f"{ui}/api/v1/applications/{app}"
+
+    # warm the session so one-time codegen stages don't pollute query 0
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    report = {}
+    for name in PROFILE:
+        before = stage_totals(base)
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+        after = stage_totals(base)
+        new = {k: v for k, v in after.items() if k not in before}
+        w = sum(v[0] for v in new.values())
+        r = sum(v[1] for v in new.values())
+        sp = sum(v[2] for v in new.values())
+        report[name] = {
+            "shuffle_write_mb": round(w / 1e6, 3),
+            "shuffle_read_mb": round(r / 1e6, 3),
+            "spill_mb": round(sp / 1e6, 3),
+            "n_stages": len(new),
+        }
+        print(f"  {name}: {report[name]}", file=sys.stderr)
+
+    bad = [
+        n for n in ZERO_EXPECTED if report[n]["shuffle_write_mb"] > 0.0
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "shuffle_profile",
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "queries": report,
+                "zero_shuffle_regressions": bad,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
