@@ -1563,3 +1563,80 @@ def fim_transform(
         .alias("n_suffix"),
         F.when(is_fim, fim_text).otherwise(F.col(text_col)).alias("text_out"),
     )
+
+
+def grouped_token_budget_selection(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_buckets: int = 1000,
+) -> DataFrame:
+    """Per-GROUP greedy token-budget selection — the multilingual-mix
+    version of :func:`token_budget_selection`: each group (language,
+    source, domain…) gets its own token budget and fills it highest
+    quality first, independently of every other group. This is how a
+    real pretraining mix is assembled — per-language budgets from the
+    mixture spec, not one global budget that lets a dominant language
+    starve the rest.
+
+    Same no-global-sort decomposition, one level down: the prefix sum
+    over each group's (quality DESC, id) order splits into per-(group,
+    bucket) totals — a groups x quality_buckets-row aggregate whose
+    within-group descending cumulative is broadcast back — plus a
+    window partitioned by (group, bucket). No partition exceeds one
+    bucket of one group; groups never synchronize. Docs in groups
+    absent from ``budgets`` are dropped (budget 0).
+
+    Returns (id, group, qb, n_tokens, tokens_before) for selected docs.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    g = F.col(group_col)
+    budget_expr = F.lit(None).cast("long")
+    for k, v in budgets.items():
+        budget_expr = F.when(g == k, F.lit(int(v))).otherwise(budget_expr)
+    d = df.select(
+        F.col(id_col),
+        g.alias(group_col),
+        token_count(t).alias("n_tokens"),
+        (
+            (F.lit(quality_buckets) * unique_token_count(t))
+            .cast("long")
+            / token_count(t)
+        )
+        .cast("long")
+        .alias("qb"),
+    )
+    per_bucket = d.groupBy(group_col, "qb").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_bucket.select(
+        group_col,
+        "qb",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias(
+            "bucket_tokens_before"
+        ),
+    )
+    wd = (
+        Window.partitionBy(group_col, "qb")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(cum), [group_col, "qb"])
+        .withColumn(
+            "tokens_before",
+            F.col("bucket_tokens_before")
+            + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
+        )
+        .where(F.col("tokens_before") < budget_expr)
+        .select(id_col, group_col, "qb", "n_tokens", "tokens_before")
+    )

@@ -236,3 +236,62 @@ def q_events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sessions import user_value_trend
 
     return user_value_trend(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Per-language token budgets (operators/text.py:grouped_token_budget_selection)
+# --------------------------------------------------------------------------
+
+LANG_BUDGETS = {"en": 5000, "de": 2000, "es": 10000, "fr": 1500}
+LB_BUCKETS = 1000
+
+
+def _lang_budget_case() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in LANG_BUDGETS.items()
+    )
+    return f"CASE lang {whens} END"
+
+
+@register(
+    "corpus_lang_token_budgets",
+    f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ({LB_BUCKETS} * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS qb
+    FROM documents
+),
+sel AS (
+    SELECT doc_id, lang, qb, n_tokens,
+           COALESCE(CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY qb DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS tokens_before
+    FROM d
+)
+SELECT doc_id, lang, qb, n_tokens, tokens_before
+FROM sel WHERE tokens_before < {_lang_budget_case()}
+""",
+    doc="Multilingual mixture assembly: each language fills its OWN "
+    "token budget highest-quality-first, independently (languages "
+    "without a budget are dropped) — the per-language knob a "
+    "pretraining mix actually specifies, so a dominant language cannot "
+    "starve the rest. The oracle is the naive spec (one window per "
+    "language over quality DESC, id); the engine computes the identical "
+    "prefix sum with no global or per-language sort — per-(lang, "
+    "bucket) totals, a broadcast cumulative over langs x 1000 rows, "
+    "and (lang, bucket)-partitioned windows "
+    "(operators/text.py:grouped_token_budget_selection). Hash-equality "
+    "proves the two-level decomposition exact.",
+)
+def q_corpus_lang_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as _t
+
+    return _t.grouped_token_budget_selection(
+        load_table(spark, sf_dir, "documents"),
+        budgets=LANG_BUDGETS,
+        quality_buckets=LB_BUCKETS,
+    )

@@ -583,3 +583,36 @@ def test_postings_correction_via_erase_and_append(spark, sf_dir):
         _assert_frames_equal(got2, inverted_index(corrected_corpus))
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ------------------------------------- per-group token budget selection
+
+
+def test_grouped_budget_selection_invariants(spark, sf_dir):
+    """Per-group invariants: each group's kept token mass stays under
+    budget + its last doc's tokens (greedy prefix), a group's selection
+    is exactly the global operator run on that group alone, and
+    budget-less groups are dropped."""
+    from projet_etl_a_rien_spark.operators.text import (
+        grouped_token_budget_selection,
+        token_budget_selection,
+    )
+
+    docs = _docs(spark, sf_dir)
+    budgets = {"en": 3000, "de": 800}
+    out = grouped_token_budget_selection(docs, budgets)
+    rows = out.collect()
+    langs = {r.lang for r in rows}
+    assert langs <= set(budgets)  # zh/es/fr dropped
+    for lang, budget in budgets.items():
+        grp = [r for r in rows if r.lang == lang]
+        assert grp, lang
+        assert all(r.tokens_before < budget for r in grp)
+        # equals the single-group operator on the lang-filtered corpus
+        solo = token_budget_selection(
+            docs.where(F.col("lang") == lang), budget=budget
+        ).collect()
+        assert {(r.doc_id, r.qb, r.n_tokens, r.tokens_before)
+                for r in grp} == \
+               {(r.doc_id, r.qb, r.n_tokens, r.tokens_before)
+                for r in solo}
