@@ -112,6 +112,9 @@ SPOT = [
     # both should track the corpus scan
     "doc_fim_transform",
     "events_user_value_trend",
+    # r8: per-(lang,bucket) windows + a langs x buckets broadcast —
+    # linear with the corpus scan
+    "corpus_lang_token_budgets",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
