@@ -628,7 +628,7 @@ def read_sink_doc_lengths(
     return stored.unionByName(postings_doc_lengths(parts))
 
 
-def bm25_topk_from_sink(
+def bm25_from_sink(
     spark: SparkSession,
     path: str,
     query_terms: list[str],

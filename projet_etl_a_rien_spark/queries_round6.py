@@ -919,14 +919,14 @@ def q_streaming_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     path = tempfile.mkdtemp(prefix="invbm_")
     try:
-        from .operators.compaction import bm25_topk_from_sink
+        from .operators.compaction import bm25_from_sink
 
         doc_stream = docs_stream(spark, sf_dir)
         run_incremental_postings_sink(doc_stream, path)
         # serve THROUGH the materialized sink tables: tf from a
         # token-pushdown postings scan, dl/avgdl/n_docs from the
         # compaction-time dlen table — no corpus-scale pass per query
-        scored = bm25_topk_from_sink(spark, path, BM25_QUERY_TERMS)
+        scored = bm25_from_sink(spark, path, BM25_QUERY_TERMS)
         return (
             scored.withColumn(
                 "bm25_nano", F.round(F.col("bm25") * 1e9).cast("long")

@@ -394,11 +394,11 @@ def test_fim_transform_reconstructs_and_is_deterministic(spark, sf_dir):
 
 
 def test_bm25_from_sink_equals_text_scorer(spark, sf_dir):
-    """bm25_topk_from_sink (token-pushdown tf + compaction-materialized
+    """bm25_from_sink (token-pushdown tf + compaction-materialized
     dlen) equals bm25_from_postings over the folded index — with an
     uncompacted partial above the watermark AND after erasure."""
     from projet_etl_a_rien_spark.operators.compaction import (
-        bm25_topk_from_sink,
+        bm25_from_sink,
         compact_postings_sink,
         postings_erase_ids,
         read_postings_sink,
@@ -423,7 +423,7 @@ def test_bm25_from_sink_equals_text_scorer(spark, sf_dir):
     def _got():
         return {
             r.doc_id: (r.n_terms_matched, r.bm25)
-            for r in bm25_topk_from_sink(spark, path, terms).collect()
+            for r in bm25_from_sink(spark, path, terms).collect()
         }
 
     try:
@@ -451,7 +451,7 @@ def test_bm25_from_sink_pushes_token_filter_to_scan(spark, sf_dir):
     token predicate PUSHED to the scan (PushedFilters carries In(token),
     the 100 TB serve contract: only query-term row groups are read)."""
     from projet_etl_a_rien_spark.operators.compaction import (
-        bm25_topk_from_sink,
+        bm25_from_sink,
         compact_postings_sink,
         write_postings_partial,
     )
@@ -462,7 +462,7 @@ def test_bm25_from_sink_pushes_token_filter_to_scan(spark, sf_dir):
         write_postings_partial(docs, path, 0)
         compact_postings_sink(spark, path)
         plan = (
-            bm25_topk_from_sink(spark, path, ["data", "merge"])
+            bm25_from_sink(spark, path, ["data", "merge"])
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
