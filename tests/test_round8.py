@@ -616,3 +616,43 @@ def test_grouped_budget_selection_invariants(spark, sf_dir):
                 for r in grp} == \
                {(r.doc_id, r.qb, r.n_tokens, r.tokens_before)
                 for r in solo}
+
+
+def test_bm25_from_sink_time_travel(spark, sf_dir):
+    """as_of BM25 serves score against the index as of that batch:
+    equal to the direct scorer over only the documents present then,
+    with the dlen table resolved at the same version."""
+    from projet_etl_a_rien_spark.operators.compaction import (
+        bm25_from_sink,
+        compact_postings_sink,
+        read_postings_sink,
+        write_postings_partial,
+    )
+    from projet_etl_a_rien_spark.operators.retrieval import (
+        bm25_from_postings,
+    )
+
+    terms = ["data", "merge"]
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bm25tt_")
+    try:
+        write_postings_partial(docs.where(F.col("doc_id") % 2 == 0), path, 0)
+        v0 = compact_postings_sink(spark, path, retain_snapshots=2)
+        write_postings_partial(
+            docs.where(F.col("doc_id") % 2 == 1), path, v0 + 1
+        )
+        compact_postings_sink(spark, path, retain_snapshots=2)
+        want_old = {
+            r.doc_id: (r.n_terms_matched, r.bm25)
+            for r in bm25_from_postings(
+                read_postings_sink(spark, path, as_of=v0), terms
+            ).collect()
+        }
+        got_old = {
+            r.doc_id: (r.n_terms_matched, r.bm25)
+            for r in bm25_from_sink(spark, path, terms, as_of=v0).collect()
+        }
+        assert got_old == want_old
+        assert all(k % 2 == 0 for k in got_old)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
