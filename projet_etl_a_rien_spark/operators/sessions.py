@@ -15,7 +15,7 @@ spark_airports_final.py:67-74) to ordered event analytics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -208,3 +208,98 @@ def user_value_trend(df: DataFrame) -> DataFrame:
             den > 0, F.round(intercept * 1_000_000).cast("long")
         ).alias("intercept_ucents"),
     )
+
+
+# 2024-01-01T00:00:00Z in epoch microseconds — the fixed x-origin of the
+# INCREMENTAL trend fit (a per-user origin like user_value_trend's would
+# depend on the global min and break batch additivity).
+TREND_EPOCH_US = 1_704_067_200_000_000
+
+
+def trend_sums(df: DataFrame) -> DataFrame:
+    """Per-user ADDITIVE normal-equation sums for the incremental trend
+    fit: x = whole hours since the fixed ``TREND_EPOCH_US`` origin, y =
+    exact cents; emits (user_id, n, sx, sy, sxy, sxx) as int64. Because
+    every component is a plain sum over disjoint event sets, partials
+    from different micro-batches FOLD BY SUMMATION — model fitting as a
+    materialized view, the same sink-is-the-state contract as the
+    aggregate MV. Hour-grain x keeps sxx far inside int64 at any
+    realistic span x event count (26k hours/3y squared times 1e9 events
+    ~ 7e17)."""
+    x = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) - TREND_EPOCH_US)
+        / F.lit(3_600_000_000)
+    ).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    return (
+        df.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+
+
+def trend_fit_from_sums(s: DataFrame) -> DataFrame:
+    """Closed-form per-user OLS from folded normal-equation sums (the
+    read side of the incremental fit): identical IEEE-double expression
+    shape as ``user_value_trend`` so both engines agree bit-for-bit.
+    Emits (user_id, n_events, slope_ucents_per_hour, mean_cents_micro);
+    singular designs (n < 2 or zero x-variance) yield NULL slope."""
+    n, sx, sy, sxy, sxx = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.when(den > 0, F.round(slope * 1_000_000).cast("long")).alias(
+            "slope_ucents_per_hour"
+        ),
+        F.round((sy / n) * 1_000_000).cast("long").alias("mean_cents_micro"),
+    )
+
+
+def write_trend_partial(batch_df: DataFrame, path: str, batch_id: int) -> None:
+    """Land one micro-batch's per-user sums idempotently under
+    ``parts/batch_id=N`` (checkpoint replays overwrite, not duplicate —
+    the aggregate-MV sink contract, model-fit flavored)."""
+    trend_sums(batch_df).write.mode("overwrite").parquet(
+        f"{path}/parts/batch_id={batch_id}"
+    )
+
+
+def read_trend_fit(spark: SparkSession, path: str) -> DataFrame:
+    """The incrementally-maintained model: fold every committed partial
+    by per-user summation (sums are additive across disjoint batches)
+    and fit closed-form. Per-batch maintenance cost is O(users touched
+    in the batch); the raw event history is never re-scanned."""
+    from .compaction import _committed_partitions
+
+    batches = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    if not batches:
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, n_events bigint,"
+            " slope_ucents_per_hour bigint, mean_cents_micro bigint",
+        )
+    parts = spark.read.option("basePath", f"{path}/parts").parquet(
+        *[f"{path}/parts/batch_id={b}" for b in batches]
+    )
+    folded = parts.groupBy("user_id").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+    )
+    return trend_fit_from_sums(folded)

@@ -295,3 +295,96 @@ def q_corpus_lang_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         budgets=LANG_BUDGETS,
         quality_buckets=LB_BUCKETS,
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental model fit as a materialized view
+# (operators/sessions.py:trend_sums / read_trend_fit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "streaming_trend_fit_mv",
+    """
+WITH base AS (
+    SELECT user_id,
+           (CAST(epoch_us(ts) AS BIGINT) - 1704067200000000)
+               // 3600000000 AS x,
+           CAST(ROUND(value * 100) AS BIGINT) AS y
+    FROM events
+),
+s AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM base GROUP BY user_id
+),
+fit AS (
+    SELECT user_id, n,
+           CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+           CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+           CAST(sy AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd
+    FROM s
+)
+SELECT user_id, n AS n_events,
+       CASE WHEN den > 0
+            THEN CAST(ROUND((num / den) * 1000000) AS BIGINT) END
+           AS slope_ucents_per_hour,
+       CAST(ROUND((syd / nd) * 1000000) AS BIGINT) AS mean_cents_micro
+FROM fit
+""",
+    doc="Model fitting as an incrementally-maintained materialized view: "
+    "micro-batches land per-user normal-equation sums (n, Σx, Σy, Σxy, "
+    "Σx² — x in whole hours since a FIXED epoch so every component is "
+    "additive across batches) under idempotent parts/batch_id=N dirs; "
+    "the read side folds partials by summation and fits closed-form OLS "
+    "per user. The streamed fit over even event ids plus one late batch "
+    "partial of odd ids equals the one-shot fit over all events, which "
+    "the oracle asserts — per-batch maintenance is O(users touched), "
+    "the raw history is never re-scanned, and the fit is always "
+    "serveable mid-stream.",
+)
+def q_streaming_trend_fit_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.compaction import _committed_partitions
+    from .operators.sessions import read_trend_fit, write_trend_partial
+    from .streaming.windows import apply_runtime_confs, replay_events_stream
+
+    apply_runtime_confs(spark)
+    path = tempfile.mkdtemp(prefix="trendmv_")
+    try:
+        even = replay_events_stream(spark, sf_dir).where(
+            F.col("event_id") % 2 == 0
+        )
+        ckpt = tempfile.mkdtemp(prefix="trendmv_ckpt_")
+        try:
+            q = (
+                even.writeStream.foreachBatch(
+                    lambda b, i: write_trend_partial(b, path, i)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        odd = load_table(spark, sf_dir, "events").where(
+            F.col("event_id") % 2 == 1
+        )
+        nxt = (
+            max(_committed_partitions(spark, f"{path}/parts", "batch_id="))
+            + 1
+        )
+        write_trend_partial(odd, path, nxt)
+        return read_trend_fit(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -656,3 +656,46 @@ def test_bm25_from_sink_time_travel(spark, sf_dir):
         assert all(k % 2 == 0 for k in got_old)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------- incremental trend-fit MV sink
+
+
+def test_trend_fit_mv_additivity_and_replay(spark, sf_dir):
+    """The fit from ANY batch partition of the events equals the
+    one-shot fit (normal-equation sums are additive), and replaying an
+    already-landed batch (idempotent overwrite) changes nothing."""
+    from projet_etl_a_rien_spark.operators.sessions import (
+        read_trend_fit,
+        trend_fit_from_sums,
+        trend_sums,
+        write_trend_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n_events, r.slope_ucents_per_hour, r.mean_cents_micro)
+        for r in trend_fit_from_sums(trend_sums(ev)).collect()
+    }
+    path = tempfile.mkdtemp(prefix="trendadd_")
+    try:
+        for i in range(3):
+            write_trend_partial(ev.where(F.col("event_id") % 3 == i), path, i)
+        got = {
+            r.user_id: (
+                r.n_events, r.slope_ucents_per_hour, r.mean_cents_micro
+            )
+            for r in read_trend_fit(spark, path).collect()
+        }
+        assert got == want
+        # checkpoint-recovery replay of batch 1: same result
+        write_trend_partial(ev.where(F.col("event_id") % 3 == 1), path, 1)
+        again = {
+            r.user_id: (
+                r.n_events, r.slope_ucents_per_hour, r.mean_cents_micro
+            )
+            for r in read_trend_fit(spark, path).collect()
+        }
+        assert again == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
