@@ -1640,3 +1640,84 @@ def grouped_token_budget_selection(
         .where(F.col("tokens_before") < budget_expr)
         .select(id_col, group_col, "qb", "n_tokens", "tokens_before")
     )
+
+
+def stream_chunk_index(
+    df: DataFrame,
+    chunk_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "chunk8:",
+    order_buckets: int = 256,
+) -> DataFrame:
+    """Chunk INDEX of the concatenated token stream — the GPT-style
+    pretraining layout where documents are shuffled deterministically,
+    concatenated, and sliced into fixed ``chunk_tokens`` windows that
+    CROSS document boundaries. Emits per doc its placement in that
+    stream: (id, global_start, chunk_first, chunk_last) with
+    chunk_k = floor(offset / chunk_tokens); the metadata a loader needs
+    to assemble any chunk is this index plus the doc text — the token
+    stream itself is never materialized.
+
+    The spec is a prefix sum over the global order (salted-md5 hash of
+    the id, id tiebreak). A literal translation is ORDER BY over the
+    whole corpus — a single-reducer sort at 100 TB — so the prefix sum
+    is decomposed exactly the same way as token_budget_selection, with
+    the hash's own top bits as the bucket:
+
+        global_start(doc) = bucket_tokens_before(doc.bucket)
+                          + tokens_before_within_bucket(doc)
+
+    Bucket totals are one ``order_buckets``-row aggregate whose
+    cumulative is broadcast back; within-bucket prefixes are windows
+    partitioned by bucket (hash order makes bucket populations uniform,
+    so no window partition exceeds ~corpus/order_buckets docs). The
+    shuffle-order salt doubles as the epoch knob: a new salt is a new
+    global order with zero data movement."""
+    from pyspark.sql.window import Window
+
+    hx = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucket = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % order_buckets
+    )
+    d = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        hx.alias("hx"),
+        bucket.alias("bkt"),
+    )
+    per_bucket = d.groupBy("bkt").agg(F.sum("n_tokens").alias("bt"))
+    wb = Window.orderBy(F.asc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_bucket.select(
+        "bkt",
+        F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("bucket_before"),
+    )
+    wd = (
+        Window.partitionBy("bkt")
+        .orderBy(F.asc("hx"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(cum), "bkt")
+        .withColumn(
+            "global_start",
+            F.col("bucket_before")
+            + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "global_start",
+            (F.col("global_start") / chunk_tokens)
+            .cast("long")
+            .alias("chunk_first"),
+            (
+                (F.col("global_start") + F.col("n_tokens") - 1)
+                / chunk_tokens
+            )
+            .cast("long")
+            .alias("chunk_last"),
+        )
+    )

@@ -388,3 +388,62 @@ def q_streaming_trend_fit_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return read_trend_fit(spark, path).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Global token-stream chunk index (operators/text.py:stream_chunk_index)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 256
+CHUNK_SALT = "chunk8:"
+CHUNK_BUCKETS = 256
+
+
+@register(
+    "corpus_stream_chunk_index",
+    f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5('{CHUNK_SALT}' || CAST(doc_id AS VARCHAR)) AS hx
+    FROM documents
+),
+b AS (
+    SELECT doc_id, n_tokens, hx,
+           CAST('0x' || substr(hx, 1, 8) AS BIGINT) % {CHUNK_BUCKETS} AS bkt
+    FROM d
+),
+o AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(CAST(SUM(n_tokens) OVER (
+               ORDER BY bkt, hx, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS global_start
+    FROM b
+)
+SELECT doc_id, n_tokens, global_start,
+       global_start // {CHUNK_TOKENS} AS chunk_first,
+       (global_start + n_tokens - 1) // {CHUNK_TOKENS} AS chunk_last
+FROM o
+""",
+    doc="GPT-style pretraining layout index: documents in deterministic "
+    "salted-hash shuffle order, concatenated, sliced into fixed "
+    f"{CHUNK_TOKENS}-token chunks that CROSS document boundaries — "
+    "emitted as per-doc placement metadata (global_start, chunk span), "
+    "never the materialized token stream. The oracle is the naive spec "
+    "(one global window over the shuffle order); the engine computes "
+    "the identical prefix sum with NO global sort — hash-bucket totals, "
+    "a broadcast cumulative over 256 rows, bucket-partitioned windows "
+    "(operators/text.py:stream_chunk_index). The salt doubles as the "
+    "epoch knob: a new salt is a new global order with zero data "
+    "movement.",
+)
+def q_corpus_stream_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as _t
+
+    return _t.stream_chunk_index(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        salt=CHUNK_SALT,
+        order_buckets=CHUNK_BUCKETS,
+    )

@@ -699,3 +699,29 @@ def test_trend_fit_mv_additivity_and_replay(spark, sf_dir):
         assert again == want
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ------------------------------------------- stream chunk index
+
+
+def test_stream_chunk_index_invariants(spark, sf_dir):
+    """The chunk index is a PERFECT partition of the token stream:
+    global_start values tile [0, total_tokens) with no gap or overlap
+    in stream order, chunk spans are consistent with offsets, and a new
+    salt reorders documents without changing total coverage."""
+    from projet_etl_a_rien_spark.operators.text import stream_chunk_index
+
+    docs = _docs(spark, sf_dir)
+    out = stream_chunk_index(docs, chunk_tokens=64).collect()
+    rows = sorted(out, key=lambda r: r.global_start)
+    pos = 0
+    for r in rows:
+        assert r.global_start == pos  # contiguous tiling, no overlap
+        assert r.chunk_first == r.global_start // 64
+        assert r.chunk_last == (r.global_start + r.n_tokens - 1) // 64
+        pos += r.n_tokens
+    total = pos
+    other = stream_chunk_index(docs, chunk_tokens=64, salt="epoch2:")
+    rows2 = sorted(other.collect(), key=lambda r: r.global_start)
+    assert sum(r.n_tokens for r in rows2) == total
+    assert [r.doc_id for r in rows] != [r.doc_id for r in rows2]  # reshuffled
