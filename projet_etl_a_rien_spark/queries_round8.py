@@ -447,3 +447,85 @@ def q_corpus_stream_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=CHUNK_SALT,
         order_buckets=CHUNK_BUCKETS,
     )
+
+
+CHUNK_PICK = 7  # deterministic chunk id the serve-path query assembles
+
+
+@register(
+    "corpus_stream_chunk_assemble",
+    f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5('{CHUNK_SALT}' || CAST(doc_id AS VARCHAR)) AS hx,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+b AS (
+    SELECT *, CAST('0x' || substr(hx, 1, 8) AS BIGINT) % {CHUNK_BUCKETS} AS bkt
+    FROM d
+),
+o AS (
+    SELECT doc_id, n_tokens, toks,
+           COALESCE(CAST(SUM(n_tokens) OVER (
+               ORDER BY bkt, hx, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS global_start
+    FROM b
+),
+span AS (
+    SELECT * FROM o
+    WHERE global_start // {CHUNK_TOKENS} <= {CHUNK_PICK}
+      AND (global_start + n_tokens - 1) // {CHUNK_TOKENS} >= {CHUNK_PICK}
+),
+tok AS (
+    SELECT doc_id, global_start + u.i - 1 AS global_pos, toks[u.i] AS token
+    FROM span, UNNEST(range(1, CAST(len(toks) + 1 AS BIGINT))) AS u(i)
+)
+SELECT global_pos, CAST(global_pos - {CHUNK_PICK * CHUNK_TOKENS} AS BIGINT)
+           AS pos_in_chunk,
+       doc_id, token
+FROM tok
+WHERE global_pos >= {CHUNK_PICK * CHUNK_TOKENS}
+  AND global_pos < {(CHUNK_PICK + 1) * CHUNK_TOKENS}
+""",
+    doc="The chunk-index SERVE path: assemble one fixed "
+    f"{CHUNK_TOKENS}-token training chunk (id {CHUNK_PICK}) from the "
+    "stream layout — the index narrows to the docs whose spans cover "
+    "the chunk (2-3 rows), their tokens posexplode with global "
+    "positions, and the window slice comes out in order, crossing a "
+    "document boundary by construction. What a data loader executes "
+    "per chunk; the corpus-wide work is only the index (see "
+    "corpus_stream_chunk_index), never the token stream.",
+)
+def q_corpus_stream_chunk_assemble(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import text as _t
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _t.stream_chunk_index(
+        docs,
+        chunk_tokens=CHUNK_TOKENS,
+        salt=CHUNK_SALT,
+        order_buckets=CHUNK_BUCKETS,
+    )
+    span = idx.where(
+        (F.col("chunk_first") <= CHUNK_PICK)
+        & (F.col("chunk_last") >= CHUNK_PICK)
+    )
+    toks = span.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "global_start",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i", "token"),
+    )
+    lo = CHUNK_PICK * CHUNK_TOKENS
+    hi = (CHUNK_PICK + 1) * CHUNK_TOKENS
+    gp = F.col("global_start") + F.col("i")
+    return toks.select(
+        gp.alias("global_pos"),
+        (gp - lo).cast("long").alias("pos_in_chunk"),
+        "doc_id",
+        "token",
+    ).where((F.col("global_pos") >= lo) & (F.col("global_pos") < hi))

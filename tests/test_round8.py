@@ -725,3 +725,17 @@ def test_stream_chunk_index_invariants(spark, sf_dir):
     rows2 = sorted(other.collect(), key=lambda r: r.global_start)
     assert sum(r.n_tokens for r in rows2) == total
     assert [r.doc_id for r in rows] != [r.doc_id for r in rows2]  # reshuffled
+
+
+def test_stream_chunk_assemble_crosses_doc_boundary(spark, sf_dir):
+    """The assembled chunk has exactly chunk_tokens rows, contiguous
+    positions, and (fixture-guaranteed: docs are shorter than a chunk)
+    spans more than one document — the cross-boundary property that
+    distinguishes stream chunking from per-doc windowing."""
+    from projet_etl_a_rien_spark import queries_round8 as R8
+
+    rows = R8.q_corpus_stream_chunk_assemble(spark, sf_dir).collect()
+    assert len(rows) == R8.CHUNK_TOKENS
+    srt = sorted(rows, key=lambda r: r.pos_in_chunk)
+    assert [r.pos_in_chunk for r in srt] == list(range(R8.CHUNK_TOKENS))
+    assert len({r.doc_id for r in srt}) >= 2
