@@ -115,6 +115,8 @@ SPOT = [
     # r8: per-(lang,bucket) windows + a langs x buckets broadcast —
     # linear with the corpus scan
     "corpus_lang_token_budgets",
+    # r8: hash-bucket prefix decomposition — linear, no global sort
+    "corpus_stream_chunk_index",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
