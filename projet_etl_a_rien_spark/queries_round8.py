@@ -529,3 +529,76 @@ def q_corpus_stream_chunk_assemble(
         "doc_id",
         "token",
     ).where((F.col("global_pos") >= lo) & (F.col("global_pos") < hi))
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split assignment (near-dup clusters share a split)
+# --------------------------------------------------------------------------
+
+
+def _leakage_safe_oracle() -> str:
+    from .queries_llm import _minhash_ctes
+
+    rep = "COALESCE(c.cluster, d.doc_id)"
+    bucket = (
+        "CAST('0x' || substr(md5('split:' || CAST("
+        + rep
+        + " AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    )
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+und AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+walk(node, comp) AS (
+    SELECT u, u FROM und
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN und e ON w.node = e.u
+),
+clusters AS (SELECT node, MIN(comp) AS cluster FROM walk GROUP BY node)
+SELECT d.doc_id, {rep} AS rep_id,
+       CASE WHEN {bucket} < 90 THEN 'train'
+            WHEN {bucket} < 95 THEN 'val' ELSE 'test' END AS split
+FROM docs_dup d LEFT JOIN clusters c ON d.doc_id = c.node
+"""
+
+
+@register(
+    "doc_split_leakage_safe",
+    _leakage_safe_oracle(),
+    doc="Leakage-safe train/val/test assignment: the split hash is keyed "
+    "on each document's near-dup CLUSTER representative (MinHash-LSH "
+    "pairs -> connected components -> min-id rep; singletons key on "
+    "themselves), so near-duplicates can NEVER straddle the train/eval "
+    "boundary — the contamination mode a plain per-doc hash split "
+    "(doc_split_assignment) is blind to, and the post-GPT-2 eval-hygiene "
+    "lesson every serious corpus applies. Same 90/5/5 buckets and salt "
+    "as the per-doc split; same banded-LSH + CC machinery as the dedup "
+    "family, so the marginal cost over dedup-you-already-run is one "
+    "broadcast join.",
+)
+def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+    from .operators import text as _t
+    from .operators.graph import connected_components
+    from .queries_llm import MINHASH_BANDS, MINHASH_K, documents_with_dups
+
+    d = documents_with_dups(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs(
+        d, k=MINHASH_K, bands=MINHASH_BANDS, threshold=0.7
+    )
+    clusters = connected_components(pairs)
+    rep = F.coalesce(F.col("comp"), F.col("doc_id"))
+    b = _t.split_bucket(rep)
+    return (
+        d.join(F.broadcast(clusters), d.doc_id == clusters.node, "left")
+        .select(
+            "doc_id",
+            rep.alias("rep_id"),
+            F.when(b < 90, "train")
+            .when(b < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

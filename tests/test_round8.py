@@ -739,3 +739,43 @@ def test_stream_chunk_assemble_crosses_doc_boundary(spark, sf_dir):
     srt = sorted(rows, key=lambda r: r.pos_in_chunk)
     assert [r.pos_in_chunk for r in srt] == list(range(R8.CHUNK_TOKENS))
     assert len({r.doc_id for r in srt}) >= 2
+
+
+# --------------------------------------- leakage-safe split assignment
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """The eval-hygiene property itself: every near-dup cluster lands
+    entirely in ONE split (zero boundary-straddling clusters), while
+    the plain per-doc hash split demonstrably CAN straddle them on the
+    same corpus — the gap this operator closes."""
+    from projet_etl_a_rien_spark import queries_round8 as R8
+    from projet_etl_a_rien_spark.operators.text import split_bucket
+
+    out = R8.q_doc_split_leakage_safe(spark, sf_dir)
+    # all members of a rep group share one split
+    bad = (
+        out.groupBy("rep_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert bad == 0
+    # per-doc hash split straddles at least one multi-doc cluster here
+    b = split_bucket("doc_id")
+    naive = out.select(
+        "doc_id",
+        "rep_id",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        .alias("naive_split"),
+    )
+    straddled = (
+        naive.groupBy("rep_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("naive_split").alias("k"),
+        )
+        .where((F.col("n") > 1) & (F.col("k") > 1))
+        .count()
+    )
+    assert straddled > 0
