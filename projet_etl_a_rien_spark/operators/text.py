@@ -1721,3 +1721,57 @@ def stream_chunk_index(
             .alias("chunk_last"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Zipf's-law exponent of the token distribution, fitted in-engine:
+    token frequencies (one corpus pass), a vocab-sized rank window,
+    then OLS of ln(freq) on ln(rank) over ranks with count >=
+    ``min_count`` (the hapax staircase is excluded). Exactness
+    discipline: ln() values quantize to the 1e-6 grid as int64 BEFORE
+    accumulation and the quadratic sums accumulate as exact decimals —
+    every sum is order-independent, doubles appear only in the final
+    closed-form division. One row out: (n_ranks, zipf_slope_micro).
+    A healthy natural corpus fits slope ~ -1; a synthetic or collapsed
+    one doesn't — a datacard check whose heavy grain (the vocab window)
+    is bounded by Heaps' law at any corpus size."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = tf.select("c", F.row_number().over(w).cast("long").alias("rank"))
+    xy = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("xn"),
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("yn"),
+    )
+    dec = "decimal(38,0)"
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("xn").alias("sx"),
+        F.sum("yn").alias("sy"),
+        F.sum(F.col("xn").cast(dec) * F.col("yn").cast(dec)).alias("sxy"),
+        F.sum(F.col("xn").cast(dec) * F.col("xn").cast(dec)).alias("sxx"),
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    slope = (
+        n * F.col("sxy").cast("double") - sx * sy
+    ) / (n * F.col("sxx").cast("double") - sx * sx)
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope * 1_000_000).cast("long").alias("zipf_slope_micro"),
+    )

@@ -602,3 +602,66 @@ def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf exponent of the corpus token distribution, fitted in-engine
+# --------------------------------------------------------------------------
+
+ZIPF_MIN_COUNT = 2  # drop hapax tail: its staircase dominates the fit
+
+
+@register(
+    "corpus_zipf_fit",
+    f"""
+WITH tf AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+),
+ranked AS (
+    SELECT c,
+           CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS BIGINT)
+               AS rank
+    FROM tf WHERE c >= {ZIPF_MIN_COUNT}
+),
+xy AS (
+    SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS xn,
+           CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS yn
+    FROM ranked
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xn) AS BIGINT) AS sx, CAST(SUM(yn) AS BIGINT) AS sy,
+           SUM(CAST(xn AS HUGEINT) * CAST(yn AS HUGEINT)) AS sxy,
+           SUM(CAST(xn AS HUGEINT) * CAST(xn AS HUGEINT)) AS sxx
+    FROM xy
+)
+SELECT n AS n_ranks,
+       CAST(ROUND(
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * 1000000) AS BIGINT) AS zipf_slope_micro
+FROM s
+""",
+    doc="Zipf's-law exponent of the corpus token distribution, fitted "
+    "IN the engine: token frequencies (one corpus pass), vocab-sized "
+    "rank window, OLS of ln(freq) on ln(rank) over ranks with count >= "
+    f"{ZIPF_MIN_COUNT} (the hapax staircase is excluded). Exactness "
+    "discipline: ln() values are quantized to the 1e-6 grid as int64 "
+    "BEFORE accumulation (transcendental-ulp parity rule) and the "
+    "quadratic sums accumulate as exact decimal/hugeint — every sum is "
+    "order-independent; doubles appear only in the final closed-form "
+    "division. A healthy natural corpus fits slope ~ -1; "
+    "a synthetic or collapsed corpus doesn't — a one-row datacard "
+    "check at any scale (the heavy grain is the vocab-sized window, "
+    "bounded by Heaps' law).",
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import zipf_fit
+
+    return zipf_fit(
+        load_table(spark, sf_dir, "documents"), min_count=ZIPF_MIN_COUNT
+    )

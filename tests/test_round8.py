@@ -779,3 +779,29 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
         .count()
     )
     assert straddled > 0
+
+
+# ------------------------------------------------------- Zipf fit
+
+
+def test_zipf_fit_matches_numpy_on_known_counts(spark):
+    """The in-engine log-log OLS slope matches numpy's polyfit on a
+    hand-built frequency profile, within the micro quantization grid;
+    hapax tokens (count < min_count) are excluded from the fit."""
+    import numpy as np
+
+    from projet_etl_a_rien_spark.operators.text import zipf_fit
+
+    text = " ".join(
+        ["alpha"] * 40 + ["beta"] * 17 + ["gamma"] * 9 + ["delta"] * 5
+        + ["eps"] * 2 + ["hapax"]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(df, min_count=2).collect()[0]
+    counts = [40, 17, 9, 5, 2]  # hapax dropped
+    assert row.n_ranks == len(counts)
+    x = np.log(np.arange(1, len(counts) + 1))
+    y = np.log(np.array(counts, dtype=float))
+    slope_np = np.polyfit(x, y, 1)[0]
+    assert abs(row.zipf_slope_micro / 1e6 - slope_np) < 1e-4
+    assert row.zipf_slope_micro < 0
