@@ -1775,3 +1775,83 @@ def zipf_fit(
         F.col("n").cast("long").alias("n_ranks"),
         F.round(slope * 1_000_000).cast("long").alias("zipf_slope_micro"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    boundary_mod: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (CDC, the Rabin/LBFS family): cut a
+    document AFTER every character position whose k-gram polynomial
+    hash is ≡ 0 (mod ``boundary_mod``), giving chunks of expected
+    length ``boundary_mod`` whose boundaries are functions of CONTENT,
+    not offsets — an insertion near the head shifts every fixed-size
+    block but only the 1-2 chunks that actually contain the edit here,
+    so chunk-hash dedup keeps matching the untouched remainder. The
+    storage-layer dedup primitive, applied corpus-side: near-identical
+    refetches share most chunk digests.
+
+    Same relational formulation (posexplode chars -> lead-window
+    polynomial -> running boundary count -> per-chunk reassembly via
+    sort-key-in-struct collect) and the same int64 polynomial as the
+    winnowing fingerprinter, for the same CollapseProject-safety
+    reasons; one shuffle keyed by the doc id, state bounded per doc.
+    Emits (id, chunk_idx, n_chars, chunk_md5).
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(text_col)
+    chars = df.select(
+        id_col, F.posexplode(F.split(c, "")).alias("_i", "_ch")
+    )
+    order = Window.partitionBy(id_col).orderBy("_i")
+    poly = None
+    for j in range(k):
+        term = (
+            F.col("_c") if j == 0 else F.lead("_c", j).over(order)
+        ) * F.lit(WINNOW_BASE ** (k - 1 - j))
+        poly = term if poly is None else poly + term
+    hashed = chars.select(
+        id_col, "_i", "_ch", F.ascii("_ch").cast("long").alias("_c")
+    ).select(
+        id_col,
+        "_i",
+        "_ch",
+        F.when(poly.isNotNull() & (poly % boundary_mod == 0), 1)
+        .otherwise(0)
+        .alias("_cut"),
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = hashed.withColumn(
+        "chunk_idx", F.coalesce(F.sum("_cut").over(w_run), F.lit(0))
+    )
+    return (
+        seg.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_chars"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_i", "_ch"))
+                        ),
+                        lambda x: x["_ch"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "n_chars",
+            "chunk_md5",
+        )
+    )

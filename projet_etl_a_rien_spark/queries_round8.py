@@ -665,3 +665,73 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(
         load_table(spark, sf_dir, "documents"), min_count=ZIPF_MIN_COUNT
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (operators/text.py:cdc_chunks)
+# --------------------------------------------------------------------------
+
+CDC_K = 8
+CDC_MOD = 64
+
+
+def _cdc_oracle_sql() -> str:
+    from .operators.text import WINNOW_BASE
+
+    poly = " + ".join(
+        f"(CASE WHEN u.i + {j} <= len(cs)"
+        f" THEN CAST(ascii(cs[u.i + {j}]) AS BIGINT) END)"
+        f" * {WINNOW_BASE ** (CDC_K - 1 - j)}"
+        for j in range(CDC_K)
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, '') AS cs FROM documents
+),
+chars AS (
+    SELECT doc_id, u.i AS i, cs[u.i] AS ch,
+           {poly} AS h
+    FROM base, UNNEST(range(1, CAST(len(cs) + 1 AS BIGINT))) AS u(i)
+),
+cutf AS (
+    SELECT doc_id, i, ch,
+           CASE WHEN h IS NOT NULL AND h % {CDC_MOD} = 0 THEN 1 ELSE 0 END
+               AS cut
+    FROM chars
+),
+seg AS (
+    SELECT doc_id, i, ch,
+           COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_idx
+    FROM cutf
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_chars,
+       md5(string_agg(ch, '' ORDER BY i)) AS chunk_md5
+FROM seg GROUP BY doc_id, chunk_idx
+"""
+
+
+@register(
+    "doc_cdc_chunks",
+    _cdc_oracle_sql(),
+    doc="Content-defined chunking (Rabin/LBFS family): cut after every "
+    f"character whose {CDC_K}-gram polynomial hash is 0 mod {CDC_MOD}, "
+    f"so chunk boundaries are functions of CONTENT with expected length "
+    f"{CDC_MOD} — an insertion shifts every fixed-offset block but only "
+    "the 1-2 chunks containing the edit here, which is what makes "
+    "chunk-digest dedup resilient to near-identical refetches (the "
+    "storage-dedup primitive, corpus-side). Same relational rolling-"
+    "hash formulation and int64 polynomial as winnowing; one doc-keyed "
+    "shuffle (operators/text.py:cdc_chunks).",
+)
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import widen_input
+    from .operators.text import cdc_chunks
+
+    return cdc_chunks(
+        widen_input(load_table(spark, sf_dir, "documents")),
+        k=CDC_K,
+        boundary_mod=CDC_MOD,
+    )

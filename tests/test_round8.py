@@ -805,3 +805,34 @@ def test_zipf_fit_matches_numpy_on_known_counts(spark):
     slope_np = np.polyfit(x, y, 1)[0]
     assert abs(row.zipf_slope_micro / 1e6 - slope_np) < 1e-4
     assert row.zipf_slope_micro < 0
+
+
+# --------------------------------------------------------- CDC chunking
+
+
+def test_cdc_chunks_reassemble_and_insertion_resilience(spark):
+    """CDC invariants: per-doc chunk lengths sum to the text length and
+    chunk indices are dense from 0; and the headline property — after
+    inserting a word mid-document, the two versions still SHARE most
+    chunk digests (a fixed-size chunker would share ~none after the
+    shift)."""
+    from projet_etl_a_rien_spark.operators.text import cdc_chunks
+
+    words = [f"tok{i % 97}x{i % 13}" for i in range(400)]
+    orig = " ".join(words)
+    edited = " ".join(words[:200] + ["INSERTED"] + words[200:])
+    df = spark.createDataFrame(
+        [(1, orig), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df).collect()
+    for doc_id, text in ((1, orig), (2, edited)):
+        rows = sorted(
+            (r for r in out if r.doc_id == doc_id),
+            key=lambda r: r.chunk_idx,
+        )
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert sum(r.n_chars for r in rows) == len(text)
+    h1 = {r.chunk_md5 for r in out if r.doc_id == 1}
+    h2 = {r.chunk_md5 for r in out if r.doc_id == 2}
+    shared = len(h1 & h2)
+    assert shared / len(h1) > 0.6  # most chunks survive the insertion
