@@ -1832,26 +1832,28 @@ def cdc_chunks(
     seg = hashed.withColumn(
         "chunk_idx", F.coalesce(F.sum("_cut").over(w_run), F.lit(0))
     )
+    # chunks are CONTIGUOUS char ranges, so reassembly is a substring
+    # of the original text, not a per-char collect: the span aggregate
+    # collapses map-side to chunk-count-sized shuffle rows (vs shipping
+    # every char in a struct), and one join back to the text slices the
+    # chunk out. The oracle stays the naive per-char string_agg spec —
+    # hash-equality certifies the substring shortcut.
+    spans = seg.groupBy(id_col, "chunk_idx").agg(
+        F.count("*").cast("long").alias("n_chars"),
+        F.min("_i").alias("_start"),
+    )
     return (
-        seg.groupBy(id_col, "chunk_idx")
-        .agg(
-            F.count("*").cast("long").alias("n_chars"),
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("_i", "_ch"))
-                        ),
-                        lambda x: x["_ch"],
-                    ),
-                )
-            ).alias("chunk_md5"),
-        )
+        spans.join(df.select(id_col, c.alias("_text")), id_col)
         .select(
             id_col,
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             "n_chars",
-            "chunk_md5",
+            F.md5(
+                F.substr(
+                    F.col("_text"),
+                    F.col("_start") + 1,
+                    F.col("n_chars"),
+                )
+            ).alias("chunk_md5"),
         )
     )

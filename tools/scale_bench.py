@@ -117,6 +117,12 @@ SPOT = [
     "corpus_lang_token_budgets",
     # r8: hash-bucket prefix decomposition — linear, no global sort
     "corpus_stream_chunk_index",
+    # r8 late: banded-LSH + CC + broadcast join (leakage-safe split),
+    # vocab-bounded rank window + exact-decimal OLS (zipf), char-level
+    # rolling hash + doc-keyed windows (CDC)
+    "doc_split_leakage_safe",
+    "corpus_zipf_fit",
+    "doc_cdc_chunks",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
