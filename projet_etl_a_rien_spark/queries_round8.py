@@ -735,3 +735,65 @@ def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=CDC_K,
         boundary_mod=CDC_MOD,
     )
+
+
+# Crawl QA: canonical-URL / content agreement audit
+# --------------------------------------------------------------------------
+
+
+def _url_conflict_oracle() -> str:
+    # shares the round-7 URL synthesis/canonicalization renderings, so
+    # the two modules can never drift apart
+    from .queries_round7 import _sql_canon_url, _url_synth_sql
+
+    return f"""
+WITH urls AS (
+    SELECT doc_id, {_url_synth_sql()} AS url, md5(text) AS fp
+    FROM documents
+),
+canon AS (
+    SELECT doc_id, {_sql_canon_url("url")} AS url_canon, fp FROM urls
+)
+SELECT url_canon,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_contents,
+       MIN(doc_id) AS first_doc_id
+FROM canon
+GROUP BY url_canon
+HAVING COUNT(DISTINCT fp) > 1
+"""
+
+
+@register(
+    "web_url_content_conflicts",
+    _url_conflict_oracle(),
+    doc="Crawl-QA audit: canonical URLs whose documents DISAGREE on "
+    "content (distinct text fingerprints under one canonical URL) — "
+    "soft-404s, A/B-served pages, bot-cloaked content, or a broken "
+    "canonicalizer, all of which poison URL-level dedup (the keeper "
+    "silently represents content it doesn't have). One exchange keyed "
+    "on the canonical URL with map-side distinct-fp collapse; emits "
+    "only the conflicted groups. The synthesized corpus guarantees "
+    "conflicts: URL groups collapse doc_id/URL_GROUP_DIV consecutive "
+    "docs whose texts differ.",
+)
+def q_web_url_content_conflicts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import web as _web
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.select(
+        "doc_id",
+        _web.canonical_url(_web.synth_url()).alias("url_canon"),
+        F.md5("text").alias("fp"),
+    )
+    return (
+        canon.groupBy("url_canon")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_contents"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_contents") > 1)
+    )
