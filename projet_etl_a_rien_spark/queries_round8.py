@@ -797,3 +797,99 @@ def q_web_url_content_conflicts(
         )
         .where(F.col("n_contents") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Code-switching detector: segment-level language mix per document
+# --------------------------------------------------------------------------
+
+CS_SEG_TOKENS = 16
+
+
+def _codeswitch_oracle() -> str:
+    from .operators import text as _t
+
+    score = {
+        lang: (
+            "len(list_filter(list_distinct(string_split(seg, ' ')),"
+            " t -> t IN ({})))".format(
+                ",".join(f"'{m}'" for m in markers)
+            )
+        )
+        for lang, markers in sorted(_t.LANG_MARKERS.items())
+    }
+    case = "CASE " + " ".join(
+        f"WHEN {score[lang]} > 0 AND {score[lang]} = g.best THEN '{lang}'"
+        for lang in sorted(score)
+    ) + " ELSE 'und' END"
+    best = ", ".join(score[lang] for lang in sorted(score))
+    s = CS_SEG_TOKENS
+    return f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents WHERE len(string_split(text, ' ')) >= {s}
+),
+segs AS (
+    SELECT doc_id,
+           array_to_string(list_slice(toks, i * {s} + 1,
+                                      i * {s} + {s}), ' ') AS seg
+    FROM base, UNNEST(range(0, CAST(len(toks) // {s} AS BIGINT))) AS u(i)
+),
+scored AS (
+    SELECT doc_id, {case} AS pred
+    FROM segs, LATERAL (SELECT greatest({best}) AS best) g
+),
+per AS (SELECT doc_id, pred, COUNT(*) AS c FROM scored GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(ROUND(MAX(c) * 1000000.0 / SUM(c)) AS BIGINT) AS majority_ppm
+FROM per GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_codeswitch_segments",
+    _codeswitch_oracle(),
+    doc="Code-switching detector: language-ID applied per "
+    f"{CS_SEG_TOKENS}-token SEGMENT instead of per document, rolled up "
+    "to (n_segments, n_langs, majority-language ppm) per doc — a "
+    "document-level lang label hides mixed-language documents that "
+    "poison monolingual training mixes, and the segment grain is what "
+    "CCNet-style pipelines actually filter on. Pure per-row slicing + "
+    "the shared marker heuristic (same LANG_MARKERS constants, two "
+    "renderings), one doc-keyed two-level aggregate; remainder tokens "
+    "below one segment are excluded (the fixture rule the intradoc "
+    "segment ops already follow).",
+)
+def q_doc_codeswitch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_pred_col, tokens
+
+    s = CS_SEG_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = docs.where(F.size(toks) >= s).select(
+        "doc_id", toks.alias("toks")
+    )
+    segs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), (F.size("toks") / s).cast("long") - 1
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * s + 1, s), " "
+                ),
+            )
+        ).alias("seg"),
+    )
+    scored = segs.select("doc_id", lang_pred_col(F.col("seg")).alias("pred"))
+    per = scored.groupBy("doc_id", "pred").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_segments"),
+        F.count("*").alias("n_langs"),
+        F.round(F.max("c") * 1_000_000.0 / F.sum("c"))
+        .cast("long")
+        .alias("majority_ppm"),
+    )

@@ -836,3 +836,58 @@ def test_cdc_chunks_reassemble_and_insertion_resilience(spark):
     h2 = {r.chunk_md5 for r in out if r.doc_id == 2}
     shared = len(h1 & h2)
     assert shared / len(h1) > 0.6  # most chunks survive the insertion
+
+
+# ------------------------------------------------- code-switch detector
+
+
+def test_codeswitch_detects_mixed_language_doc(spark):
+    """A handcrafted bilingual document (one English segment, one
+    Spanish segment) reports n_langs=2 with a 50% majority share; a
+    monolingual one reports n_langs=1 at 100%."""
+    from projet_etl_a_rien_spark import queries_round8 as R8
+    from projet_etl_a_rien_spark.operators.text import lang_pred_col
+
+    s = R8.CS_SEG_TOKENS
+    en = ("the cat and a dog of note " * s).split()[:s]
+    es = ("el rio la casa de luz que " * s).split()[:s]
+    rows = [
+        (1, " ".join(en + es)),       # bilingual: en segment + es segment
+        (2, " ".join(en + en)),       # monolingual
+        (3, "too short"),             # below one segment: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks_ok = lang_pred_col(F.lit(" ".join(en)))  # sanity of the helper
+    assert spark.range(1).select(toks_ok).first()[0] == "en"
+    # run the registered logic on this frame via the operator pieces
+    from projet_etl_a_rien_spark.operators.text import tokens
+
+    base = df.where(F.size(tokens("text")) >= s).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    segs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.size("toks") / s).cast("long") - 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i * s + 1, s), " "),
+            )
+        ).alias("seg"),
+    )
+    scored = segs.select("doc_id", lang_pred_col(F.col("seg")).alias("pred"))
+    per = scored.groupBy("doc_id", "pred").agg(F.count("*").alias("c"))
+    out = {
+        r.doc_id: (r.n_segments, r.n_langs, r.majority_ppm)
+        for r in per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_segments"),
+            F.count("*").alias("n_langs"),
+            F.round(F.max("c") * 1_000_000.0 / F.sum("c"))
+            .cast("long")
+            .alias("majority_ppm"),
+        )
+        .collect()
+    }
+    assert out[1] == (2, 2, 500000)
+    assert out[2] == (2, 1, 1000000)
+    assert 3 not in out
