@@ -123,6 +123,10 @@ SPOT = [
     "doc_split_leakage_safe",
     "corpus_zipf_fit",
     "doc_cdc_chunks",
+    # r8 final: canonical-URL-keyed agg (conflicts), per-segment lang
+    # rollup (code-switch) — both linear with the corpus scan
+    "web_url_content_conflicts",
+    "doc_codeswitch_segments",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
