@@ -1341,3 +1341,84 @@ def cross_set_contamination(
             F.count("*").alias("n_eval_hits"),
         )
     )
+
+
+def label_centroid_cosines(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Inter-centroid cosine matrix of the labeled embedding space —
+    which classes are geometrically confusable (the diagnostic behind
+    mixture design, IVF cell sizing, and hard-negative selection).
+
+    Exactness discipline: each float component quantizes to the 1e-6
+    int64 grid, per-(label, dim) sums are exact integers, and since
+    cos(centroid_a, centroid_b) = cos(sum_a, sum_b) (the 1/n factors
+    cancel), every dot/norm accumulates as exact decimal(38,0) over the
+    dim-aligned join — order-independent across partitionings; doubles
+    appear only in the final cos = dot / sqrt(naa*nbb), nano-quantized.
+
+    Scale shape: one corpus pass (posexplode dims -> (label, dim) sums,
+    a labels x dims table), then label-pair work on that TINY table —
+    the corpus is never self-joined. Emits (label_a, label_b, cos_nano)
+    for a < b.
+    """
+    q = F.round(F.col("v").cast("double") * 1_000_000).cast("long")
+    sums = (
+        df.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .select("lbl", "dim", q.alias("q"))
+        .groupBy("lbl", "dim")
+        .agg(F.sum("q").alias("s"))
+    )
+    dec = "decimal(38,0)"
+    norms = (
+        sums.groupBy("lbl")
+        .agg(
+            F.sum(F.col("s").cast(dec) * F.col("s").cast(dec)).alias("nn")
+        )
+    )
+    a, b = sums.alias("a"), sums.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.lbl") < F.col("b.lbl")),
+        )
+        .groupBy(
+            F.col("a.lbl").alias("label_a"), F.col("b.lbl").alias("label_b")
+        )
+        .agg(
+            F.sum(
+                F.col("a.s").cast(dec) * F.col("b.s").cast(dec)
+            ).alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("lbl").alias("label_a"), F.col("nn").alias("naa")
+    )
+    nb = norms.select(
+        F.col("lbl").alias("label_b"), F.col("nn").alias("nbb")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.round(
+                    F.col("dot").cast("double")
+                    / F.sqrt(
+                        F.col("naa").cast("double")
+                        * F.col("nbb").cast("double")
+                    )
+                    * 1_000_000_000
+                ).cast("long")
+                / F.lit(1e9)
+            ).alias("cos"),
+        )
+    )

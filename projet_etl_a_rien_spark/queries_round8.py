@@ -893,3 +893,59 @@ def q_doc_codeswitch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("majority_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space class geometry (operators/similarity.py:label_centroid_cosines)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroid_cosines",
+    """
+WITH comp AS (
+    SELECT label AS lbl, u.i AS dim,
+           CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS q
+    FROM embeddings,
+         UNNEST(range(1, CAST(len(embedding) + 1 AS BIGINT))) AS u(i)
+),
+sums AS (
+    SELECT lbl, dim, CAST(SUM(q) AS BIGINT) AS s
+    FROM comp GROUP BY lbl, dim
+),
+norms AS (
+    SELECT lbl, SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS nn
+    FROM sums GROUP BY lbl
+),
+dots AS (
+    SELECT a.lbl AS label_a, b.lbl AS label_b,
+           SUM(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS dot
+    FROM sums a JOIN sums b ON a.dim = b.dim AND a.lbl < b.lbl
+    GROUP BY a.lbl, b.lbl
+)
+SELECT d.label_a, d.label_b,
+       CAST(ROUND(CAST(d.dot AS DOUBLE)
+            / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+            * 1000000000) AS BIGINT) / 1e9 AS cos
+FROM dots d
+JOIN norms na ON d.label_a = na.lbl
+JOIN norms nb ON d.label_b = nb.lbl
+""",
+    doc="Inter-centroid cosine matrix of the labeled embedding space — "
+    "which classes are geometrically confusable, the diagnostic behind "
+    "mixture design, IVF cell sizing, and hard-negative selection. "
+    "Exactness: components quantize to the 1e-6 int64 grid, and since "
+    "cos(centroid_a, centroid_b) = cos(sum_a, sum_b) (1/n factors "
+    "cancel) every dot/norm accumulates as exact decimal/hugeint over "
+    "the dim-aligned join — order-independent; doubles only in the "
+    "final cos, nano-quantized. One corpus pass to a labels x dims "
+    "table, then label-pair work on that tiny table: the corpus is "
+    "never self-joined.",
+)
+def q_embedding_label_centroid_cosines(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.similarity import label_centroid_cosines
+
+    return label_centroid_cosines(load_table(spark, sf_dir, "embeddings"))

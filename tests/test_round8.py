@@ -891,3 +891,43 @@ def test_codeswitch_detects_mixed_language_doc(spark):
     assert out[1] == (2, 2, 500000)
     assert out[2] == (2, 1, 1000000)
     assert 3 not in out
+
+
+# ------------------------------------------- label centroid geometry
+
+
+def test_label_centroid_cosines_match_numpy(spark):
+    """Inter-centroid cosines equal numpy's on a handcrafted labeled
+    set (within the 1e-6 component quantization), and orthogonal
+    classes read ~0 while aligned ones read ~1."""
+    import numpy as np
+
+    from projet_etl_a_rien_spark.operators.similarity import (
+        label_centroid_cosines,
+    )
+
+    rng = [
+        (0, [1.0, 0.0, 0.0, 0.1]),
+        (0, [0.9, 0.1, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.1, 0.0]),
+        (1, [0.1, 0.9, 0.0, 0.0]),
+        (2, [0.95, 0.05, 0.0, 0.05]),
+    ]
+    df = spark.createDataFrame(
+        [(i, v, l) for i, (l, v) in enumerate(rng)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.label_a, r.label_b): r.cos
+        for r in label_centroid_cosines(df).collect()
+    }
+    cents = {
+        l: np.mean([v for ll, v in rng if ll == l], axis=0)
+        for l in (0, 1, 2)
+    }
+    for (a, b), c in got.items():
+        ca, cb = cents[a], cents[b]
+        want = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert abs(c - want) < 1e-4, (a, b)
+    assert got[(0, 2)] > 0.99   # aligned classes
+    assert got[(0, 1)] < 0.35   # near-orthogonal classes
