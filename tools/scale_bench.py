@@ -127,6 +127,8 @@ SPOT = [
     # rollup (code-switch) — both linear with the corpus scan
     "web_url_content_conflicts",
     "doc_codeswitch_segments",
+    # r8 final: labels x dims reduction, corpus never self-joined
+    "embedding_label_centroid_cosines",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
