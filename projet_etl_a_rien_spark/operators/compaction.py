@@ -700,12 +700,17 @@ def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
     removed.
 
     Token statistics stored at compaction time (``stats/v=N``) are
-    REBUILT from each rewritten snapshot before its postings overwrite
-    commits relative to readers — an erased doc must vanish from
-    df_docs/cf/n_docs too, or the stored-stats serve path
-    (:func:`read_postings_sink_with_stats`) would keep scoring with its
-    ghost counts. Read-time-derived stats (the fallback path) reflect
-    the erasure with no treatment.
+    rebuilt SELF-HEALINGLY: for EVERY committed stats version, the
+    stats table is unconditionally recomputed from that snapshot's
+    post-erase postings and overwritten — even when this run removed
+    nothing from the postings. That unconditional rewrite is what makes
+    the crash window converge: if a prior run died between its postings
+    overwrite and its stats rewrite, the postings no longer change on
+    re-run (so a change-gated rewrite would skip forever and
+    :func:`read_postings_sink_with_stats` would keep scoring with ghost
+    df_docs/cf/n_docs), but the unconditional recompute still replaces
+    the stale stats. Read-time-derived stats (the fallback path)
+    reflect the erasure with no treatment.
 
     Idempotence is the crash contract: each partition dir is rewritten
     independently (filter → localCheckpoint → overwrite, the same
@@ -733,11 +738,17 @@ def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
             n_after = kept.count()
             if n_after != n_before:
                 kept.write.mode("overwrite").parquet(sub)
-                if key == "v=" and n in stat_versions:
-                    postings_token_stats(kept).write.mode(
-                        "overwrite"
-                    ).parquet(f"{path}/stats/v={n}")
                 removed += n_before - n_after
+            if key == "v=" and n in stat_versions:
+                # unconditional, NOT gated on n_after != n_before: a
+                # crash between a prior run's postings overwrite and its
+                # stats rewrite leaves ghost stats that a change-gated
+                # re-run would never repair (the postings no longer
+                # change). Recomputing from the post-erase snapshot every
+                # run makes the erasure converge under any crash point.
+                postings_token_stats(kept).write.mode(
+                    "overwrite"
+                ).parquet(f"{path}/stats/v={n}")
     # the materialized per-doc length tables carry the erased ids as
     # whole rows — drop them the same idempotent rewrite way
     for n in _committed_partitions(spark, f"{path}/dlen", "v="):

@@ -429,10 +429,17 @@ def triangle_count_estimate(
     tri_per_node = triangle_counts(
         sampled, "u", "v", assume_normalized=True
     )
+    # integer arithmetic end to end: `/` in Spark is DOUBLE division, and
+    # above ~2^53 scaled triangles the double's floor drifts from the
+    # exact quotient — at the 100 TB scale this estimator exists for.
+    # DIV is the integral-division operator (exact for the full int64
+    # range); the corner count is always divisible by 3 so DIV 3 is the
+    # exact quotient, and the 1/p**3 scale-up stays a BIGINT product
+    # followed by an exact integral divide.
     n_tris = tri_per_node.agg(
-        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
-        .cast("long")
-        .alias("n_sampled_triangles")
+        F.coalesce(F.sum("n_triangles"), F.lit(0)).alias("corner_sum")
+    ).select(
+        F.expr("corner_sum DIV 3").alias("n_sampled_triangles")
     )
     n_edges = sampled.agg(F.count("*").alias("n_sampled_edges"))
     out = (
@@ -440,10 +447,9 @@ def triangle_count_estimate(
         .select(
             "n_sampled_edges",
             "n_sampled_triangles",
-            (
-                F.col("n_sampled_triangles")
-                * (keep_den**3)
-                / F.lit(keep_num**3)
+            F.expr(
+                f"n_sampled_triangles * {keep_den ** 3} "
+                f"DIV {keep_num ** 3}"
             )
             .cast("long")
             .alias("est_triangles"),

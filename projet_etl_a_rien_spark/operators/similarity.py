@@ -1409,7 +1409,12 @@ def label_centroid_cosines(
         .select(
             "label_a",
             "label_b",
-            (
+            # zero-norm guard: a label whose centroid quantizes to the
+            # zero vector has nn = 0, and dot/sqrt(0) would be NaN/Inf —
+            # whose long-cast behavior differs between Spark and the
+            # DuckDB oracle. Cosine is undefined there; emit NULL.
+            F.when(
+                (F.col("naa") > 0) & (F.col("nbb") > 0),
                 F.round(
                     F.col("dot").cast("double")
                     / F.sqrt(
@@ -1418,7 +1423,7 @@ def label_centroid_cosines(
                     )
                     * 1_000_000_000
                 ).cast("long")
-                / F.lit(1e9)
+                / F.lit(1e9),
             ).alias("cos"),
         )
     )

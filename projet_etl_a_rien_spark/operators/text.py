@@ -1710,12 +1710,14 @@ def stream_chunk_index(
             id_col,
             "n_tokens",
             "global_start",
-            (F.col("global_start") / chunk_tokens)
+            # DIV, not `/`+cast: Spark `/` is double division, and past
+            # ~2^53 stream tokens the floor loses exactness — the very
+            # regime the bucket-decomposed prefix sum exists for
+            F.expr(f"global_start DIV {int(chunk_tokens)}")
             .cast("long")
             .alias("chunk_first"),
-            (
-                (F.col("global_start") + F.col("n_tokens") - 1)
-                / chunk_tokens
+            F.expr(
+                f"(global_start + n_tokens - 1) DIV {int(chunk_tokens)}"
             )
             .cast("long")
             .alias("chunk_last"),

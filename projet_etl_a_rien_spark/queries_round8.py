@@ -66,7 +66,7 @@ tri AS (
 SELECT (SELECT COUNT(*) FROM sampled) AS n_sampled_edges,
        (SELECT COUNT(*) FROM tri) AS n_sampled_triangles,
        CAST((SELECT COUNT(*) FROM tri) * {TRI_KEEP_DEN ** 3}
-            / {TRI_KEEP_NUM ** 3} AS BIGINT) AS est_triangles
+            // {TRI_KEEP_NUM ** 3} AS BIGINT) AS est_triangles
 """,
     doc="DOULION approximate triangle count over the co-purchase graph "
     f"(operators/graph.py:triangle_count_estimate): every undirected "
@@ -925,9 +925,11 @@ dots AS (
     GROUP BY a.lbl, b.lbl
 )
 SELECT d.label_a, d.label_b,
-       CAST(ROUND(CAST(d.dot AS DOUBLE)
-            / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
-            * 1000000000) AS BIGINT) / 1e9 AS cos
+       CASE WHEN na.nn > 0 AND nb.nn > 0 THEN
+           CAST(ROUND(CAST(d.dot AS DOUBLE)
+                / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+                * 1000000000) AS BIGINT) / 1e9
+       END AS cos
 FROM dots d
 JOIN norms na ON d.label_a = na.lbl
 JOIN norms nb ON d.label_b = nb.lbl

@@ -1,0 +1,150 @@
+"""Round-9 tests: the r8 ADVICE fixes pinned as regressions.
+
+1. Erasure's stats rewrite is SELF-HEALING: a crash between a prior
+   run's postings overwrite and its stats rewrite leaves ghost stats
+   that no postings change can ever trigger a repair for — the re-run
+   must recompute stats unconditionally (compaction.py:postings_erase_ids).
+2. Integer DIV, not double `/` + cast, in the DOULION scale-up and the
+   chunk-span floor — above ~2^53 the double's floor drifts from the
+   exact quotient, exactly the 100 TB regime both operators exist for.
+3. Zero-norm centroid cosine emits NULL, not NaN/Inf
+   (similarity.py:label_centroid_cosines).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.catalog import load_table
+from projet_etl_a_rien_spark.operators.compaction import (
+    compact_postings_sink,
+    postings_erase_ids,
+    read_postings_sink_with_stats,
+    write_postings_partial,
+)
+from projet_etl_a_rien_spark.operators.retrieval import inverted_index
+from projet_etl_a_rien_spark.operators.similarity import (
+    label_centroid_cosines,
+)
+
+
+def _assert_frames_equal(got, want):
+    assert got.dtypes == want.dtypes
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_erasure_stats_self_heal_after_crash_window(spark, sf_dir):
+    """Simulated crash: the postings snapshot is already erased but the
+    stats table still carries the erased docs' ghost df/cf/n_docs (a
+    prior run died between its two writes). Re-running the SAME erasure
+    removes zero posting rows — yet must still rewrite the stats, or
+    the stored-stats serve scores with ghosts forever."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="statheal_")
+    try:
+        write_postings_partial(docs, path, 0)
+        v = compact_postings_sink(spark, path)
+        # manually replay only the FIRST half of an erasure: overwrite
+        # the snapshot postings without the erased ids, leave stats stale
+        erased_pred = F.col("id") % 5 == 0
+        snap = f"{path}/snap/v={v}"
+        kept = (
+            spark.read.parquet(snap)
+            .where(~erased_pred)
+            .localCheckpoint(eager=True)
+        )
+        kept.write.mode("overwrite").parquet(snap)
+        survivors = docs.where(F.col("doc_id") % 5 != 0)
+        # ghost check: the stale stats disagree with the erased postings
+        stale = spark.read.parquet(f"{path}/stats/v={v}")
+        assert (
+            stale.where(F.col("n_docs") == docs.count()).count()
+            == stale.count()
+        )
+        # the re-run removes nothing (postings already erased) ...
+        removed = postings_erase_ids(
+            spark,
+            path,
+            docs.where(F.col("doc_id") % 5 == 0).select(
+                F.col("doc_id").alias("id")
+            ),
+        )
+        assert removed == 0
+        # ... but the stats must have converged anyway
+        healed = spark.read.parquet(f"{path}/stats/v={v}")
+        n_surv = survivors.count()
+        assert healed.where(F.col("n_docs") != n_surv).count() == 0
+        _assert_frames_equal(
+            read_postings_sink_with_stats(spark, path),
+            inverted_index(survivors),
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_div_is_exact_where_double_division_is_not(spark):
+    """Why the DOULION scale-up and chunk-span floors use DIV: for
+    values past 2^53 the double round-trip of `/` + cast loses the
+    exact quotient. 2^53 + 1 is the first long a double cannot hold."""
+    v = 2**53 + 1
+    row = spark.createDataFrame([(v,)], "x long").select(
+        F.expr("x DIV 1").alias("div_exact"),
+        (F.col("x") / 1).cast("long").alias("double_path"),
+    ).first()
+    assert row.div_exact == v
+    assert row.double_path != v  # the bug DIV avoids
+
+
+def test_triangle_estimate_scale_up_exact_past_double_precision(spark):
+    """est = sampled * keep_den**3 DIV keep_num**3 stays exact for
+    counts a double cannot represent (den=2 -> *8; the product of a
+    (2^53+1)-ish count is far past 2^53)."""
+    from projet_etl_a_rien_spark.operators import graph as _g
+
+    big = 2**53 + 1
+    got = (
+        spark.createDataFrame([(big,)], "n_sampled_triangles long")
+        .select(
+            F.expr("n_sampled_triangles * 8 DIV 1")
+            .cast("long")
+            .alias("est")
+        )
+        .first()
+        .est
+    )
+    assert got == big * 8
+    # and the operator itself still agrees with a hand count on a
+    # small graph (4-clique = 4 triangles; p=1 keeps every edge)
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    est = _g.triangle_count_estimate(
+        edges, keep_num=1, keep_den=1
+    ).first()
+    assert est.n_sampled_triangles == 4
+    assert est.est_triangles == 4
+
+
+def test_zero_norm_centroid_cosine_is_null(spark):
+    """A label whose centroid quantizes to the zero vector (components
+    below the 1e-6 grid) yields cos = NULL for its pairs — never
+    NaN/Inf, whose long-cast behavior diverges between engines."""
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [1.0, 0.0]),
+        (3, "zero", [1e-9, -1e-9]),
+        (4, "b", [0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = label_centroid_cosines(df).collect()
+    got = {(r.label_a, r.label_b): r.cos for r in out}
+    assert got[("a", "b")] == 0.0
+    assert got[("a", "zero")] is None
+    assert got[("b", "zero")] is None
