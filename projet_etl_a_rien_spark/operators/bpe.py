@@ -151,17 +151,18 @@ def word_symbol_table(
     )
 
 
-def learn_bpe_merges(
-    df: DataFrame,
-    num_merges: int = 10,
-    text_col: str = "text",
-    min_pair_count: int = 2,
+def _learn_merges(
+    seqs: DataFrame,
+    key_col: str,
+    num_merges: int,
+    min_pair_count: int,
 ) -> list[tuple[int, str, str, int]]:
-    """Learn ``num_merges`` BPE merges; returns [(rank, left, right,
-    pair_count)] in learned order. Stops early when no pair reaches
-    ``min_pair_count``. Deterministic: ties broken (count desc, then
-    (left, right) tuple order — struct ordering is field-lexicographic)."""
-    seqs = word_symbol_table(df, text_col).localCheckpoint(eager=True)
+    """The merge-learning loop shared by the word-level and byte-level
+    tokenizers: iterate (vocab-scale pair-count groupBy → 1-row argmax →
+    greedy fold rewrite) over a (key, cnt, syms) table. Deterministic:
+    ties broken (count desc, then (left, right) tuple order — struct
+    ordering is field-lexicographic)."""
+    seqs = seqs.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, num_merges + 1):
@@ -179,13 +180,29 @@ def learn_bpe_merges(
             left, right = top[0]["p"]["l"], top[0]["p"]["r"]
             merges.append((rank, left, right, int(top[0]["n"])))
             nxt = seqs.select(
-                "word", "cnt", _apply_merge(F.col("syms"), left, right).alias("syms")
+                key_col,
+                "cnt",
+                _apply_merge(F.col("syms"), left, right).alias("syms"),
             ).localCheckpoint(eager=True)
             seqs.unpersist()
             seqs = nxt
     finally:
         seqs.unpersist()
     return merges
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``num_merges`` word-level BPE merges; returns [(rank, left,
+    right, pair_count)] in learned order. Stops early when no pair
+    reaches ``min_pair_count``."""
+    return _learn_merges(
+        word_symbol_table(df, text_col), "word", num_merges, min_pair_count
+    )
 
 
 def bpe_merge_table(
@@ -255,5 +272,165 @@ def apply_bpe_merges(
             F.sum("n_sym").alias("n_bpe_tokens"),
             # integer-ratio diagnostic: exact BIGINT/BIGINT division
             (F.sum("n_sym") / F.count("*")).alias("bpe_per_word"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (BBPE) twin — the GPT-2 tokenizer family (Radford et al.
+# 2019). Word-level BPE approximates what a production trainer sees:
+# whitespace is erased by the pre-split, multibyte characters are atomic
+# symbols, and a terminal </w> marks word ends. Byte-level BPE is what
+# production LLM pipelines actually run: the unit is the UTF-8 BYTE, a
+# pre-token KEEPS its leading space (so " the" and "the" are different
+# tokens, exactly like GPT-2's Ġthe), and merges can recombine the bytes
+# of a multibyte character. Every downstream token count (packing,
+# budgets, chunk layout) inherits whichever model feeds it — this twin is
+# the production-faithful one.
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, lookahead-free so the SAME pattern runs
+# bit-identically on Spark (java.util.regex) and DuckDB (RE2): a run of
+# 2+ spaces stands alone; otherwise a non-space run takes at most one
+# leading space; a trailing single space stands alone. (GPT-2's own
+# pattern needs (?!\S) lookahead, which RE2 lacks; on single-spaced text
+# the two are identical, on multi-space runs this variant keeps the
+# whole run as one whitespace pre-token instead of donating its last
+# space to the following word — a documented, deterministic difference.)
+BYTE_PRETOKEN_RE = "  +| ?[^ ]+| +"
+
+# The SHIPPED byte-level tokenizer: merge table learned ONCE from the
+# sf0.01 documents corpus via ``learn_bbpe_merges(num_merges=10)`` and
+# frozen (same deployment shape as FIXED_MERGES). Symbols are 2-hex-digit
+# UTF-8 byte codes; a merge concatenates hex strings, so every token is
+# a hex rendering of its byte sequence (decode for display = unhex).
+FIXED_BYTE_MERGES: list[tuple[int, str, str, int]] = [
+    (1, "20", "73", 5345),  # ' ' + 's'   → ' s' (GPT-2's Ġs)
+    (2, "65", "72", 4568),  # 'e' + 'r'   → 'er'
+    (3, "69", "6E", 2760),  # 'i' + 'n'   → 'in'
+    (4, "6F", "77", 2747),  # 'o' + 'w'   → 'ow'
+    (5, "6F", "72", 2696),  # 'o' + 'r'   → 'or'
+    (6, "6D", "6572", 1852),  # 'm' + 'er' → 'mer'
+    (7, "61", "74", 1845),  # 'a' + 't'   → 'at'
+    (8, "6C", "75", 1831),  # 'l' + 'u'   → 'lu'
+    (9, "20", "63", 1826),  # ' ' + 'c'   → ' c'
+    (10, "61", "73", 1801),  # 'a' + 's'  → 'as'
+]
+
+
+def byte_symbols(col):
+    """Initial BBPE symbol array: the column's UTF-8 bytes, one symbol
+    per byte, rendered as 2-hex-digit codes ("a" → ["61"], " é" →
+    ["20", "C3", "A9"]). Hex codes make the symbol alphabet printable,
+    collision-free under concatenation (merges land on even hex
+    boundaries by construction), and bit-identical between Spark's
+    hex(encode(...)) and DuckDB's — the engine-parity trick that lets
+    even the byte-level tokenizer carry a hash-exact SQL oracle."""
+    return F.regexp_extract_all(
+        F.hex(F.encode(col, "UTF-8")), F.lit(".."), F.lit(0)
+    )
+
+
+def pretoken_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(pt, cnt, syms) — corpus pre-token counts with each pre-token
+    split into its UTF-8 byte symbols. No </w> marker: merges cannot
+    cross pre-token boundaries because the table row IS the pre-token,
+    and the leading space travels inside the token (GPT-2's Ġ). The ONE
+    corpus-scale shuffle of BBPE training."""
+    return (
+        widen_narrow_input(df)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BYTE_PRETOKEN_RE), F.lit(0)
+                )
+            ).alias("pt")
+        )
+        .groupBy("pt")
+        .agg(F.count("*").alias("cnt"))
+        .select("pt", "cnt", byte_symbols(F.col("pt")).alias("syms"))
+    )
+
+
+def learn_bbpe_merges(
+    df: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``num_merges`` byte-level BPE merges; returns [(rank, left,
+    right, pair_count)] in learned order, symbols as hex byte-strings.
+    Same loop, argmax tie-break, and early stop as the word-level
+    trainer — only the seed table differs."""
+    return _learn_merges(
+        pretoken_symbol_table(df, text_col), "pt", num_merges, min_pair_count
+    )
+
+
+def bbpe_merge_table(
+    spark: SparkSession, df: DataFrame, num_merges: int = 10
+) -> DataFrame:
+    """Learned byte-level merges as a DataFrame (rank, left, right,
+    pair_count); left/right/merged tokens are hex byte-strings."""
+    rows = learn_bbpe_merges(df, num_merges)
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    )
+
+
+def apply_bbpe_merges(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Encode the corpus with a frozen byte-level merge list: per-doc
+    token stats under the BBPE segmentation. Same rank-ordered greedy
+    fold chain as ``apply_bpe_merges``, run over the DISTINCT-pre-token
+    table (vocabulary-sized; the corpus-scale work is one pre-token
+    explode and one join).
+
+    Returns (doc_id, n_pretokens, n_bytes, n_bbpe_tokens,
+    bytes_per_token) — n_bytes/n_bbpe_tokens is the compression ratio a
+    tokenizer-fit report quotes (1.0 = no compression; GPT-2's English
+    ratio is ~4). These counts — not the word-level approximation — are
+    what a production trainer's packing/budget/chunk layout would see.
+    """
+    wdf = widen_narrow_input(df)
+    pts = F.regexp_extract_all(
+        F.col(text_col), F.lit(BYTE_PRETOKEN_RE), F.lit(0)
+    )
+    syms = (
+        wdf.select(F.explode(pts).alias("pt"))
+        .distinct()
+        .select("pt", byte_symbols(F.col("pt")).alias("syms"))
+    )
+    for i, (_rank, left, right, _n) in enumerate(merges):
+        syms = syms.select(
+            "pt", _apply_merge(F.col("syms"), left, right).alias("syms")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=True)
+    lengths = syms.select(
+        "pt",
+        F.size("syms").cast("long").alias("n_sym"),
+        # each hex symbol is 2 chars per byte; total hex length/2 = bytes
+        F.expr(
+            "CAST(aggregate(syms, 0L, (a, s) -> a + length(s)) DIV 2"
+            " AS BIGINT)"
+        ).alias("n_b"),
+    )
+    occ = wdf.select(
+        F.col(id_col).alias("id"), F.explode(pts).alias("pt")
+    )
+    return (
+        occ.join(lengths, "pt")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_pretokens"),
+            F.sum("n_b").alias("n_bytes"),
+            F.sum("n_sym").alias("n_bbpe_tokens"),
+            (F.sum("n_b") / F.sum("n_sym")).alias("bytes_per_token"),
         )
     )

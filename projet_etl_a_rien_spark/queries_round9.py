@@ -1,0 +1,170 @@
+"""Round-9 registrations: the byte-level BPE (BBPE) tokenizer twin —
+the r8 verdict's #1 ask. Word-level BPE approximates production token
+counts; byte-level (GPT-2 BBPE family) is what trainers actually run:
+pre-tokens keep their leading space, the merge unit is the UTF-8 byte,
+and multibyte characters are mergeable byte sequences.
+
+Engine-parity design: symbols are 2-hex-digit byte codes
+(hex(encode(x)) is bit-identical between Spark and DuckDB), the
+pre-tokenizer regex is lookahead-free so java.util.regex and RE2 agree,
+and the learning loop's bounded iteration unrolls into MATERIALIZED
+CTEs exactly like the word-level oracle — so BOTH halves of the
+byte-level tokenizer are hash-exact against DuckDB.
+
+Imported for its registration side effects by
+``queries._load_extensions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import load_table
+from .operators import bpe
+from .queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE merge LEARNING (operators/bpe.py:learn_bbpe_merges)
+# ---------------------------------------------------------------------------
+
+
+def _bbpe_learn_oracle(num_merges: int = 10, min_count: int = 2) -> str:
+    """DuckDB oracle for byte-level BPE merge learning — the same
+    bounded-loop CTE unrolling as the word-level ``_bpe_learn_oracle``
+    (queries_round6), with two substitutions: the seed table is
+    GPT-2-style pre-tokens (leading space attached, no </w>), and the
+    initial symbols are 2-hex-digit UTF-8 byte codes, so ``r0`` wraps
+    each hex PAIR in separators instead of each character.
+
+    ``MATERIALIZED`` per iteration is load-bearing: the rewrite
+    references the previous state twice, and default CTE inlining would
+    expand the chain exponentially."""
+    S = "chr(30)"
+    ctes = [
+        "occ AS (SELECT unnest(regexp_extract_all(text,"
+        f" '{bpe.BYTE_PRETOKEN_RE}')) AS pt FROM documents)",
+        "wc AS MATERIALIZED (SELECT pt, COUNT(*) AS cnt FROM occ"
+        " GROUP BY pt)",
+        f"r0 AS MATERIALIZED (SELECT cnt, regexp_replace(hex(encode(pt)),"
+        f" '(..)', {S} || '\\1' || {S}, 'g') AS rep FROM wc)",
+    ]
+    outs = []
+    prev = "r0"
+    for i in range(1, num_merges + 1):
+        ctes.append(
+            f"p{i} AS (SELECT u.l AS l, u.r AS r, CAST(SUM(cnt) AS BIGINT)"
+            f" AS n FROM (SELECT cnt, unnest(list_transform(range(1,"
+            f" len(ss)), j -> struct_pack(l := ss[j], r := ss[j + 1]))) AS u"
+            f" FROM (SELECT cnt, string_split(trim(rep, {S}), {S} || {S})"
+            f" AS ss FROM {prev}) WHERE len(ss) >= 2) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT l, r, n FROM p{i}"
+            " ORDER BY n DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT cnt, CASE WHEN t.n >= {min_count}"
+            f" THEN replace(rep, {S} || t.l || {S} || {S} || t.r || {S},"
+            f" {S} || t.l || t.r || {S}) ELSE rep END AS rep"
+            f" FROM {prev}, t{i} t)"
+        )
+        prev = f"r{i}"
+        outs.append(
+            f'SELECT CAST({i} AS INTEGER) AS rank, l AS "left",'
+            f' r AS "right", n AS pair_count FROM t{i}'
+            f" WHERE n >= {min_count}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@register(
+    "bpe_learn_merges_bytes",
+    _bbpe_learn_oracle(num_merges=10, min_count=2),
+    doc="Byte-level BPE merge learning (GPT-2 BBPE family, Radford "
+    "2019): 10 merges over the corpus PRE-TOKEN count table — leading "
+    "space travels inside the token (Ġ), the merge unit is the UTF-8 "
+    "byte rendered as a 2-hex-digit symbol, multibyte characters are "
+    "mergeable byte runs. Same distributed loop as the word-level "
+    "trainer (vocab-scale pair-count groupBy, 1-row argmax with "
+    "count-desc/pair-asc tie-break, greedy JVM fold rewrite, "
+    "localCheckpoint lineage truncation); the oracle unrolls the "
+    "bounded loop into MATERIALIZED CTEs with hex(encode(pt)) seeding "
+    "— bit-identical across engines. Pure-Python property test on "
+    "multibyte/whitespace edge cases in tests/test_round9.py.",
+)
+def q_bpe_learn_merges_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe.bbpe_merge_table(spark, _docs(spark, sf_dir), num_merges=10)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE ENCODING under the frozen merge table
+# (operators/bpe.py:apply_bbpe_merges, bpe.FIXED_BYTE_MERGES)
+# ---------------------------------------------------------------------------
+
+
+def _bbpe_encode_oracle(merges: list[tuple[int, str, str, int]]) -> str:
+    """DuckDB oracle for frozen-table byte-level encoding: the anchored
+    boundary-replace chain of the word-level encode oracle, seeded from
+    hex byte symbols. Hex symbols are [0-9A-F]+ so the chr(30)
+    separator is safe BY CONSTRUCTION here (the word-level oracle needs
+    a corpus-alphabet assumption; the byte-level one does not)."""
+    S = "chr(30)"
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ctes = [
+        "occ AS (SELECT doc_id AS id, unnest(regexp_extract_all(text,"
+        f" '{bpe.BYTE_PRETOKEN_RE}')) AS pt FROM documents)",
+        "w AS (SELECT DISTINCT pt FROM occ)",
+        f"r0 AS (SELECT pt, regexp_replace(hex(encode(pt)), '(..)',"
+        f" {S} || '\\1' || {S}, 'g') AS rep FROM w)",
+    ]
+    prev = "r0"
+    for i, (_rank, left, right, _n) in enumerate(merges, start=1):
+        pat = f"{S} || {q(left)} || {S} || {S} || {q(right)} || {S}"
+        rep = f"{S} || {q(left + right)} || {S}"
+        ctes.append(
+            f"r{i} AS (SELECT pt, replace(rep, {pat}, {rep}) AS rep"
+            f" FROM {prev})"
+        )
+        prev = f"r{i}"
+    ctes.append(
+        f"lens AS (SELECT pt, CAST(len(string_split(rep, {S} || {S}))"
+        f" AS BIGINT) AS n_sym,"
+        f" CAST(len(replace(rep, {S}, '')) // 2"
+        f" AS BIGINT) AS n_b FROM {prev})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT id AS doc_id, COUNT(*) AS n_pretokens,\n"
+        "       CAST(SUM(n_b) AS BIGINT) AS n_bytes,\n"
+        "       CAST(SUM(n_sym) AS BIGINT) AS n_bbpe_tokens,\n"
+        "       CAST(SUM(n_b) AS BIGINT) / CAST(SUM(n_sym) AS BIGINT)\n"
+        "           AS bytes_per_token\n"
+        "FROM occ JOIN lens USING (pt)\n"
+        "GROUP BY id"
+    )
+
+
+@register(
+    "corpus_bbpe_encode_stats",
+    _bbpe_encode_oracle(bpe.FIXED_BYTE_MERGES),
+    doc="Tokenizer-application half of byte-level BPE: per-doc "
+    "pre-token/byte/BBPE-token counts plus the bytes-per-token "
+    "compression ratio under the FROZEN 10-merge table "
+    "(bpe.FIXED_BYTE_MERGES — learned once at sf0.01, shipped, applied "
+    "everywhere). Rank-ordered greedy fold chain over the distinct "
+    "pre-token table, vocab-sized throughout; these counts — not the "
+    "word-level approximation — are what a production trainer's "
+    "packing/budget/chunk layout sees.",
+)
+def q_corpus_bbpe_encode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return bpe.apply_bbpe_merges(_docs(spark, sf_dir), bpe.FIXED_BYTE_MERGES)

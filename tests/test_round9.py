@@ -148,3 +148,120 @@ def test_zero_norm_centroid_cosine_is_null(spark):
     assert got[("a", "b")] == 0.0
     assert got[("a", "zero")] is None
     assert got[("b", "zero")] is None
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE twin (operators/bpe.py BBPE half) — property tests vs a
+# pure-Python reference on multibyte/whitespace edge cases (the r8
+# verdict's done-criterion for the tokenizer ask).
+# ---------------------------------------------------------------------------
+
+import re as _re
+import collections as _collections
+
+from projet_etl_a_rien_spark.operators import bpe as _bpe
+
+
+def _py_pretokens(text):
+    return _re.findall(r"  +| ?[^ ]+| +", text)
+
+
+def _py_bbpe_learn(texts, num_merges=10, min_count=2):
+    wc = _collections.Counter()
+    for t in texts:
+        wc.update(_py_pretokens(t))
+    seqs = {
+        pt: [f"{b:02X}" for b in pt.encode("utf-8")] for pt in wc
+    }
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc = _collections.Counter()
+        for pt, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[pt]
+        if not pc:
+            break
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((rank, left, right, n))
+        seqs = {
+            pt: _py_apply(syms, left, right) for pt, syms in seqs.items()
+        }
+    return merges
+
+
+def _py_apply(syms, left, right):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_byte_symbols_multibyte_and_space(spark):
+    """UTF-8 bytes as hex pairs: multibyte chars split into their bytes
+    (mergeable, GPT-2-style), leading space travels inside the token."""
+    got = (
+        spark.createDataFrame([(" é",), ("ab",), ("’",)], "t string")
+        .select(F.col("t"), _bpe.byte_symbols(F.col("t")).alias("s"))
+        .collect()
+    )
+    m = {r.t: r.s for r in got}
+    assert m[" é"] == ["20", "C3", "A9"]
+    assert m["ab"] == ["61", "62"]
+    assert m["’"] == ["E2", "80", "99"]  # U+2019, three UTF-8 bytes
+
+
+def test_bbpe_learn_matches_python_on_multibyte_whitespace(spark):
+    """Distributed byte-level learning == the pure-Python reference on a
+    corpus exercising multibyte chars, double spaces, leading/trailing
+    space, and merge chains that cross a codepoint's byte boundary."""
+    texts = [
+        "café  münchen ’quote",
+        "a  a a",
+        "the cat  sat",
+        " lead tail ",
+        "naïve naïve café",
+        "’’ ’’",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = _bpe.learn_bbpe_merges(df, num_merges=12, min_pair_count=2)
+    want = _py_bbpe_learn(texts, num_merges=12, min_count=2)
+    assert got == want
+    # byte-level signature: some learned token must span a multibyte
+    # char's bytes or carry a leading space byte
+    assert any(l.startswith("20") or l in ("E2", "C3") for _, l, _r, _ in got) or any(
+        r in ("80", "99", "A9", "AF") for _, _l, r, _ in got
+    )
+
+
+def test_bbpe_encode_stats_match_python(spark):
+    """apply_bbpe_merges per-doc counts == encoding every doc with the
+    pure-Python reference under the same frozen merge list."""
+    texts = [
+        (1, "café café  münchen"),
+        (2, " the cat sat "),
+        (3, "’a’ b"),
+    ]
+    merges = _py_bbpe_learn([t for _, t in texts], num_merges=6, min_count=2)
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_bytes, r.n_bbpe_tokens)
+        for r in _bpe.apply_bbpe_merges(df, merges).collect()
+    }
+    for doc_id, text in texts:
+        pts = _py_pretokens(text)
+        n_tok = 0
+        n_bytes = 0
+        for pt in pts:
+            syms = [f"{b:02X}" for b in pt.encode("utf-8")]
+            for _rank, l, r, _n in merges:
+                syms = _py_apply(syms, l, r)
+            n_tok += len(syms)
+            n_bytes += len(pt.encode("utf-8"))
+        assert got[doc_id] == (len(pts), n_bytes, n_tok)
