@@ -1,0 +1,353 @@
+"""IDN + Unicode normalization for URL canonicalization — pure Catalyst
+expressions, zero Python in the hot path.
+
+Two gaps make a multilingual web dedup under-merge even after
+percent-escape normalization (the r8 verdict's #2 ask):
+
+1. ``münchen.example`` and its punycode twin ``xn--mnchen-3ya.example``
+   name one host (RFC 3490/5890: the ACE form IS the wire encoding of
+   the Unicode form);
+2. ``café`` spelled precomposed (NFC, U+00E9) and decomposed (NFD,
+   ``e`` + U+0301) in a host label or path segment are one string under
+   Unicode canonical equivalence.
+
+Both are solved here WITHOUT a UDF:
+
+- **Punycode decode (RFC 3492 §6.2)** is a left-to-right stateful scan
+  — exactly the shape of one ``F.aggregate`` fold over the label's
+  character array. The accumulator carries the decoder state (output
+  codepoints, n, i, bias, and the in-flight variable-length integer's
+  w/k/oldi); ``adapt()``'s inner while-loop is a bounded unroll (delta
+  shrinks 35× per step — 6 steps cover any 32-bit delta). All decoder
+  arithmetic stays < 2^53, so double division + floor is exact.
+- **Canonical composition** (the NFC composition step) is a second fold
+  over codepoints with a literal composition map derived from Python's
+  ``unicodedata`` at import time (primary composites with two-codepoint
+  canonical decompositions, U+00C0..U+30FF — Latin/Greek/Cyrillic and
+  friends; Hangul's algorithmic composition and astral composites are
+  out of scope and documented). Input is assumed canonically ORDERED
+  (true of all NFC/NFD text — the web's two spellings); arbitrary
+  mark reorderings are not performed.
+
+Scale shape: per-row array folds, no shuffle, no Python, inside
+whole-stage codegen — the same cost class as the percent-escape
+normalizer they compose with. The DuckDB oracle side uses the built-in
+``nfc_normalize`` plus a corpus-bounded ACE→Unicode replace (the
+synthesized corpus carries exactly one ACE literal); general decode
+correctness is pinned by a property test against Python's own
+``idna``/punycode codec on randomized labels (tests/test_round9.py).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Canonical composition map (base_cp, mark_cp) -> composed_cp, as two
+# literal arrays feeding one map literal. Derived from unicodedata's
+# one-level canonical decompositions; round-tripping through NFD/NFC
+# filters the composition-exclusion set for us.
+# --------------------------------------------------------------------------
+
+_COMPOSE_MAX = 0x3100  # Latin, Greek, Cyrillic, Hebrew, kana blocks
+_KEY_SHIFT = 1 << 21  # codepoints < 2^21, so key = base*2^21 + mark
+
+
+def _compose_pairs() -> tuple[list[int], list[int]]:
+    keys, vals = [], []
+    for comp in range(0xC0, _COMPOSE_MAX):
+        c = chr(comp)
+        d = unicodedata.decomposition(c)
+        if not d or d.startswith("<"):
+            continue
+        parts = d.split()
+        if len(parts) != 2:
+            continue
+        base, mark = (int(p, 16) for p in parts)
+        # exclusion check: a pair only composes if NFC actually maps the
+        # decomposed form back (composition exclusions don't)
+        if unicodedata.normalize("NFC", chr(base) + chr(mark)) != c:
+            continue
+        keys.append(base * _KEY_SHIFT + mark)
+        vals.append(comp)
+    return keys, vals
+
+
+_CMAP_KEYS, _CMAP_VALS = _compose_pairs()
+
+
+def _cmap() -> Column:
+    # one map literal (two array literals), broadcast with the plan
+    return F.map_from_arrays(F.lit(_CMAP_KEYS), F.lit(_CMAP_VALS))
+
+
+# --------------------------------------------------------------------------
+# codepoint <-> string plumbing (BMP in, full range out)
+# --------------------------------------------------------------------------
+
+
+def string_to_cps(s: Column) -> Column:
+    """Codepoint array of a BMP string (split('') walks UTF-16 units, so
+    astral chars would split into surrogates — hosts/paths are BMP)."""
+    return F.transform(
+        F.filter(F.split(s, ""), lambda c: c != ""), lambda c: F.ascii(c)
+    )
+
+
+def _cp_utf8_hex(cp: Column) -> Column:
+    """UTF-8 byte sequence of one codepoint as uppercase hex (1-4
+    bytes). All arithmetic < 2^21, so double division is exact."""
+
+    def b(x):  # hex of one byte value >= 0x80 (always 2 digits)
+        return F.hex(x.cast("long"))
+
+    c = cp.cast("long")
+    return (
+        F.when(c < 0x80, F.lpad(F.hex(c), 2, "0"))
+        .when(
+            c < 0x800,
+            F.concat(b(192 + F.floor(c / 64)), b(128 + c % 64)),
+        )
+        .when(
+            c < 0x10000,
+            F.concat(
+                b(224 + F.floor(c / 4096)),
+                b(128 + F.floor(c / 64) % 64),
+                b(128 + c % 64),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                b(240 + F.floor(c / 262144)),
+                b(128 + F.floor(c / 4096) % 64),
+                b(128 + F.floor(c / 64) % 64),
+                b(128 + c % 64),
+            )
+        )
+    )
+
+
+def cps_to_string(cps: Column) -> Column:
+    """String from a codepoint array, via the UTF-8 hex rendering (the
+    only JVM-side codepoint→char path that covers the full range —
+    ``char()`` is mod-256)."""
+    return F.decode(
+        F.unhex(F.array_join(F.transform(cps, _cp_utf8_hex), "")), "UTF-8"
+    )
+
+
+# --------------------------------------------------------------------------
+# Canonical composition fold
+# --------------------------------------------------------------------------
+
+
+def nfc_compose_cps(cps: Column) -> Column:
+    """Compose a canonically-ordered codepoint array (NFC's composition
+    step): a pending starter absorbs a following mark when the pair has
+    a primary composite; composing is iterative (base+dot→ẹ, ẹ+circ→ệ).
+    A non-composable codepoint flushes the pending one — which also
+    reproduces NFC's same-class blocking for free (the blocked mark
+    becomes the pending element and no (mark, mark) pair composes)."""
+    cmap = _cmap()
+    init = F.struct(
+        F.array().cast("array<int>").alias("out"),
+        F.lit(0).alias("pend"),
+        F.lit(False).alias("has"),
+    )
+
+    def step(acc, cp):
+        comp = F.element_at(
+            cmap, acc["pend"].cast("long") * _KEY_SHIFT + cp.cast("long")
+        )
+        return F.when(
+            acc["has"] & comp.isNotNull(),
+            F.struct(
+                acc["out"].alias("out"),
+                comp.alias("pend"),
+                F.lit(True).alias("has"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["has"], F.concat(acc["out"], F.array(acc["pend"]))
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                cp.alias("pend"),
+                F.lit(True).alias("has"),
+            )
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["has"], F.concat(acc["out"], F.array(acc["pend"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(cps, init, step, finish)
+
+
+def nfc_compose(s: Column) -> Column:
+    """Compose a canonically-ordered BMP string to its NFC form."""
+    return cps_to_string(nfc_compose_cps(string_to_cps(s)))
+
+
+# --------------------------------------------------------------------------
+# Punycode decode fold (RFC 3492 §6.2)
+# --------------------------------------------------------------------------
+
+_BASE = 36
+_TMIN, _TMAX = 1, 26
+_SKEW, _DAMP = 38, 700
+_INITIAL_BIAS, _INITIAL_N = 72, 128
+
+
+def _adapt(delta: Column, numpoints: Column, firsttime: Column) -> Column:
+    """RFC 3492 §6.1 bias adaptation; the spec's while-loop becomes a
+    bounded F.aggregate over a 6-step dummy sequence (delta ≤ 2^31
+    shrinks below 455 in ≤5 divisions by 35). A fold, NOT a Python-side
+    unroll: reassigning ``d = when(d > 455, d/35).otherwise(d)`` embeds
+    three copies of the old tree per step — 3^6 expression blowup that
+    took Catalyst minutes; the fold's lambda variable keeps the tree
+    linear (the same discipline as SCALE_NOTES §10)."""
+    d0 = (
+        F.when(firsttime, F.floor(delta / _DAMP))
+        .otherwise(F.floor(delta / 2))
+        .cast("long")
+    )
+    thresh = ((_BASE - _TMIN) * _TMAX) // 2  # 455
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.lit(6)),
+        F.struct(
+            (d0 + F.floor(d0 / numpoints).cast("long")).alias("d"),
+            F.lit(0).alias("k"),
+        ),
+        lambda acc, _i: F.when(
+            acc["d"] > thresh,
+            F.struct(
+                F.floor(acc["d"] / (_BASE - _TMIN)).cast("long").alias("d"),
+                (acc["k"] + _BASE).alias("k"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        st["k"] + F.floor((_BASE - _TMIN + 1) * st["d"] / (st["d"] + _SKEW))
+    ).cast("int")
+
+
+def _insert_at(out: Column, pos: Column, cp: Column) -> Column:
+    """Insert cp at 0-based pos of an int array (one transform over
+    1..size+1 — punycode's only array mutation)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(out) + 1),
+        lambda j: F.when(j <= pos, F.element_at(out, j))
+        .when(j == pos + 1, cp)
+        .otherwise(F.element_at(out, j - 1)),
+    )
+
+
+def punycode_decode_cps(ext: Column, basic_cps: Column) -> Column:
+    """Decode the extended part of a punycode label (the digits after
+    the last delimiter) into the full codepoint array, starting from
+    the basic (ASCII) codepoints. One F.aggregate fold whose
+    accumulator IS the RFC 3492 decoder state; every intermediate fits
+    in 2^53 for any syntactically valid ≤63-char label, so the floored
+    double divisions are exact."""
+    chars = F.filter(F.split(ext, ""), lambda c: c != "")
+    init = F.struct(
+        basic_cps.cast("array<int>").alias("out"),
+        F.lit(_INITIAL_N).alias("n"),
+        F.lit(0).alias("i"),
+        F.lit(_INITIAL_BIAS).alias("bias"),
+        F.lit(1).cast("long").alias("w"),
+        F.lit(_BASE).alias("k"),
+        F.lit(0).alias("oldi"),
+    )
+
+    def step(acc, c):
+        a = F.ascii(c)
+        digit = (
+            F.when((a >= 97) & (a <= 122), a - 97)
+            .when((a >= 48) & (a <= 57), a - 22)  # '0'-'9' → 26-35
+            .otherwise(F.lit(0))
+        )
+        i2 = (acc["i"].cast("long") + digit.cast("long") * acc["w"]).cast(
+            "int"
+        )
+        kb = acc["k"] - acc["bias"]
+        t = (
+            F.when(kb < _TMIN, F.lit(_TMIN))
+            .when(kb > _TMAX, F.lit(_TMAX))
+            .otherwise(kb)
+        )
+        np_ = F.size(acc["out"]) + 1
+        n2 = (acc["n"] + F.floor(i2 / np_)).cast("int")
+        i3 = (i2 % np_).cast("int")
+        done = F.struct(
+            _insert_at(acc["out"], i3, n2).alias("out"),
+            n2.alias("n"),
+            (i3 + 1).alias("i"),
+            _adapt(
+                (i2 - acc["oldi"]).cast("long"), np_, acc["oldi"] == 0
+            ).alias("bias"),
+            F.lit(1).cast("long").alias("w"),
+            F.lit(_BASE).alias("k"),
+            (i3 + 1).alias("oldi"),
+        )
+        cont = F.struct(
+            acc["out"].alias("out"),
+            acc["n"].alias("n"),
+            i2.alias("i"),
+            acc["bias"].alias("bias"),
+            (acc["w"] * (_BASE - t).cast("long")).alias("w"),
+            (acc["k"] + _BASE).alias("k"),
+            acc["oldi"].alias("oldi"),
+        )
+        return F.when(digit < t, done).otherwise(cont)
+
+    return F.aggregate(chars, init, step, lambda acc: acc["out"])
+
+
+def decode_idn_label(label: Column) -> Column:
+    """Canonical Unicode form of ONE lowercase host label: an ``xn--``
+    ACE label with a well-formed extended part decodes via the punycode
+    fold; everything else passes through; both sides then compose to
+    NFC — so the precomposed, decomposed, and ACE spellings of one
+    label land on a single canonical string."""
+    body = F.substr(label, F.lit(5))
+    rev_dash = F.instr(F.reverse(body), "-")
+    blen = F.when(rev_dash > 0, F.length(body) - rev_dash).otherwise(
+        F.lit(0)
+    )
+    basic = F.substr(body, F.lit(1), blen)
+    ext = F.substr(
+        body, blen + F.when(rev_dash > 0, F.lit(2)).otherwise(F.lit(1))
+    )
+    # a trailing delimiter with an EMPTY extended part is the RFC's
+    # all-basic form ("xn--y-" → "y"); otherwise every extended char
+    # must be a punycode digit or the label passes through literally
+    ext_ok = (
+        (F.length(ext) > 0)
+        & F.forall(
+            F.filter(F.split(ext, ""), lambda c: c != ""),
+            lambda c: (
+                ((F.ascii(c) >= 97) & (F.ascii(c) <= 122))
+                | ((F.ascii(c) >= 48) & (F.ascii(c) <= 57))
+            ),
+        )
+    ) | ((F.length(ext) == 0) & (rev_dash > 0))
+    is_ace = label.startswith("xn--") & ext_ok
+    cps = F.when(
+        is_ace, punycode_decode_cps(ext, string_to_cps(basic))
+    ).otherwise(string_to_cps(label))
+    return cps_to_string(nfc_compose_cps(cps))
+
+
+def canonical_idn_host(host: Column) -> Column:
+    """Per-label IDN decode + NFC composition of a lowercase, port-free
+    host: split on dots, decode each label, rejoin."""
+    return F.array_join(
+        F.transform(F.split(host, r"\."), decode_idn_label), "."
+    )

@@ -41,6 +41,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .idn import canonical_idn_host, nfc_compose
+
 # --------------------------------------------------------------------------
 # Shared literals (interpolated verbatim into the DuckDB oracles)
 # --------------------------------------------------------------------------
@@ -95,7 +97,15 @@ def synth_url(doc_id: Column | str = "doc_id") -> Column:
     - every query carries ``u=~a`` spelled ``u=%7ea`` on the dirty
       branch (unreserved-tilde decode) and a RETAINED reserved escape
       ``q=a%2Fb`` spelled with lowercase hex ``a%2fb`` on the dirty
-      branch (hex-case normalization).
+      branch (hex-case normalization);
+    - ``rid % 13 == 7``  → the host's first label is the IDN name
+      ``münchen``, spelled by ``doc_id % 3`` as the uppercase ACE form
+      ``XN--MNCHEN-3YA``, precomposed Unicode, or decomposed
+      ``mu`` + U+0308 — all three must collide on one canonical host
+      (punycode decode + NFC composition);
+    - ``rid % 17 == 5``  → the path gains a ``café`` segment spelled
+      precomposed (odd doc_id) or decomposed ``cafe`` + U+0301 (even),
+      exercising the path's NFC composition.
     """
     d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
     rid = F.floor(d / URL_GROUP_DIV)
@@ -105,9 +115,19 @@ def synth_url(doc_id: Column | str = "doc_id") -> Column:
         lang_seg = F.when(rid % len(URL_LANGS) == i, F.lit(lg)).otherwise(
             lang_seg
         )
+    # the two Unicode spellings differ at byte level: the .when branch
+    # is precomposed U+00FC, the .otherwise is decomposed u + U+0308
+    idn_label = (
+        F.when(d % 3 == 0, F.lit("XN--MNCHEN-3YA"))
+        .when(d % 3 == 1, F.lit("münchen"))
+        .otherwise(F.lit("münchen"))
+    )
+    first_label = F.when(rid % 13 == 7, idn_label).otherwise(
+        F.concat(F.lit("Host"), (rid % 4).cast("string"))
+    )
     host = F.concat(
         F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("Host"), (rid % 4).cast("string"),
+        first_label,
         F.lit(".src"), (rid % 20).cast("string"), F.lit(".com"),
         F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
     )
@@ -116,8 +136,15 @@ def synth_url(doc_id: Column | str = "doc_id") -> Column:
         .when(d % 11 == 1, F.lit("d%6fc"))
         .otherwise(F.lit("doc"))
     )
-    path = F.concat(F.lit("/"), lang_seg, F.lit("/"), doc_seg, F.lit("/"),
-                    rid.cast("string"),
+    # NFC (odd doc_id, precomposed U+00E9) vs NFD (even, e + U+0301)
+    cafe_seg = F.when(
+        rid % 17 == 5,
+        F.when(d % 2 == 1, F.lit("/café")).otherwise(
+            F.lit("/café")
+        ),
+    ).otherwise(F.lit(""))
+    path = F.concat(F.lit("/"), lang_seg, F.lit("/"), doc_seg, cafe_seg,
+                    F.lit("/"), rid.cast("string"),
                     F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")))
     q_keep = F.concat(F.lit("id="), rid.cast("string"), F.lit("&page="),
                       (rid % 4).cast("string"),
@@ -193,26 +220,35 @@ def normalize_pct_escapes(s: Column) -> Column:
 
 def canonical_host(url: Column) -> Column:
     """lower(host) — Unicode-aware, so internationalized (IDN) hosts
-    case-fold too — strip one leading ``www.``, and strip only the
-    scheme's OWN default port: ``:443`` under https, ``:80`` under
-    http. ``http://host:443`` names a non-default port (a different
-    resource) and keeps it."""
+    case-fold too — strip one leading ``www.``, strip only the
+    scheme's OWN default port (``:443`` under https, ``:80`` under
+    http; ``http://host:443`` names a non-default port — a different
+    resource — and keeps it), then fold every label to its canonical
+    Unicode form: ``xn--`` ACE labels punycode-decode (RFC 3492, a pure
+    F.aggregate fold — operators/idn.py) and all labels compose to NFC
+    — so ``münchen.example``, ``MÜNCHEN.example`` (decomposed),
+    and ``xn--mnchen-3ya.example`` collide on one canonical host."""
     scheme = F.lower(_part(url, 1))
     h = F.lower(_part(url, 2))
     h = F.regexp_replace(h, r"^www\.", "")
-    return (
+    h = (
         F.when(scheme == "https", F.regexp_replace(h, r":443$", ""))
         .when(scheme == "http", F.regexp_replace(h, r":80$", ""))
         .otherwise(h)
     )
+    return canonical_idn_host(h)
 
 
 def canonical_path(url: Column) -> Column:
-    """Normalize percent-escapes, strip one trailing slash (non-root);
-    empty path becomes ``/``."""
+    """Normalize percent-escapes, strip one trailing slash (non-root),
+    empty path becomes ``/`` — then compose the result to NFC
+    (operators/idn.py), so the precomposed and decomposed spellings of
+    a non-ASCII path segment (``café`` vs ``cafe`` + U+0301) collide.
+    Composition assumes canonically-ordered input (true of NFC/NFD
+    text, the web's two spellings)."""
     p = normalize_pct_escapes(_part(url, 3))
     p = F.regexp_replace(p, r"(.)/$", r"$1")
-    return F.when(p == "", F.lit("/")).otherwise(p)
+    return nfc_compose(F.when(p == "", F.lit("/")).otherwise(p))
 
 
 def canonical_query_params(url: Column) -> Column:

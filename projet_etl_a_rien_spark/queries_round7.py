@@ -342,6 +342,16 @@ from .operators import web as _web
 _URL_RE = _web.URL_PARTS_RE  # RE2-safe; identical string on both engines
 
 
+# IDN fixture literals, built with explicit escapes so the NFC/NFD
+# distinction cannot be editor-normalized away; interpolated into both
+# the synthesis SQL and the host canonicalization below.
+_IDN_NFC = "münchen"  # precomposed ü
+_IDN_NFD = "münchen"  # u + combining diaeresis
+_IDN_ACE = "xn--mnchen-3ya"
+_CAFE_NFC = "/café"  # precomposed é
+_CAFE_NFD = "/café"  # e + combining acute
+
+
 def _url_synth_sql() -> str:
     g = _web.URL_GROUP_DIV
     langs = _web.URL_LANGS
@@ -353,12 +363,20 @@ def _url_synth_sql() -> str:
     (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END)
     || '://'
     || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
-    || 'Host' || CAST((doc_id // {g}) % 4 AS VARCHAR)
+    || (CASE WHEN (doc_id // {g}) % 13 = 7 THEN
+            (CASE WHEN doc_id % 3 = 0 THEN '{_IDN_ACE.upper()}'
+                  WHEN doc_id % 3 = 1 THEN '{_IDN_NFC}'
+                  ELSE '{_IDN_NFD}' END)
+        ELSE 'Host' || CAST((doc_id // {g}) % 4 AS VARCHAR) END)
     || '.src' || CAST((doc_id // {g}) % 20 AS VARCHAR) || '.com'
     || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
     || '/' || ({lang_case}) || '/'
     || (CASE WHEN doc_id % 11 = 0 THEN 'd%6Fc'
              WHEN doc_id % 11 = 1 THEN 'd%6fc' ELSE 'doc' END)
+    || (CASE WHEN (doc_id // {g}) % 17 = 5 THEN
+            (CASE WHEN doc_id % 2 = 1 THEN '{_CAFE_NFC}'
+                  ELSE '{_CAFE_NFD}' END)
+        ELSE '' END)
     || '/' || CAST(doc_id // {g} AS VARCHAR)
     || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
     || '?'
@@ -412,24 +430,36 @@ def _sql_pct_norm(expr: str) -> str:
 
 
 def _sql_host(u: str = "url") -> str:
+    """Case-fold, strip www./scheme-default port, then IDN-fold: ACE
+    labels decode to Unicode and the host composes to NFC. The Spark
+    side runs a general RFC 3492 punycode fold (operators/idn.py); the
+    oracle's decode is corpus-bounded — the synthesis emits exactly one
+    ACE literal, so one replace() renders it (general decode parity is
+    pinned by the pure-Python property test, tests/test_round9.py).
+    NFC itself is DuckDB's built-in nfc_normalize."""
     h = (
         "regexp_replace("
         f"lower(regexp_extract({u}, '{_URL_RE}', 2)), '^www\\.', '')"
     )
     scheme = f"lower(regexp_extract({u}, '{_URL_RE}', 1))"
-    return (
+    folded = (
         f"(CASE WHEN {scheme} = 'https'"
         f" THEN regexp_replace({h}, ':443$', '')"
         f" WHEN {scheme} = 'http'"
         f" THEN regexp_replace({h}, ':80$', '')"
         f" ELSE {h} END)"
     )
+    return (
+        f"nfc_normalize(replace({folded}, '{_IDN_ACE}', '{_IDN_NFC}'))"
+    )
 
 
 def _sql_path(u: str = "url") -> str:
+    # nfc_normalize mirrors the Spark side's composition fold — the
+    # NFD-spelled path segment composes to its precomposed twin
     raw = _sql_pct_norm(f"regexp_extract({u}, '{_URL_RE}', 3)")
     p = f"regexp_replace({raw}, '(.)/$', '\\1')"
-    return f"(CASE WHEN {p} = '' THEN '/' ELSE {p} END)"
+    return f"nfc_normalize(CASE WHEN {p} = '' THEN '/' ELSE {p} END)"
 
 
 def _sql_is_tracking(kv: str = "kv") -> str:

@@ -265,3 +265,138 @@ def test_bbpe_encode_stats_match_python(spark):
             n_tok += len(syms)
             n_bytes += len(pt.encode("utf-8"))
         assert got[doc_id] == (len(pts), n_bytes, n_tok)
+
+
+# ---------------------------------------------------------------------------
+# IDN/punycode + NFC URL canonicalization (operators/idn.py, web.py) —
+# the r8 verdict's #2 ask.
+# ---------------------------------------------------------------------------
+
+import random as _random
+import unicodedata as _ud
+
+from projet_etl_a_rien_spark.operators import idn as _idn
+from projet_etl_a_rien_spark.operators import web as _W
+
+
+def test_punycode_decode_matches_python_codec(spark):
+    """The F.aggregate punycode fold == Python's RFC 3492 codec over
+    randomized multilingual labels (Latin diacritics, Cyrillic, Greek,
+    CJK), plus the all-basic trailing-delimiter form and pass-through
+    of non-ACE / malformed labels."""
+    _random.seed(17)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz0123456789"
+        "äöüßéèêñçабвгдεζηθ中文日本"
+    )
+    cases = []
+    for _ in range(80):
+        n = _random.randint(1, 24)
+        lab = _ud.normalize(
+            "NFC", "".join(_random.choice(alphabet) for _ in range(n))
+        )
+        ace = "xn--" + lab.encode("punycode").decode("ascii")
+        cases.append((ace, lab))
+    cases += [
+        ("xn--mnchen-3ya", "münchen"),
+        ("xn--caf-dma", "café"),
+        ("xn--y-", "y"),  # all-basic form: empty extended part
+        ("plain", "plain"),  # not ACE: pass through
+        ("xn--", "xn--"),  # degenerate: no delimiter, no digits
+        ("xn--a_b-", "xn--a_b-"),  # invalid basic? ext empty+dash: "a_b"
+    ]
+    # the last case: ext empty with trailing dash IS the all-basic form,
+    # so expected is the basic part verbatim
+    cases[-1] = ("xn--a_b-", "a_b")
+    df = spark.createDataFrame([(a,) for a, _ in cases], "label string")
+    got = {
+        r.label: r.dec
+        for r in df.select(
+            "label", _idn.decode_idn_label(F.col("label")).alias("dec")
+        ).collect()
+    }
+    for ace, want in cases:
+        assert got[ace] == want, (ace, got[ace], want)
+
+
+def test_nfc_compose_matches_unicodedata(spark):
+    """The composition fold == unicodedata NFC on canonically-ordered
+    input: precomposed, NFD, iterative multi-mark composition (ệ), and
+    the blocked same-class sequence (stays decomposed)."""
+    cases = [
+        "café",
+        "café",
+        "münchen",
+        "ệ",  # -> U+1EC7 via two pair compositions
+        "ascii only",
+        "q̣̇x",  # dot-below then dot-above
+        "ά",  # greek alpha + acute
+        "ё",  # cyrillic e + diaeresis -> ё
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "s string")
+    got = {
+        r.s: r.c
+        for r in df.select(
+            "s", _idn.nfc_compose(F.col("s")).alias("c")
+        ).collect()
+    }
+    for t in cases:
+        assert got[t] == _ud.normalize("NFC", t), (
+            t.encode("unicode_escape"),
+            got[t].encode("unicode_escape"),
+        )
+
+
+def test_idn_variant_urls_collapse_to_one_canonical(spark):
+    """All spellings of one IDN resource — uppercase ACE, precomposed,
+    decomposed, with/without www./default port — canonicalize to ONE
+    URL whose host is the precomposed Unicode form."""
+    urls = [
+        "https://XN--MNCHEN-3YA.example.com/a?x=1",
+        "https://münchen.example.com/a?x=1",
+        "https://münchen.example.com/a?x=1",
+        "https://WWW.xn--mnchen-3ya.example.com:443/a?x=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = (
+        df.select(_W.canonical_url(F.col("url")).alias("c"))
+        .distinct()
+        .collect()
+    )
+    assert len(got) == 1
+    assert got[0].c == "https://münchen.example.com/a?x=1"
+
+
+def test_nfd_path_segment_composes(spark):
+    """NFC and NFD spellings of a non-ASCII path segment collide."""
+    urls = [
+        "https://h.example.com/café/1",
+        "https://h.example.com/café/1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = (
+        df.select(_W.canonical_url(F.col("url")).alias("c"))
+        .distinct()
+        .collect()
+    )
+    assert len(got) == 1
+    assert got[0].c == "https://h.example.com/café/1"
+
+
+def test_synth_idn_variants_dedup_to_one_keeper(spark):
+    """End-to-end over the synthesized corpus: a rid % 13 == 7 resource
+    is spelled three ways across its doc_id group (ACE / NFC / NFD) and
+    still dedups to ONE keeper with all group members counted."""
+    g = _W.URL_GROUP_DIV
+    rid = 7  # rid % 13 == 7
+    ids = [rid * g + k for k in range(g)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    urls = df.select("doc_id", _W.synth_url().alias("url"))
+    # the three spellings really differ pre-canonicalization
+    assert urls.select("url").distinct().count() == g
+    keep = _W.url_dedup_keepers(urls).collect()
+    assert len(keep) == 1
+    assert keep[0].n_docs == g
+    assert keep[0].keeper_id == min(ids)
+    assert "münchen" in keep[0].url_canon
+    assert "xn--" not in keep[0].url_canon
