@@ -460,6 +460,37 @@ def triangle_count_estimate(
     return out
 
 
+def doulion_keep_policy(n_edges: int) -> tuple[int, int]:
+    """Recommended DOULION coin (keep_num, keep_den) as a function of
+    undirected edge count — THE 100 TB knob for triangle statistics.
+
+    The exact enumerator's intersection work is Θ(E^1.5); sampling at
+    p multiplies it by ~p^1.5 (measured at p=1/2: shuffle bytes still
+    grow 10^1.5 at 10x rows, SHUFFLE_PROFILE_r08 — the p=1 term).
+    Variance per DOULION is O(1/p³) per triangle, concentrated when the
+    SAMPLED triangle count stays ≫ 1/p — dense graphs (the expensive
+    case) keep millions of sampled triangles even at p=1/10, so the
+    policy holds p·E ≈ 10⁹ (a single cluster's comfortable enumeration
+    budget) once E crosses the exact-count pain threshold:
+
+    - E < 10⁷:          count exactly (p = 1) — sampling saves nothing;
+    - 10⁷ ≤ E < 10⁹:    p = 1/2  (~2.8× less intersection work);
+    - 10⁹ ≤ E < 10¹¹:   p = 1/10 (~31×);
+    - E ≥ 10¹¹:         p = 1/32 (~181×; at web scale the sampled graph
+                        still holds ≥ 3·10⁹ edges).
+
+    Deterministic and integer-ratio so the coin stays a pure md5-mod
+    expression (replayable, partition-independent, oracle-exact).
+    """
+    if n_edges < 10_000_000:
+        return (1, 1)
+    if n_edges < 1_000_000_000:
+        return (1, 2)
+    if n_edges < 100_000_000_000:
+        return (1, 10)
+    return (1, 32)
+
+
 def kcore(
     edges: DataFrame,
     k: int,

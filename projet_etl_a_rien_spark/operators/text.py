@@ -692,6 +692,16 @@ def token_budget_selection(
     The only global structure is the broadcast of ≤ quality_buckets+1
     cumulative rows; every per-doc computation is bucket-partitioned.
     Returns (id, qb, n_tokens, tokens_before) for the selected docs.
+
+    Window-partition sizing: a quality bucket holds ~corpus/
+    quality_buckets docs, so scale ``quality_buckets`` with the corpus
+    (the :func:`order_buckets_for` rule: ~corpus_rows/4M, floor 256).
+    Unlike the chunk index's hash buckets, a finer quality grid only
+    REFINES the selection order (same quality → id tiebreak within a
+    bucket), and if one quality value itself is hot, the within-bucket
+    window can be decomposed further by monotone id ranges without
+    changing the total order — the hierarchical form of the same
+    prefix-sum identity.
     """
     from pyspark.sql.window import Window
 
@@ -1642,6 +1652,33 @@ def grouped_token_budget_selection(
     )
 
 
+def order_buckets_for(
+    n_rows: int, target_rows_per_bucket: int = 4_000_000
+) -> int:
+    """Bucket count for the hash-decomposed prefix sums
+    (:func:`stream_chunk_index`, :func:`token_budget_selection`'s
+    within-bucket windows) — THE knob that keeps window partitions
+    bounded as the corpus grows.
+
+    A fixed bucket count means window partitions hold ~corpus/buckets
+    rows: fine at sf1 (a few thousand docs per bucket at 256), a
+    multi-hundred-million-row sort partition at 100 TB. The rule:
+    size buckets so one bucket's rows sort comfortably inside one task
+    (~4M rows ≈ 100-200 MB of window state), never below the 256 floor
+    that keeps the broadcast cumulative trivially small. The hash makes
+    bucket populations uniform (binomial concentration: at ≥4M expected
+    rows per bucket the max/mean ratio is 1 + O(10⁻³)), so the bound is
+    the EXPECTED population — pinned by test.
+
+    NOTE: the bucket count participates in the shuffle ORDER (bucket =
+    hash % buckets is the leading sort key), so changing it changes the
+    deterministic document order — like changing the salt, it's an
+    epoch-level decision, not a per-run tuning knob. Pick it from the
+    corpus size class, keep it fixed for the dataset's lifetime.
+    """
+    return max(256, -(-n_rows // target_rows_per_bucket))
+
+
 def stream_chunk_index(
     df: DataFrame,
     chunk_tokens: int,
@@ -1673,7 +1710,13 @@ def stream_chunk_index(
     partitioned by bucket (hash order makes bucket populations uniform,
     so no window partition exceeds ~corpus/order_buckets docs). The
     shuffle-order salt doubles as the epoch knob: a new salt is a new
-    global order with zero data movement."""
+    global order with zero data movement.
+
+    ``order_buckets`` must SCALE with the corpus — size it with
+    :func:`order_buckets_for` (≈ corpus_rows / 4M, floor 256) so a
+    window partition's sort stays one-task-sized at any scale. The
+    bucket count is part of the deterministic order (like the salt):
+    fix it per dataset, don't retune per run."""
     from pyspark.sql.window import Window
 
     hx = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))

@@ -168,3 +168,71 @@ def q_corpus_bbpe_encode_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return bpe.apply_bbpe_merges(_docs(spark, sf_dir), bpe.FIXED_BYTE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# DOULION at the 100 TB operating point (operators/graph.py:
+# triangle_count_estimate with doulion_keep_policy's p = 1/10 tier) —
+# the r8 verdict's #4 ask: the p knob registered, measured, and bounded.
+# ---------------------------------------------------------------------------
+
+TRI10_KEEP_NUM = 1
+TRI10_KEEP_DEN = 10
+TRI10_SALT = "tri8"
+
+
+def _triangle_estimate_oracle(num: int, den: int, salt: str) -> str:
+    """The round-8 DOULION oracle, parameterized over the coin — same
+    deterministic salted-md5 edge filter, exact enumeration on the
+    sample, integer 1/p**3 scale-up."""
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                    GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sampled AS (
+    SELECT u, v FROM pairs
+    WHERE CAST('0x' || substr(md5(CAST(u AS VARCHAR) || ':'
+                || CAST(v AS VARCHAR) || ':{salt}'), 1, 8) AS BIGINT)
+          % {den} < {num}
+),
+tri AS (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM sampled e1
+    JOIN sampled e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN sampled e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM sampled) AS n_sampled_edges,
+       (SELECT COUNT(*) FROM tri) AS n_sampled_triangles,
+       CAST((SELECT COUNT(*) FROM tri) * {den ** 3}
+            // {num ** 3} AS BIGINT) AS est_triangles
+"""
+
+
+@register(
+    "parts_triangle_estimate_p10",
+    _triangle_estimate_oracle(TRI10_KEEP_NUM, TRI10_KEEP_DEN, TRI10_SALT),
+    doc="DOULION triangle estimate at p = 1/10 — the keep rate "
+    "doulion_keep_policy prescribes for 10^9-10^11-edge graphs (the "
+    "p=1/2 twin's measured shuffle bytes still grow ~10^1.5 at 10x "
+    "rows because the enumeration term dominates at fixed p; dialing "
+    "p to 1/10 cuts the intersection work ~31x and is the knob a "
+    "100 TB user must hold). Same deterministic salted-md5 coin, exact "
+    "enumeration on the sample, integer 1/p**3 scale-up — hash-exact "
+    "against the oracle; the error bound at this p is property-tested "
+    "at sf0.01 (tests/test_round9.py).",
+)
+def q_parts_triangle_estimate_p10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import graph as _g
+    from .queries_round8 import _copurchase_edges
+
+    return _g.triangle_count_estimate(
+        _copurchase_edges(spark, sf_dir),
+        keep_num=TRI10_KEEP_NUM,
+        keep_den=TRI10_KEEP_DEN,
+        salt=TRI10_SALT,
+    )

@@ -400,3 +400,154 @@ def test_synth_idn_variants_dedup_to_one_keeper(spark):
     assert keep[0].keeper_id == min(ids)
     assert "münchen" in keep[0].url_canon
     assert "xn--" not in keep[0].url_canon
+
+
+# ---------------------------------------------------------------------------
+# DOULION p-knob (verdict #4): the p = 1/10 operating point is bounded
+# and integer-exact, and the policy function is monotone.
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_estimate_p10_error_bound_sf001(spark):
+    """At sf0.01 the deterministic p=1/10 coin keeps ~10% of edges, the
+    estimate is exactly 1000x the sampled count (integer scaling), and
+    the relative error vs the exact count stays under 15% (measured:
+    6.2% with 388 sampled triangles — 1/sqrt(n) noise at this scale;
+    at the 10^9-edge scale the policy targets, the sampled triangle
+    count is millions and the bound tightens accordingly)."""
+    from projet_etl_a_rien_spark import queries_round8 as R8
+    from projet_etl_a_rien_spark import queries_round9 as R9
+    from projet_etl_a_rien_spark.operators import graph
+
+    sf = "/root/testdata/sf0.01"
+    edges = R8._copurchase_edges(spark, sf)
+    exact = (
+        graph.triangle_counts(edges)
+        .agg(F.expr("sum(n_triangles) DIV 3").alias("t"))
+        .collect()[0]
+        .t
+    )
+    row = R9.q_parts_triangle_estimate_p10(spark, sf).collect()[0]
+    assert row.est_triangles == row.n_sampled_triangles * 1000
+    assert abs(row.est_triangles - exact) / exact < 0.15
+    n_edges = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .count()
+    )
+    assert 0.07 * n_edges < row.n_sampled_edges < 0.13 * n_edges
+
+
+def test_doulion_keep_policy_tiers():
+    """The documented p-by-|E| policy: exact below the pain threshold,
+    monotonically more aggressive sampling as E grows, never below the
+    p that keeps the sampled graph billions of edges at web scale."""
+    from projet_etl_a_rien_spark.operators.graph import doulion_keep_policy
+
+    assert doulion_keep_policy(1_000) == (1, 1)
+    assert doulion_keep_policy(10_000_000) == (1, 2)
+    assert doulion_keep_policy(1_000_000_000) == (1, 10)
+    assert doulion_keep_policy(200_000_000_000) == (1, 32)
+    # monotone keep-rate
+    prev = 1.0
+    for e in (1, 10**7, 10**9, 10**11, 10**13):
+        n, d = doulion_keep_policy(e)
+        p = n / d
+        assert p <= prev
+        prev = p
+
+
+# ---------------------------------------------------------------------------
+# order_buckets sizing rule (verdict #5): the helper's bound holds and
+# the chunk layout stays exact at ANY bucket count.
+# ---------------------------------------------------------------------------
+
+
+def test_order_buckets_for_rule():
+    from projet_etl_a_rien_spark.operators.text import order_buckets_for
+
+    assert order_buckets_for(1_000) == 256  # floor
+    assert order_buckets_for(10**9) == 256  # 250 raw, floored to 256
+    assert order_buckets_for(10**10) == 2500
+    assert order_buckets_for(10**12) == 250_000  # 100 TB class
+    # every bucket's EXPECTED population is the target
+    for n in (10**10, 10**12):
+        b = order_buckets_for(n)
+        assert n / b <= 4_000_000
+
+
+def test_chunk_index_bucket_populations_bounded(spark, sf_dir):
+    """Hash bucketing keeps window partitions balanced: with the
+    helper's floor at sf0.001 the max bucket population stays within
+    3x the mean (binomial tail at tiny expected counts; the ratio
+    tightens toward 1 as expected-per-bucket grows)."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators.text import (
+        order_buckets_for,
+        stream_chunk_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    b = order_buckets_for(n)
+    assert b == 256
+    idx = stream_chunk_index(docs, chunk_tokens=512, order_buckets=b)
+    # recompute the operator's own bucket assignment to audit balance
+    hx = F.md5(F.concat(F.lit("chunk8:"), F.col("doc_id").cast("string")))
+    pops = (
+        docs.select(
+            (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % b).alias(
+                "bkt"
+            )
+        )
+        .groupBy("bkt")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .collect()[0]
+    )
+    assert pops.mx <= 3 * pops.mean
+    assert idx.count() == n
+
+
+def test_chunk_index_exact_at_nondefault_bucket_count(spark, sf_dir):
+    """The bucket-decomposed prefix sum equals the naive global-sort
+    spec at a NON-default bucket count (the bucket count participates
+    in the order, so each count defines its own layout — but every
+    count must match its own spec exactly)."""
+    from pyspark.sql.window import Window
+
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators.text import (
+        stream_chunk_index,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for b in (7, 1024):
+        got = stream_chunk_index(
+            docs, chunk_tokens=256, order_buckets=b
+        ).select("doc_id", "global_start")
+        hx = F.md5(
+            F.concat(F.lit("chunk8:"), F.col("doc_id").cast("string"))
+        )
+        bkt = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % b
+        w = Window.orderBy(F.asc("bkt"), F.asc("hx"), F.asc("doc_id")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        want = docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            hx.alias("hx"),
+            bkt.alias("bkt"),
+        ).select(
+            "doc_id",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias(
+                "global_start"
+            ),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

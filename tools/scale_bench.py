@@ -129,6 +129,14 @@ SPOT = [
     "doc_codeswitch_segments",
     # r8 final: labels x dims reduction, corpus never self-joined
     "embedding_label_centroid_cosines",
+    # r9: DOULION at the policy's p=1/10 tier — the enumeration term at
+    # fixed p grows 10^1.5 at 10x rows; at p=1/10 the sampled edge set
+    # is 1/5 of the p=1/2 twin's, so both wall and shuffle bytes should
+    # sit far below it (the knob the 100 TB user dials)
+    "parts_triangle_estimate_p10",
+    # r9: byte-level BPE encode — distinct-pretoken fold chain (vocab-
+    # sized rewrites) + one corpus explode/join; linear with the scan
+    "corpus_bbpe_encode_stats",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}

@@ -46,7 +46,9 @@ PROFILE = [
     "doc_inverted_index",
     "minhash_near_dup_pairs",
     "parts_triangle_estimate",
+    "parts_triangle_estimate_p10",
     "web_url_dedup_keepers",
+    "corpus_bbpe_encode_stats",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
