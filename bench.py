@@ -82,6 +82,10 @@ HEADLINE = [
     # measured fact) and the FIM per-row assembly transform
     "parts_triangle_estimate",
     "doc_fim_transform",
+    # r9: DOULION at the p=1/10 policy tier (the 100 TB knob), and the
+    # byte-level tokenizer encode (production token counts)
+    "parts_triangle_estimate_p10",
+    "corpus_bbpe_encode_stats",
 ]
 
 

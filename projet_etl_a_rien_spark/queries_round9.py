@@ -236,3 +236,65 @@ def q_parts_triangle_estimate_p10(
         keep_den=TRI10_KEEP_DEN,
         salt=TRI10_SALT,
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language — the datacard stat a tokenizer-fit
+# report quotes per language (bytes/token; high fertility = the vocab
+# under-serves that language and its documents cost more tokens per
+# byte of content at training time).
+# ---------------------------------------------------------------------------
+
+
+def _bbpe_fertility_oracle() -> str:
+    per_doc = _bbpe_encode_oracle(bpe.FIXED_BYTE_MERGES)
+    return f"""
+WITH per_doc AS ({per_doc})
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_bytes) AS BIGINT) AS n_bytes,
+       CAST(SUM(p.n_bbpe_tokens) AS BIGINT) AS n_bbpe_tokens,
+       CAST(ROUND(CAST(SUM(p.n_bbpe_tokens) AS DOUBLE)
+            / SUM(p.n_bytes) * 1000000) AS BIGINT) AS fertility_ppm
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+@register(
+    "corpus_bbpe_fertility_by_lang",
+    _bbpe_fertility_oracle(),
+    doc="Per-language tokenizer fertility under the frozen byte-level "
+    "merge table: tokens per byte (ppm-quantized for cross-engine hash "
+    "parity — the only division happens once per language, after exact "
+    "BIGINT sums). The language whose fertility is highest is the one "
+    "the vocab under-serves — the datacard signal that drives merge-"
+    "budget allocation in multilingual tokenizer training. Reuses the "
+    "vocab-sized BBPE encode chain; the corpus-scale work is one "
+    "pre-token explode/join and one lang-keyed agg.",
+)
+def q_corpus_bbpe_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    per_doc = bpe.apply_bbpe_merges(
+        _docs(spark, sf_dir), bpe.FIXED_BYTE_MERGES
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        per_doc.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.sum("n_bbpe_tokens").alias("n_bbpe_tokens"),
+            F.round(
+                F.sum("n_bbpe_tokens").cast("double")
+                / F.sum("n_bytes")
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("fertility_ppm"),
+        )
+    )
