@@ -434,3 +434,104 @@ def apply_bbpe_merges(
             (F.sum("n_b") / F.sum("n_sym")).alias("bytes_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (streaming) tokenizer training state — the BBPE pre-token
+# count table as a sink-is-the-state additive MV. Pre-tokenization is
+# per-document, so per-batch (pretoken, count) partials are ADDITIVE:
+# fold(partials) == counts(union of batches), which is exactly the
+# aggregate-MV contract (operators/compaction.py). Training then reads
+# the folded counts and runs the SAME merge loop — so "retrain the
+# tokenizer on this week's corpus" is a snapshot read, not a corpus
+# re-scan: the 100 TB pass happens once per batch at ingest, and the
+# (vocab-sized) count table is what the expensive iterative phase sees.
+# ---------------------------------------------------------------------------
+
+
+def write_pretoken_counts_partial(
+    batch_df: DataFrame, path: str, batch_id: int, text_col: str = "text"
+) -> None:
+    """Reduce one micro-batch to (pt, cnt) partials and land them
+    idempotently under ``parts/batch_id=N`` (map-side combine to the
+    sink; replays overwrite the same dir)."""
+    part = (
+        widen_narrow_input(batch_df)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BYTE_PRETOKEN_RE), F.lit(0)
+                )
+            ).alias("pt")
+        )
+        .groupBy("pt")
+        .agg(F.count("*").alias("cnt"))
+    )
+    part.write.mode("overwrite").parquet(f"{path}/parts/batch_id={batch_id}")
+
+
+def read_pretoken_counts(spark: SparkSession, path: str) -> DataFrame:
+    """Current folded (pt, cnt): newest committed snapshot + committed
+    partials above the fold watermark, summed per pre-token. Same
+    crash-safety rules as ``read_agg_sink`` (only _SUCCESS-committed
+    dirs on either side; partials at or below the snapshot version are
+    skipped even if their dirs linger)."""
+    from .compaction import _committed_partitions, _snapshot_version
+
+    v = _snapshot_version(spark, path)
+    parts = [
+        f"{path}/parts/batch_id={b}"
+        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
+        if b > v
+    ]
+    if v >= 0:
+        parts.append(f"{path}/snap/v={v}")
+    if not parts:
+        return spark.createDataFrame([], "pt string, cnt bigint")
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("pt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_pretoken_counts(spark: SparkSession, path: str) -> int:
+    """Fold committed partials into ``snap/v=maxBatch`` and vacuum the
+    folded dirs — snapshot commit first, deletes after (the standard
+    crash order). Returns the new version."""
+    from .compaction import (
+        _committed_partitions,
+        _snapshot_version,
+        _vacuum_partitions,
+    )
+
+    v = _snapshot_version(spark, path)
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
+        return v
+    fold = read_pretoken_counts(spark, path).localCheckpoint(eager=True)
+    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[:1]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
+    return max_b
+
+
+def learn_bbpe_merges_from_sink(
+    spark: SparkSession,
+    path: str,
+    num_merges: int = 10,
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn byte-level merges FROM the count sink: because pre-token
+    counts are additive and the merge loop only ever sees (key, cnt,
+    syms), training on the folded sink is EXACTLY equivalent to
+    one-shot training on the union of every batch — the equivalence the
+    registry query's oracle pins hash-exactly."""
+    seqs = read_pretoken_counts(spark, path).select(
+        "pt", "cnt", byte_symbols(F.col("pt")).alias("syms")
+    )
+    return _learn_merges(seqs, "pt", num_merges, min_pair_count)

@@ -1686,6 +1686,7 @@ def stream_chunk_index(
     id_col: str = "doc_id",
     salt: str = "chunk8:",
     order_buckets: int = 256,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Chunk INDEX of the concatenated token stream — the GPT-style
     pretraining layout where documents are shuffled deterministically,
@@ -1716,16 +1717,27 @@ def stream_chunk_index(
     :func:`order_buckets_for` (≈ corpus_rows / 4M, floor 256) so a
     window partition's sort stays one-task-sized at any scale. The
     bucket count is part of the deterministic order (like the salt):
-    fix it per dataset, don't retune per run."""
+    fix it per dataset, don't retune per run.
+
+    ``n_tokens_col`` swaps the whitespace token count for a
+    PRECOMPUTED per-doc count column (e.g. byte-level BPE counts from
+    :func:`~projet_etl_a_rien_spark.operators.bpe.apply_bbpe_merges`)
+    — the layout a production loader sees is defined by the trainer's
+    tokenizer, not the whitespace approximation."""
     from pyspark.sql.window import Window
 
     hx = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     bucket = (
         F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % order_buckets
     )
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
     d = df.select(
         F.col(id_col),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         hx.alias("hx"),
         bucket.alias("bkt"),
     )

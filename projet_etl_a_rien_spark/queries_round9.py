@@ -298,3 +298,128 @@ def q_corpus_bbpe_fertility_by_lang(
             .alias("fertility_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk layout under PRODUCTION token counts — stream_chunk_index driven
+# by the frozen byte-level tokenizer instead of the whitespace
+# approximation (what a real loader's placement index actually uses).
+# ---------------------------------------------------------------------------
+
+BB_CHUNK_TOKENS = 512
+BB_CHUNK_SALT = "bbchunk9:"
+BB_CHUNK_BUCKETS = 256
+
+
+def _bbpe_chunk_oracle() -> str:
+    per_doc = _bbpe_encode_oracle(bpe.FIXED_BYTE_MERGES)
+    return f"""
+WITH per_doc AS ({per_doc}),
+d AS (
+    SELECT doc_id, n_bbpe_tokens AS n_tokens,
+           md5('{BB_CHUNK_SALT}' || CAST(doc_id AS VARCHAR)) AS hx
+    FROM per_doc
+),
+b AS (
+    SELECT doc_id, n_tokens, hx,
+           CAST('0x' || substr(hx, 1, 8) AS BIGINT) % {BB_CHUNK_BUCKETS}
+               AS bkt
+    FROM d
+),
+o AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(CAST(SUM(n_tokens) OVER (
+               ORDER BY bkt, hx, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS global_start
+    FROM b
+)
+SELECT doc_id, n_tokens, global_start,
+       global_start // {BB_CHUNK_TOKENS} AS chunk_first,
+       (global_start + n_tokens - 1) // {BB_CHUNK_TOKENS} AS chunk_last
+FROM o
+"""
+
+
+@register(
+    "corpus_stream_chunk_index_bbpe",
+    _bbpe_chunk_oracle(),
+    doc="GPT-style token-stream chunk layout computed from the FROZEN "
+    "byte-level tokenizer's per-doc counts (apply_bbpe_merges feeding "
+    "stream_chunk_index's n_tokens_col) — the placement index a real "
+    "training loader uses is defined by the trainer's tokenizer, not a "
+    "whitespace approximation; a 1% count drift misplaces every chunk "
+    "boundary after it. Same no-global-sort bucket decomposition "
+    "(totals -> broadcast cumulative -> bucket-partitioned windows); "
+    "the BBPE counts add one vocab-sized fold chain + a corpus join. "
+    "Oracle composes the encode CTE chain with the naive global-order "
+    "prefix-sum spec.",
+)
+def q_corpus_stream_chunk_index_bbpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import text as _t
+
+    docs = _docs(spark, sf_dir)
+    counts = bpe.apply_bbpe_merges(docs, bpe.FIXED_BYTE_MERGES).select(
+        "doc_id", "n_bbpe_tokens"
+    )
+    return _t.stream_chunk_index(
+        counts,
+        chunk_tokens=BB_CHUNK_TOKENS,
+        salt=BB_CHUNK_SALT,
+        order_buckets=BB_CHUNK_BUCKETS,
+        n_tokens_col="n_bbpe_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental tokenizer training: the pre-token count table maintained
+# as a sink-is-the-state additive MV; merges learned FROM the sink.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_bbpe_learn_mv",
+    _bbpe_learn_oracle(num_merges=10, min_count=2),
+    doc="Byte-level BPE learned from an INCREMENTALLY maintained "
+    "pre-token count sink: three disjoint document batches land as "
+    "(pt, cnt) partials (map-side combine to the sink), a compaction "
+    "folds the first two into a snapshot, the third stays as an "
+    "uncompacted partial — and training reads the folded counts. "
+    "Pre-tokenization is per-document, so the partials are additive "
+    "and sink-trained merges are EXACTLY the one-shot corpus merges — "
+    "which is why this entry's oracle is the SAME unrolled-CTE SQL as "
+    "bpe_learn_merges_bytes: the corpus-scale pass happens once per "
+    "batch at ingest; retraining sees only the vocab-sized count "
+    "table. Crash contract inherited from the agg-MV sink "
+    "(_SUCCESS-gated dirs, idempotent partial replays, snapshot-then-"
+    "vacuum).",
+)
+def q_streaming_bbpe_learn_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bbpesink_")
+    try:
+        bpe.write_pretoken_counts_partial(
+            d.where(F.col("doc_id") % 3 == 0), path, 0
+        )
+        bpe.write_pretoken_counts_partial(
+            d.where(F.col("doc_id") % 3 == 1), path, 1
+        )
+        bpe.compact_pretoken_counts(spark, path)
+        bpe.write_pretoken_counts_partial(
+            d.where(F.col("doc_id") % 3 == 2), path, 2
+        )
+        rows = bpe.learn_bbpe_merges_from_sink(spark, path, num_merges=10)
+        return spark.createDataFrame(
+            rows, "rank int, left string, right string, pair_count long"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -551,3 +551,81 @@ def test_chunk_index_exact_at_nondefault_bucket_count(spark, sf_dir):
         )
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental BBPE training sink + BBPE-counted chunk layout.
+# ---------------------------------------------------------------------------
+
+
+def test_bbpe_sink_training_equals_one_shot(spark, sf_dir):
+    """Merges learned from the additive pre-token count sink (two
+    compacted batches + one uncompacted partial) == one-shot training
+    over the full corpus; replaying a partial (idempotent overwrite)
+    changes nothing."""
+    import shutil
+    import tempfile
+
+    from projet_etl_a_rien_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bbpesinkt_")
+    try:
+        _bpe.write_pretoken_counts_partial(
+            docs.where(F.col("doc_id") % 3 == 0), path, 0
+        )
+        _bpe.write_pretoken_counts_partial(
+            docs.where(F.col("doc_id") % 3 == 1), path, 1
+        )
+        _bpe.compact_pretoken_counts(spark, path)
+        _bpe.write_pretoken_counts_partial(
+            docs.where(F.col("doc_id") % 3 == 2), path, 2
+        )
+        # idempotent replay of the last batch
+        _bpe.write_pretoken_counts_partial(
+            docs.where(F.col("doc_id") % 3 == 2), path, 2
+        )
+        got = _bpe.learn_bbpe_merges_from_sink(spark, path, num_merges=6)
+        want = _bpe.learn_bbpe_merges(docs, num_merges=6)
+        assert got == want
+        # the folded counts equal a one-shot count
+        sink = {
+            r.pt: r.cnt
+            for r in _bpe.read_pretoken_counts(spark, path).collect()
+        }
+        ref = {
+            r.pt: r.cnt
+            for r in _bpe.pretoken_symbol_table(docs)
+            .select("pt", "cnt")
+            .collect()
+        }
+        assert sink == ref
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_chunk_index_with_precomputed_counts(spark, sf_dir):
+    """stream_chunk_index(n_tokens_col=...) consumes a precomputed
+    count column verbatim: the emitted n_tokens equal the inputs and
+    the layout is the prefix sum of those counts in hash order."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators.text import stream_chunk_index
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    counts = _bpe.apply_bbpe_merges(docs, _bpe.FIXED_BYTE_MERGES).select(
+        "doc_id", "n_bbpe_tokens"
+    )
+    idx = stream_chunk_index(
+        counts, chunk_tokens=512, n_tokens_col="n_bbpe_tokens"
+    )
+    joined = idx.join(
+        counts.withColumnRenamed("n_bbpe_tokens", "want"), "doc_id"
+    )
+    assert joined.where(F.col("n_tokens") != F.col("want")).count() == 0
+    total = counts.agg(F.sum("n_bbpe_tokens")).collect()[0][0]
+    assert (
+        idx.agg(F.max(F.col("global_start") + F.col("n_tokens"))).collect()[
+            0
+        ][0]
+        == total
+    )
