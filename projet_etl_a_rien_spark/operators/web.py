@@ -288,40 +288,84 @@ def canonical_url(url: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# Construction cache. The IDN/NFC canonicalizer is a multi-thousand-node
+# expression whose PYTHON-side construction (one py4j round-trip per
+# node) measured ~8 s per query invocation — pure driver overhead,
+# invisible at 100 TB but dominant in a benchmark that re-invokes the
+# query function per sweep. Column objects are immutable, reusable
+# expression trees, so each canonical part is built ONCE per (process,
+# column name) and shared by every consumer; the JVM-side tree copy per
+# reference is cheap.
+# --------------------------------------------------------------------------
+
+_CANON_CACHE: dict[str, dict[str, Column]] = {}
+
+
+def canon_parts(url_col: str = "url") -> dict[str, Column]:
+    """Cached canonicalizer columns over ``F.col(url_col)``: scheme,
+    host, path, params (sorted survivors), norm_params_all (every
+    nonempty param percent-normalized, pre-tracking-filter) and the
+    full url_canon."""
+    parts = _CANON_CACHE.get(url_col)
+    if parts is None:
+        u = F.col(url_col)
+        host = canonical_host(u)
+        path = canonical_path(u)
+        params = canonical_query_params(u)
+        qs = F.array_join(params, "&")
+        raw_q = F.regexp_replace(_part(u, 4), r"^\?", "")
+        norm_all = F.filter(
+            F.transform(F.split(raw_q, "&"), normalize_pct_escapes),
+            lambda kv: kv != "",
+        )
+        scheme = F.lower(_part(u, 1))
+        parts = {
+            "scheme": scheme,
+            "host": host,
+            "path": path,
+            "params": params,
+            "norm_params_all": norm_all,
+            "url_canon": F.concat(
+                scheme, F.lit("://"), host, path,
+                F.when(qs == "", F.lit("")).otherwise(
+                    F.concat(F.lit("?"), qs)
+                ),
+            ),
+        }
+        _CANON_CACHE[url_col] = parts
+    return parts
+
+
 def registered_domain(host: Column) -> Column:
     return F.regexp_extract(host, REG_DOMAIN_RE, 1)
 
 
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-row canonicalization + URL anatomy (host, registered domain,
-    path depth, query-param count, tracking flag). Pure projection."""
-    u = F.col(url_col)
-    host = canonical_host(u)
-    path = canonical_path(u)
-    raw_q = F.regexp_replace(_part(u, 4), r"^\?", "")
+    path depth, query-param count, tracking flag). Pure projection;
+    every heavy expression comes from the construction cache."""
+    p = canon_parts(url_col)
+    host, path = p["host"], p["path"]
     # tracking detection on the NORMALIZED params, so an encoded
     # %75tm_source counts as tracking just as the canonicalizer drops it
-    norm_kvs = F.filter(
-        F.transform(F.split(raw_q, "&"), normalize_pct_escapes),
-        lambda kv: kv != "",
-    )
     tracked = F.exists(
-        norm_kvs,
+        p["norm_params_all"],
         lambda kv: reduce(
             lambda a, b: a | b,
-            [kv.startswith(p) for p in TRACKING_PREFIXES],
+            [kv.startswith(pre) for pre in TRACKING_PREFIXES],
         ),
     )
     return df.select(
         "doc_id",
-        u.alias("url_raw"),
-        canonical_url(u).alias("url_canon"),
+        F.col(url_col).alias("url_raw"),
+        p["url_canon"].alias("url_canon"),
         host.alias("host"),
         registered_domain(host).alias("registered_domain"),
         F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
         .cast("long")
         .alias("path_depth"),
-        F.size(canonical_query_params(u)).cast("long").alias("n_query_params"),
+        F.size(p["params"]).cast("long").alias("n_query_params"),
         tracked.alias("had_tracking"),
     )
 
@@ -333,10 +377,9 @@ def url_dedup_keepers(df: DataFrame, url_col: str = "url") -> DataFrame:
     any URL length); the canonical string rides along only for the output
     projection. One shuffle, map-side partial min/count.
     """
-    u = F.col(url_col)
     canon = df.select(
         "doc_id",
-        canonical_url(u).alias("url_canon"),
+        canon_parts(url_col)["url_canon"].alias("url_canon"),
     ).withColumn("url_h", F.md5("url_canon"))
     return (
         canon.groupBy("url_h")
@@ -355,10 +398,9 @@ def domain_blocklist_verdicts(df: DataFrame, url_col: str = "url") -> DataFrame:
     production swap-in is a broadcast anti-join against a blocklist
     DataFrame keyed on registered_domain — the extraction below is the
     join key either way."""
-    u = F.col(url_col)
-    host = canonical_host(u)
+    p = canon_parts(url_col)
+    host, path = p["host"], p["path"]
     dom = registered_domain(host)
-    path = canonical_path(u)
     dom_blocked = dom.isin(*BLOCKED_DOMAINS)
     path_blocked = path.startswith(BLOCKED_PATH_PREFIX)
     return df.select(
@@ -381,8 +423,7 @@ def domain_stats(df: DataFrame, url_col: str = "url",
     a broadcast scalar) — the standard exact-share idiom; ppm is integer
     so cross-engine hash parity is exact.
     """
-    u = F.col(url_col)
-    host = canonical_host(u)
+    host = canon_parts(url_col)["host"]
     per_dom = (
         df.select(
             registered_domain(host).alias("registered_domain"),

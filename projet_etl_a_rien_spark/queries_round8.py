@@ -784,9 +784,11 @@ def q_web_url_content_conflicts(
 
     d = load_table(spark, sf_dir, "documents")
     canon = d.select(
+        "doc_id", _web.synth_url().alias("url"), F.md5("text").alias("fp")
+    ).select(
         "doc_id",
-        _web.canonical_url(_web.synth_url()).alias("url_canon"),
-        F.md5("text").alias("fp"),
+        _web.canon_parts("url")["url_canon"].alias("url_canon"),
+        "fp",
     )
     return (
         canon.groupBy("url_canon")
