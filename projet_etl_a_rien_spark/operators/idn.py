@@ -24,10 +24,13 @@ Both are solved here WITHOUT a UDF:
   over codepoints with a literal composition map derived from Python's
   ``unicodedata`` at import time (primary composites with two-codepoint
   canonical decompositions, U+00C0..U+30FF — Latin/Greek/Cyrillic and
-  friends; Hangul's algorithmic composition and astral composites are
-  out of scope and documented). Input is assumed canonically ORDERED
-  (true of all NFC/NFD text — the web's two spellings); arbitrary
-  mark reorderings are not performed.
+  friends) plus the two closed-form Hangul branches (L+V and LV+T are
+  pure arithmetic — Unicode §3.12). Astral codepoints pass through the
+  whole pipeline (split('')/ascii() are code-point aware, probed), so
+  emoji ACE labels decode correctly; astral PAIR composites (musical
+  symbols) are not in the map — they never appear in hosts or paths.
+  Input is assumed canonically ORDERED (true of all NFC/NFD text — the
+  web's two spellings); arbitrary mark reorderings are not performed.
 
 Scale shape: per-row array folds, no shuffle, no Python, inside
 whole-stage codegen — the same cost class as the percent-escape
@@ -90,8 +93,10 @@ def _cmap() -> Column:
 
 
 def string_to_cps(s: Column) -> Column:
-    """Codepoint array of a BMP string (split('') walks UTF-16 units, so
-    astral chars would split into surrogates — hosts/paths are BMP)."""
+    """Codepoint array of a string — full range: Java regex split("")
+    is code-POINT aware (astral chars stay whole) and Spark's ascii()
+    returns codePointAt(0), so emoji labels (xn--ls8h → 💩) round-trip
+    exactly (probed, pinned by test)."""
     return F.transform(
         F.filter(F.split(s, ""), lambda c: c != ""), lambda c: F.ascii(c)
     )
@@ -150,7 +155,14 @@ def nfc_compose_cps(cps: Column) -> Column:
     a primary composite; composing is iterative (base+dot→ẹ, ẹ+circ→ệ).
     A non-composable codepoint flushes the pending one — which also
     reproduces NFC's same-class blocking for free (the blocked mark
-    becomes the pending element and no (mark, mark) pair composes)."""
+    becomes the pending element and no (mark, mark) pair composes).
+
+    Hangul composes ARITHMETICALLY (Unicode §3.12 — the algorithmic
+    part of NFC the pair map deliberately excludes): a leading jamo L
+    (U+1100..1112) plus vowel V (U+1161..1175) forms the LV syllable
+    0xAC00 + ((L-0x1100)·21 + (V-0x1161))·28, and an LV syllable plus
+    trailing jamo T (U+11A8..11C2) adds T-0x11A7 — two closed-form
+    branches in the same fold."""
     cmap = _cmap()
     init = F.struct(
         F.array().cast("array<int>").alias("out"),
@@ -162,6 +174,26 @@ def nfc_compose_cps(cps: Column) -> Column:
         comp = F.element_at(
             cmap, acc["pend"].cast("long") * _KEY_SHIFT + cp.cast("long")
         )
+        pend = acc["pend"]
+        # Hangul L+V -> LV (both closed-form; no map entries exist)
+        is_lv = (
+            (pend >= 0x1100) & (pend <= 0x1112)
+            & (cp >= 0x1161) & (cp <= 0x1175)
+        )
+        lv = (
+            F.lit(0xAC00)
+            + ((pend - 0x1100) * 21 + (cp - 0x1161)) * 28
+        )
+        # Hangul LV+T -> LVT (pend must be an LV syllable: T index 0)
+        is_lvt = (
+            (pend >= 0xAC00) & (pend <= 0xD7A3)
+            & ((pend - 0xAC00) % 28 == 0)
+            & (cp >= 0x11A8) & (cp <= 0x11C2)
+        )
+        lvt = pend + cp - 0x11A7
+        comp = F.when(
+            comp.isNotNull(), comp
+        ).when(is_lv, lv).when(is_lvt, lvt)
         return F.when(
             acc["has"] & comp.isNotNull(),
             F.struct(

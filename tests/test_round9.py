@@ -629,3 +629,35 @@ def test_chunk_index_with_precomputed_counts(spark, sf_dir):
         ][0]
         == total
     )
+
+
+def test_nfc_hangul_and_astral(spark):
+    """Hangul jamo sequences compose arithmetically (L+V, L+V+T — the
+    algorithmic NFC branch the pair map excludes) and astral
+    codepoints survive the whole pipeline: an emoji ACE label decodes
+    to its emoji (xn--ls8h is 💩.la's famous label)."""
+    cases = [
+        "한",  # NFD 한 (L+V+T) -> U+D55C
+        "가",  # L+V -> 가 U+AC00
+        "한ᆫ테스트",  # mixed: precomposed + trailing jamo
+        "ascii",
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "s string")
+    got = {
+        r.s: r.c
+        for r in df.select(
+            "s", _idn.nfc_compose(F.col("s")).alias("c")
+        ).collect()
+    }
+    for t in cases:
+        assert got[t] == _ud.normalize("NFC", t), (
+            t.encode("unicode_escape"),
+            got[t].encode("unicode_escape"),
+        )
+    emoji = (
+        spark.createDataFrame([("xn--ls8h",)], "label string")
+        .select(_idn.decode_idn_label(F.col("label")).alias("d"))
+        .first()
+        .d
+    )
+    assert emoji == "\U0001F4A9"
