@@ -423,3 +423,79 @@ def q_streaming_bbpe_learn_mv(
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketches.py) — bounded-memory frequency
+# estimates with the one-sided guarantee, oracle-exact because the
+# bucket hashes are salted md5.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 20
+
+
+@register(
+    "corpus_token_cms_topk",
+    f"""
+WITH tok AS (
+    SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t
+                   FROM documents) WHERE t <> ''
+),
+tokc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+cms AS (
+    SELECT u.j AS j,
+           CAST('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || t), 1, 8)
+                AS BIGINT) % {CMS_WIDTH} AS b,
+           CAST(SUM(c) AS BIGINT) AS cnt
+    FROM tokc, UNNEST(range(0, {CMS_DEPTH})) AS u(j)
+    GROUP BY 1, 2
+),
+top AS (SELECT t, c FROM tokc ORDER BY c DESC, t ASC LIMIT {CMS_TOPK})
+SELECT top.t AS token, top.c AS true_cnt,
+       CAST(MIN(cms.cnt) AS BIGINT) AS cms_est
+FROM top, UNNEST(range(0, {CMS_DEPTH})) AS u(j)
+JOIN cms ON cms.j = u.j
+        AND cms.b = CAST('0x' || substr(md5(CAST(u.j AS VARCHAR)
+                         || ':' || top.t), 1, 8) AS BIGINT) % {CMS_WIDTH}
+GROUP BY 1, 2
+""",
+    doc=f"Count-min sketch (Cormode-Muthukrishnan 2005) point estimates "
+    f"for the exact top-{CMS_TOPK} tokens: the {CMS_DEPTH}x{CMS_WIDTH} "
+    "grid is a fixed-size, ADDITIVE summary (per-partition grids sum "
+    "cell-wise, so the build's shuffle is O(tasks x d x w) — corpus-"
+    "size-independent — and the grid broadcasts to any frequency "
+    "gate). Estimates are one-sided (est >= true, property-pinned); "
+    "salted-md5 buckets make the grid bit-identical across "
+    "partitionings and engines, so even the sketch is hash-exact "
+    "against the oracle.",
+)
+def q_corpus_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches
+
+    docs = _docs(spark, sf_dir)
+    tokc = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    top = tokc.orderBy(F.desc("c"), F.asc("t")).limit(CMS_TOPK)
+    cms = sketches.token_cms(docs, depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = sketches.cms_estimate(
+        cms,
+        top.select(F.col("t").alias("token")),
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+    )
+    return (
+        top.join(est, top.t == est.token)
+        .select(
+            "token",
+            F.col("c").alias("true_cnt"),
+            "cms_est",
+        )
+    )

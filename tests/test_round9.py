@@ -661,3 +661,64 @@ def test_nfc_hangul_and_astral(spark):
         .d
     )
     assert emoji == "\U0001F4A9"
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_one_sided_and_merge(spark, sf_dir):
+    """est >= true for EVERY token (the count-min guarantee), exact at
+    generous width, and the grid is additive: cell-wise sum of two
+    half-corpus grids == the full-corpus grid."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokc = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    cms = sketches.token_cms(docs, depth=4, width=512)
+    est = sketches.cms_estimate(
+        cms, tokc.select(F.col("t").alias("token")), depth=4, width=512
+    )
+    j = tokc.join(est, tokc.t == est.token)
+    assert j.where(F.col("cms_est") < F.col("c")).count() == 0  # one-sided
+    # additivity: two half grids summed == full grid
+    a = sketches.token_cms(docs.where(F.col("doc_id") % 2 == 0), 4, 512)
+    b = sketches.token_cms(docs.where(F.col("doc_id") % 2 == 1), 4, 512)
+    merged = (
+        a.unionByName(b)
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(cms).count() == 0
+    assert cms.exceptAll(merged).count() == 0
+    # grid is bounded: never more than d*w cells
+    assert cms.count() <= 4 * 512
+
+
+def test_cms_tiny_width_overestimates_but_never_under(spark):
+    """At a deliberately tiny width collisions force overestimates —
+    still never an underestimate (the failure mode CMS cannot have)."""
+    from projet_etl_a_rien_spark.operators import sketches
+
+    rows = [(f"tok{i % 7} " * (i % 5 + 1),) for i in range(50)]
+    df = spark.createDataFrame(rows, "text string")
+    tokc = (
+        df.select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    cms = sketches.token_cms(df, depth=2, width=4)
+    est = sketches.cms_estimate(
+        cms, tokc.select(F.col("t").alias("token")), depth=2, width=4
+    )
+    j = tokc.join(est, tokc.t == est.token).collect()
+    assert all(r.cms_est >= r.c for r in j)
+    assert any(r.cms_est > r.c for r in j)  # collisions at w=4
