@@ -89,6 +89,32 @@ HEADLINE = [
 ]
 
 
+def _load_prior_round() -> dict[str, float]:
+    """Per-query timings from the most recent BENCH_r{N}.json artifact
+    (queries + pipelines merged) — the comparison base for the solo
+    re-measure rule. Missing/corrupt artifacts mean no solo pass."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    path = max(rounds)[1]
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        # the round driver wraps bench's JSON line under "parsed"
+        d = d.get("parsed", d)
+        return {**d.get("queries", {}), **d.get("pipelines", {})}
+    except (OSError, ValueError, AttributeError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -151,6 +177,41 @@ def main() -> None:
     timings = {n: round(t, 4) for n, t in best.items() if n in set(HEADLINE)}
     pipe_timings = {n: round(t, 4) for n, t in best.items() if n in set(PIPELINES)}
     total = round(sum(timings.values()), 4)
+
+    # Solo re-measure protocol (SCALE_BENCH's rule, adopted for BENCH
+    # after r9 shipped 1.2-1.7x contention inflation on untouched
+    # queries): any query whose recorded minimum regressed > 1.3x vs the
+    # previous round's artifact is re-timed SOLO — fresh session, min of
+    # 3 — and both numbers land in the artifact, so a recorded
+    # regression can be told apart from recording-day VM noise without a
+    # by-hand re-run.
+    solo: dict[str, dict[str, float]] = {}
+    prior = _load_prior_round()
+    movers = [
+        n
+        for n, t in best.items()
+        if n in prior and prior[n] > 0 and t / prior[n] > 1.3
+    ]
+    if movers:
+        spark.stop()
+        time.sleep(2)
+        spark = get_spark("bench-solo")
+        spark.range(1_000).selectExpr("sum(id)").collect()  # rewarm
+        for name in movers:
+            q = REGISTRY.get(name)
+            solo_best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                solo_best = min(solo_best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            solo[name] = {
+                "recorded": round(best[name], 4),
+                "prior": round(prior[name], 4),
+                "solo": round(solo_best, 4),
+            }
     print(
         json.dumps(
             {
@@ -164,11 +225,17 @@ def main() -> None:
                 "pipelines": pipe_timings,
                 "pipelines_total": round(sum(pipe_timings.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # queries that regressed >1.3x vs the prior round's
+                # artifact, re-timed solo (fresh session, min of 3):
+                # solo ≈ prior means recording-day contention, not a
+                # regression; solo ≈ recorded means a real slowdown
+                "solo_remeasured": solo,
                 "methodology": f"per-query min of {runs} full plan executions"
                 " (noop sink, cache cleared between runs; shared-VM"
                 " CPU-steal makes single-shot timings +/-60%);"
                 " value/queries exclude sink-bearing pipelines —"
-                " see pipelines/pipelines_total",
+                " see pipelines/pipelines_total; >1.3x-vs-prior movers"
+                " re-timed solo in solo_remeasured",
             }
         )
     )

@@ -299,6 +299,33 @@ def apply_bpe_merges(
 # space to the following word — a documented, deterministic difference.)
 BYTE_PRETOKEN_RE = "  +| ?[^ ]+| +"
 
+# GPT-2-FAITHFUL pre-tokenizer (the r9 verdict's #4 ask): the full
+# category structure of Radford 2019's pattern —
+#   's|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+
+# — in a lookahead-free, engine-portable form. Contraction suffixes
+# split off ("don't" → "don" + "'t"), letter/digit/punctuation category
+# runs are separate pre-tokens each taking at most one leading space
+# ("a1b" → "a","1","b"; "...x" → "...","x"), exactly like GPT-2. Both
+# java.util.regex and RE2 resolve \p{L}/\p{N} to Unicode general
+# categories and alternation leftmost-first, so Spark and DuckDB
+# tokenize bit-identically (probed by test against a pure-Python
+# category scanner). Two DELIBERATE, documented divergences forced by
+# RE2 parity:
+#   1. no (?!\S) lookahead — a run of 2+ whitespace stays ONE
+#      whitespace pre-token instead of donating its last space to the
+#      following word (same divergence the v1 pattern documents);
+#   2. \s is pinned to the explicit ASCII class [ \t\n\r\x0B\f]
+#      (Java's default \s) — RE2's \s lacks \x0B and Python regex's is
+#      full-Unicode, so exotic spaces (U+00A0 …) are treated as
+#      punctuation, identically on both engines.
+_WS = " \\t\\n\\r\\x0B\\f"
+GPT2_PRETOKEN_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+"
+    f"| ?[^{_WS}\\p{{L}}\\p{{N}}]+"
+    f"|[{_WS}]+"
+)
+
 # The SHIPPED byte-level tokenizer: merge table learned ONCE from the
 # sf0.01 documents corpus via ``learn_bbpe_merges(num_merges=10)`` and
 # frozen (same deployment shape as FIXED_MERGES). Symbols are 2-hex-digit
@@ -331,18 +358,24 @@ def byte_symbols(col):
     )
 
 
-def pretoken_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+def pretoken_symbol_table(
+    df: DataFrame,
+    text_col: str = "text",
+    pretoken_re: str = BYTE_PRETOKEN_RE,
+) -> DataFrame:
     """(pt, cnt, syms) — corpus pre-token counts with each pre-token
     split into its UTF-8 byte symbols. No </w> marker: merges cannot
     cross pre-token boundaries because the table row IS the pre-token,
     and the leading space travels inside the token (GPT-2's Ġ). The ONE
-    corpus-scale shuffle of BBPE training."""
+    corpus-scale shuffle of BBPE training. ``pretoken_re`` selects the
+    pre-token class structure (v1 whitespace split or the GPT-2-faithful
+    GPT2_PRETOKEN_RE)."""
     return (
         widen_narrow_input(df)
         .select(
             F.explode(
                 F.regexp_extract_all(
-                    F.col(text_col), F.lit(BYTE_PRETOKEN_RE), F.lit(0)
+                    F.col(text_col), F.lit(pretoken_re), F.lit(0)
                 )
             ).alias("pt")
         )
@@ -357,22 +390,29 @@ def learn_bbpe_merges(
     num_merges: int = 10,
     text_col: str = "text",
     min_pair_count: int = 2,
+    pretoken_re: str = BYTE_PRETOKEN_RE,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``num_merges`` byte-level BPE merges; returns [(rank, left,
     right, pair_count)] in learned order, symbols as hex byte-strings.
     Same loop, argmax tie-break, and early stop as the word-level
     trainer — only the seed table differs."""
     return _learn_merges(
-        pretoken_symbol_table(df, text_col), "pt", num_merges, min_pair_count
+        pretoken_symbol_table(df, text_col, pretoken_re),
+        "pt",
+        num_merges,
+        min_pair_count,
     )
 
 
 def bbpe_merge_table(
-    spark: SparkSession, df: DataFrame, num_merges: int = 10
+    spark: SparkSession,
+    df: DataFrame,
+    num_merges: int = 10,
+    pretoken_re: str = BYTE_PRETOKEN_RE,
 ) -> DataFrame:
     """Learned byte-level merges as a DataFrame (rank, left, right,
     pair_count); left/right/merged tokens are hex byte-strings."""
-    rows = learn_bbpe_merges(df, num_merges)
+    rows = learn_bbpe_merges(df, num_merges, pretoken_re=pretoken_re)
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count long"
     )
@@ -384,6 +424,7 @@ def apply_bbpe_merges(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_every: int = 3,
+    pretoken_re: str = BYTE_PRETOKEN_RE,
 ) -> DataFrame:
     """Encode the corpus with a frozen byte-level merge list: per-doc
     token stats under the BBPE segmentation. Same rank-ordered greedy
@@ -399,7 +440,7 @@ def apply_bbpe_merges(
     """
     wdf = widen_narrow_input(df)
     pts = F.regexp_extract_all(
-        F.col(text_col), F.lit(BYTE_PRETOKEN_RE), F.lit(0)
+        F.col(text_col), F.lit(pretoken_re), F.lit(0)
     )
     syms = (
         wdf.select(F.explode(pts).alias("pt"))
@@ -450,7 +491,11 @@ def apply_bbpe_merges(
 
 
 def write_pretoken_counts_partial(
-    batch_df: DataFrame, path: str, batch_id: int, text_col: str = "text"
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    text_col: str = "text",
+    pretoken_re: str = BYTE_PRETOKEN_RE,
 ) -> None:
     """Reduce one micro-batch to (pt, cnt) partials and land them
     idempotently under ``parts/batch_id=N`` (map-side combine to the
@@ -460,7 +505,7 @@ def write_pretoken_counts_partial(
         .select(
             F.explode(
                 F.regexp_extract_all(
-                    F.col(text_col), F.lit(BYTE_PRETOKEN_RE), F.lit(0)
+                    F.col(text_col), F.lit(pretoken_re), F.lit(0)
                 )
             ).alias("pt")
         )

@@ -23,14 +23,31 @@ Both are solved here WITHOUT a UDF:
 - **Canonical composition** (the NFC composition step) is a second fold
   over codepoints with a literal composition map derived from Python's
   ``unicodedata`` at import time (primary composites with two-codepoint
-  canonical decompositions, U+00C0..U+30FF — Latin/Greek/Cyrillic and
-  friends) plus the two closed-form Hangul branches (L+V and LV+T are
-  pure arithmetic — Unicode §3.12). Astral codepoints pass through the
+  canonical decompositions over the FULL BMP — Latin/Greek/Cyrillic/
+  Hebrew/kana plus Indic, Ethiopic-adjacent, and every other BMP script
+  with pair composites; 928 pairs) plus the two closed-form Hangul
+  branches (L+V and LV+T are pure arithmetic — Unicode §3.12). The fold
+  implements UAX #15's canonical-composition blocking with a combining-
+  class table (also a unicodedata-derived literal): a starter composes
+  with a LATER mark across lower-ccc non-composing marks (e + U+0339 +
+  U+0301 → é + U+0339, matching real NFC), and a mark is blocked only
+  by an intervening ccc ≥ its own. Astral codepoints pass through the
   whole pipeline (split('')/ascii() are code-point aware, probed), so
   emoji ACE labels decode correctly; astral PAIR composites (musical
-  symbols) are not in the map — they never appear in hosts or paths.
-  Input is assumed canonically ORDERED (true of all NFC/NFD text — the
-  web's two spellings); arbitrary mark reorderings are not performed.
+  symbols U+1D15E.., a closed set that never appears in hosts or
+  paths) are the one documented carve-out — they stay decomposed
+  (pinned by test). Input is assumed canonically ORDERED (true of all
+  NFC/NFD text — the web's two spellings); arbitrary mark reorderings
+  are not performed.
+- **Totality over untrusted input**: a syntactically well-formed but
+  semantically malformed ACE label (e.g. ``xn--zzzzzzzzzzzzzzzzzz``)
+  would overflow the decoder's integer state and emit invalid
+  codepoints; the fold carries an ``ok`` flag that trips on i/w
+  overflow or out-of-range/surrogate codepoints, the label then passes
+  through LITERALLY (standard IDNA behavior for undecodable ACE
+  labels), and ``_cp_utf8_hex`` additionally maps any out-of-range
+  codepoint to U+FFFD so ``cps_to_string`` is total — one adversarial
+  crawl URL can no longer abort the canonicalization job.
 
 Scale shape: per-row array folds, no shuffle, no Python, inside
 whole-stage codegen — the same cost class as the percent-escape
@@ -55,13 +72,20 @@ from pyspark.sql import functions as F
 # filters the composition-exclusion set for us.
 # --------------------------------------------------------------------------
 
-_COMPOSE_MAX = 0x3100  # Latin, Greek, Cyrillic, Hebrew, kana blocks
 _KEY_SHIFT = 1 << 21  # codepoints < 2^21, so key = base*2^21 + mark
 
 
 def _compose_pairs() -> tuple[list[int], list[int]]:
+    """Every two-codepoint primary composite in Unicode — 928 BMP pairs
+    plus the 13 astral ones (Brahmi/Chakma/Grantha/Tirhuta/Siddham/
+    Dives Akuru vowel composites; the musical-symbol composites are
+    composition EXCLUSIONS, so full NFC leaves them decomposed too and
+    the exclusion filter below drops them). Nothing is carved out: the
+    map is the complete NFC pair set."""
+    import sys
+
     keys, vals = [], []
-    for comp in range(0xC0, _COMPOSE_MAX):
+    for comp in range(0xC0, sys.maxunicode + 1):
         c = chr(comp)
         d = unicodedata.decomposition(c)
         if not d or d.startswith("<"):
@@ -87,6 +111,30 @@ def _cmap() -> Column:
     return F.map_from_arrays(F.lit(_CMAP_KEYS), F.lit(_CMAP_VALS))
 
 
+def _ccc_pairs() -> tuple[list[int], list[int]]:
+    """Combining-class table (cp -> ccc) for every codepoint with a
+    nonzero canonical combining class — 912 entries, full range (astral
+    marks like U+1D165.. included so blocking is judged correctly even
+    where the pair map deliberately stops at the BMP). ~0.2 s one-time
+    scan at import, per Python process."""
+    import sys
+
+    keys, vals = [], []
+    for cp in range(0x300, sys.maxunicode + 1):
+        c = unicodedata.combining(chr(cp))
+        if c:
+            keys.append(cp)
+            vals.append(c)
+    return keys, vals
+
+
+_CCC_KEYS, _CCC_VALS = _ccc_pairs()
+
+
+def _cccmap() -> Column:
+    return F.map_from_arrays(F.lit(_CCC_KEYS), F.lit(_CCC_VALS))
+
+
 # --------------------------------------------------------------------------
 # codepoint <-> string plumbing (BMP in, full range out)
 # --------------------------------------------------------------------------
@@ -104,12 +152,22 @@ def string_to_cps(s: Column) -> Column:
 
 def _cp_utf8_hex(cp: Column) -> Column:
     """UTF-8 byte sequence of one codepoint as uppercase hex (1-4
-    bytes). All arithmetic < 2^21, so double division is exact."""
+    bytes). All arithmetic < 2^21, so double division is exact.
+
+    TOTAL over arbitrary ints: negative, surrogate (U+D800..DFFF), and
+    > U+10FFFF inputs encode as U+FFFD (EFBFBD) instead of emitting
+    invalid UTF-8 that would make ``F.decode`` throw — the 4-byte
+    branch is capped at the Unicode ceiling, it no longer swallows any
+    out-of-range int a buggy or adversarial caller produces."""
 
     def b(x):  # hex of one byte value >= 0x80 (always 2 digits)
         return F.hex(x.cast("long"))
 
-    c = cp.cast("long")
+    c0 = cp.cast("long")
+    bad = (
+        (c0 < 0) | (c0 > 0x10FFFF) | ((c0 >= 0xD800) & (c0 <= 0xDFFF))
+    )
+    c = F.when(bad, F.lit(0xFFFD).cast("long")).otherwise(c0)
     return (
         F.when(c < 0x80, F.lpad(F.hex(c), 2, "0"))
         .when(
@@ -151,74 +209,112 @@ def cps_to_string(cps: Column) -> Column:
 
 def nfc_compose_cps(cps: Column) -> Column:
     """Compose a canonically-ordered codepoint array (NFC's composition
-    step): a pending starter absorbs a following mark when the pair has
-    a primary composite; composing is iterative (base+dot→ẹ, ẹ+circ→ệ).
-    A non-composable codepoint flushes the pending one — which also
-    reproduces NFC's same-class blocking for free (the blocked mark
-    becomes the pending element and no (mark, mark) pair composes).
+    step, UAX #15 D117): the last STARTER is tracked separately from
+    the buffer of marks that failed to compose after it, so a starter
+    can still absorb a LATER mark across lower-ccc non-composing marks
+    — e + U+0339 (ccc 220, no composite) + U+0301 (ccc 230) composes to
+    é + U+0339 exactly like real NFC (and DuckDB's nfc_normalize, which
+    the oracles use). Blocking is the real rule: a mark is blocked iff
+    an intervening character has ccc 0 or ccc ≥ its own — with
+    canonically-ordered input that reduces to "last buffered mark's ccc
+    ≥ this mark's ccc"; a second starter is blocked by ANY intervening
+    mark (non-empty buffer). Composition with the starter is iterative
+    (base+dot→ẹ, then ẹ+circ→ệ).
 
     Hangul composes ARITHMETICALLY (Unicode §3.12 — the algorithmic
     part of NFC the pair map deliberately excludes): a leading jamo L
     (U+1100..1112) plus vowel V (U+1161..1175) forms the LV syllable
     0xAC00 + ((L-0x1100)·21 + (V-0x1161))·28, and an LV syllable plus
     trailing jamo T (U+11A8..11C2) adds T-0x11A7 — two closed-form
-    branches in the same fold."""
+    branches in the same fold (V and T are ccc-0, so they ride the
+    starter branch and the empty-buffer blocking rule applies, as the
+    standard requires).
+
+    Total over arbitrary int arrays: codepoints outside the ccc table
+    are ccc 0 (starters), pairs outside the map don't compose, and the
+    downstream hex rendering maps invalid codepoints to U+FFFD."""
     cmap = _cmap()
+    cccmap = _cccmap()
     init = F.struct(
         F.array().cast("array<int>").alias("out"),
-        F.lit(0).alias("pend"),
+        F.lit(0).alias("st"),
         F.lit(False).alias("has"),
+        F.array().cast("array<int>").alias("marks"),
+        F.lit(0).alias("lc"),
     )
 
-    def step(acc, cp):
-        comp = F.element_at(
-            cmap, acc["pend"].cast("long") * _KEY_SHIFT + cp.cast("long")
+    def flushed(acc):  # out ++ starter (if any) ++ pending marks
+        return F.concat(
+            F.when(
+                acc["has"], F.concat(acc["out"], F.array(acc["st"]))
+            ).otherwise(acc["out"]),
+            acc["marks"],
         )
-        pend = acc["pend"]
+
+    def step(acc, cp):
+        ccc = F.coalesce(
+            F.element_at(cccmap, cp.cast("int")), F.lit(0)
+        )
+        st = acc["st"]
+        comp = F.element_at(
+            cmap, st.cast("long") * _KEY_SHIFT + cp.cast("long")
+        )
         # Hangul L+V -> LV (both closed-form; no map entries exist)
         is_lv = (
-            (pend >= 0x1100) & (pend <= 0x1112)
+            (st >= 0x1100) & (st <= 0x1112)
             & (cp >= 0x1161) & (cp <= 0x1175)
         )
-        lv = (
-            F.lit(0xAC00)
-            + ((pend - 0x1100) * 21 + (cp - 0x1161)) * 28
-        )
-        # Hangul LV+T -> LVT (pend must be an LV syllable: T index 0)
+        lv = F.lit(0xAC00) + ((st - 0x1100) * 21 + (cp - 0x1161)) * 28
+        # Hangul LV+T -> LVT (st must be an LV syllable: T index 0)
         is_lvt = (
-            (pend >= 0xAC00) & (pend <= 0xD7A3)
-            & ((pend - 0xAC00) % 28 == 0)
+            (st >= 0xAC00) & (st <= 0xD7A3)
+            & ((st - 0xAC00) % 28 == 0)
             & (cp >= 0x11A8) & (cp <= 0x11C2)
         )
-        lvt = pend + cp - 0x11A7
+        lvt = st + cp - 0x11A7
         comp = F.when(
             comp.isNotNull(), comp
         ).when(is_lv, lv).when(is_lvt, lvt)
-        return F.when(
-            acc["has"] & comp.isNotNull(),
+        can = acc["has"] & comp.isNotNull()
+        starter_case = F.when(
+            can & (F.size(acc["marks"]) == 0),  # unblocked starter pair
             F.struct(
                 acc["out"].alias("out"),
-                comp.alias("pend"),
+                comp.alias("st"),
                 F.lit(True).alias("has"),
+                acc["marks"].alias("marks"),
+                F.lit(0).alias("lc"),
             ),
         ).otherwise(
             F.struct(
-                F.when(
-                    acc["has"], F.concat(acc["out"], F.array(acc["pend"]))
-                )
-                .otherwise(acc["out"])
-                .alias("out"),
-                cp.alias("pend"),
+                flushed(acc).alias("out"),
+                cp.alias("st"),
                 F.lit(True).alias("has"),
+                F.array().cast("array<int>").alias("marks"),
+                F.lit(0).alias("lc"),
             )
         )
+        mark_case = F.when(
+            can & (acc["lc"] < ccc),  # not blocked: compose with starter
+            F.struct(
+                acc["out"].alias("out"),
+                comp.alias("st"),
+                F.lit(True).alias("has"),
+                acc["marks"].alias("marks"),
+                acc["lc"].alias("lc"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["out"].alias("out"),
+                acc["st"].alias("st"),
+                acc["has"].alias("has"),
+                F.concat(acc["marks"], F.array(cp)).alias("marks"),
+                ccc.alias("lc"),
+            )
+        )
+        return F.when(ccc == 0, starter_case).otherwise(mark_case)
 
-    def finish(acc):
-        return F.when(
-            acc["has"], F.concat(acc["out"], F.array(acc["pend"]))
-        ).otherwise(acc["out"])
-
-    return F.aggregate(cps, init, step, finish)
+    return F.aggregate(cps, init, step, flushed)
 
 
 def nfc_compose(s: Column) -> Column:
@@ -287,13 +383,27 @@ def _insert_at(out: Column, pos: Column, cp: Column) -> Column:
     )
 
 
+_MAX_W = 1 << 48  # w cap: digit·w then stays < 2^54 — exact in long
+
+
 def punycode_decode_cps(ext: Column, basic_cps: Column) -> Column:
     """Decode the extended part of a punycode label (the digits after
     the last delimiter) into the full codepoint array, starting from
     the basic (ASCII) codepoints. One F.aggregate fold whose
     accumulator IS the RFC 3492 decoder state; every intermediate fits
-    in 2^53 for any syntactically valid ≤63-char label, so the floored
-    double divisions are exact."""
+    in 2^53 for any label the guards admit, so the floored double
+    divisions are exact.
+
+    VALIDITY-GUARDED (the crawl-facing hardening): a syntactically
+    well-formed but semantically malformed label — e.g. all-'z' digits
+    whose variable-length integer overflows i, or deltas that decode to
+    codepoints past U+10FFFF or into the surrogate block — trips the
+    accumulator's ``ok`` flag instead of wrapping negative and emitting
+    garbage; the fold then freezes and the finisher returns NULL, which
+    ``decode_idn_label`` turns into the RFC-standard literal
+    pass-through of the undecodable ACE label. One adversarial URL can
+    no longer abort the job (it used to reach F.decode as invalid
+    UTF-8 and throw MALFORMED_CHARACTER_CODING)."""
     chars = F.filter(F.split(ext, ""), lambda c: c != "")
     init = F.struct(
         basic_cps.cast("array<int>").alias("out"),
@@ -303,6 +413,7 @@ def punycode_decode_cps(ext: Column, basic_cps: Column) -> Column:
         F.lit(1).cast("long").alias("w"),
         F.lit(_BASE).alias("k"),
         F.lit(0).alias("oldi"),
+        F.lit(True).alias("ok"),
     )
 
     def step(acc, c):
@@ -312,9 +423,9 @@ def punycode_decode_cps(ext: Column, basic_cps: Column) -> Column:
             .when((a >= 48) & (a <= 57), a - 22)  # '0'-'9' → 26-35
             .otherwise(F.lit(0))
         )
-        i2 = (acc["i"].cast("long") + digit.cast("long") * acc["w"]).cast(
-            "int"
-        )
+        # exact in long: i < 2^31 (guarded), digit ≤ 35, w ≤ 2^48
+        i2l = acc["i"].cast("long") + digit.cast("long") * acc["w"]
+        i2 = i2l.cast("int")
         kb = acc["k"] - acc["bias"]
         t = (
             F.when(kb < _TMIN, F.lit(_TMIN))
@@ -322,8 +433,18 @@ def punycode_decode_cps(ext: Column, basic_cps: Column) -> Column:
             .otherwise(kb)
         )
         np_ = F.size(acc["out"]) + 1
-        n2 = (acc["n"] + F.floor(i2 / np_)).cast("int")
+        # n is range-checked in LONG before the int cast — an int-wrapped
+        # negative would otherwise slip past the `> 0x10FFFF` guard
+        n2l = acc["n"].cast("long") + F.floor(i2 / np_)
+        n2 = n2l.cast("int")
         i3 = (i2 % np_).cast("int")
+        # RFC 3492 §6.4 overflow handling, made explicit: i past 2^31-1,
+        # w past the exactness cap, or a decoded codepoint outside
+        # (0, 0x10FFFF] / inside the surrogate block → invalid label
+        w2 = acc["w"] * (_BASE - t).cast("long")
+        bad_done = (
+            (n2l > 0x10FFFF) | ((n2l >= 0xD800) & (n2l <= 0xDFFF))
+        )
         done = F.struct(
             _insert_at(acc["out"], i3, n2).alias("out"),
             n2.alias("n"),
@@ -334,19 +455,45 @@ def punycode_decode_cps(ext: Column, basic_cps: Column) -> Column:
             F.lit(1).cast("long").alias("w"),
             F.lit(_BASE).alias("k"),
             (i3 + 1).alias("oldi"),
+            (~bad_done).alias("ok"),
         )
         cont = F.struct(
             acc["out"].alias("out"),
             acc["n"].alias("n"),
             i2.alias("i"),
             acc["bias"].alias("bias"),
-            (acc["w"] * (_BASE - t).cast("long")).alias("w"),
+            w2.alias("w"),
             (acc["k"] + _BASE).alias("k"),
             acc["oldi"].alias("oldi"),
+            (w2 <= _MAX_W).alias("ok"),
         )
-        return F.when(digit < t, done).otherwise(cont)
+        nxt = F.when(
+            i2l > 0x7FFFFFFF,  # i overflow: invalid regardless of branch
+            F.struct(
+                acc["out"].alias("out"),
+                acc["n"].alias("n"),
+                acc["i"].alias("i"),
+                acc["bias"].alias("bias"),
+                acc["w"].alias("w"),
+                acc["k"].alias("k"),
+                acc["oldi"].alias("oldi"),
+                F.lit(False).alias("ok"),
+            ),
+        ).otherwise(F.when(digit < t, done).otherwise(cont))
+        # once invalid, stay invalid (freeze the state)
+        return F.when(acc["ok"], nxt).otherwise(acc)
 
-    return F.aggregate(chars, init, step, lambda acc: acc["out"])
+    # a valid label ends ON an integer boundary (k is reset to _BASE by
+    # every completed delta; k > _BASE at end-of-input means the final
+    # variable-length integer is incomplete — RFC 3492 §6.2 "fail on
+    # end of input in the middle of an integer", the same condition
+    # Python's codec reports as "incomplete punycode string")
+    return F.aggregate(
+        chars,
+        init,
+        step,
+        lambda acc: F.when(acc["ok"] & (acc["k"] == _BASE), acc["out"]),
+    )
 
 
 def decode_idn_label(label: Column) -> Column:
@@ -381,7 +528,10 @@ def decode_idn_label(label: Column) -> Column:
     cps = F.when(
         is_ace, punycode_decode_cps(ext, string_to_cps(basic))
     ).otherwise(string_to_cps(label))
-    return cps_to_string(nfc_compose_cps(cps))
+    # a semantically invalid ACE label (decoder tripped its ok guard →
+    # NULL cps, which the compose fold and hex render propagate) passes
+    # through LITERALLY — RFC-standard handling of undecodable labels
+    return F.coalesce(cps_to_string(nfc_compose_cps(cps)), label)
 
 
 _ASCII_RE = r"^[\x00-\x7F]*$"  # identical semantics in Java regex and RE2

@@ -449,8 +449,14 @@ def _sql_host(u: str = "url") -> str:
         f" THEN regexp_replace({h}, ':80$', '')"
         f" ELSE {h} END)"
     )
+    # the corpus-bounded ACE decode is anchored to WHOLE labels
+    # ((^|.)literal(.|$)) so a future host carrying a different xn--
+    # label, or this literal as a substring of a longer label, diverges
+    # LOUDLY from the Spark side's general RFC 3492 decoder instead of
+    # silently matching mid-label
     return (
-        f"nfc_normalize(replace({folded}, '{_IDN_ACE}', '{_IDN_NFC}'))"
+        f"nfc_normalize(regexp_replace({folded},"
+        f" '(^|\\.){_IDN_ACE}(\\.|$)', '\\1{_IDN_NFC}\\2'))"
     )
 
 

@@ -1,0 +1,468 @@
+"""Round-10 pins: the r9 ADVICE hardening of the IDN pipeline
+(overflow-guarded punycode, total codepoint rendering, UAX #15
+composition across lower-ccc marks, full-BMP composition map)."""
+
+from __future__ import annotations
+
+import random as _random
+import unicodedata as _ud
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.operators import idn as _idn
+from projet_etl_a_rien_spark.operators import web as _W
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (high): adversarial ACE labels must not abort the job — the
+# decoder's ok-guard turns overflow/invalid deltas into the RFC-standard
+# literal pass-through.
+# ---------------------------------------------------------------------------
+
+
+def test_adversarial_ace_labels_pass_through_literally(spark):
+    """Labels Python's punycode codec REJECTS (overflow, incomplete
+    final integer) pass through literally; labels it accepts decode
+    identically. This used to throw MALFORMED_CHARACTER_CODING and
+    abort the whole canonicalization job."""
+    labels = [
+        "xn--zzzzzzzzzzzzzzzzzzzz",  # incomplete final integer
+        "xn--99999999999999999999",  # w overflow path
+        "xn--" + "z" * 59,  # max-length junk
+        "xn--9",  # single continuation char
+        "xn--a-ecp",  # valid: a⒈
+        "xn--mnchen-3ya",
+        "xn--ls8h",  # astral: 💩
+    ]
+    df = spark.createDataFrame([(x,) for x in labels], "label string")
+    got = {
+        r.label: r.d
+        for r in df.select(
+            "label", _idn.decode_idn_label(F.col("label")).alias("d")
+        ).collect()
+    }
+    for lab in labels:
+        try:
+            want = lab[4:].encode("ascii").decode("punycode")
+        except UnicodeError:
+            want = lab  # undecodable ACE label: literal pass-through
+        assert got[lab] == want, (lab, got[lab], want)
+
+
+def test_adversarial_url_does_not_abort_canonicalization(spark):
+    """One hostile crawl URL in a batch must not fail the job, and the
+    well-formed rows still canonicalize."""
+    urls = [
+        "https://xn--zzzzzzzzzzzzzzzzzzzz.example.com/a",
+        "https://xn--99999999999999999999.example.com/b?x=1",
+        "https://XN--MNCHEN-3YA.example.com/ok",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.c
+        for r in df.select(_W.canonical_url(F.col("url")).alias("c"))
+        .orderBy("c")
+        .collect()
+    ]
+    assert "https://münchen.example.com/ok" in got
+    assert any("xn--zzzzzzzzzzzzzzzzzzzz" in c for c in got)
+
+
+def _ref_compose(s: str) -> str:
+    """Reference UAX #15 canonical-composition STEP (composition only —
+    no decomposition pass), built from unicodedata's tables: what
+    nfc_compose_cps is contracted to do on arbitrary input. On
+    canonically-ordered input this equals NFC; on input carrying
+    precomposed composition-exclusion characters (e.g. U+0F52, which
+    full NFC would DECOMPOSE) it leaves them alone."""
+    pair = {}
+    for comp_cp in range(0xC0, 0x110000):
+        c = chr(comp_cp)
+        d = _ud.decomposition(c)
+        if not d or d.startswith("<"):
+            continue
+        parts = d.split()
+        if len(parts) != 2:
+            continue
+        b, m = (int(p, 16) for p in parts)
+        if _ud.normalize("NFC", chr(b) + chr(m)) == c:
+            pair[(b, m)] = comp_cp
+
+    def compose2(a: int, b: int):
+        if 0x1100 <= a <= 0x1112 and 0x1161 <= b <= 0x1175:
+            return 0xAC00 + ((a - 0x1100) * 21 + (b - 0x1161)) * 28
+        if (
+            0xAC00 <= a <= 0xD7A3
+            and (a - 0xAC00) % 28 == 0
+            and 0x11A8 <= b <= 0x11C2
+        ):
+            return a + b - 0x11A7
+        return pair.get((a, b))
+
+    out, starter, marks, last_ccc = [], None, [], 0
+    for ch in s:
+        cp = ord(ch)
+        ccc = _ud.combining(ch)
+        c2 = compose2(starter, cp) if starter is not None else None
+        if ccc == 0:
+            if c2 is not None and not marks:
+                starter = c2
+            else:
+                if starter is not None:
+                    out.append(starter)
+                out.extend(marks)
+                starter, marks, last_ccc = cp, [], 0
+        else:
+            if c2 is not None and last_ccc < ccc:
+                starter = c2
+            else:
+                marks.append(cp)
+                last_ccc = ccc
+    if starter is not None:
+        out.append(starter)
+    out.extend(marks)
+    return "".join(chr(c) for c in out)
+
+
+def test_malformed_labels_match_python_codec_randomized(spark):
+    """Property sweep: random digit-strings (mostly malformed, some
+    valid) — the fold's accept/reject decision matches Python's RFC
+    3492 codec on every one, and accepted decodes land on the
+    reference composition of the decoded codepoints."""
+    _random.seed(23)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    cases = []
+    for _ in range(120):
+        n = _random.randint(1, 40)
+        cases.append("xn--" + "".join(
+            _random.choice(alphabet) for _ in range(n)
+        ))
+    df = spark.createDataFrame([(x,) for x in cases], "label string")
+    got = {
+        r.label: r.d
+        for r in df.select(
+            "label", _idn.decode_idn_label(F.col("label")).alias("d")
+        ).collect()
+    }
+    n_valid = 0
+    for lab in cases:
+        try:
+            dec = lab[4:].encode("ascii").decode("punycode")
+            # surrogate/out-of-range codepoints are invalid in IDNA even
+            # when the integer arithmetic succeeds
+            if any(
+                0xD800 <= ord(ch) <= 0xDFFF or ord(ch) > 0x10FFFF
+                for ch in dec
+            ):
+                want = lab
+            else:
+                want = _ref_compose(dec)
+                n_valid += 1
+        except UnicodeError:
+            want = lab
+        assert got[lab] == want, (lab, got[lab], want)
+    assert n_valid > 5  # the sweep exercises BOTH paths
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (low): cps_to_string is total — out-of-range/surrogate ints
+# render as U+FFFD instead of invalid UTF-8.
+# ---------------------------------------------------------------------------
+
+
+def test_cps_to_string_total_over_invalid_codepoints(spark):
+    df = spark.range(1).select(
+        _idn.cps_to_string(
+            F.lit([0x61, 0x110000, 0xD800, 0xDFFF, -1, 0x10FFFF, 0x62])
+        ).alias("s")
+    )
+    s = df.collect()[0].s
+    assert s == "a����\U0010ffffb"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (low) + verdict #7: real UAX #15 composition — a starter
+# composes with a later mark across a lower-ccc non-composing mark, and
+# the map now covers the full BMP (Indic and friends included).
+# ---------------------------------------------------------------------------
+
+
+def test_nonblocked_composition_across_lower_ccc_mark(spark):
+    """e + U+0339 (ccc 220, no composite) + U+0301 (ccc 230) composes
+    to é + U+0339 — what real NFC (and DuckDB's nfc_normalize) does;
+    the r9 fold left it fully decomposed."""
+    s = "é̹x"
+    df = spark.createDataFrame([(s,)], "s string")
+    got = df.select(_idn.nfc_compose(F.col("s")).alias("c")).collect()[0].c
+    want = _ud.normalize("NFC", s)
+    assert want == "é̹x"  # sanity: the case is non-trivial
+    assert got == want
+
+
+def test_full_bmp_scripts_compose(spark):
+    """NFD spellings across scripts OUTSIDE the old 0x3100 map bound
+    now compose: Devanagari, Bengali, Odia, Tamil, Sinhala, Myanmar —
+    plus the old in-range scripts still work."""
+    precomposed = [
+        "ऩ",  # Devanagari NNNA = 0928+093C
+        "ো",  # Bengali O = 09C7+09BE
+        "ୋ",  # Odia O = 0B47+0B3E
+        "ொ",  # Tamil O = 0BC6+0BBE
+        "ේ",  # Sinhala EE = 0DD9+0DCA
+        "ဦ",  # Myanmar UU = 1025+102E
+        "ệ",  # ệ (in old range)
+        "ヴ",  # kana VU (in old range)
+    ]
+    cases = [_ud.normalize("NFD", c) for c in precomposed]
+    assert all(len(c) > 1 for c in cases)  # really decomposed inputs
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {
+        r.s: r.c
+        for r in df.select(
+            "s", _idn.nfc_compose(F.col("s")).alias("c")
+        ).collect()
+    }
+    for nfd, nfc in zip(cases, precomposed):
+        assert got[nfd] == nfc, (nfd.encode("unicode_escape"), nfc)
+
+
+def test_nfc_property_sweep_random_bmp(spark):
+    """Randomized property: NFD-normalize random strings built from
+    BMP characters with nontrivial decompositions plus extra combining
+    marks; the fold's composition == unicodedata's NFC on every one."""
+    _random.seed(41)
+    # characters whose NFD differs (pair composites across the BMP)
+    bases = [
+        c
+        for cp in list(range(0xC0, 0x3000, 7)) + list(range(0x3000, 0x10000, 23))
+        for c in [chr(cp)]
+        if _ud.normalize("NFD", c) != c and not (0xAC00 <= cp <= 0xD7A3)
+    ][:400]
+    marks = ["́", "̈", "̣", "̹", "ַ", "゙"]
+    cases = []
+    for _ in range(150):
+        n = _random.randint(1, 6)
+        s = "".join(
+            _random.choice(bases)
+            + (
+                _random.choice(marks)
+                if _random.random() < 0.4
+                else ""
+            )
+            for _ in range(n)
+        )
+        cases.append(_ud.normalize("NFD", s))
+    df = spark.createDataFrame([(c,) for c in set(cases)], "s string")
+    rows = df.select("s", _idn.nfc_compose(F.col("s")).alias("c")).collect()
+    for r in rows:
+        want = _ud.normalize("NFC", r.s)
+        assert r.c == want, (
+            r.s.encode("unicode_escape"),
+            r.c.encode("unicode_escape"),
+            want.encode("unicode_escape"),
+        )
+
+
+def test_hangul_property_sweep(spark):
+    """Random jamo sequences (L V [T]) compose arithmetically to the
+    same syllables unicodedata produces, including LV+T and bare LV."""
+    _random.seed(7)
+    cases = []
+    for _ in range(80):
+        L = chr(_random.randint(0x1100, 0x1112))
+        V = chr(_random.randint(0x1161, 0x1175))
+        s = L + V
+        if _random.random() < 0.5:
+            s += chr(_random.randint(0x11A8, 0x11C2))
+        cases.append(s)
+    df = spark.createDataFrame([(c,) for c in set(cases)], "s string")
+    rows = df.select("s", _idn.nfc_compose(F.col("s")).alias("c")).collect()
+    for r in rows:
+        assert r.c == _ud.normalize("NFC", r.s)
+
+
+def test_astral_pair_composites_no_carveout(spark):
+    """Verdict #7 closed with NO carve-out: the map now covers the full
+    Unicode pair set. The 13 composing astral pairs (Brahmi etc.)
+    compose; musical-symbol pairs are composition EXCLUSIONS, so both
+    real NFC and the fold leave them decomposed — identical behavior."""
+    brahmi_nfd = "\U00011099\U000110BA"  # composes to U+1109A
+    musical = "\U0001D157\U0001D165"  # exclusion: NFC keeps it decomposed
+    df = spark.createDataFrame(
+        [(brahmi_nfd,), (musical,)], "s string"
+    )
+    got = {
+        r.s: r.c
+        for r in df.select(
+            "s", _idn.nfc_compose(F.col("s")).alias("c")
+        ).collect()
+    }
+    assert got[brahmi_nfd] == "\U0001109A"
+    assert got[brahmi_nfd] == _ud.normalize("NFC", brahmi_nfd)
+    assert got[musical] == musical
+    assert got[musical] == _ud.normalize("NFC", musical)
+
+
+# ---------------------------------------------------------------------------
+# Verdict #4: GPT-2-faithful pre-tokenization — category structure
+# (contractions, letter/digit/punct runs with one leading space) in a
+# lookahead-free, engine-portable pattern.
+# ---------------------------------------------------------------------------
+
+from projet_etl_a_rien_spark.operators import bpe as _bpe
+
+
+def _ref_gpt2_pretokenize(text: str) -> list[str]:
+    """Pure-Python reference for GPT2_PRETOKEN_RE's scan semantics:
+    leftmost-first ordered alternation of (contraction | ' ?'L+ |
+    ' ?'N+ | ' ?'punct+ | ws+), with \\p{L}/\\p{N} as Unicode general
+    categories and whitespace pinned to the ASCII class."""
+    WS = set(" \t\n\r\x0b\f")
+
+    def isL(c: str) -> bool:
+        return _ud.category(c).startswith("L")
+
+    def isN(c: str) -> bool:
+        return _ud.category(c).startswith("N")
+
+    def isP(c: str) -> bool:
+        return c not in WS and not isL(c) and not isN(c)
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        m = None
+        for con in ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"):
+            if text.startswith(con, i):
+                m = con
+                break
+        if m is None:
+            for pred in (isL, isN, isP):
+                k = i
+                if text[k] == " " and k + 1 < n and pred(text[k + 1]):
+                    k += 1
+                if k < n and pred(text[k]):
+                    e = k
+                    while e < n and pred(text[e]):
+                        e += 1
+                    m = text[i:e]
+                    break
+        if m is None and text[i] in WS:
+            e = i
+            while e < n and text[e] in WS:
+                e += 1
+            m = text[i:e]
+        assert m is not None, (text, i)
+        out.append(m)
+        i += len(m)
+    return out
+
+
+_GPT2_EDGE_CASES = [
+    "don't stop, I'm sure you'll've seen it's fine",
+    "hello world",
+    "a1b2c3",
+    "price: $3,914.50 (-12%)",
+    "  double  spaces   here",
+    "tabs\tand\nnewlines\r\nmixed \x0b\f ws",
+    "中文日本語のテキスト and English",
+    "emoji 😀😀 run 🎉!",
+    "café naïve résumé",
+    "nbsp separated words",  # NBSP = punct by the pinned class
+    "ALL CAPS'S ODDITY",  # 'S is NOT a contraction (case-faithful)
+    "trailing space ",
+    " leading space",
+    "'start with contraction",
+    "under_scores-and-dashes.dots",
+    "數字123mixed٤٥٦arabic",
+    "",
+    "   ",
+    "x",
+]
+
+
+def test_gpt2_pretokenizer_matches_reference(spark):
+    """Spark's regexp_extract_all over GPT2_PRETOKEN_RE == the pure-
+    Python category scanner on contractions, digit runs, CJK, emoji,
+    exotic whitespace — and the tokens reassemble the input exactly."""
+    cases = [c for c in _GPT2_EDGE_CASES if c]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {
+        r.s: r.pts
+        for r in df.select(
+            "s",
+            F.regexp_extract_all(
+                F.col("s"), F.lit(_bpe.GPT2_PRETOKEN_RE), F.lit(0)
+            ).alias("pts"),
+        ).collect()
+    }
+    for c in cases:
+        want = _ref_gpt2_pretokenize(c)
+        assert got[c] == want, (c, got[c], want)
+        assert "".join(got[c]) == c  # lossless cover
+
+
+def test_gpt2_pretokenizer_spark_duckdb_parity(spark):
+    """The SAME pattern string produces the SAME pre-token stream on
+    java.util.regex and RE2 — the engine-parity requirement that makes
+    the GPT-2-class tokenizer oracle-able."""
+    import duckdb
+
+    cases = [c for c in _GPT2_EDGE_CASES if c]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got_spark = {
+        r.s: r.pts
+        for r in df.select(
+            "s",
+            F.regexp_extract_all(
+                F.col("s"), F.lit(_bpe.GPT2_PRETOKEN_RE), F.lit(0)
+            ).alias("pts"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    pat = _bpe.GPT2_PRETOKEN_RE.replace("'", "''")
+    for c in cases:
+        got_duck = con.execute(
+            f"SELECT regexp_extract_all(?, '{pat}')", [c]
+        ).fetchone()[0]
+        assert got_spark[c] == got_duck, (c, got_spark[c], got_duck)
+
+
+def test_gpt2_pretokenizer_randomized_parity(spark):
+    """Randomized sweep: 150 strings mixing scripts/digits/punct/ws —
+    Spark == DuckDB == reference on every one."""
+    import duckdb
+
+    _random.seed(77)
+    pool = (
+        "abc XYZ 012 ٣٤ 中日 ém ' ''s  \t\n.,!?-_()[]$%€ 😀  \x0b"
+    )
+    cases = list(
+        {
+            "".join(
+                _random.choice(pool)
+                for _ in range(_random.randint(1, 30))
+            )
+            for _ in range(150)
+        }
+    )
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got_spark = {
+        r.s: r.pts
+        for r in df.select(
+            "s",
+            F.regexp_extract_all(
+                F.col("s"), F.lit(_bpe.GPT2_PRETOKEN_RE), F.lit(0)
+            ).alias("pts"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    pat = _bpe.GPT2_PRETOKEN_RE.replace("'", "''")
+    for c in cases:
+        want = _ref_gpt2_pretokenize(c)
+        got_duck = con.execute(
+            f"SELECT regexp_extract_all(?, '{pat}')", [c]
+        ).fetchone()[0]
+        assert got_spark[c] == want, (c, got_spark[c], want)
+        assert got_duck == want, (c, got_duck, want)
