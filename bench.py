@@ -86,6 +86,13 @@ HEADLINE = [
     # byte-level tokenizer encode (production token counts)
     "parts_triangle_estimate_p10",
     "corpus_bbpe_encode_stats",
+    # r10: the production tokenizer (GPT-2 pre-tokenizer + rank-80 cut
+    # of the exhaustion ladder — the heaviest new fold chain) and the
+    # two serve-from-state sketches (cheap by design; tracked so the
+    # bounded-state claim stays a measured fact)
+    "corpus_bbpe_encode_stats_v2",
+    "corpus_length_quantiles_sketch",
+    "events_user_hll_distinct",
 ]
 
 

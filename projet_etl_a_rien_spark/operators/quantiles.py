@@ -1,0 +1,292 @@
+"""Mergeable quantile sketch — a fixed-grid log-linear histogram
+(DDSketch-family: Masson, Rim & Lee, VLDB 2019 "DDSketch: a fast and
+fully-mergeable quantile sketch with relative-error guarantees" — the
+same bucketed-by-relative-error idea, with the γ-geometric buckets
+replaced by a log-linear grid so every bucket boundary is INTEGER
+arithmetic and the sketch is bit-identical across engines).
+
+The 100 TB problem this solves (the r9 verdict's #5 ask): exact
+percentiles need a per-group sort or a full-width percentile scan per
+query — fine once, expensive to keep serving. This sketch is a bounded
+set of buckets (≤ 64·m cells for 64-bit values; m = sub-buckets per
+octave) that answers any quantile with a guaranteed relative error
+≤ 1/m, and it is ADDITIVE: per-partition/per-batch bucket counts sum
+cell-wise, so it builds with one map-side-combinable aggregation,
+merges across shards or micro-batches like the aggregate-MV partials,
+and serves quantiles from state without touching the corpus.
+
+Bucket arithmetic (value v ≥ 1, all integer → hash-exact oracles):
+
+- octave   e = length(bin(v)) - 1            (= floor(log2 v))
+- sub-slot i = ((v - 2^e) · m) div 2^e       (∈ [0, m-1])
+- bucket   b = e·m + i;  v ≤ 0 lands in bucket -1 (its own cell)
+- bounds   lo(b) = (2^e · (m+i)) div m,  hi(b) = (2^e · (m+i+1)) div m
+
+2^e is exact in IEEE double (pow(2, e) for e ≤ 62) and both engines
+floor-divide integers exactly, so the grid — and therefore every
+served quantile — is bit-identical between Spark and DuckDB.
+
+Quantile query: target rank r = ceil(q·N) (integer ppm arithmetic),
+walk the buckets in order, first bucket whose cumulative count reaches
+r. The true rank-r value lies in [lo, hi), so the served lo is a
+one-sided UNDER-estimate with relative error ≤ 1/m (property-pinned).
+
+Scale shape: the build is one explode-free projection + one groupBy
+whose key space is ≤ 64·m — partial aggregation collapses each task to
+at most that many cells before the exchange, so shuffle volume is
+O(tasks · 64·m), independent of row count. The query side collapses the
+grid to one bounded cell array and extracts quantiles with a fold over
+it — never touching the data again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_M = 16  # sub-buckets per octave → relative error ≤ 6.25%
+
+MAX_LONG = (1 << 63) - 1
+
+
+def _log2m(m: int) -> int:
+    lm = m.bit_length() - 1
+    if 1 << lm != m:
+        raise ValueError(f"m must be a power of two, got {m}")
+    return lm
+
+
+def bucketize(df: DataFrame, value_col: str, m: int = DEFAULT_M) -> DataFrame:
+    """(bucket) per row — the projection feeding the sketch groupBy.
+
+    Total over the full long range: the octave arithmetic runs on
+    GREATEST(v, 1) (bin() of a negative long is 64-char two's-
+    complement and pow(2, 63) doesn't fit BIGINT) and non-positive
+    values are routed to the dedicated -1 bucket by the outer CASE.
+    ``m`` must be a power of two so the sub-slot uses the DIVIDE-FIRST
+    form ((v - 2^e) DIV (2^e DIV m)) in octaves e ≥ log2(m) — the
+    multiply-first form overflows a long for v near 2^62 — while small
+    octaves (where 2^e DIV m truncates) keep the multiply-first form,
+    which cannot overflow there. Both forms are exactly
+    floor((v - 2^e)·m / 2^e) in their octave range."""
+    lm = _log2m(m)
+    v = F.col(value_col).cast("long")
+    g = f"GREATEST(CAST({value_col} AS BIGINT), CAST(1 AS BIGINT))"
+    p = f"CAST(pow(2, length(bin({g})) - 1) AS BIGINT)"
+    e = F.expr(f"length(bin({g})) - 1").cast("int")
+    i = F.expr(
+        f"CASE WHEN length(bin({g})) - 1 >= {lm}"
+        f" THEN ({g} - {p}) DIV ({p} DIV {m})"
+        f" ELSE ({g} - {p}) * {m} DIV {p} END"
+    )
+    b = (e.cast("long") * m + i).cast("long")
+    return df.select(
+        F.when(v <= 0, F.lit(-1).cast("long")).otherwise(b).alias("bucket")
+    )
+
+
+def quantile_sketch_build(
+    df: DataFrame, value_col: str, m: int = DEFAULT_M
+) -> DataFrame:
+    """Build the sketch: (bucket, cnt), at most 64·m + 1 rows ever.
+    Map-side combinable — the one corpus-scale pass."""
+    return (
+        bucketize(df, value_col, m)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def quantile_sketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of sketches — the additive-MV merge (associative
+    and commutative, property-pinned): merge(build(A), build(B)) ==
+    build(A ∪ B) exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_sketch_query(
+    sketch: DataFrame, q_ppms: list[int], m: int = DEFAULT_M
+) -> DataFrame:
+    """Serve quantiles FROM the sketch: for each q (in ppm), the first
+    bucket whose cumulative count reaches ceil(q·N) plus that bucket's
+    integer bounds. Emits (q_ppm, n_total, target_rank, bucket, est_lo,
+    est_hi) — est_lo ≤ true value < est_hi, (est_hi - est_lo)/est_lo
+    ≤ 1/m.
+
+    JOIN-FREE: the sketch collapses to ONE row holding the sorted cell
+    array (bounded ≤ 64·m+1 by construction — the same bounded
+    collect_list contract as the IVF centroid tables), broadcast to the
+    quantile rows via the 1-row-scalar crossJoin idiom; the rank walk
+    is an F.aggregate fold over the cell array."""
+    cells_df = sketch.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "cnt"))
+        ).alias("cells")
+    )
+    qs = sketch.sparkSession.createDataFrame(
+        [(int(p),) for p in q_ppms], "q_ppm long"
+    )
+    cells = F.col("cells")
+    n = F.aggregate(
+        cells,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c["cnt"],
+    )
+    both = qs.crossJoin(F.broadcast(cells_df)).select(
+        "q_ppm",
+        n.alias("n_total"),
+        F.expr(
+            "(q_ppm * aggregate(cells, 0L, (a, c) -> a + c.cnt)"
+            " + 999999) DIV 1000000"
+        ).alias("target_rank"),
+        "cells",
+    )
+    # first bucket whose running cum reaches the target rank
+    walk = F.aggregate(
+        F.col("cells"),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("bkt"),
+        ),
+        lambda acc, c: F.struct(
+            (acc["cum"] + c["cnt"]).alias("cum"),
+            F.when(
+                acc["bkt"].isNull()
+                & (acc["cum"] + c["cnt"] >= F.col("target_rank")),
+                c["bucket"],
+            )
+            .otherwise(acc["bkt"])
+            .alias("bkt"),
+        ),
+        lambda acc: acc["bkt"],
+    )
+    picked = both.select(
+        "q_ppm", "n_total", "target_rank", walk.alias("bucket")
+    )
+    # est_lo = floor of the bucket's real lower bound (one-sided under-
+    # estimate); est_hi = CEILING of the next bucket's lower bound, so
+    # the integer bracket always CONTAINS every integer the bucket
+    # covers even in small octaves where 2^e < m collapses floor
+    # brackets to zero width. In octaves e >= log2(m) the bounds are
+    # exact multiples (m | 2^e) and the divide-first form avoids the
+    # long overflow of 2^e·(m+i) near the top octave; the very top
+    # bucket's upper bound clamps to LONG_MAX (2^63 has no long).
+    lo = F.expr(_lo_sql("bucket", m))
+    top = 62 * m + m - 1
+    hi = F.expr(
+        f"CASE WHEN bucket >= {top} THEN CAST({MAX_LONG} AS BIGINT)"
+        f" ELSE {_hi_sql('bucket', m)} END"
+    )
+    return picked.select(
+        "q_ppm",
+        "n_total",
+        "target_rank",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.when(F.col("bucket") < 0, F.lit(0).cast("long"))
+        .otherwise(lo.cast("long"))
+        .alias("est_lo"),
+        F.when(F.col("bucket") < 0, F.lit(1).cast("long"))
+        .otherwise(hi.cast("long"))
+        .alias("est_hi"),
+    )
+
+
+def _lo_sql(b: str, m: int) -> str:
+    """SQL for a bucket's integer lower bound (floor) — identical text
+    runs on Spark and DuckDB apart from DIV/// (the oracle builders
+    substitute)."""
+    lm = _log2m(m)
+    p = f"CAST(pow(2, ({b}) DIV {m}) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({b}) DIV {m} >= {lm}"
+        f" THEN {p} + (({b}) % {m}) * ({p} DIV {m})"
+        f" ELSE ({p} * ({m} + ({b}) % {m})) DIV {m} END)"
+    )
+
+
+def _hi_sql(b: str, m: int) -> str:
+    """SQL for a bucket's integer upper bound: the CEILING of the next
+    bucket's lower bound (exact in octaves where m | 2^e)."""
+    lm = _log2m(m)
+    nb = f"(({b}) + 1)"
+    p = f"CAST(pow(2, {nb} DIV {m}) AS BIGINT)"
+    return (
+        f"(CASE WHEN {nb} DIV {m} >= {lm}"
+        f" THEN {p} + ({nb} % {m}) * ({p} DIV {m})"
+        f" ELSE ({p} * ({m} + {nb} % {m}) + {m} - 1) DIV {m} END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sink-is-the-state maintenance — the sketch as an additive MV with the
+# same crash contract as the aggregate-MV / pretoken-count sinks
+# (operators/compaction.py): _SUCCESS-gated dirs, idempotent partial
+# replays, snapshot-then-vacuum.
+# ---------------------------------------------------------------------------
+
+
+def write_sketch_partial(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    value_col: str,
+    m: int = DEFAULT_M,
+) -> None:
+    """Reduce one micro-batch to its (bucket, cnt) partial grid and land
+    it idempotently under ``parts/batch_id=N`` (map-side combine to the
+    sink: the sketch is additive, so the fold of partials equals the
+    sketch of the union)."""
+    quantile_sketch_build(batch_df, value_col, m).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/parts/batch_id={batch_id}")
+
+
+def read_sketch(spark, path: str) -> DataFrame:
+    """Current folded sketch: newest committed snapshot + committed
+    partials above the fold watermark, summed per bucket (same
+    crash-safety rules as read_agg_sink)."""
+    from .compaction import _committed_partitions, _snapshot_version
+
+    v = _snapshot_version(spark, path)
+    parts = [
+        f"{path}/parts/batch_id={b}"
+        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
+        if b > v
+    ]
+    if v >= 0:
+        parts.append(f"{path}/snap/v={v}")
+    if not parts:
+        return spark.createDataFrame([], "bucket bigint, cnt bigint")
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_sketch(spark, path: str) -> int:
+    """Fold committed partials into ``snap/v=maxBatch`` and vacuum the
+    folded dirs — snapshot commit first, deletes after. Returns the new
+    version."""
+    from .compaction import (
+        _committed_partitions,
+        _snapshot_version,
+        _vacuum_partitions,
+    )
+
+    v = _snapshot_version(spark, path)
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
+        return v
+    fold = read_sketch(spark, path).localCheckpoint(eager=True)
+    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[:1]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
+    return max_b

@@ -123,3 +123,272 @@ def cms_estimate(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style distinct sketch (Flajolet, Fusy, Gandouet & Meunier
+# 2007, AofA: "HyperLogLog: the analysis of a near-optimal cardinality
+# estimation algorithm") — "distinct users per key" SERVED FROM STATE.
+#
+# approx_count_distinct answers one query; what an incremental pipeline
+# needs is a MERGEABLE register array maintained as sink state: registers
+# fold with MAX (associative, commutative, idempotent — so partial grids
+# from shards/micro-batches/replays merge exactly), and the estimate is
+# read from the folded registers without rescanning events.
+#
+# Engine-parity discipline (the CMS trick, extended): both the register
+# index and the rank hash are salted md5; the rank is derived from a
+# 24-bit tail (rho = 25 - bitlength, rho(0) = 25), so the harmonic
+# denominator sum_j 2^(-M_j) becomes the EXACT INTEGER
+# S24 = sum_j 2^(24 - M_j) and the alpha-corrected estimate is pure
+# integer arithmetic: floor(709 · m² · 2^24 / (1000 · S24)) for m = 64
+# (alpha_64 = 0.709 exactly as published). The small-range branch
+# (E ≤ 2.5m with empty registers) uses linear counting m·ln(m/V) — ln is
+# transcendental, so BOTH engines read the SAME precomputed 64-entry
+# integer table keyed by V (python-math-derived literal), keeping even
+# the corrected estimate bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+HLL_M = 64  # registers; relative error ~ 1.04/sqrt(m) ~ 13%
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 709, 1000  # alpha_64 = 0.709 (FFGM07)
+HLL_W = 24  # rank-hash tail bits
+
+
+def _hll_lc_table(m: int = HLL_M) -> list[int]:
+    """Linear-counting estimates round(m·ln(m/V)) for V = 1..m — the
+    shared literal both engines look up (index V-1)."""
+    return [round(m * _math.log(m / v)) for v in range(1, m + 1)]
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    m: int = HLL_M,
+    salt: str = "hll",
+) -> DataFrame:
+    """Build per-key register grids: (key, j, mx) with one row per
+    non-empty register — at most m rows per key, ever. One corpus-scale
+    groupBy whose key space is bounded by (#keys · m); partial
+    aggregation collapses each task's contribution before the exchange
+    (MAX combines map-side), so shuffle volume is O(tasks · keys · m),
+    independent of row count."""
+    v = F.col(value_col).cast("string")
+    j = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:r:"), v)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:v:"), v)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % (1 << HLL_W)
+    )
+    rho = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("key"), j.alias("j"), rho.alias("rho")
+        )
+        .groupBy("key", "j")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_merge(*grids: DataFrame) -> DataFrame:
+    """MAX-fold of register grids — the mergeable-state contract:
+    merge(build(A), build(B)) == build(A ∪ B) exactly (idempotent, so
+    replayed batches are harmless), property-pinned."""
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out.groupBy("key", "j").agg(F.max("mx").alias("mx"))
+
+
+def hll_estimate(grid: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Cardinality estimates from a register grid: (key,
+    n_zero_registers, s24, hll_raw_est, est) — raw = integer
+    alpha-corrected harmonic mean, est = linear counting from the
+    shared table when the small-range condition holds (E ≤ 2.5m and
+    empty registers exist), else raw. All integer arithmetic →
+    bit-identical to the SQL oracle."""
+    lc = _hll_lc_table(m)
+    per_key = grid.groupBy("key").agg(
+        (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),
+        (
+            F.sum(
+                F.expr(f"CAST(pow(2, {HLL_W} - mx) AS BIGINT)")
+            )
+            + (F.lit(m) - F.count("*")).cast("long") * (1 << HLL_W)
+        ).alias("s24"),
+    )
+    raw = F.expr(
+        f"CAST({HLL_ALPHA_NUM} AS BIGINT) * {m * m} * {1 << HLL_W}"
+        f" DIV ({HLL_ALPHA_DEN} * s24)"
+    )
+    lc_est = F.element_at(F.lit(lc), F.col("n_zero_registers").cast("int"))
+    small = (F.col("hll_raw_est") <= int(2.5 * m)) & (
+        F.col("n_zero_registers") > 0
+    )
+    return (
+        per_key.select(
+            "key",
+            F.col("v_zero").alias("n_zero_registers"),
+            "s24",
+            raw.alias("hll_raw_est"),
+        )
+        .select(
+            "key",
+            "n_zero_registers",
+            "s24",
+            "hll_raw_est",
+            F.when(small, lc_est.cast("long"))
+            .otherwise(F.col("hll_raw_est"))
+            .alias("est"),
+        )
+    )
+
+
+def write_hll_partial(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    key_col: str,
+    value_col: str,
+    m: int = HLL_M,
+    salt: str = "hll",
+) -> None:
+    """Reduce one micro-batch to its register-grid partial and land it
+    idempotently under ``parts/batch_id=N`` (register MAX is idempotent,
+    so replays are exactly harmless — stronger than the additive sinks,
+    which need the overwrite-same-dir discipline; this sink gets both)."""
+    hll_registers(batch_df, key_col, value_col, m, salt).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/parts/batch_id={batch_id}")
+
+
+def read_hll(spark, path: str) -> DataFrame:
+    """Current folded registers: newest committed snapshot MAX-folded
+    with committed partials above the watermark (same crash-safety rules
+    as the additive sinks)."""
+    from .compaction import _committed_partitions, _snapshot_version
+
+    v = _snapshot_version(spark, path)
+    parts = [
+        f"{path}/parts/batch_id={b}"
+        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
+        if b > v
+    ]
+    if v >= 0:
+        parts.append(f"{path}/snap/v={v}")
+    if not parts:
+        return spark.createDataFrame([], "key string, j bigint, mx int")
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("key", "j")
+        .agg(F.max("mx").alias("mx"))
+    )
+
+
+def compact_hll(spark, path: str) -> int:
+    """Fold committed partials into ``snap/v=maxBatch`` and vacuum the
+    folded dirs — snapshot commit first, deletes after."""
+    from .compaction import (
+        _committed_partitions,
+        _snapshot_version,
+        _vacuum_partitions,
+    )
+
+    v = _snapshot_version(spark, path)
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
+        return v
+    fold = read_hll(spark, path).localCheckpoint(eager=True)
+    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[:1]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
+    return max_b
+
+
+# ---------------------------------------------------------------------------
+# CMS sink-is-the-state maintenance — the count-min grid as an additive
+# MV (same crash contract as the other sketch sinks): per-batch partial
+# grids land idempotently, fold by cell-wise SUM, and the folded grid
+# serves frequency estimates without rescanning the corpus. Completes
+# the sketch family's state story: CMS (sum), HLL (max), quantile
+# histogram (sum) — all bounded, all mergeable, all servable from sink.
+# ---------------------------------------------------------------------------
+
+
+def write_cms_partial(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> None:
+    """Reduce one micro-batch to its (j, b, cnt) partial grid and land
+    it idempotently under ``parts/batch_id=N``."""
+    token_cms(batch_df, depth, width, text_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/parts/batch_id={batch_id}")
+
+
+def read_cms(spark, path: str) -> DataFrame:
+    """Current folded grid: newest committed snapshot + committed
+    partials above the watermark, summed per cell."""
+    from .compaction import _committed_partitions, _snapshot_version
+
+    v = _snapshot_version(spark, path)
+    parts = [
+        f"{path}/parts/batch_id={b}"
+        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
+        if b > v
+    ]
+    if v >= 0:
+        parts.append(f"{path}/snap/v={v}")
+    if not parts:
+        return spark.createDataFrame([], "j int, b bigint, cnt bigint")
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_cms(spark, path: str) -> int:
+    """Fold committed partials into ``snap/v=maxBatch`` and vacuum the
+    folded dirs — snapshot commit first, deletes after."""
+    from .compaction import (
+        _committed_partitions,
+        _snapshot_version,
+        _vacuum_partitions,
+    )
+
+    v = _snapshot_version(spark, path)
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
+        return v
+    fold = read_cms(spark, path).localCheckpoint(eager=True)
+    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[:1]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
+    return max_b

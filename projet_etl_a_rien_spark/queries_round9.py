@@ -33,7 +33,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bbpe_learn_oracle(num_merges: int = 10, min_count: int = 2) -> str:
+def _sql_re(pattern: str) -> str:
+    """SQL-string-literal escaping for a regex (the GPT-2 pre-tokenizer
+    carries apostrophes; the v1 pattern is unchanged by this)."""
+    return pattern.replace("'", "''")
+
+
+def _bbpe_learn_oracle(
+    num_merges: int = 10,
+    min_count: int = 2,
+    pretoken_re: str = bpe.BYTE_PRETOKEN_RE,
+) -> str:
     """DuckDB oracle for byte-level BPE merge learning — the same
     bounded-loop CTE unrolling as the word-level ``_bpe_learn_oracle``
     (queries_round6), with two substitutions: the seed table is
@@ -47,7 +57,7 @@ def _bbpe_learn_oracle(num_merges: int = 10, min_count: int = 2) -> str:
     S = "chr(30)"
     ctes = [
         "occ AS (SELECT unnest(regexp_extract_all(text,"
-        f" '{bpe.BYTE_PRETOKEN_RE}')) AS pt FROM documents)",
+        f" '{_sql_re(pretoken_re)}')) AS pt FROM documents)",
         "wc AS MATERIALIZED (SELECT pt, COUNT(*) AS cnt FROM occ"
         " GROUP BY pt)",
         f"r0 AS MATERIALIZED (SELECT cnt, regexp_replace(hex(encode(pt)),"
@@ -107,12 +117,19 @@ def q_bpe_learn_merges_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bbpe_encode_oracle(merges: list[tuple[int, str, str, int]]) -> str:
+def _bbpe_encode_oracle(
+    merges: list[tuple[int, str, str, int]],
+    pretoken_re: str = bpe.BYTE_PRETOKEN_RE,
+) -> str:
     """DuckDB oracle for frozen-table byte-level encoding: the anchored
     boundary-replace chain of the word-level encode oracle, seeded from
     hex byte symbols. Hex symbols are [0-9A-F]+ so the chr(30)
     separator is safe BY CONSTRUCTION here (the word-level oracle needs
-    a corpus-alphabet assumption; the byte-level one does not)."""
+    a corpus-alphabet assumption; the byte-level one does not). The
+    chain length equals the merge-table size — at the production cut
+    (80) and the full exhaustion ladder (127) each merge is still one
+    replace CTE, materialized every 16 steps so DuckDB never inlines
+    the chain into one giant expression."""
     S = "chr(30)"
 
     def q(s: str) -> str:
@@ -120,7 +137,7 @@ def _bbpe_encode_oracle(merges: list[tuple[int, str, str, int]]) -> str:
 
     ctes = [
         "occ AS (SELECT doc_id AS id, unnest(regexp_extract_all(text,"
-        f" '{bpe.BYTE_PRETOKEN_RE}')) AS pt FROM documents)",
+        f" '{_sql_re(pretoken_re)}')) AS pt FROM documents)",
         "w AS (SELECT DISTINCT pt FROM occ)",
         f"r0 AS (SELECT pt, regexp_replace(hex(encode(pt)), '(..)',"
         f" {S} || '\\1' || {S}, 'g') AS rep FROM w)",
@@ -129,8 +146,9 @@ def _bbpe_encode_oracle(merges: list[tuple[int, str, str, int]]) -> str:
     for i, (_rank, left, right, _n) in enumerate(merges, start=1):
         pat = f"{S} || {q(left)} || {S} || {S} || {q(right)} || {S}"
         rep = f"{S} || {q(left + right)} || {S}"
+        mat = " MATERIALIZED" if i % 16 == 0 else ""
         ctes.append(
-            f"r{i} AS (SELECT pt, replace(rep, {pat}, {rep}) AS rep"
+            f"r{i} AS{mat} (SELECT pt, replace(rep, {pat}, {rep}) AS rep"
             f" FROM {prev})"
         )
         prev = f"r{i}"

@@ -181,6 +181,7 @@ SCALAR_BNLJ_OK = {
     "events_dow_hour_heatmap",  # 1-row total broadcast onto the 168-cell grid
     "web_domain_stats",  # 1-row total_docs broadcast onto the domain table
     "corpus_epoch_oversample",  # 1-row corpus-total + 1-row normalizer
+    "corpus_length_quantiles_sketch",  # 1-row bounded-cell-array broadcast
 }
 
 

@@ -466,3 +466,323 @@ def test_gpt2_pretokenizer_randomized_parity(spark):
         ).fetchone()[0]
         assert got_spark[c] == want, (c, got_spark[c], want)
         assert got_duck == want, (c, got_duck, want)
+
+
+# ---------------------------------------------------------------------------
+# Verdict #1: the production-sized merge table — exhaustion-ladder
+# provenance, vocab-budget cut band, and encode-chain plan depth.
+# ---------------------------------------------------------------------------
+
+
+def _py_gpt2_bbpe_learn(texts, num_merges=500, min_count=2):
+    """Pure-Python BBPE learner under the GPT-2 pre-tokenizer — the
+    independent reference for the frozen ladder's provenance."""
+    import collections
+
+    wc = collections.Counter()
+    for t in texts:
+        wc.update(_ref_gpt2_pretokenize(t))
+    seqs = {pt: [f"{b:02X}" for b in pt.encode("utf-8")] for pt in wc}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc = collections.Counter()
+        for pt, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[pt]
+        if not pc:
+            break
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((rank, left, right, n))
+        seqs = {
+            pt: _py_apply_merge(syms, left, right)
+            for pt, syms in seqs.items()
+        }
+    return merges
+
+
+def _py_apply_merge(syms, left, right):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_frozen_ladder_provenance_matches_python_exhaustion(spark):
+    """The frozen BBPE_MERGES_V2 module IS the exhaustion run: a pure-
+    Python learner offered 500 slots over the same sf0.01 corpus stops
+    at the same rank with the identical merge sequence — the frozen
+    table is learned, not hand-made, and the 500-slot offer really was
+    data-bounded."""
+    from projet_etl_a_rien_spark.operators.bbpe_merges_v2 import (
+        BBPE_MERGES_V2,
+        EXHAUSTION_RANK,
+    )
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        ).collect()
+    ]
+    want = _py_gpt2_bbpe_learn(texts, num_merges=500, min_count=2)
+    assert len(want) < 500  # genuinely exhausted, not budget-stopped
+    assert want == BBPE_MERGES_V2
+    assert EXHAUSTION_RANK == len(BBPE_MERGES_V2)
+
+
+def test_v2_cut_bytes_per_token_in_band(spark):
+    """The shipped rank-80 cut lands English bytes/token in the 2-4
+    band a real BPE vocab produces (the verdict's done-criterion); the
+    full ladder sits at the memorization asymptote (> 4.5) — which is
+    WHY the cut is the shipped operating point."""
+    from projet_etl_a_rien_spark.operators import bpe as bpe_
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).where(F.col("lang") == "en")
+    for merges, lo, hi in [
+        (bpe_.FIXED_BYTE_MERGES_V2, 2.0, 4.0),
+        (bpe_.BBPE_MERGES_V2, 4.5, 8.0),
+    ]:
+        stats = (
+            bpe_.apply_bbpe_merges(
+                docs, merges, pretoken_re=bpe_.GPT2_PRETOKEN_RE
+            )
+            .agg(
+                (F.sum("n_bytes") / F.sum("n_bbpe_tokens")).alias("bpt")
+            )
+            .collect()[0]
+            .bpt
+        )
+        assert lo <= stats <= hi, (len(merges), stats)
+
+
+def test_encode_chain_plan_depth_500(spark):
+    """The encode path supports a ≥500-merge chain (the production
+    table size the data could not provide): the 127 real ladder merges
+    plus inert filler to 500, chained with a deeper-than-default
+    checkpoint cadence, still plans, runs, and matches the pure-Python
+    encode exactly."""
+    from projet_etl_a_rien_spark.operators import bpe as bpe_
+
+    filler = [
+        (128 + i, f"{i % 251:02X}{(i * 7) % 251:02X}ZZ", "ZZZZ", 1)
+        for i in range(500 - len(bpe_.BBPE_MERGES_V2))
+    ]
+    merges = bpe_.BBPE_MERGES_V2 + filler
+    assert len(merges) == 500
+    texts = [
+        (1, "the customer table joins fast"),
+        (2, "slow scan, big sort  window"),
+        (3, "café 中文 I'm sure it's fine"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_bytes, r.n_bbpe_tokens)
+        for r in bpe_.apply_bbpe_merges(
+            df,
+            merges,
+            pretoken_re=bpe_.GPT2_PRETOKEN_RE,
+            checkpoint_every=8,
+        ).collect()
+    }
+    for doc_id, text in texts:
+        pts = _ref_gpt2_pretokenize(text)
+        n_tok, n_bytes = 0, 0
+        for pt in pts:
+            syms = [f"{b:02X}" for b in pt.encode("utf-8")]
+            for _rank, left, right, _n in merges:
+                syms = _py_apply_merge(syms, left, right)
+            n_tok += len(syms)
+            n_bytes += len(pt.encode("utf-8"))
+        assert got[doc_id] == (len(pts), n_bytes, n_tok), doc_id
+
+
+# ---------------------------------------------------------------------------
+# Verdict #5: mergeable quantile sketch — rank-error and one-sided
+# guarantees, exact additivity, total over hostile values.
+# ---------------------------------------------------------------------------
+
+from projet_etl_a_rien_spark.operators import quantiles as _Q
+
+
+def test_quantile_sketch_one_sided_and_rank_error(spark):
+    """For a skewed value set: est_lo <= true rank-r value < est_hi for
+    every served quantile, and the bracket's relative width is <= 1/m —
+    the DDSketch-style contract, pinned against the exact sorted
+    answer."""
+    _random.seed(5)
+    vals = (
+        [_random.randint(1, 50) for _ in range(400)]
+        + [_random.randint(1000, 5000) for _ in range(80)]
+        + [_random.randint(10**6, 10**7) for _ in range(20)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    m = 16
+    sk = _Q.quantile_sketch_build(df, "v", m)
+    got = _Q.quantile_sketch_query(
+        sk, [100_000, 500_000, 900_000, 990_000], m
+    ).collect()
+    svals = sorted(vals)
+    assert len(got) == 4
+    for r in got:
+        assert r.n_total == len(vals)
+        true = svals[r.target_rank - 1]
+        assert r.est_lo <= true < r.est_hi, (r, true)
+        assert (r.est_hi - r.est_lo) <= r.est_lo / m + 2, r
+
+
+def test_quantile_sketch_merge_is_exact_and_associative(spark):
+    """merge(build(A), build(B), build(C)) == build(A u B u C) cell for
+    cell, in any grouping order — the additive-MV contract."""
+    _random.seed(11)
+    vals = [_random.randint(0, 10**6) for _ in range(600)]
+    A, B, C = vals[:200], vals[200:350], vals[350:]
+    dfs = [
+        spark.createDataFrame([(v,) for v in part], "v long")
+        for part in (A, B, C)
+    ]
+    whole = spark.createDataFrame([(v,) for v in vals], "v long")
+    builds = [_Q.quantile_sketch_build(d, "v") for d in dfs]
+
+    def cells(df):
+        return {(r.bucket, r.cnt) for r in df.collect()}
+
+    direct = cells(_Q.quantile_sketch_build(whole, "v"))
+    merged = cells(_Q.quantile_sketch_merge(*builds))
+    nested = cells(
+        _Q.quantile_sketch_merge(
+            _Q.quantile_sketch_merge(builds[0], builds[1]), builds[2]
+        )
+    )
+    assert merged == direct
+    assert nested == direct
+
+
+def test_quantile_sketch_total_over_nonpositive_values(spark):
+    """Zeros and negatives route to the dedicated -1 bucket instead of
+    blowing up the octave arithmetic; quantiles over such data still
+    serve."""
+    df = spark.createDataFrame(
+        [(-5,), (0,), (0,), (1,), (7,), (10**12,)], "v long"
+    )
+    sk = {r.bucket: r.cnt for r in _Q.quantile_sketch_build(df, "v").collect()}
+    assert sk[-1] == 3
+    got = _Q.quantile_sketch_query(
+        _Q.quantile_sketch_build(df, "v"), [500_000]
+    ).collect()[0]
+    assert got.target_rank == 3 and got.bucket == -1
+    assert (got.est_lo, got.est_hi) == (0, 1)
+
+
+def test_quantile_sketch_bounded_cells(spark):
+    """The grid stays <= 64*m + 1 cells no matter the value spread —
+    the bounded-state claim behind 'serving from state'."""
+    _random.seed(3)
+    vals = [(_random.randint(0, 2**62),) for _ in range(5000)]
+    df = spark.createDataFrame(vals, "v long")
+    n_cells = _Q.quantile_sketch_build(df, "v", 16).count()
+    assert n_cells <= 64 * 16 + 1
+
+
+# ---------------------------------------------------------------------------
+# Verdict #6: HLL distinct sketch — merge associativity/idempotence,
+# bounded state, and estimate accuracy.
+# ---------------------------------------------------------------------------
+
+from projet_etl_a_rien_spark.operators import sketches as _S
+
+
+def _grid_set(df):
+    return {(r.key, r.j, r.mx) for r in df.collect()}
+
+
+def test_hll_merge_associative_commutative_idempotent(spark):
+    """merge is a MAX-fold: any grouping/order of partial grids — and
+    any REPLAY of a partial — produces the identical register grid as
+    the one-shot build."""
+    _random.seed(13)
+    rows = [
+        ("a", _random.randint(1, 800)) for _ in range(1500)
+    ] + [("b", _random.randint(1, 40)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    A = df.where(F.col("v") % 3 == 0)
+    B = df.where(F.col("v") % 3 == 1)
+    C = df.where(F.col("v") % 3 == 2)
+    gA, gB, gC = (_S.hll_registers(d, "k", "v") for d in (A, B, C))
+    direct = _grid_set(_S.hll_registers(df, "k", "v"))
+    assert _grid_set(_S.hll_merge(gA, gB, gC)) == direct
+    assert _grid_set(
+        _S.hll_merge(_S.hll_merge(gC, gA), gB)
+    ) == direct
+    # idempotent: replaying a batch is exactly harmless
+    assert _grid_set(_S.hll_merge(gA, gB, gC, gB)) == direct
+
+
+def test_hll_bounded_state_and_accuracy(spark):
+    """Register state is <= m rows per key regardless of cardinality,
+    and the serve-from-state estimate lands within 3 sigma of the truth
+    for both a large key (HLL branch) and a small key (linear-counting
+    branch). sigma = 1.04/sqrt(m) ~ 13% at m=64, so the pin is 40%;
+    the estimator's UNBIASEDNESS (mean ratio ~1.0) was verified over
+    independent draws while choosing the bound."""
+    _random.seed(29)
+    rows = (
+        [("big", _random.randint(1, 10**9)) for _ in range(20000)]
+        + [("small", v) for v in range(7)] * 3
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    grid = _S.hll_registers(df, "k", "v")
+    per_key = {
+        r.key: r.cnt
+        for r in grid.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert all(c <= _S.HLL_M for c in per_key.values())
+    truth = {
+        r.k: r.d
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("v").alias("d"))
+        .collect()
+    }
+    est = {r.key: (r.est, r.hll_raw_est, r.n_zero_registers)
+           for r in _S.hll_estimate(grid).collect()}
+    for k, t in truth.items():
+        e = est[k][0]
+        assert abs(e - t) / t < 0.40, (k, t, est[k])
+    # the small key really exercised the linear-counting branch
+    assert est["small"][2] > 0 and est["small"][1] <= int(2.5 * _S.HLL_M)
+
+
+def test_cms_sink_fold_equals_one_shot(spark, tmp_path):
+    """CMS partials through the sink (land, compact, land, REPLAY) fold
+    to exactly the one-shot grid — additivity under the crash contract."""
+    rows = [(i, f"tok{i % 7} tok{i % 3} x") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "cms")
+    for k in range(2):
+        _S.write_cms_partial(
+            df.where(F.col("doc_id") % 3 == k), path, k, depth=2, width=32
+        )
+    _S.compact_cms(spark, path)
+    _S.write_cms_partial(
+        df.where(F.col("doc_id") % 3 == 2), path, 2, depth=2, width=32
+    )
+    # idempotent replay of an already-landed partial
+    _S.write_cms_partial(
+        df.where(F.col("doc_id") % 3 == 2), path, 2, depth=2, width=32
+    )
+    folded = {
+        (r.j, r.b, r.cnt) for r in _S.read_cms(spark, path).collect()
+    }
+    direct = {
+        (r.j, r.b, r.cnt)
+        for r in _S.token_cms(df, depth=2, width=32).collect()
+    }
+    assert folded == direct
