@@ -22,23 +22,21 @@ Both are solved here WITHOUT a UDF:
   arithmetic stays < 2^53, so double division + floor is exact.
 - **Canonical composition** (the NFC composition step) is a second fold
   over codepoints with a literal composition map derived from Python's
-  ``unicodedata`` at import time (primary composites with two-codepoint
-  canonical decompositions over the FULL BMP — Latin/Greek/Cyrillic/
-  Hebrew/kana plus Indic, Ethiopic-adjacent, and every other BMP script
-  with pair composites; 928 pairs) plus the two closed-form Hangul
-  branches (L+V and LV+T are pure arithmetic — Unicode §3.12). The fold
-  implements UAX #15's canonical-composition blocking with a combining-
-  class table (also a unicodedata-derived literal): a starter composes
-  with a LATER mark across lower-ccc non-composing marks (e + U+0339 +
-  U+0301 → é + U+0339, matching real NFC), and a mark is blocked only
-  by an intervening ccc ≥ its own. Astral codepoints pass through the
-  whole pipeline (split('')/ascii() are code-point aware, probed), so
-  emoji ACE labels decode correctly; astral PAIR composites (musical
-  symbols U+1D15E.., a closed set that never appears in hosts or
-  paths) are the one documented carve-out — they stay decomposed
-  (pinned by test). Input is assumed canonically ORDERED (true of all
-  NFC/NFD text — the web's two spellings); arbitrary mark reorderings
-  are not performed.
+  ``unicodedata`` at import time — the COMPLETE Unicode primary-pair
+  set (941 entries: every BMP script with pair composites plus the 13
+  astral composing pairs; no carve-outs) — plus the two closed-form
+  Hangul branches (L+V and LV+T are pure arithmetic — Unicode §3.12).
+  The fold implements UAX #15's canonical-composition blocking with a
+  combining-class table (also a unicodedata-derived literal): a starter
+  composes with a LATER mark across lower-ccc non-composing marks
+  (e + U+0339 + U+0301 → é + U+0339, matching real NFC), and a mark is
+  blocked only by an intervening ccc ≥ its own. Astral codepoints pass
+  through the whole pipeline (split('')/ascii() are code-point aware,
+  probed), so emoji ACE labels decode correctly. Contract: this is the
+  composition STEP over canonically-ORDERED input (true of all NFC/NFD
+  text — the web's two spellings); arbitrary mark reorderings are not
+  performed, and precomposed composition-EXCLUSION characters (which
+  full NFC would decompose) pass through — both pinned by test.
 - **Totality over untrusted input**: a syntactically well-formed but
   semantically malformed ACE label (e.g. ``xn--zzzzzzzzzzzzzzzzzz``)
   would overflow the decoder's integer state and emit invalid
@@ -78,10 +76,10 @@ _KEY_SHIFT = 1 << 21  # codepoints < 2^21, so key = base*2^21 + mark
 def _compose_pairs() -> tuple[list[int], list[int]]:
     """Every two-codepoint primary composite in Unicode — 928 BMP pairs
     plus the 13 astral ones (Brahmi/Chakma/Grantha/Tirhuta/Siddham/
-    Dives Akuru vowel composites; the musical-symbol composites are
+    Dives Akuru vowel composites; the musical-symbol "composites" are
     composition EXCLUSIONS, so full NFC leaves them decomposed too and
     the exclusion filter below drops them). Nothing is carved out: the
-    map is the complete NFC pair set."""
+    map is the complete NFC pair set (941 entries)."""
     import sys
 
     keys, vals = [], []
@@ -114,9 +112,8 @@ def _cmap() -> Column:
 def _ccc_pairs() -> tuple[list[int], list[int]]:
     """Combining-class table (cp -> ccc) for every codepoint with a
     nonzero canonical combining class — 912 entries, full range (astral
-    marks like U+1D165.. included so blocking is judged correctly even
-    where the pair map deliberately stops at the BMP). ~0.2 s one-time
-    scan at import, per Python process."""
+    marks like U+1D165.. included so blocking is judged correctly
+    everywhere). ~0.2 s one-time scan at import, per Python process."""
     import sys
 
     keys, vals = [], []

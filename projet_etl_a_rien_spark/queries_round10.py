@@ -648,3 +648,94 @@ def q_streaming_token_cms_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 pre-token CLASS census over a synthesized text axis — the
+# corpus's 61-word vocabulary contains no contractions, digits, or
+# punctuation, so without this entry the GPT-2 pattern's distinguishing
+# behavior would be unit-tested but never exercised through the oracle
+# gate. Same synthesized-axis precedent as the r7 URL corpus: a
+# deterministic doc_id-derived decoration, identical SQL on both sides.
+# ---------------------------------------------------------------------------
+
+_DECOR_SPARK_SUFFIX = " I'm sure it's the 42nd try (v"
+_DECOR_TAIL = ")  twice-spaced café 中文!"
+
+
+def _decorated_sql() -> str:
+    sfx = _DECOR_SPARK_SUFFIX.replace("'", "''")
+    return (
+        f"text || '{sfx}' || CAST(doc_id % 97 AS VARCHAR) || '{_DECOR_TAIL}'"
+    )
+
+
+@register(
+    "corpus_gpt2_pretoken_class_census",
+    f"""
+WITH dec AS (SELECT {_decorated_sql()} AS t FROM documents),
+pt AS (SELECT unnest(regexp_extract_all(t,
+           '{{GPT2_RE}}')) AS p FROM dec),
+cls AS (
+    SELECT p,
+           CASE WHEN p IN ('''s', '''t', '''re', '''ve', '''m', '''ll',
+                           '''d') THEN 'contraction'
+                WHEN regexp_matches(p, '^ ?\\p{{L}}+$') THEN 'word'
+                WHEN regexp_matches(p, '^ ?\\p{{N}}+$') THEN 'number'
+                WHEN regexp_matches(p, '^[ \\t\\n\\r\\x0B\\f]+$')
+                    THEN 'whitespace'
+                ELSE 'punct' END AS cls
+    FROM pt
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       CAST(COUNT(DISTINCT p) AS BIGINT) AS n_distinct
+FROM cls GROUP BY cls
+""".replace("{GPT2_RE}", bpe.GPT2_PRETOKEN_RE.replace("'", "''")),
+    doc="Census of GPT-2 pre-token CLASSES (contraction / word / "
+    "number / punct / whitespace) over a synthesized text axis that "
+    "actually exercises them — each document gains a deterministic "
+    "decoration carrying contractions ('m, 's), a letter-digit "
+    "boundary (42nd -> '42' + 'nd'), parenthesized doc_id-derived "
+    "digits, a double space, and multibyte words. Pins the faithful "
+    "pattern's distinguishing behavior (the plain corpus is "
+    "letters-and-single-spaces only, where v1 and GPT-2 agree) "
+    "end-to-end through both engines: the same pattern string AND the "
+    "same class regexes run on java.util.regex and RE2.",
+)
+def q_corpus_gpt2_pretoken_class_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    dec = docs.select(
+        F.concat(
+            F.col("text"),
+            F.lit(_DECOR_SPARK_SUFFIX),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(_DECOR_TAIL),
+        ).alias("t")
+    )
+    pt = dec.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("t"), F.lit(bpe.GPT2_PRETOKEN_RE), F.lit(0)
+            )
+        ).alias("p")
+    )
+    contractions = ["'s", "'t", "'re", "'ve", "'m", "'ll", "'d"]
+    cls = (
+        F.when(F.col("p").isin(contractions), F.lit("contraction"))
+        .when(F.col("p").rlike(r"^ ?\p{L}+$"), F.lit("word"))
+        .when(F.col("p").rlike(r"^ ?\p{N}+$"), F.lit("number"))
+        .when(F.col("p").rlike("^[ \\t\\n\\r\\x0B\\f]+$"), F.lit("whitespace"))
+        .otherwise(F.lit("punct"))
+    )
+    return (
+        pt.select("p", cls.alias("cls"))
+        .groupBy("cls")
+        .agg(
+            F.count("*").alias("n_pretokens"),
+            F.countDistinct("p").alias("n_distinct"),
+        )
+    )

@@ -137,6 +137,19 @@ SPOT = [
     # r9: byte-level BPE encode — distinct-pretoken fold chain (vocab-
     # sized rewrites) + one corpus explode/join; linear with the scan
     "corpus_bbpe_encode_stats",
+    # r9 late: count-min grid — the groupBy key space is d x w, so
+    # growth should track the token explode (scan-linear), never the
+    # vocab
+    "corpus_token_cms_topk",
+    # r10: production tokenizer encode (80-merge chain over the
+    # distinct-pretoken table — rewrites stay vocab-sized, the corpus
+    # pays one explode + one join; replica vocab is 10x but still tiny)
+    "corpus_bbpe_encode_stats_v2",
+    # r10: bounded-state sketches — the quantile histogram's groupBy
+    # key space is <= 64*m+1 cells and HLL's is keys x m registers, so
+    # both should grow with the SCAN only (shuffle bytes near-flat)
+    "corpus_length_quantiles_sketch",
+    "events_user_hll_distinct",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}

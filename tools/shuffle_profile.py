@@ -49,6 +49,13 @@ PROFILE = [
     "parts_triangle_estimate_p10",
     "web_url_dedup_keepers",
     "corpus_bbpe_encode_stats",
+    # r10: the bounded-grid sketches — their exchanges must stay
+    # O(tasks x grid): CMS d x w cells, quantile histogram <= 64*m+1
+    # cells, HLL keys x m registers; and the production-cut encode
+    "corpus_token_cms_topk",
+    "corpus_length_quantiles_sketch",
+    "events_user_hll_distinct",
+    "corpus_bbpe_encode_stats_v2",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
