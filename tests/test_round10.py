@@ -786,3 +786,26 @@ def test_cms_sink_fold_equals_one_shot(spark, tmp_path):
         for r in _S.token_cms(df, depth=2, width=32).collect()
     }
     assert folded == direct
+
+
+def test_gpt2_class_census_covers_all_classes(spark):
+    """The synthesized decoration really exercises every GPT-2
+    pre-token class — if a pattern regression merged classes (e.g.
+    contractions absorbed into words), the census would lose rows and
+    this pins it independently of the oracle hash."""
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    rows = {
+        r.cls: (r.n_pretokens, r.n_distinct)
+        for r in REGISTRY["corpus_gpt2_pretoken_class_census"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(rows) == {
+        "contraction", "word", "number", "punct", "whitespace"
+    }
+    # every doc contributes exactly two contractions ('m, 's) and two
+    # digit runs (42, doc_id%97) from the decoration
+    assert rows["contraction"][1] == 2  # 'm and 's
+    assert rows["number"][0] >= 2 * rows["contraction"][0] / 2
