@@ -499,6 +499,67 @@ def apply_bbpe_merges(
     )
 
 
+def bbpe_roundtrip(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 3,
+    pretoken_re: str = BYTE_PRETOKEN_RE,
+) -> DataFrame:
+    """DECODE path of the byte-level tokenizer: encode every document
+    with the frozen merge table, then reconstruct the text from the
+    token sequence — (doc_id, decoded) with decoded == the original
+    text, byte for byte, iff (a) the pre-tokenizer PARTITIONS the text
+    (every byte lands in exactly one pre-token) and (b) merge-concat +
+    unhex is lossless. Decode per token is ``unhex`` of the hex symbol
+    (merges concatenate hex strings, so a token's hex IS its byte
+    sequence); document reassembly orders pre-token occurrences by
+    position and string-concatenates — no tokenizer state needed at
+    decode time, exactly like production BPE decoders.
+
+    Same scale shape as encode: the merge folds run on the DISTINCT
+    pre-token table (vocab-sized), the corpus pays one posexplode + one
+    join + one groupBy(doc)."""
+    wdf = widen_narrow_input(df)
+    pts = F.regexp_extract_all(
+        F.col(text_col), F.lit(pretoken_re), F.lit(0)
+    )
+    syms = (
+        wdf.select(F.explode(pts).alias("pt"))
+        .distinct()
+        .select("pt", byte_symbols(F.col("pt")).alias("syms"))
+    )
+    for i, (_rank, left, right, _n) in enumerate(merges):
+        syms = syms.select(
+            "pt", _apply_merge(F.col("syms"), left, right).alias("syms")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=True)
+    dec = syms.select(
+        "pt",
+        F.decode(F.unhex(F.concat_ws("", F.col("syms"))), "UTF-8").alias(
+            "dec"
+        ),
+    )
+    occ = wdf.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(pts).alias("pos", "pt")
+    )
+    return (
+        occ.join(dec, "pt")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "dec"))),
+                    lambda s: s["dec"],
+                ),
+                "",
+            ).alias("decoded")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental (streaming) tokenizer training state — the BBPE pre-token
 # count table as a sink-is-the-state additive MV. Pre-tokenization is

@@ -324,6 +324,293 @@ def compact_hll(spark, path: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# KMV / theta-style bottom-k distinct sketch (Bar-Yossef, Jayram, Kumar,
+# Sivakumar & Trevisan 2002, RANDOM: "Counting distinct elements in a
+# data stream"; Beyer, Haas, Reinwald, Sismanis & Gemulla 2007, SIGMOD:
+# "On synopses for distinct-value estimation under multiset operations")
+# — the capability HLL registers CANNOT provide: SET OPERATIONS.
+#
+# HLL answers |A| per key; a training-data pipeline also asks |A ∩ B|
+# ("how many users/documents does this source share with that one",
+# "what fraction of eval-set fingerprints appear in train"). Register
+# MAX destroys the sample needed for intersection; the KMV sketch keeps
+# the k MINIMUM salted-md5 hash values per key — a uniform bottom-k
+# SAMPLE of the distinct values — so two sketches intersect by plain
+# hash equality, and the theta estimator turns match counts into
+# cardinalities:  est(A) = (k-1)·2^48 DIV h_(k),
+# est(A∩B) = |S_A ∩ S_B restricted to h <= θ_min| · 2^48 DIV θ_min,
+# est(A∪B) = est(A) + est(B) - est(A∩B).
+#
+# All-integer arithmetic on 48-bit hashes ((k-1)·2^48 < 2^54 — no long
+# overflow), so every estimate is bit-identical across engines; 48 bits
+# keeps the birthday-collision probability negligible at test scale and
+# the hash width is a documented knob (production: widen to 60 bits and
+# divide through a right-shift, same arithmetic).
+#
+# Merge/fold: "union the hash sets, keep the k smallest" — associative,
+# commutative, and IDEMPOTENT (min-k of a set ignores duplicates), so
+# the sink-state story matches HLL's: replayed batches are harmless by
+# algebra. Scale shape: the build's exchange is keyed by (key, h) after
+# a map-side distinct partial; ``keep_ppm`` gates rows to h below a
+# fixed threshold BEFORE the exchange (uniform hashes ⇒ survivors ≈
+# distinct · ppm/1e6), the same fixed-probability knob as DOULION's p —
+# at 100 TB pick ppm so expected survivors ≈ 64·k and the exchange is
+# sketch-sized, not corpus-sized. The gate is LOSSLESS whenever ≥ k
+# survivors remain per key (everything above the threshold is above
+# h_(k)), property-pinned.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # bottom-k size; relative error ~ 1/sqrt(k-2) ~ 13%
+KMV_BITS = 48  # hash width (12 md5 hex digits)
+KMV_FULL = 1 << KMV_BITS  # theta for a sketch that saw < k distinct
+
+
+def _kmv_hash(v, salt: str = "kmv"):
+    """48-bit uniform hash: first 12 md5 hex digits of "salt:value" —
+    identical arithmetic in the SQL oracle
+    (CAST('0x' || substr(md5(...), 1, 12) AS BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), v)), 1, 12), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    salt: str = "kmv",
+    keep_ppm: int | None = None,
+) -> DataFrame:
+    """Build per-key bottom-k sketches: (key, hs) with hs the sorted
+    array of the k smallest distinct 48-bit hashes — at most k longs per
+    key, ever. ``keep_ppm`` (parts-per-million) pre-filters hashes below
+    a fixed threshold before any aggregation — the corpus-independent
+    scale knob: survivors ≈ distinct·ppm/1e6, so the (key, h) distinct
+    exchange is bounded regardless of row count, and the sketch is
+    UNCHANGED as long as ≥ k hashes survive per key."""
+    h = _kmv_hash(F.col(value_col).cast("string"), salt)
+    rows = df.select(F.col(key_col).alias("key"), h.alias("h"))
+    if keep_ppm is not None:
+        rows = rows.where(
+            F.col("h") < F.lit((KMV_FULL * keep_ppm) // 1_000_000)
+        )
+    return (
+        rows.groupBy("key")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+        )
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Min-k fold of sketches — union the hash sets, keep the k
+    smallest. Associative, commutative, IDEMPOTENT (set semantics), so
+    merge(build(A), build(B)) == build(A ∪ B) exactly and replayed
+    partials are harmless — both property-pinned."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy("key")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("hs")))
+                ),
+                1,
+                k,
+            ).alias("hs")
+        )
+    )
+
+
+def kmv_stats(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-key cardinality estimates from a sketch: (key, kmv_size,
+    theta, est). A sketch that saw fewer than k distinct hashes is
+    EXACT (it holds every hash): theta = 2^48, est = size. Otherwise
+    theta = h_(k) and est = (k-1)·2^48 DIV theta — the classic KMV
+    estimator, all integer."""
+    size = F.size("hs")
+    theta = F.when(size < k, F.lit(KMV_FULL)).otherwise(
+        F.element_at("hs", k).cast("long")
+    )
+    return sk.select(
+        "key",
+        size.cast("long").alias("kmv_size"),
+        theta.alias("theta"),
+        "hs",
+    ).select(
+        "key",
+        "kmv_size",
+        "theta",
+        F.when(F.col("kmv_size") < k, F.col("kmv_size"))
+        .otherwise(
+            F.expr(f"CAST({(k - 1) * KMV_FULL} AS BIGINT) DIV theta")
+        )
+        .alias("est"),
+        "hs",
+    )
+
+
+def kmv_pair_overlap(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise set-operation estimates between every two keys that
+    share at least one retained hash — the theta-sketch intersection.
+
+    Shape (the reason this is scale-safe): sketches EXPLODE to (key, h)
+    rows (≤ k per key) and pairs materialize through a hash EQUI-JOIN
+    on h — never a key×key nested loop — so work is proportional to
+    shared evidence, and the per-key stats table (≤ #keys rows)
+    broadcasts onto the pair aggregate. Estimators, all integer:
+    θ_min = least(θ_a, θ_b); n_match counts shared hashes ≤ θ_min
+    (every sketch holds ALL its hashes below its own θ, so the window
+    below θ_min is a complete uniform sample of A∩B);
+    est_inter = n_match·2^48 DIV θ_min (exact when θ_min = 2^48);
+    est_union = est_a + est_b - est_inter (inclusion-exclusion);
+    jaccard_ppm = est_inter·1e6 DIV est_union. Pairs sharing NO hash
+    are absent by contract (their est_inter rounds to 0 evidence).
+    Emits (key_a, key_b, n_match, theta_min, est_a, est_b, est_inter,
+    est_union, jaccard_ppm)."""
+    st = kmv_stats(sk, k).select("key", "theta", "est")
+    flat = sk.select("key", F.explode("hs").alias("h"))
+    a = flat.select(F.col("key").alias("key_a"), "h")
+    b = flat.select(F.col("key").alias("key_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("key_a") < F.col("key_b"))
+        .join(
+            F.broadcast(
+                st.select(
+                    F.col("key").alias("key_a"),
+                    F.col("theta").alias("theta_a"),
+                    F.col("est").alias("est_a"),
+                )
+            ),
+            "key_a",
+        )
+        .join(
+            F.broadcast(
+                st.select(
+                    F.col("key").alias("key_b"),
+                    F.col("theta").alias("theta_b"),
+                    F.col("est").alias("est_b"),
+                )
+            ),
+            "key_b",
+        )
+    )
+    agg = (
+        pairs.withColumn("theta_min", F.least("theta_a", "theta_b"))
+        .groupBy("key_a", "key_b", "theta_min", "est_a", "est_b")
+        .agg(
+            F.sum(
+                F.when(F.col("h") <= F.col("theta_min"), 1).otherwise(0)
+            ).alias("n_match")
+        )
+    )
+    est_inter = F.when(
+        F.col("theta_min") >= KMV_FULL, F.col("n_match")
+    ).otherwise(
+        F.expr(f"n_match * CAST({KMV_FULL} AS BIGINT) DIV theta_min")
+    )
+    return (
+        agg.withColumn("est_inter", est_inter)
+        .withColumn(
+            "est_union",
+            F.col("est_a") + F.col("est_b") - F.col("est_inter"),
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("est_inter * CAST(1000000 AS BIGINT) DIV est_union"),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "n_match",
+            "theta_min",
+            "est_a",
+            "est_b",
+            "est_inter",
+            "est_union",
+            "jaccard_ppm",
+        )
+    )
+
+
+def write_kmv_partial(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    key_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    salt: str = "kmv",
+    keep_ppm: int | None = None,
+) -> None:
+    """Reduce one micro-batch to its bottom-k partial (stored FLAT as
+    (key, h) rows — ≤ k per key) and land it idempotently under
+    ``parts/batch_id=N`` (min-k is idempotent, so replays are exactly
+    harmless, like the HLL sink and unlike the additive ones)."""
+    kmv_sketch(batch_df, key_col, value_col, k, salt, keep_ppm).select(
+        "key", F.explode("hs").alias("h")
+    ).write.mode("overwrite").parquet(f"{path}/parts/batch_id={batch_id}")
+
+
+def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
+    """Current folded sketch: newest committed snapshot min-k-folded
+    with committed partials above the watermark (same crash-safety
+    rules as the other sketch sinks). Returns the (key, hs) array
+    form."""
+    from .compaction import _committed_partitions, _snapshot_version
+
+    v = _snapshot_version(spark, path)
+    parts = [
+        f"{path}/parts/batch_id={b}"
+        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
+        if b > v
+    ]
+    if v >= 0:
+        parts.append(f"{path}/snap/v={v}")
+    if not parts:
+        return spark.createDataFrame([], "key string, hs array<bigint>")
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("key")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+        )
+    )
+
+
+def compact_kmv(spark, path: str, k: int = KMV_K) -> int:
+    """Fold committed partials into ``snap/v=maxBatch`` (flat rows) and
+    vacuum the folded dirs — snapshot commit first, deletes after."""
+    from .compaction import (
+        _committed_partitions,
+        _snapshot_version,
+        _vacuum_partitions,
+    )
+
+    v = _snapshot_version(spark, path)
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
+        return v
+    fold = (
+        read_kmv(spark, path, k)
+        .select("key", F.explode("hs").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[:1]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
+    return max_b
+
+
+# ---------------------------------------------------------------------------
 # CMS sink-is-the-state maintenance — the count-min grid as an additive
 # MV (same crash contract as the other sketch sinks): per-batch partial
 # grids land idempotently, fold by cell-wise SUM, and the folded grid

@@ -651,6 +651,259 @@ def q_streaming_token_cms_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV / theta-style bottom-k distinct sketch (operators/sketches.py) —
+# the set-operation capability the HLL registers cannot provide:
+# |A ∩ B| / |A ∪ B| / Jaccard between keyed distinct-value sets, served
+# from k·8-byte sketches instead of corpus rescans. Completes the
+# sketch-family fold algebra: CMS = SUM, quantile histogram = SUM,
+# HLL = MAX, KMV = MIN-K — the last two idempotent, all bounded.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_bk_ctes() -> str:
+    """Shared oracle CTEs: per-event-type bottom-k of distinct salted
+    48-bit hashes + the per-key theta/est stats — the operator's exact
+    integer arithmetic in DuckDB."""
+    from .operators import sketches as S
+
+    k, full = S.KMV_K, S.KMV_FULL
+    return f"""
+e AS (SELECT event_type AS key, CAST(user_id AS VARCHAR) AS v FROM events),
+hh AS (SELECT DISTINCT key,
+              CAST('0x' || substr(md5('kmv:' || v), 1, 12) AS BIGINT) AS h
+       FROM e),
+r AS (SELECT key, h,
+             row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+      FROM hh),
+bk AS (SELECT key, h, rn FROM r WHERE rn <= {k}),
+st AS (SELECT key,
+              CAST(COUNT(*) AS BIGINT) AS kmv_size,
+              CAST(CASE WHEN COUNT(*) < {k} THEN {full}
+                   ELSE MAX(CASE WHEN rn = {k} THEN h END)
+                   END AS BIGINT) AS theta,
+              CAST(SUM(h) AS BIGINT) AS hs_sum
+       FROM bk GROUP BY key),
+est AS (SELECT key, kmv_size, theta, hs_sum,
+               CAST(CASE WHEN kmv_size < {k} THEN kmv_size
+                    ELSE {(k - 1) * full} // theta END AS BIGINT) AS est
+        FROM st)
+"""
+
+
+def _kmv_distinct_oracle() -> str:
+    return f"""
+WITH {_kmv_bk_ctes()},
+tru AS (SELECT event_type AS key,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+        FROM events GROUP BY 1)
+SELECT est.key AS event_type, est.kmv_size, est.theta, est.hs_sum,
+       est.est, tru.true_distinct
+FROM est JOIN tru ON est.key = tru.key
+"""
+
+
+def _kmv_overlap_oracle() -> str:
+    from .operators import sketches as S
+
+    full = S.KMV_FULL
+    return f"""
+WITH {_kmv_bk_ctes()},
+p AS (SELECT a.key AS key_a, b.key AS key_b, a.h
+      FROM bk a JOIN bk b ON a.h = b.h AND a.key < b.key),
+pj AS (SELECT p.key_a, p.key_b, p.h,
+             LEAST(sa.theta, sb.theta) AS theta_min,
+             sa.est AS est_a, sb.est AS est_b
+      FROM p JOIN est sa ON p.key_a = sa.key
+             JOIN est sb ON p.key_b = sb.key),
+agg AS (SELECT key_a, key_b, theta_min, est_a, est_b,
+               CAST(SUM(CASE WHEN h <= theta_min THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match
+        FROM pj GROUP BY 1, 2, 3, 4, 5),
+fin AS (SELECT key_a, key_b, n_match, theta_min, est_a, est_b,
+               CAST(CASE WHEN theta_min >= {full} THEN n_match
+                    ELSE n_match * {full} // theta_min
+                    END AS BIGINT) AS est_inter
+        FROM agg),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+tru2 AS (SELECT a.event_type AS key_a, b.event_type AS key_b,
+                CAST(COUNT(*) AS BIGINT) AS true_inter
+         FROM du a JOIN du b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+SELECT f.key_a AS type_a, f.key_b AS type_b, f.n_match, f.theta_min,
+       f.est_a, f.est_b, f.est_inter,
+       CAST(f.est_a + f.est_b - f.est_inter AS BIGINT) AS est_union,
+       CAST(f.est_inter * 1000000
+            // (f.est_a + f.est_b - f.est_inter) AS BIGINT) AS jaccard_ppm,
+       t.true_inter
+FROM fin f JOIN tru2 t ON f.key_a = t.key_a AND f.key_b = t.key_b
+"""
+
+
+def _kmv_stats_with_truth(spark: SparkSession, sf_dir: str, sk) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+
+    ev = load_table(spark, sf_dir, "events")
+    st = S.kmv_stats(sk).select(
+        "key",
+        "kmv_size",
+        "theta",
+        F.aggregate(
+            "hs", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("hs_sum"),
+        "est",
+    )
+    tru = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return st.join(tru, st.key == tru.event_type).select(
+        "event_type", "kmv_size", "theta", "hs_sum", "est", "true_distinct"
+    )
+
+
+@register(
+    "events_user_kmv_distinct",
+    _kmv_distinct_oracle(),
+    doc="Distinct users per event type served from a KMV bottom-k "
+    "sketch (Bar-Yossef et al. 2002 / Beyer et al. SIGMOD 2007): three "
+    "disjoint event batches build bottom-64 sketches independently, "
+    "sketches MIN-K-merge (associative, commutative, IDEMPOTENT — set "
+    "semantics; merge == one-shot build pinned by test), and the "
+    "estimate (k-1)*2^48 DIV h_(k) reads the folded sketch. All-"
+    "integer 48-bit salted-md5 arithmetic makes sketch content AND "
+    "estimate hash-exact vs DuckDB — hs_sum pins the full retained "
+    "hash set through the gate, not just the estimate. A sketch that "
+    "saw < k distinct hashes is exact by construction (theta = 2^48). "
+    "true_distinct carried for the accuracy property (rel err pinned "
+    "by test at ~1/sqrt(k-2)). The keep_ppm pre-filter gate is the "
+    "100 TB knob (survivors ~= distinct*ppm/1e6 bound the distinct "
+    "exchange; losslessness above k survivors property-pinned).",
+)
+def q_events_user_kmv_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        S.kmv_sketch(
+            ev.where(F.col("event_id") % 3 == k), "event_type", "user_id"
+        )
+        for k in range(3)
+    ]
+    sk = S.kmv_merge(*parts)
+    return _kmv_stats_with_truth(spark, sf_dir, sk)
+
+
+@register(
+    "events_type_kmv_overlap",
+    _kmv_overlap_oracle(),
+    doc="Pairwise SET OPERATIONS between per-event-type distinct-user "
+    "sets, computed entirely from KMV sketches — the capability HLL's "
+    "MAX-registers destroy: theta-sketch intersection "
+    "(n_match*2^48 DIV theta_min over shared hashes below the smaller "
+    "theta — a complete uniform sample of the intersection), union by "
+    "inclusion-exclusion, Jaccard in ppm. Pairs materialize through a "
+    "hash EQUI-JOIN on the retained 48-bit hashes (never a key-by-key "
+    "nested loop) and the per-key stats broadcast onto the pair "
+    "aggregate, so the whole query touches sketch-sized data only. "
+    "true_inter carried for the accuracy pin. At 100 TB this is 'how "
+    "many users/documents do sources A and B share' answered from "
+    "k*8-byte state per source.",
+)
+def q_events_type_kmv_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = S.kmv_sketch(ev, "event_type", "user_id")
+    pairs = S.kmv_pair_overlap(sk).withColumnsRenamed(
+        {"key_a": "type_a", "key_b": "type_b"}
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    tru = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("true_inter"))
+    )
+    return pairs.join(tru, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_match",
+        "theta_min",
+        "est_a",
+        "est_b",
+        "est_inter",
+        "est_union",
+        "jaccard_ppm",
+        "true_inter",
+    )
+
+
+@register(
+    "streaming_user_kmv_mv",
+    _kmv_distinct_oracle(),
+    doc="The same KMV bottom-k sketch maintained as SINK-IS-THE-STATE: "
+    "three event batches land as flat (key, h) partials (<= k rows per "
+    "key each), a compaction min-k-folds the first two into a "
+    "snapshot, the third stays uncompacted, and batch 2 is REPLAYED "
+    "after landing (min-k over sets is idempotent — the replay is "
+    "exactly harmless by algebra, same guarantee class as the HLL "
+    "sink). Estimates and the hs_sum content checksum served from the "
+    "folded sink == one-shot build, which is why the oracle is the "
+    "same one-pass SQL.",
+)
+def q_streaming_user_kmv_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="kmvsink_")
+    try:
+        for k in range(2):
+            S.write_kmv_partial(
+                ev.where(F.col("event_id") % 3 == k),
+                path,
+                k,
+                "event_type",
+                "user_id",
+            )
+        S.compact_kmv(spark, path)
+        S.write_kmv_partial(
+            ev.where(F.col("event_id") % 3 == 2),
+            path,
+            2,
+            "event_type",
+            "user_id",
+        )
+        S.write_kmv_partial(
+            ev.where(F.col("event_id") % 3 == 2),
+            path,
+            2,
+            "event_type",
+            "user_id",
+        )
+        sk = S.read_kmv(spark, path).localCheckpoint(eager=True)
+        return _kmv_stats_with_truth(spark, sf_dir, sk)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # GPT-2 pre-token CLASS census over a synthesized text axis — the
 # corpus's 61-word vocabulary contains no contractions, digits, or
 # punctuation, so without this entry the GPT-2 pattern's distinguishing
@@ -738,4 +991,53 @@ def q_corpus_gpt2_pretoken_class_census(
             F.count("*").alias("n_pretokens"),
             F.countDistinct("p").alias("n_distinct"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer DECODE path (operators/bpe.py bbpe_roundtrip) — the half of
+# the tokenizer contract the encode-stats entries can't see: encode ∘
+# decode == identity, byte for byte, through the hash gate. Runs over
+# the DECORATED text axis (contractions, digit runs, double spaces,
+# multibyte café/中文) so UTF-8 multi-byte symbols, category-split
+# pre-tokens, and merged tokens all roundtrip — the oracle is the
+# decorated text itself, so ANY loss anywhere in pretokenize → byte
+# symbols → merge folds → unhex-decode → positional reassembly breaks
+# the hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_bbpe_roundtrip",
+    f"SELECT doc_id, {_decorated_sql()} AS decoded FROM documents",
+    doc="BBPE decode: every document encoded with the production merge "
+    "table (rank-80 cut, GPT-2 pre-tokenizer) and reconstructed from "
+    "its token sequence — decoded must equal the input text exactly. "
+    "Pins that the pre-tokenizer PARTITIONS text (total, no byte lost "
+    "or doubled), that merge-concatenated hex symbols are the token's "
+    "byte sequence (decode = unhex, no tokenizer state at decode time), "
+    "and that positional reassembly restores document order. The "
+    "oracle is the identity on the decorated text — the strongest "
+    "possible roundtrip gate. Scale shape unchanged from encode: merge "
+    "folds on the vocab-sized distinct pre-token table; the corpus "
+    "pays one posexplode + one join + one groupBy(doc).",
+)
+def q_corpus_bbpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    dec = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(_DECOR_SPARK_SUFFIX),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(_DECOR_TAIL),
+        ).alias("text"),
+    )
+    return bpe.bbpe_roundtrip(
+        dec,
+        bpe.FIXED_BYTE_MERGES_V2,
+        pretoken_re=bpe.GPT2_PRETOKEN_RE,
+        checkpoint_every=8,
     )

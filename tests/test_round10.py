@@ -809,3 +809,178 @@ def test_gpt2_class_census_covers_all_classes(spark):
     # digit runs (42, doc_id%97) from the decoration
     assert rows["contraction"][1] == 2  # 'm and 's
     assert rows["number"][0] >= 2 * rows["contraction"][0] / 2
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta bottom-k sketch — the set-operation distinct sketch
+# (operators/sketches.py). Mergeability is exact set algebra, the
+# estimator is pinned against an independent pure-Python bottom-k, and
+# the intersection estimator is pinned on constructed known-overlap
+# sets.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+
+def _py_kmv(values, k=_S.KMV_K):
+    """Independent pure-Python reference: bottom-k of the 48-bit salted
+    md5 hashes of the distinct values."""
+    hs = sorted(
+        {
+            int(
+                _hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:12], 16
+            )
+            for v in values
+        }
+    )[:k]
+    return hs
+
+
+def _sk_map(sk):
+    return {r.key: list(r.hs) for r in sk.collect()}
+
+
+def test_kmv_merge_equals_one_shot_and_is_idempotent(spark):
+    rows = [(f"k{i % 3}", f"u{i}") for i in range(900)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    A = df.where(F.length("v") % 3 == 0)
+    B = df.where(F.length("v") % 3 == 1)
+    C = df.where(F.length("v") % 3 == 2)
+    sA, sB, sC = (_S.kmv_sketch(d, "k", "v") for d in (A, B, C))
+    direct = _sk_map(_S.kmv_sketch(df, "k", "v"))
+    assert _sk_map(_S.kmv_merge(sA, sB, sC)) == direct
+    # associativity + idempotent replay
+    assert _sk_map(_S.kmv_merge(_S.kmv_merge(sC, sA), sB)) == direct
+    assert _sk_map(_S.kmv_merge(sA, sB, sC, sB)) == direct
+
+
+def test_kmv_matches_pure_python_reference(spark):
+    values = [f"user-{i}" for i in range(500)]
+    df = spark.createDataFrame(
+        [("k", v) for v in values], "k string, v string"
+    )
+    got = _sk_map(_S.kmv_sketch(df, "k", "v"))["k"]
+    assert got == _py_kmv(values)
+    st = _S.kmv_stats(_S.kmv_sketch(df, "k", "v")).collect()[0]
+    hs = _py_kmv(values)
+    assert st.theta == hs[_S.KMV_K - 1]
+    assert st.est == (_S.KMV_K - 1) * _S.KMV_FULL // hs[_S.KMV_K - 1]
+
+
+def test_kmv_estimate_accuracy_and_small_exactness(spark):
+    rows = [("big", f"u{i}") for i in range(3000)] + [
+        ("small", f"u{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    st = {
+        r.key: (r.kmv_size, r.theta, r.est)
+        for r in _S.kmv_stats(_S.kmv_sketch(df, "k", "v")).collect()
+    }
+    # < k distinct => the sketch IS the set: exact count, theta = 2^48
+    assert st["small"] == (20, _S.KMV_FULL, 20)
+    # k=64 => rel err ~ 1/sqrt(62) ~ 13%; pin a 3-sigma band
+    assert abs(st["big"][2] - 3000) / 3000 < 0.40, st["big"]
+
+
+def test_kmv_keep_gate_is_lossless_above_k_survivors(spark):
+    """The keep_ppm pre-filter drops only hashes above the bottom-k
+    window: as long as >= k hashes survive per key, the gated sketch is
+    bit-identical to the ungated one (the 100 TB exchange-bounding knob
+    costs nothing)."""
+    rows = [("k", f"u{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    ungated = _sk_map(_S.kmv_sketch(df, "k", "v"))
+    # 200000 ppm = keep h < 0.2*2^48: ~1000 of 5000 survive >> k=64
+    gated = _sk_map(_S.kmv_sketch(df, "k", "v", keep_ppm=200_000))
+    assert gated == ungated
+
+
+def test_kmv_pair_overlap_known_sets(spark):
+    """Constructed overlap: A = 0..2999, B = 2000..4999 => true
+    |A ∩ B| = 1000, |A ∪ B| = 5000, J = 1/5. The theta estimators must
+    land inside a generous 3-sigma band around truth, and the exact
+    branch (theta = 2^48) must be exact on small keys."""
+    rows = [("A", f"u{i}") for i in range(3000)] + [
+        ("B", f"u{i}") for i in range(2000, 5000)
+    ] + [("C", f"u{i}") for i in range(10)] + [
+        ("D", f"u{i}") for i in range(5, 15)
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    sk = _S.kmv_sketch(df, "k", "v")
+    out = {
+        (r.key_a, r.key_b): r for r in _S.kmv_pair_overlap(sk).collect()
+    }
+    ab = out[("A", "B")]
+    assert abs(ab.est_inter - 1000) / 1000 < 0.60, ab
+    assert abs(ab.est_union - 5000) / 5000 < 0.40, ab
+    assert abs(ab.jaccard_ppm - 200_000) < 120_000, ab
+    # C and D are both < k distinct: theta_min = 2^48 and everything
+    # is exact set arithmetic
+    cd = out[("C", "D")]
+    assert cd.theta_min == _S.KMV_FULL
+    assert cd.n_match == 5 and cd.est_inter == 5
+    assert cd.est_union == 15
+    assert cd.jaccard_ppm == 5 * 1_000_000 // 15
+
+
+def test_kmv_sink_fold_equals_one_shot(spark, tmp_path):
+    """KMV partials through the sink (land, compact, land, REPLAY) fold
+    to exactly the one-shot sketch — min-k idempotence under the crash
+    contract, same guarantee class as the HLL sink."""
+    rows = [(f"k{i % 2}", f"u{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    path = str(tmp_path / "kmv")
+    for k in range(2):
+        _S.write_kmv_partial(
+            df.where(F.length("v") % 3 == k), path, k, "k", "v"
+        )
+    _S.compact_kmv(spark, path)
+    _S.write_kmv_partial(
+        df.where(F.length("v") % 3 == 2), path, 2, "k", "v"
+    )
+    _S.write_kmv_partial(
+        df.where(F.length("v") % 3 == 2), path, 2, "k", "v"
+    )
+    folded = _sk_map(_S.read_kmv(spark, path))
+    direct = _sk_map(_S.kmv_sketch(df, "k", "v"))
+    assert folded == direct
+
+
+@pytest.mark.parametrize(
+    "pattern", [_bpe.BYTE_PRETOKEN_RE, _bpe.GPT2_PRETOKEN_RE]
+)
+def test_bbpe_roundtrip_adversarial(spark, pattern):
+    """encode ∘ decode == identity on texts chosen to break it: emoji
+    (4-byte UTF-8), CJK, combining marks, contractions, multi-space
+    runs, tabs/newlines, leading/trailing spaces, digits-in-words —
+    under BOTH pre-tokenizers and the production merge table."""
+    texts = [
+        "hello world",
+        "  double  spaces  everywhere  ",
+        "don't can't we'll I'm you've he'd they're",
+        "tabs\tand\nnewlines\r\nand\x0bvtab",
+        "café naïve Zürich",
+        "中文测试 日本語 한국어",
+        "emoji 😀🎉 and astral 𝄞𐍈",
+        "a1b2c3 42nd 3.14159 1,000,000",
+        " leading and trailing ",
+        "é combining é̹ marks",
+        "",
+        "x",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.decoded
+        for r in _bpe.bbpe_roundtrip(
+            df, _bpe.FIXED_BYTE_MERGES_V2, pretoken_re=pattern
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        if t == "":
+            # empty text has no pre-tokens: absent from the occurrence
+            # table by contract (the corpus fixture has no empty docs)
+            assert i not in out
+        else:
+            assert out[i] == t, (pattern, i, repr(t), repr(out[i]))
