@@ -1214,6 +1214,50 @@ def ngram_contamination(
     )
 
 
+BLOOM_WORDS = 32  # bits per bitmap word — masks stay positive int64
+
+
+def _bloom_h(g, off):
+    """First/second 8 md5 hex chars → int64 (the double-hash halves)."""
+    return F.conv(F.substring(F.md5(g), off, 8), 16, 10).cast("bigint")
+
+
+def _bloom_positions(g, m_bits: int):
+    """k=2 double-hashed bit positions: p_i = (h1 + i·h2) mod m."""
+    h1, h2 = _bloom_h(g, 1), _bloom_h(g, 9)
+    return F.array(h1 % m_bits, (h1 + h2) % m_bits)
+
+
+def bloom_build(
+    bench: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold a document set's n-grams into the (w, bits) Bloom bitmap
+    table — at most m_bits/32 rows regardless of input size. The grid
+    is an OR-monoid: per-batch partial bitmaps fold cell-wise with
+    ``bit_or`` (associative, commutative, IDEMPOTENT — replays are
+    harmless by algebra), which is what makes it servable as sink
+    state alongside CMS (SUM), the quantile histogram (SUM), HLL (MAX),
+    and KMV (MIN-K)."""
+    bgd = (
+        bench.select(F.explode(shingles(text_col, n)).alias("g")).distinct()
+    )
+    return (
+        bgd.select(F.explode(_bloom_positions(F.col("g"), m_bits)).alias("p"))
+        .select(
+            (F.col("p") / BLOOM_WORDS).cast("bigint").alias("w"),
+            (F.col("p") % BLOOM_WORDS).cast("int").alias("b"),
+        )
+        .distinct()
+        .groupBy("w")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("bits")
+        )
+    )
+
+
 def bloom_contamination(
     train: DataFrame,
     bench: DataFrame,
@@ -1221,6 +1265,7 @@ def bloom_contamination(
     m_bits: int = 1 << 18,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom-pre-filtered benchmark decontamination — the at-scale form
     of :func:`ngram_contamination`: the benchmark's n-grams are folded
@@ -1241,14 +1286,7 @@ def bloom_contamination(
     reuse the ``CAST('0x' || substr(md5(g), …) AS BIGINT)`` idiom the
     DSIR bucket model already proved hash-exact.
     """
-    words = 32  # bits per bitmap word — masks stay positive int64
-
-    def h(g, off):  # first/second 8 md5 hex chars → int64
-        return F.conv(F.substring(F.md5(g), off, 8), 16, 10).cast("bigint")
-
-    def positions(g):
-        h1, h2 = h(g, 1), h(g, 9)
-        return F.array(h1 % m_bits, (h1 + h2) % m_bits)
+    words = BLOOM_WORDS
 
     tg = train.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
@@ -1256,20 +1294,10 @@ def bloom_contamination(
     bgd = (
         bench.select(F.explode(shingles(text_col, n)).alias("g")).distinct()
     )
-    bloom = (
-        bgd.select(F.explode(positions(F.col("g"))).alias("p"))
-        .select(
-            (F.col("p") / words).cast("bigint").alias("w"),
-            (F.col("p") % words).cast("int").alias("b"),
-        )
-        .distinct()
-        .groupBy("w")
-        .agg(
-            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("bits")
-        )
-    )
+    if bloom is None:
+        bloom = bloom_build(bench, n, m_bits, text_col)
     probes = tg.select(
-        "id", "g", F.explode(positions(F.col("g"))).alias("p")
+        "id", "g", F.explode(_bloom_positions(F.col("g"), m_bits)).alias("p")
     ).select(
         "id",
         "g",
@@ -1303,3 +1331,76 @@ def bloom_contamination(
             F.when(F.col("bloom_pass") & F.col("e").isNull(), 1).otherwise(0)
         ).alias("n_false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom bitmap as sink-is-the-state — the OR member of the sketch-sink
+# fold family (CMS/quantile = SUM, HLL = MAX, KMV = MIN-K, Bloom = OR;
+# OR is idempotent, so replayed batches are exactly harmless like the
+# HLL/KMV sinks). The at-scale story: the benchmark/blocklist set grows
+# incrementally (new eval suites land weekly); each batch folds its
+# grams into a partial bitmap at ingest, and the decontamination gate
+# reads the folded ≤ m/32-row table — never the benchmark corpus.
+# ---------------------------------------------------------------------------
+
+
+def write_bloom_partial(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    text_col: str = "text",
+) -> None:
+    """Reduce one benchmark batch to its (w, bits) partial bitmap and
+    land it idempotently under ``parts/batch_id=N``."""
+    bloom_build(batch_df, n, m_bits, text_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/parts/batch_id={batch_id}")
+
+
+def read_bloom(spark, path: str) -> DataFrame:
+    """Current folded bitmap: newest committed snapshot OR-folded with
+    committed partials above the watermark (same crash-safety rules as
+    the other sketch sinks)."""
+    from .compaction import _committed_partitions, _snapshot_version
+
+    v = _snapshot_version(spark, path)
+    parts = [
+        f"{path}/parts/batch_id={b}"
+        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
+        if b > v
+    ]
+    if v >= 0:
+        parts.append(f"{path}/snap/v={v}")
+    if not parts:
+        return spark.createDataFrame([], "w bigint, bits bigint")
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def compact_bloom(spark, path: str) -> int:
+    """Fold committed partials into ``snap/v=maxBatch`` and vacuum the
+    folded dirs — snapshot commit first, deletes after."""
+    from .compaction import (
+        _committed_partitions,
+        _snapshot_version,
+        _vacuum_partitions,
+    )
+
+    v = _snapshot_version(spark, path)
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
+        return v
+    fold = read_bloom(spark, path).localCheckpoint(eager=True)
+    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[:1]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
+    return max_b

@@ -1041,3 +1041,203 @@ def q_corpus_bbpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pretoken_re=bpe.GPT2_PRETOKEN_RE,
         checkpoint_every=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer EWMA (exponentially-weighted moving average) — the
+# classic "needs a recursive fold" time-series operator, made exact,
+# engine-portable, and shuffle-linear by truncating alpha=1/2 at 16
+# terms: EWMA_t = sum_{i=0..15} x_{t-i}·2^(15-i) / sum 2^(15-i)
+# (pandas ewm(adjust=True) over a 16-row window). 2^-16 ~ 1.5e-5 of
+# weight is below cent resolution, so the truncation is the honest
+# bounded-memory form — and every term is a BIGINT, so numerator,
+# denominator, and the milli-quantized ratio are hash-exact on both
+# engines (no pow-of-(1-alpha) double drift). Shape: a bounded 16-way
+# fan-out from each event to the rows it feeds, one (user, target-row)
+# groupBy with map-side combine, one join back — all linear in events,
+# no per-row recursion anywhere.
+# ---------------------------------------------------------------------------
+
+EWMA_W = 16
+EWMA_USER_MOD = 10  # deterministic user subset keeps the gate bounded
+
+
+def _ewma_oracle() -> str:
+    return f"""
+WITH base AS (
+    SELECT user_id, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE user_id % {EWMA_USER_MOD} = 0
+),
+fan AS (
+    SELECT b.user_id, b.rn + i.i AS rt,
+           b.cents * CAST(pow(2, {EWMA_W - 1} - i.i) AS BIGINT) AS contrib,
+           CAST(pow(2, {EWMA_W - 1} - i.i) AS BIGINT) AS w
+    FROM base b, (SELECT unnest(range(0, {EWMA_W})) AS i) i
+),
+agg AS (
+    SELECT user_id, rt,
+           CAST(SUM(contrib) AS BIGINT) AS ewma_num,
+           CAST(SUM(w) AS BIGINT) AS ewma_den
+    FROM fan GROUP BY 1, 2
+)
+SELECT t.user_id, t.event_id, a.ewma_num, a.ewma_den,
+       CAST(a.ewma_num * 1000 // a.ewma_den AS BIGINT) AS ewma_milli
+FROM base t JOIN agg a ON t.user_id = a.user_id AND t.rn = a.rt
+"""
+
+
+@register(
+    "events_user_ewma",
+    _ewma_oracle(),
+    doc="Per-event EWMA of event value per user (alpha = 1/2, "
+    f"adjust-normalized, truncated at {EWMA_W} terms — below cent "
+    "resolution): the recursive smoother expressed as a BOUNDED "
+    "relational fan-out so it is exact, engine-portable integer "
+    "arithmetic end-to-end — each event fans out to the <= 16 rows it "
+    "feeds with power-of-two BIGINT weights, partials combine "
+    "map-side on (user, target-row), and one join lands the smoothed "
+    "value back on the event. No recursion, no pow(1-alpha) doubles, "
+    "no unbounded window state: the 100 TB plan is one 16x bounded "
+    "fan-out + one keyed exchange + one co-keyed join. Emits exact "
+    "numerator/denominator plus the milli-quantized ratio.",
+)
+def q_events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % EWMA_USER_MOD == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    fan = (
+        base.select(
+            "user_id",
+            "rn",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(EWMA_W - 1))).alias("i"),
+        )
+        .select(
+            "user_id",
+            (F.col("rn") + F.col("i")).alias("rt"),
+            F.expr(
+                f"cents * CAST(pow(2, {EWMA_W - 1} - i) AS BIGINT)"
+            ).alias("contrib"),
+            F.expr(f"CAST(pow(2, {EWMA_W - 1} - i) AS BIGINT)").alias("w"),
+        )
+    )
+    agg = (
+        fan.groupBy("user_id", "rt")
+        .agg(
+            F.sum("contrib").alias("ewma_num"),
+            F.sum("w").alias("ewma_den"),
+        )
+        .withColumnsRenamed({"user_id": "a_uid", "rt": "a_rt"})
+    )
+    return (
+        base.join(
+            agg,
+            (base.user_id == agg.a_uid) & (base.rn == agg.a_rt),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ewma_num",
+            "ewma_den",
+            F.expr("ewma_num * 1000 DIV ewma_den").alias("ewma_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom bitmap as sink state (operators/dedup.py write_bloom_partial /
+# read_bloom / compact_bloom) — the OR member that completes the
+# sketch-sink fold family: CMS/quantile = SUM, HLL = MAX, KMV = MIN-K,
+# Bloom = OR. Real-world shape: eval/benchmark suites land
+# incrementally; each batch folds its 8-grams into a partial bitmap at
+# ingest, and the decontamination gate serves from the folded
+# <= m/32-row table without ever rescanning the benchmark corpus.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_gate_oracle() -> str:
+    """bloom_contamination_gate's oracle verbatim (registered by
+    queries_round7 before this module loads): one-shot bitmap ==
+    sink-folded bitmap is the OR-idempotence equivalence under test."""
+    from .queries import REGISTRY
+
+    return REGISTRY["bloom_contamination_gate"].oracle
+
+
+@register(
+    "streaming_bloom_gate_mv",
+    _bloom_gate_oracle(),
+    doc="The Bloom decontamination bitmap maintained as "
+    "SINK-IS-THE-STATE: the benchmark set lands in three batches as "
+    "(w, bits) partial bitmaps, a compaction OR-folds the first two "
+    "into a snapshot, the third stays uncompacted AND is REPLAYED "
+    "after landing (bit_or is idempotent — the replay is exactly "
+    "harmless by algebra, same guarantee class as the HLL/KMV sinks), "
+    "and the per-doc contamination audit is served with the folded "
+    "bitmap. Sink-served == one-shot build, which is why the oracle "
+    "is bloom_contamination_gate's SQL verbatim. Completes the "
+    "sketch-sink fold family: SUM (CMS, quantile histogram), MAX "
+    "(HLL), MIN-K (KMV), OR (Bloom).",
+)
+def q_streaming_bloom_gate_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .catalog import widen_input as _widen
+    from .fixtures import documents_with_dups
+    from .operators import dedup as _dedup
+    from .queries_round7 import BLOOM_M_BITS, BLOOM_N
+
+    corpus = _widen(documents_with_dups(spark, sf_dir))
+    train = corpus.where(F.col("doc_id") < 1_000_000)
+    bench = corpus.where(F.col("doc_id") >= 1_000_000)
+    path = tempfile.mkdtemp(prefix="bloomsink_")
+    try:
+        for k in range(2):
+            _dedup.write_bloom_partial(
+                bench.where(F.col("doc_id") % 3 == k),
+                path,
+                k,
+                n=BLOOM_N,
+                m_bits=BLOOM_M_BITS,
+            )
+        _dedup.compact_bloom(spark, path)
+        _dedup.write_bloom_partial(
+            bench.where(F.col("doc_id") % 3 == 2),
+            path,
+            2,
+            n=BLOOM_N,
+            m_bits=BLOOM_M_BITS,
+        )
+        _dedup.write_bloom_partial(
+            bench.where(F.col("doc_id") % 3 == 2),
+            path,
+            2,
+            n=BLOOM_N,
+            m_bits=BLOOM_M_BITS,
+        )
+        bloom = _dedup.read_bloom(spark, path).localCheckpoint(eager=True)
+        return _dedup.bloom_contamination(
+            train,
+            bench,
+            n=BLOOM_N,
+            m_bits=BLOOM_M_BITS,
+            bloom=bloom,
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

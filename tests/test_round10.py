@@ -984,3 +984,76 @@ def test_bbpe_roundtrip_adversarial(spark, pattern):
             assert i not in out
         else:
             assert out[i] == t, (pattern, i, repr(t), repr(out[i]))
+
+
+def test_ewma_matches_recursive_reference(spark):
+    """The bounded relational fan-out equals the textbook recursive
+    EWMA (alpha=1/2, adjust-normalized) truncated at 16 terms, computed
+    independently in Python on a constructed series."""
+    import datetime as _dt
+
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+    from projet_etl_a_rien_spark.queries_round10 import EWMA_W
+
+    _load_extensions()
+    fn = REGISTRY["events_user_ewma"].fn
+    # use the real fixture so the ts/event_id ordering contract is the
+    # production one; recompute the reference from the same parquet
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_id, CAST(ROUND(value*100) AS BIGINT)
+        FROM '{sf}/events.parquet' WHERE user_id % 10 = 0
+        ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    ref = {}
+    series = {}
+    for uid, eid, cents in rows:
+        s = series.setdefault(uid, [])
+        s.append(cents)
+        window = s[-EWMA_W:]
+        num = sum(
+            c * (1 << (EWMA_W - 1 - i))
+            for i, c in enumerate(reversed(window))
+        )
+        den = sum(
+            1 << (EWMA_W - 1 - i) for i in range(len(window))
+        )
+        ref[(uid, eid)] = (num, den, num * 1000 // den)
+    got = {
+        (r.user_id, r.event_id): (r.ewma_num, r.ewma_den, r.ewma_milli)
+        for r in fn(spark, sf).collect()
+    }
+    assert got == ref
+
+
+def test_bloom_sink_fold_equals_one_shot(spark, tmp_path):
+    """Bloom partials through the sink (land, compact, land, REPLAY)
+    OR-fold to exactly the one-shot bitmap — idempotence under the
+    crash contract, completing the fold family (SUM/MAX/MIN-K/OR)."""
+    from projet_etl_a_rien_spark.operators import dedup as _D
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(12)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bloom")
+    for k in range(2):
+        _D.write_bloom_partial(
+            df.where(F.col("doc_id") % 3 == k), path, k, n=4, m_bits=1 << 10
+        )
+    _D.compact_bloom(spark, path)
+    _D.write_bloom_partial(
+        df.where(F.col("doc_id") % 3 == 2), path, 2, n=4, m_bits=1 << 10
+    )
+    _D.write_bloom_partial(
+        df.where(F.col("doc_id") % 3 == 2), path, 2, n=4, m_bits=1 << 10
+    )
+    folded = {(r.w, r.bits) for r in _D.read_bloom(spark, path).collect()}
+    direct = {
+        (r.w, r.bits)
+        for r in _D.bloom_build(df, n=4, m_bits=1 << 10).collect()
+    }
+    assert folded == direct and folded
