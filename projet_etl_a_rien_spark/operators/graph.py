@@ -664,3 +664,53 @@ def ktruss(
         f"k-truss peeling did not converge in {max_iter} rounds; raise "
         "max_iter (peeling depth exceeded the cap)"
     )
+
+
+def bounded_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """(node, dist) — minimum hop distance from the seed set over the
+    undirected graph, bounded at ``max_hops`` (k-hop neighborhood /
+    frontier BFS). The bounded-hop form is the one that exists at
+    100 TB: each level is ONE equi-join of the current frontier against
+    the symmetrized edge list plus ONE anti-join against the visited
+    set (so the frontier never re-expands settled nodes — work per
+    level is proportional to the NEW frontier, not the visited ball),
+    and the plan depth is fixed by ``max_hops``, not by graph diameter.
+    Min-distance semantics fall out of level order: a node is settled
+    the first level it appears.
+
+    Unreachable-within-k nodes are absent by contract (callers
+    left-join if they need NULL-distance rows)."""
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+            )
+        )
+        .distinct()
+    )
+    visited = seeds.select(F.col(seed_col).alias("node")).distinct().select(
+        "node", F.lit(0).alias("dist")
+    )
+    frontier = visited.select("node")
+    out = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.select(F.col("node").alias("u"))
+            .join(sym, "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(out.select("node"), "node", "left_anti")
+        )
+        out = out.unionByName(
+            nxt.select("node", F.lit(h).alias("dist"))
+        )
+        frontier = nxt
+    return out

@@ -1241,3 +1241,177 @@ def q_streaming_bloom_gate_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS (operators/graph.py bounded_bfs) — the k-hop
+# neighborhood primitive the graph family lacked: exact triangle/k-core
+# /k-truss/PageRank/CC existed, but "what is within 3 hops of this seed
+# set" (taint spread, recommendation halo, blast-radius queries) is the
+# frontier-expansion op. Bounded hops is the honest 100 TB form: plan
+# depth fixed by k, per-level work proportional to the NEW frontier
+# (anti-join against visited), never diameter-dependent.
+# ---------------------------------------------------------------------------
+
+BFS_SEED_MOD = 500
+BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                    GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+seeds AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+          WHERE l_partkey % {BFS_SEED_MOD} = 0),
+walk(node, dist) AS (
+    SELECT node, 0 FROM seeds
+    UNION ALL
+    SELECT s.v, w.dist + 1
+    FROM walk w JOIN sym s ON w.node = s.u
+    WHERE w.dist < {BFS_HOPS}
+)
+SELECT node AS part_id, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@register(
+    "parts_copurchase_bfs_3hop",
+    _bfs_oracle(),
+    doc=f"Minimum hop distance (<= {BFS_HOPS}) from a deterministic "
+    f"seed set (partkey % {BFS_SEED_MOD} = 0) over the co-purchase "
+    "graph — frontier BFS with per-level visited anti-joins, so each "
+    "level's work is proportional to the NEW frontier and the plan "
+    "depth is fixed by the hop bound, not graph diameter. First-seen "
+    "level == min distance by level order. The oracle walks the same "
+    "graph with a depth-bounded recursive CTE and takes MIN(dist) over "
+    "all revisits — two constructions, one answer.",
+)
+def q_parts_copurchase_bfs_3hop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.graph import bounded_bfs
+    from .queries_round8 import _copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.where(F.col("l_partkey") % BFS_SEED_MOD == 0)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    return bounded_bfs(
+        _copurchase_edges(spark, sf_dir), seeds, max_hops=BFS_HOPS
+    ).select(
+        F.col("node").alias("part_id"), F.col("dist").cast("long").alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end (blocking -> verified similarity ->
+# connected components -> golden record): the MDM pipeline composed
+# from the engine's own primitives — PassJoin pigeonhole edit-distance
+# pairs (operators/strings.py), min-label components
+# (operators/graph.py), and a deterministic survivorship rule.
+# ---------------------------------------------------------------------------
+
+
+def _er_oracle() -> str:
+    return """
+WITH RECURSIVE names AS (
+    SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat
+    FROM customer
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM names a JOIN names b ON a.id < b.id AND a.nat = b.nat
+    WHERE levenshtein(a.name, b.name) <= 1
+),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+walk(node, comp) AS (
+    SELECT u, u FROM und
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN und e ON w.node = e.u
+),
+clusters AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+ent AS (
+    SELECT c.c_custkey,
+           c.c_name,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents,
+           COALESCE(cl.comp, c.c_custkey) AS entity_id
+    FROM customer c LEFT JOIN clusters cl ON c.c_custkey = cl.node
+)
+SELECT entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(CASE WHEN c_custkey = entity_id THEN c_name END) AS rep_name,
+       CAST(SUM(cents) AS BIGINT) AS sum_acctbal_cents
+FROM ent GROUP BY entity_id
+"""
+
+
+@register(
+    "customer_entity_resolution",
+    _er_oracle(),
+    doc="Entity resolution end-to-end: PassJoin pigeonhole-blocked "
+    "edit-distance pairs (ed <= 1, never a cross join) -> connected "
+    "components (transitive identity: A~B~C is ONE entity even though "
+    "A~C was never emitted) -> golden record per entity with a "
+    "deterministic survivorship rule (min-custkey member is the "
+    "representative; balances sum exactly in cents). A match "
+    "additionally requires the SAME nation (the classic second "
+    "attribute that stops sequential-serial names chaining the whole "
+    "table into one entity — applied as a post-verify filter, so "
+    "blocking losslessness is untouched). Singletons are their own "
+    "entity via the left join. The oracle recomputes pairs from the "
+    "all-pairs levenshtein definition and walks the graph with a "
+    "recursive CTE — blocking losslessness, component labels, and "
+    "survivorship arithmetic are all inside the hash gate.",
+)
+def q_customer_entity_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import strings as _strings
+    from .operators.graph import connected_components
+
+    c = load_table(spark, sf_dir, "customer")
+    names = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    nat = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nat")
+    )
+    pairs = (
+        _strings.edit_distance_pairs(
+            names, d=1, str_col="name", id_col="id", compute_splits=16
+        )
+        .select("id_a", "id_b")
+        .join(nat.withColumnsRenamed({"id": "id_a", "nat": "na"}), "id_a")
+        .join(nat.withColumnsRenamed({"id": "id_b", "nat": "nb"}), "id_b")
+        .where(F.col("na") == F.col("nb"))
+        .select("id_a", "id_b")
+    )
+    clusters = connected_components(pairs)
+    ent = c.join(
+        F.broadcast(clusters), c.c_custkey == clusters.node, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.coalesce("comp", "c_custkey").alias("entity_id"),
+    )
+    return ent.groupBy("entity_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.when(F.col("c_custkey") == F.col("entity_id"), F.col("c_name"))
+        ).alias("rep_name"),
+        F.sum("cents").alias("sum_acctbal_cents"),
+    )

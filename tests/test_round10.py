@@ -1057,3 +1057,66 @@ def test_bloom_sink_fold_equals_one_shot(spark, tmp_path):
         for r in _D.bloom_build(df, n=4, m_bits=1 << 10).collect()
     }
     assert folded == direct and folded
+
+
+def test_bounded_bfs_matches_reference(spark):
+    """bounded_bfs == textbook BFS truncated at max_hops on a graph
+    with cycles, multiple shortest paths, an unreachable island, and a
+    node whose true distance exceeds the bound."""
+    from collections import deque
+
+    from projet_etl_a_rien_spark.operators.graph import bounded_bfs
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  # chain: 6 is 5 hops out
+        (1, 7), (7, 4),  # shortcut: 4 is min(3, 2) = 2 hops
+        (2, 1),  # cycle back
+        (100, 101),  # unreachable island
+    ]
+    seeds = [1]
+    # python reference
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    ref, dq = {1: 0}, deque([(1, 0)])
+    while dq:
+        n, d = dq.popleft()
+        if d == 3:
+            continue
+        for m in adj.get(n, ()):
+            if m not in ref:
+                ref[m] = d + 1
+                dq.append((m, d + 1))
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r.node: r.dist
+        for r in bounded_bfs(e_df, s_df, max_hops=3).collect()
+    }
+    assert got == ref
+    assert 6 not in got and 100 not in got  # beyond bound / island absent
+    assert got[4] == 2  # shortcut wins over the 3-hop chain
+
+
+def test_entity_resolution_invariants(spark, sf_dir):
+    """Transitivity, singleton totality, and exact balance conservation
+    on the real fixture: every customer lands in exactly one entity,
+    entity ids are member min-custkeys, and cents sum to the corpus
+    total."""
+    import duckdb
+
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    out = REGISTRY["customer_entity_resolution"].fn(spark, sf_dir).collect()
+    n_cust, total_cents = duckdb.sql(
+        f"""SELECT COUNT(*),
+            SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+            FROM '{sf_dir}/customer.parquet'"""
+    ).fetchone()
+    assert sum(r.n_members for r in out) == n_cust
+    assert sum(r.sum_acctbal_cents for r in out) == total_cents
+    assert all(r.rep_name is not None for r in out)
+    assert any(r.n_members > 1 for r in out)  # real clusters exist
+    assert any(r.n_members == 1 for r in out)  # and real singletons
