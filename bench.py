@@ -93,6 +93,15 @@ HEADLINE = [
     "corpus_bbpe_encode_stats_v2",
     "corpus_length_quantiles_sketch",
     "events_user_hll_distinct",
+    # r10 session 2: the decode roundtrip (full tokenizer both ways —
+    # the heaviest new text shape), the KMV set-operation sketch, the
+    # image-dedup crossover (real codec + banding), bounded-hop BFS
+    # over the 1.2M-edge graph, and the ER golden-record composite
+    "corpus_bbpe_roundtrip",
+    "events_type_kmv_overlap",
+    "multimodal_phash_near_dup_pairs",
+    "parts_copurchase_bfs_3hop",
+    "customer_entity_resolution",
 ]
 
 

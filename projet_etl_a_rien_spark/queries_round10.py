@@ -1169,9 +1169,12 @@ def q_events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_gate_oracle() -> str:
-    """bloom_contamination_gate's oracle verbatim (registered by
-    queries_round7 before this module loads): one-shot bitmap ==
-    sink-folded bitmap is the OR-idempotence equivalence under test."""
+    """bloom_contamination_gate's oracle verbatim: one-shot bitmap ==
+    sink-folded bitmap is the OR-idempotence equivalence under test.
+    Importing queries_round7 here (not relying on loader order) makes
+    this module safe to import directly — the import registers the
+    gate as a side effect, idempotently."""
+    from . import queries_round7  # noqa: F401 — registration side effect
     from .queries import REGISTRY
 
     return REGISTRY["bloom_contamination_gate"].oracle
@@ -1415,3 +1418,163 @@ def q_customer_entity_resolution(
         ).alias("rep_name"),
         F.sum("cents").alias("sum_acctbal_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup pairs — the multimodal × dedup crossover:
+# a dHash (difference hash) computed from REAL decoded pixels (payload
+# -> stdlib PNG encode with per-doc scanline filter -> stdlib decode ->
+# 9x8 nearest-neighbor gray grid -> 56 horizontal-gradient bits), then
+# near-dup pairs by LSH banding + Hamming verify — the image analogue
+# of SimHash dedup, sharing its band/verify shape. 56 bits (7 of the 8
+# comparisons per sampled row) keeps the hash in positive int64 on
+# both engines, the same sign-safety trick as the 32-bit Bloom words.
+# ---------------------------------------------------------------------------
+
+PHASH_GRID_W, PHASH_GRID_H = 9, 8  # sample grid (9 cols -> 8 diffs/row)
+PHASH_BITS_PER_ROW = 7  # keep 7 of 8 diffs: 56 bits < 2^62
+PHASH_BANDS, PHASH_BAND_BITS = 4, 14
+PHASH_MAX_HAMMING = 3  # < PHASH_BANDS, so banding is pigeonhole-complete
+_PHASH_SRC_W, _PHASH_STRIDE = 32, 96
+
+
+def _phash_oracle() -> str:
+    from .fixtures import DOCUMENTS_WITH_DUPS_ORACLE_CTE
+
+    w, hgt, bpr = PHASH_GRID_W, PHASH_GRID_H, PHASH_BITS_PER_ROW
+    byte = (
+        "CASE WHEN k < n THEN"
+        " (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INTEGER), 1)) - 1) * 16"
+        " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INTEGER), 1)) - 1)"
+        " ELSE 0 END"
+    )
+    return f"""
+WITH {DOCUMENTS_WITH_DUPS_ORACLE_CTE},
+p AS (SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM docs_dup WHERE octet_length(encode(text)) > 0),
+dims AS (SELECT doc_id, hx, n, CAST(ceil(n / {_PHASH_STRIDE}.0) AS BIGINT)
+             AS h FROM p),
+cells AS (
+    SELECT doc_id, hx, n, h,
+           t // {w * 3} AS gy, (t // 3) % {w} AS gx, t % 3 AS c,
+           (t // {w * 3}) * h // {hgt} * {_PHASH_STRIDE}
+         + ((t // 3) % {w}) * {_PHASH_SRC_W} // {w} * 3
+         + t % 3 AS k
+    FROM dims, (SELECT unnest(range(0, {hgt * w * 3})) AS t)
+),
+grays AS (
+    SELECT doc_id, gy, gx, CAST(SUM({byte}) AS BIGINT) AS gray
+    FROM cells GROUP BY doc_id, gy, gx
+),
+bits AS (
+    SELECT a.doc_id, a.gy * {bpr} + a.gx AS j,
+           CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+    FROM grays a JOIN grays b
+      ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+    WHERE a.gx < {bpr}
+),
+hs AS (
+    SELECT doc_id,
+           CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))
+                AS BIGINT) AS dhash
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+@register(
+    "multimodal_phash_near_dup_pairs",
+    _phash_oracle(),
+    doc="Image near-dup pairs by perceptual dHash over REAL decoded "
+    "pixels: payloads PNG-encoded (per-doc scanline filter, all five "
+    "reconstructions exercised) and decoded by the stdlib codec, gray "
+    f"levels sampled on a {PHASH_GRID_W}x{PHASH_GRID_H} "
+    "nearest-neighbor grid, horizontal-gradient sign bits packed into "
+    f"a {PHASH_GRID_H * PHASH_BITS_PER_ROW}-bit integer hash; pairs "
+    f"from {PHASH_BANDS}-band LSH blocking (hamming <= "
+    f"{PHASH_MAX_HAMMING} < bands is pigeonhole-COMPLETE — no "
+    "candidate can be missed) verified with bit_count(xor). The "
+    "oracle recomputes every gray straight from the payload hex dump "
+    "and takes the ALL-PAIRS definition, so codec, kernel arithmetic, "
+    "bit packing, AND blocking losslessness all sit inside the hash "
+    "gate. The image twin of SimHash dedup; planted exact dups land "
+    "at distance 0.",
+)
+def q_multimodal_phash_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .catalog import widen_input
+    from .fixtures import documents_with_dups
+    from .operators import multimodal
+    from .operators.png import png_decode, png_encode
+
+    w, hgt, bpr = PHASH_GRID_W, PHASH_GRID_H, PHASH_BITS_PER_ROW
+    stride, src_w = _PHASH_STRIDE, _PHASH_SRC_W
+    payloads = widen_input(
+        multimodal.with_binary_payload(
+            documents_with_dups(spark, sf_dir)
+        ).where(F.length("payload") > 0)
+    )
+
+    def to_dhash(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                h = -(-n // stride)
+                pix = raw + bytes(h * stride - n)
+                png = png_encode(src_w, h, pix, 2, int(doc_id) % 5)
+                _w2, h2, _c2, data = png_decode(png)
+                dh = 0
+                for gy in range(hgt):
+                    sy = gy * h2 // hgt
+                    grays = []
+                    for gx in range(w):
+                        k = sy * stride + (gx * src_w // w) * 3
+                        grays.append(data[k] + data[k + 1] + data[k + 2])
+                    for gx in range(bpr):
+                        if grays[gx] > grays[gx + 1]:
+                            dh |= 1 << (gy * bpr + gx)
+                rows.append((int(doc_id), dh))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    hs = payloads.mapInPandas(
+        to_dhash, schema="doc_id bigint, dhash bigint"
+    ).localCheckpoint(eager=True)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = hs.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "dhash",
+        "b",
+        F.expr(f"(dhash >> ({PHASH_BAND_BITS} * b)) & {mask}").alias("bv"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("dhash").alias("ha"), "b", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("dhash").alias("hb"), "b", "bv"
+    )
+    cand = (
+        a.join(b, ["b", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.expr("ha ^ hb")).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= PHASH_MAX_HAMMING)

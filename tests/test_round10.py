@@ -1120,3 +1120,32 @@ def test_entity_resolution_invariants(spark, sf_dir):
     assert all(r.rep_name is not None for r in out)
     assert any(r.n_members > 1 for r in out)  # real clusters exist
     assert any(r.n_members == 1 for r in out)  # and real singletons
+
+
+def test_phash_exact_dup_distance_zero_and_pairs_complete(spark, sf_dir):
+    """Planted exact duplicates land at hamming 0, every emitted pair
+    respects the threshold, and the pair list is symmetric-free
+    (id_a < id_b, no duplicates)."""
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+    from projet_etl_a_rien_spark.queries_round10 import PHASH_MAX_HAMMING
+
+    _load_extensions()
+    rows = (
+        REGISTRY["multimodal_phash_near_dup_pairs"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert len(pairs) == len(rows)  # no duplicate pairs
+    assert all(a < b for a, b in pairs)
+    assert all(h <= PHASH_MAX_HAMMING for h in pairs.values())
+    # every planted dup (doc, doc+1e6) is an exact payload copy: the
+    # pair must be present at distance 0
+    import duckdb
+
+    planted = duckdb.sql(
+        f"""SELECT doc_id FROM '{sf_dir}/documents.parquet'
+        WHERE doc_id % 50 = 0 AND octet_length(encode(text)) > 0"""
+    ).fetchall()
+    for (d,) in planted:
+        assert pairs.get((d, d + 1_000_000)) == 0, d

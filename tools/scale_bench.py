@@ -150,6 +150,30 @@ SPOT = [
     # both should grow with the SCAN only (shuffle bytes near-flat)
     "corpus_length_quantiles_sketch",
     "events_user_hll_distinct",
+    # r10 session 2. KMV: the build's distinct (key, h) exchange grows
+    # with distinct users (linear here; the keep_ppm gate is the knob
+    # that bounds it at real scale — gate losslessness is test-pinned,
+    # so the ungated number is the honest worst case). Overlap adds
+    # sketch-sized joins on top. BFS: frontier x edge equi-joins, seeds
+    # and edges both 10x within-replica -> linear. EWMA: fixed 16x
+    # fan-out + keyed agg -> scan-linear. Roundtrip: encode's shape
+    # plus a doc-keyed positional reassembly -> scan-linear. ER:
+    # PassJoin blocking scales with names (cross-replica pairs sit at
+    # d=2 by the c_name re-derivation, outside the d<=1 radius).
+    "events_user_kmv_distinct",
+    "events_type_kmv_overlap",
+    "parts_copurchase_bfs_3hop",
+    "events_user_ewma",
+    "corpus_bbpe_roundtrip",
+    "customer_entity_resolution",
+    # phash near-dup: the codec stage is per-row (linear); the 4x14-bit
+    # band join's candidate count grows ~n²/2^14 per band at FIXED band
+    # width — measured here precisely because the fix is a sizing rule,
+    # not a rewrite: production widens bands to ~2·log2(n) bits so
+    # per-bucket occupancy stays O(1) (same knob family as keep_ppm/
+    # DOULION-p). The growth ratio quantifies what the fixed width
+    # costs at 10x.
+    "multimodal_phash_near_dup_pairs",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}

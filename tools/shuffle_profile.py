@@ -56,6 +56,19 @@ PROFILE = [
     "corpus_length_quantiles_sketch",
     "events_user_hll_distinct",
     "corpus_bbpe_encode_stats_v2",
+    # r10 session 2: KMV's exchange is the distinct (key, h) pass
+    # (bounded by the keep_ppm gate at scale — profiled ungated here);
+    # the pair-overlap adds only sketch-sized joins on top. BFS bytes =
+    # frontier x edge joins per level. phash = 4-band self-join over
+    # the 56-bit hashes. Roundtrip = encode's explode + join + the
+    # positional reassembly groupBy.
+    "events_user_kmv_distinct",
+    "events_type_kmv_overlap",
+    "parts_copurchase_bfs_3hop",
+    "multimodal_phash_near_dup_pairs",
+    "corpus_bbpe_roundtrip",
+    "customer_entity_resolution",
+    "events_user_ewma",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
