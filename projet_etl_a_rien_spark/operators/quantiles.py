@@ -69,6 +69,12 @@ def bucketize(df: DataFrame, value_col: str, m: int = DEFAULT_M) -> DataFrame:
     octaves (where 2^e DIV m truncates) keep the multiply-first form,
     which cannot overflow there. Both forms are exactly
     floor((v - 2^e)·m / 2^e) in their octave range."""
+    return df.select(bucket_expr(value_col, m).alias("bucket"))
+
+
+def bucket_expr(value_col: str, m: int = DEFAULT_M):
+    """The bucket id as a reusable Column over ``value_col`` — shared
+    by the global and keyed builds."""
     lm = _log2m(m)
     v = F.col(value_col).cast("long")
     g = f"GREATEST(CAST({value_col} AS BIGINT), CAST(1 AS BIGINT))"
@@ -80,9 +86,7 @@ def bucketize(df: DataFrame, value_col: str, m: int = DEFAULT_M) -> DataFrame:
         f" ELSE ({g} - {p}) * {m} DIV {p} END"
     )
     b = (e.cast("long") * m + i).cast("long")
-    return df.select(
-        F.when(v <= 0, F.lit(-1).cast("long")).otherwise(b).alias("bucket")
-    )
+    return F.when(v <= 0, F.lit(-1).cast("long")).otherwise(b)
 
 
 def quantile_sketch_build(
@@ -290,3 +294,111 @@ def compact_sketch(spark, path: str) -> int:
     )[:1]
     _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
     return max_b
+
+
+# ---------------------------------------------------------------------------
+# KEYED (per-group) sketch — "p99 document length PER LANGUAGE served
+# from state". Same grid, same integer arithmetic; the sketch is
+# (key, bucket, cnt) with at most 64·m+1 cells per key, the merge is
+# the same cell-wise SUM, and the query walks each key's own bounded
+# cell array. The quantile axis is an exploded LITERAL array (no join,
+# no 1-row crossJoin needed), so the whole serve side is a per-key
+# projection over grid-sized data.
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch_build_keyed(
+    df: DataFrame, key_col: str, value_col: str, m: int = DEFAULT_M
+) -> DataFrame:
+    """(key, bucket, cnt) — at most 64·m+1 cells per key. Shuffle is
+    O(tasks · keys · grid): partial aggregation collapses each task's
+    contribution before the exchange."""
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            bucket_expr(value_col, m).alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def quantile_sketch_merge_keyed(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise SUM per key — additive-MV merge, keyed."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("key", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_sketch_query_keyed(
+    sketch: DataFrame, q_ppms: list[int], m: int = DEFAULT_M
+) -> DataFrame:
+    """Serve per-key quantiles FROM the keyed sketch: (key, q_ppm,
+    n_total, target_rank, bucket, est_lo, est_hi) — the same rank walk
+    as the global query, run over each key's own sorted cell array
+    (bounded ≤ 64·m+1 by construction). Join-free: the quantile axis
+    explodes a literal array."""
+    cells_df = sketch.groupBy("key").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias(
+            "cells"
+        )
+    )
+    both = cells_df.select(
+        "key",
+        "cells",
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in q_ppms])
+        ).alias("q_ppm"),
+    ).select(
+        "key",
+        "q_ppm",
+        F.expr(
+            "aggregate(cells, 0L, (a, c) -> a + c.cnt)"
+        ).alias("n_total"),
+        F.expr(
+            "(q_ppm * aggregate(cells, 0L, (a, c) -> a + c.cnt)"
+            " + 999999) DIV 1000000"
+        ).alias("target_rank"),
+        "cells",
+    )
+    walk = F.aggregate(
+        F.col("cells"),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("bkt"),
+        ),
+        lambda acc, c: F.struct(
+            (acc["cum"] + c["cnt"]).alias("cum"),
+            F.when(
+                acc["bkt"].isNull()
+                & (acc["cum"] + c["cnt"] >= F.col("target_rank")),
+                c["bucket"],
+            )
+            .otherwise(acc["bkt"])
+            .alias("bkt"),
+        ),
+        lambda acc: acc["bkt"],
+    )
+    picked = both.select(
+        "key", "q_ppm", "n_total", "target_rank", walk.alias("bucket")
+    )
+    lo = F.expr(_lo_sql("bucket", m))
+    top = 62 * m + m - 1
+    hi = F.expr(
+        f"CASE WHEN bucket >= {top} THEN CAST({MAX_LONG} AS BIGINT)"
+        f" ELSE {_hi_sql('bucket', m)} END"
+    )
+    return picked.select(
+        "key",
+        "q_ppm",
+        "n_total",
+        "target_rank",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.when(F.col("bucket") < 0, F.lit(0).cast("long"))
+        .otherwise(lo.cast("long"))
+        .alias("est_lo"),
+        F.when(F.col("bucket") < 0, F.lit(1).cast("long"))
+        .otherwise(hi.cast("long"))
+        .alias("est_hi"),
+    )

@@ -1578,3 +1578,102 @@ def q_multimodal_phash_near_dup_pairs(
         "id_b",
         F.bit_count(F.expr("ha ^ hb")).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= PHASH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# KEYED quantile sketch — "p99 document length PER LANGUAGE served from
+# state": the grouped form of corpus_length_quantiles_sketch. Same
+# log-linear grid and integer rank walk, one bounded cell array PER
+# KEY; the quantile axis explodes a literal, so the serve side is
+# join-free over grid-sized data.
+# ---------------------------------------------------------------------------
+
+
+def _qsketch_keyed_oracle(m: int, q_ppms: list[int]) -> str:
+    from .operators.quantiles import MAX_LONG, _hi_sql, _lo_sql, _log2m
+
+    lm = _log2m(m)
+    vals = ", ".join(f"({p})" for p in q_ppms)
+    g = "GREATEST(val, CAST(1 AS BIGINT))"
+    p2 = f"CAST(pow(2, length(bin({g})) - 1) AS BIGINT)"
+    lo = _lo_sql("bucket", m).replace(" DIV ", " // ")
+    hi = _hi_sql("bucket", m).replace(" DIV ", " // ")
+    top = 62 * m + m - 1
+    return f"""
+WITH v AS (SELECT lang AS key, CAST(n_chars AS BIGINT) AS val
+           FROM documents),
+b AS (
+    SELECT key,
+           CASE WHEN val <= 0 THEN CAST(-1 AS BIGINT)
+           ELSE CAST(length(bin({g})) - 1 AS BIGINT) * {m}
+                + (CASE WHEN length(bin({g})) - 1 >= {lm}
+                   THEN ({g} - {p2}) // ({p2} // {m})
+                   ELSE ({g} - {p2}) * {m} // {p2} END)
+           END AS bucket
+    FROM v
+),
+s AS (SELECT key, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY key, bucket),
+c AS (SELECT key, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY key) AS n
+      FROM s),
+qs(q_ppm) AS (VALUES {vals}),
+t AS (SELECT k.key, CAST(qs.q_ppm AS BIGINT) AS q_ppm,
+             CAST(k.n AS BIGINT) AS n_total,
+             (qs.q_ppm * k.n + 999999) // 1000000 AS target_rank
+      FROM qs, (SELECT DISTINCT key, n FROM c) k),
+p AS (SELECT t.key, t.q_ppm, t.n_total, t.target_rank,
+             MIN(c.bucket) AS bucket
+      FROM t JOIN c ON c.key = t.key AND c.cum >= t.target_rank
+      GROUP BY 1, 2, 3, 4)
+SELECT key AS lang, q_ppm, n_total,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN bucket < 0 THEN 0 ELSE {lo} END AS BIGINT) AS est_lo,
+       CAST(CASE WHEN bucket < 0 THEN 1
+            WHEN bucket >= {top} THEN {MAX_LONG}
+            ELSE {hi} END AS BIGINT) AS est_hi
+FROM p
+"""
+
+
+@register(
+    "doc_length_quantiles_by_lang_sketch",
+    _qsketch_keyed_oracle(QSK_M, QSK_QPPMS),
+    doc="Per-LANGUAGE document-length quantiles (p25/p50/p90/p99) "
+    "served from the KEYED mergeable histogram sketch: three disjoint "
+    "document batches build (key, bucket, cnt) grids independently, "
+    "grids SUM-merge per key (additivity pinned by the global entry's "
+    "test), and each language's quantiles come from a rank walk over "
+    "its OWN bounded cell array (<= 64*m+1 cells per key; the "
+    "quantile axis explodes a literal — the serve side is join-free "
+    "over grid-sized data). Build shuffle is O(tasks * keys * grid). "
+    "This is the per-tenant/per-domain percentile dashboard shape: "
+    "one state table serves every (key, q) pair without rescanning "
+    "the corpus.",
+)
+def q_doc_length_quantiles_by_lang_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import quantiles as Q
+
+    docs = _docs(spark, sf_dir)
+    parts = [
+        Q.quantile_sketch_build_keyed(
+            docs.where(F.col("doc_id") % 3 == k), "lang", "n_chars", QSK_M
+        )
+        for k in range(3)
+    ]
+    merged = Q.quantile_sketch_merge_keyed(*parts)
+    return Q.quantile_sketch_query_keyed(merged, QSK_QPPMS, QSK_M).select(
+        F.col("key").alias("lang"),
+        "q_ppm",
+        "n_total",
+        "target_rank",
+        "bucket",
+        "est_lo",
+        "est_hi",
+    )

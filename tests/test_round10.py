@@ -1149,3 +1149,48 @@ def test_phash_exact_dup_distance_zero_and_pairs_complete(spark, sf_dir):
     ).fetchall()
     for (d,) in planted:
         assert pairs.get((d, d + 1_000_000)) == 0, d
+
+
+def test_keyed_quantile_sketch_merge_and_error_bound(spark):
+    """Keyed merge == one-shot keyed build, and each key's served
+    est_lo is a one-sided under-estimate within the 1/m relative-error
+    contract of that key's own exact quantile."""
+    rows = [("a", 10 + i) for i in range(400)] + [
+        ("b", 100_000 + 37 * i) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    parts = [
+        _Q.quantile_sketch_build_keyed(
+            df.where(F.col("v") % 3 == i),
+            "k",
+            "v",
+            16,
+        )
+        for i in range(3)
+    ]
+    merged = {
+        (r.key, r.bucket): r.cnt
+        for r in _Q.quantile_sketch_merge_keyed(*parts).collect()
+    }
+    direct = {
+        (r.key, r.bucket): r.cnt
+        for r in _Q.quantile_sketch_build_keyed(df, "k", "v", 16).collect()
+    }
+    assert merged == direct
+    served = {
+        (r.key, r.q_ppm): (r.est_lo, r.est_hi)
+        for r in _Q.quantile_sketch_query_keyed(
+            _Q.quantile_sketch_build_keyed(df, "k", "v", 16),
+            [500_000, 990_000],
+            16,
+        ).collect()
+    }
+    import math
+
+    by_key = {"a": sorted(v for k, v in rows if k == "a"),
+              "b": sorted(v for k, v in rows if k == "b")}
+    for (key, q), (lo, hi) in served.items():
+        vals = by_key[key]
+        true = vals[math.ceil(q * len(vals) / 1_000_000) - 1]
+        assert lo <= true < hi, (key, q, lo, true, hi)
+        assert (hi - lo) <= max(1, lo // 16 + 1), (key, q, lo, hi)
