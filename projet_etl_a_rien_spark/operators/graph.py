@@ -714,3 +714,58 @@ def bounded_bfs(
         )
         frontier = nxt
     return out
+
+
+def bounded_bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """(node, cost) — minimum total edge weight from the seed set over
+    the undirected weighted graph, restricted to paths of at most
+    ``max_hops`` edges: Bellman-Ford with a fixed relaxation-round
+    budget. Unlike BFS, a node's cost can IMPROVE at a later hop (a
+    2-edge detour may be cheaper than a direct edge), so every round
+    relaxes the full best-so-far table — best_h = min(best_{h-1},
+    min over edges (best_{h-1}[u] + w(u,v))) — one equi-join + one
+    keyed MIN per round, plan depth fixed by the hop budget. Integer
+    weights keep the fold exact cross-engine."""
+    sym = (
+        edges.select(
+            F.col(src_col).alias("u"),
+            F.col(dst_col).alias("v"),
+            F.col(weight_col).alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("u"),
+                F.col(src_col).alias("v"),
+                F.col(weight_col).alias("w"),
+            )
+        )
+        .distinct()
+    )
+    best = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("cost"))
+    )
+    for _h in range(max_hops):
+        relax = (
+            best.select(F.col("node").alias("u"), "cost")
+            .join(sym, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("cost") + F.col("w")).cast("long").alias("cost"),
+            )
+        )
+        best = (
+            best.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return best

@@ -1677,3 +1677,86 @@ def q_doc_length_quantiles_by_lang_sketch(
         "est_lo",
         "est_hi",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford (operators/graph.py bounded_bellman_ford) — the
+# WEIGHTED companion to the BFS entry: cheapest path within a hop
+# budget, where a 2-edge detour can beat a direct edge (the case hop
+# counting cannot see). Edge weight = 1 + 10000 DIV copurchase_count:
+# frequently co-purchased part pairs are cheap to traverse, rare pairs
+# expensive — the affinity-distance the recommendation literature uses.
+# ---------------------------------------------------------------------------
+
+
+def _bf_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+           GREATEST(a.l_partkey, b.l_partkey) AS v,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+wedges AS (SELECT u, v, CAST(1 + 10000 // cnt AS BIGINT) AS w FROM pairs),
+sym AS (SELECT u, v, w FROM wedges UNION SELECT v, u, w FROM wedges),
+seeds AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+          WHERE l_partkey % {BFS_SEED_MOD} = 0),
+walk(node, cost, d) AS (
+    SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+    UNION ALL
+    SELECT s.v, w.cost + s.w, w.d + 1
+    FROM walk w JOIN sym s ON w.node = s.u
+    WHERE w.d < {BFS_HOPS}
+)
+SELECT node AS part_id, CAST(MIN(cost) AS BIGINT) AS cost
+FROM walk GROUP BY node
+"""
+
+
+@register(
+    "parts_copurchase_cheapest_3hop",
+    _bf_oracle(),
+    doc=f"Cheapest affinity path (<= {BFS_HOPS} edges) from the same "
+    "seed set as the BFS entry, edge weight 1 + 10000 DIV "
+    "copurchase-count: bounded Bellman-Ford — each relaxation round is "
+    "one equi-join + one keyed MIN over the best-so-far table, plan "
+    "depth fixed by the hop budget. Unlike BFS a settled node can "
+    "IMPROVE at a later hop (two popular edges can undercut one rare "
+    "direct edge), which is why the whole table relaxes each round "
+    "instead of an anti-joined frontier. Integer weights end-to-end; "
+    "the oracle enumerates all <= 3-edge paths with a recursive CTE "
+    "and MINs the cost — two constructions, one answer. Reaches the "
+    "same node set as parts_copurchase_bfs_3hop by construction.",
+)
+def q_parts_copurchase_cheapest_3hop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.graph import bounded_bellman_ford
+    from .queries_round8 import _copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.where(F.col("l_partkey") % BFS_SEED_MOD == 0)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    wedges = (
+        _copurchase_edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "src",
+            "dst",
+            (F.lit(1) + F.expr("10000 DIV cnt")).cast("long").alias("w"),
+        )
+    )
+    return bounded_bellman_ford(
+        wedges, seeds, max_hops=BFS_HOPS
+    ).select(
+        F.col("node").alias("part_id"),
+        F.col("cost").cast("long").alias("cost"),
+    )

@@ -1194,3 +1194,36 @@ def test_keyed_quantile_sketch_merge_and_error_bound(spark):
         true = vals[math.ceil(q * len(vals) / 1_000_000) - 1]
         assert lo <= true < hi, (key, q, lo, true, hi)
         assert (hi - lo) <= max(1, lo // 16 + 1), (key, q, lo, hi)
+
+
+def test_bounded_bellman_ford_detour_beats_direct(spark):
+    """The weighted case BFS cannot see: a 2-edge detour (3+3=6)
+    undercuts the direct edge (100), and the hop budget still excludes
+    paths longer than max_hops."""
+    from projet_etl_a_rien_spark.operators.graph import (
+        bounded_bellman_ford,
+        bounded_bfs,
+    )
+
+    edges = [
+        (1, 2, 100),  # direct but expensive
+        (1, 3, 3), (3, 2, 3),  # 2-edge detour, cost 6
+        (2, 4, 1), (4, 5, 1), (5, 6, 1),  # 6 is 4 hops via cheap chain
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.cost
+        for r in bounded_bellman_ford(e, s, max_hops=3).collect()
+    }
+    assert got[2] == 6  # detour wins
+    assert got[4] == 7  # detour + 1
+    assert 6 not in got  # 4 edges > hop budget
+    # same reachable node set as BFS at the same budget
+    bfs_nodes = {
+        r.node
+        for r in bounded_bfs(
+            e.select("src", "dst"), s, max_hops=3
+        ).collect()
+    }
+    assert set(got) == bfs_nodes
