@@ -1760,3 +1760,63 @@ def q_parts_copurchase_cheapest_3hop(
         F.col("node").alias("part_id"),
         F.col("cost").cast("long").alias("cost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV under a REAL streaming query — the MV entry above lands partials
+# with batch writes to prove the fold algebra; this one drives the
+# actual writeStream.foreachBatch machinery (availableNow replay,
+# checkpointed micro-batches) into the same sink layout, compacts, and
+# serves — the full "distinct users per key, maintained by a stream,
+# intersectable later" deployment shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_kmv_foreachbatch",
+    _kmv_distinct_oracle(),
+    doc="KMV bottom-k sketches maintained by a REAL Structured "
+    "Streaming query: the events replay runs through writeStream."
+    "foreachBatch (availableNow, checkpointed), each micro-batch "
+    "reduced to its <= k-rows-per-key partial INSIDE the batch "
+    "callback (the corpus-scale work happens at ingest, the sink "
+    "stores sketch-sized state), then a compaction min-k-folds the "
+    "landed partials and the estimates are served from the folded "
+    "sketch. Min-k idempotence is what makes foreachBatch's "
+    "at-least-once replay contract EXACT here — a replayed batch "
+    "re-lands the same hashes. Oracle is the one-pass KMV SQL: "
+    "stream-built == one-shot is the end-to-end guarantee.",
+)
+def q_streaming_kmv_foreachbatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators import sketches as S
+    from .streaming.windows import replay_events_stream
+
+    path = tempfile.mkdtemp(prefix="kmvfeb_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_kmvfeb_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        S.write_kmv_partial(
+            batch_df, path, batch_id, "event_type", "user_id"
+        )
+
+    try:
+        q = (
+            replay_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        S.compact_kmv(spark, path)
+        sk = S.read_kmv(spark, path).localCheckpoint(eager=True)
+        return _kmv_stats_with_truth(spark, sf_dir, sk)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)

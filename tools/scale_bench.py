@@ -163,6 +163,8 @@ SPOT = [
     "events_user_kmv_distinct",
     "events_type_kmv_overlap",
     "parts_copurchase_bfs_3hop",
+    "parts_copurchase_cheapest_3hop",
+    "doc_length_quantiles_by_lang_sketch",
     "events_user_ewma",
     "corpus_bbpe_roundtrip",
     "customer_entity_resolution",

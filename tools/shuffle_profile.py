@@ -69,6 +69,8 @@ PROFILE = [
     "corpus_bbpe_roundtrip",
     "customer_entity_resolution",
     "events_user_ewma",
+    "doc_length_quantiles_by_lang_sketch",
+    "parts_copurchase_cheapest_3hop",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
