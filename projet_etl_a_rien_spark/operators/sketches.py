@@ -425,14 +425,24 @@ def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
-def kmv_stats(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+def kmv_stats(
+    sk: DataFrame, k: int = KMV_K, keep_ppm: int | None = None
+) -> DataFrame:
     """Per-key cardinality estimates from a sketch: (key, kmv_size,
-    theta, est). A sketch that saw fewer than k distinct hashes is
-    EXACT (it holds every hash): theta = 2^48, est = size. Otherwise
-    theta = h_(k) and est = (k-1)·2^48 DIV theta — the classic KMV
-    estimator, all integer."""
+    theta, est) — the fixed-threshold theta-sketch estimator. With
+    fewer than k retained hashes the effective theta is the BUILD
+    GATE's threshold (2^48 when ungated — every hash was retained, so
+    est = size·2^48 DIV 2^48 = size, EXACT); at k or more it is h_(k)
+    and est = (k-1)·2^48 DIV h_(k), the classic KMV form. One integer
+    formula covers gated and ungated builds — pass the same
+    ``keep_ppm`` the sketch was built with."""
+    gate = (
+        KMV_FULL
+        if keep_ppm is None
+        else (KMV_FULL * keep_ppm) // 1_000_000
+    )
     size = F.size("hs")
-    theta = F.when(size < k, F.lit(KMV_FULL)).otherwise(
+    theta = F.when(size < k, F.lit(gate)).otherwise(
         F.element_at("hs", k).cast("long")
     )
     return sk.select(
@@ -444,7 +454,12 @@ def kmv_stats(sk: DataFrame, k: int = KMV_K) -> DataFrame:
         "key",
         "kmv_size",
         "theta",
-        F.when(F.col("kmv_size") < k, F.col("kmv_size"))
+        F.when(
+            F.col("kmv_size") < k,
+            F.expr(
+                f"kmv_size * CAST({KMV_FULL} AS BIGINT) DIV {gate}"
+            ),
+        )
         .otherwise(
             F.expr(f"CAST({(k - 1) * KMV_FULL} AS BIGINT) DIV theta")
         )

@@ -660,39 +660,47 @@ def q_streaming_token_cms_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmv_bk_ctes() -> str:
+def _kmv_bk_ctes(keep_ppm: int | None = None) -> str:
     """Shared oracle CTEs: per-event-type bottom-k of distinct salted
     48-bit hashes + the per-key theta/est stats — the operator's exact
-    integer arithmetic in DuckDB."""
+    fixed-threshold theta-sketch arithmetic in DuckDB. ``keep_ppm``
+    mirrors the build gate: hashes at or above the threshold never
+    enter the sketch, and an undersized sketch's effective theta IS
+    the gate (2^48 ungated — where the estimator degrades to the exact
+    count)."""
     from .operators import sketches as S
 
     k, full = S.KMV_K, S.KMV_FULL
+    gate = full if keep_ppm is None else (full * keep_ppm) // 1_000_000
+    gate_where = "" if keep_ppm is None else f" WHERE h < {gate}"
     return f"""
 e AS (SELECT event_type AS key, CAST(user_id AS VARCHAR) AS v FROM events),
-hh AS (SELECT DISTINCT key,
-              CAST('0x' || substr(md5('kmv:' || v), 1, 12) AS BIGINT) AS h
-       FROM e),
+hh0 AS (SELECT DISTINCT key,
+               CAST('0x' || substr(md5('kmv:' || v), 1, 12) AS BIGINT) AS h
+        FROM e),
+hh AS (SELECT key, h FROM hh0{gate_where}),
 r AS (SELECT key, h,
              row_number() OVER (PARTITION BY key ORDER BY h) AS rn
       FROM hh),
 bk AS (SELECT key, h, rn FROM r WHERE rn <= {k}),
 st AS (SELECT key,
               CAST(COUNT(*) AS BIGINT) AS kmv_size,
-              CAST(CASE WHEN COUNT(*) < {k} THEN {full}
+              CAST(CASE WHEN COUNT(*) < {k} THEN {gate}
                    ELSE MAX(CASE WHEN rn = {k} THEN h END)
                    END AS BIGINT) AS theta,
               CAST(SUM(h) AS BIGINT) AS hs_sum
        FROM bk GROUP BY key),
 est AS (SELECT key, kmv_size, theta, hs_sum,
-               CAST(CASE WHEN kmv_size < {k} THEN kmv_size
+               CAST(CASE WHEN kmv_size < {k}
+                    THEN kmv_size * CAST({full} AS BIGINT) // {gate}
                     ELSE {(k - 1) * full} // theta END AS BIGINT) AS est
         FROM st)
 """
 
 
-def _kmv_distinct_oracle() -> str:
+def _kmv_distinct_oracle(keep_ppm: int | None = None) -> str:
     return f"""
-WITH {_kmv_bk_ctes()},
+WITH {_kmv_bk_ctes(keep_ppm)},
 tru AS (SELECT event_type AS key,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
         FROM events GROUP BY 1)
@@ -740,13 +748,15 @@ FROM fin f JOIN tru2 t ON f.key_a = t.key_a AND f.key_b = t.key_b
 """
 
 
-def _kmv_stats_with_truth(spark: SparkSession, sf_dir: str, sk) -> DataFrame:
+def _kmv_stats_with_truth(
+    spark: SparkSession, sf_dir: str, sk, keep_ppm: int | None = None
+) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .operators import sketches as S
 
     ev = load_table(spark, sf_dir, "events")
-    st = S.kmv_stats(sk).select(
+    st = S.kmv_stats(sk, keep_ppm=keep_ppm).select(
         "key",
         "kmv_size",
         "theta",
@@ -1820,3 +1830,40 @@ def q_streaming_kmv_foreachbatch(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# The keep_ppm knob as a REGISTERED operating point (the DOULION-p10
+# precedent): the gated build drops 4 of 5 hashes BEFORE the distinct
+# exchange, and the fixed-threshold estimator scales undersized
+# sketches back up by the inverse keep rate. Profiled beside the
+# ungated entry so the shuffle cut is a measured fact.
+# ---------------------------------------------------------------------------
+
+KMV_GATE_PPM = 200_000  # keep h < 0.2 * 2^48
+
+
+@register(
+    "events_user_kmv_distinct_gated",
+    _kmv_distinct_oracle(KMV_GATE_PPM),
+    doc="The KMV build under a keep_ppm = 200000 pre-filter gate — the "
+    "100 TB operating point registered as its own entry (the "
+    "DOULION-p10 precedent): only hashes below 0.2*2^48 reach the "
+    "distinct exchange, cutting its volume 5x (profiled beside the "
+    "ungated entry in SHUFFLE_PROFILE). The estimator is the "
+    "fixed-threshold theta form: >= k survivors -> the usual "
+    "(k-1)*2^48 DIV h_(k) (identical to ungated whenever the gate is "
+    "lossless, test-pinned); < k survivors -> size*2^48 DIV gate "
+    "(scale up by the inverse keep rate — at tiny scales this trades "
+    "exactness for the bounded exchange, visible in the carried "
+    "true_distinct column). Same hs_sum content checksum through the "
+    "gate.",
+)
+def q_events_user_kmv_distinct_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import sketches as S
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = S.kmv_sketch(ev, "event_type", "user_id", keep_ppm=KMV_GATE_PPM)
+    return _kmv_stats_with_truth(spark, sf_dir, sk, keep_ppm=KMV_GATE_PPM)

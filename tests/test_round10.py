@@ -1227,3 +1227,34 @@ def test_bounded_bellman_ford_detour_beats_direct(spark):
         ).collect()
     }
     assert set(got) == bfs_nodes
+
+
+def test_kmv_gated_estimator_scales_up_undersized_sketches(spark):
+    """Fixed-threshold theta estimator: a gate that leaves >= k
+    survivors changes nothing (lossless — same est as ungated); a gate
+    that leaves < k survivors estimates size·2^48 DIV gate, i.e. the
+    count scaled by the inverse keep rate, landing near truth."""
+    rows = [("big", f"u{i}") for i in range(5000)] + [
+        ("mid", f"u{i}") for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    ppm = 200_000
+    gated = {
+        r.key: (r.kmv_size, r.theta, r.est)
+        for r in _S.kmv_stats(
+            _S.kmv_sketch(df, "k", "v", keep_ppm=ppm), keep_ppm=ppm
+        ).collect()
+    }
+    ungated = {
+        r.key: r.est
+        for r in _S.kmv_stats(_S.kmv_sketch(df, "k", "v")).collect()
+    }
+    # big: ~1000 survivors >> k=64 -> identical estimate to ungated
+    assert gated["big"][2] == ungated["big"]
+    # mid: ~24 survivors < k -> scaled-up count, near 120 (3-sigma on
+    # a binomial(120, 0.2) sample => generous band)
+    size, theta, est = gated["mid"]
+    assert size < _S.KMV_K
+    assert theta == (_S.KMV_FULL * ppm) // 1_000_000
+    assert est == size * _S.KMV_FULL // theta
+    assert abs(est - 120) / 120 < 0.75, gated["mid"]

@@ -63,6 +63,7 @@ PROFILE = [
     # the 56-bit hashes. Roundtrip = encode's explode + join + the
     # positional reassembly groupBy.
     "events_user_kmv_distinct",
+    "events_user_kmv_distinct_gated",
     "events_type_kmv_overlap",
     "parts_copurchase_bfs_3hop",
     "multimodal_phash_near_dup_pairs",
