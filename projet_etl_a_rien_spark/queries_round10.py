@@ -1867,3 +1867,114 @@ def q_events_user_kmv_distinct_gated(
     ev = load_table(spark, sf_dir, "events")
     sk = S.kmv_sketch(ev, "event_type", "user_id", keep_ppm=KMV_GATE_PPM)
     return _kmv_stats_with_truth(spark, sf_dir, sk, keep_ppm=KMV_GATE_PPM)
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix from KMV sketches over SHINGLE sets — the
+# dataset-overlap question ("how much of source A's content appears in
+# source B?") answered from k·8-byte sketches instead of a corpus-scale
+# gram self-join: per-source bottom-64 over 8-gram hashes, then the
+# same theta-sketch pair operator as the user-set entry. This is the
+# canonical Datasketches use case, and the sketch build is the ONLY
+# corpus-scale pass.
+# ---------------------------------------------------------------------------
+
+SRC_KMV_N = 8  # gram width, matching the contamination gates
+
+
+def _src_kmv_oracle() -> str:
+    from .operators import sketches as S
+
+    k, full, n = S.KMV_K, S.KMV_FULL, SRC_KMV_N
+    gram_list = (
+        f"list_distinct(list_transform("
+        f"range(len(string_split(text, ' ')) - {n - 1}),"
+        f" i -> array_to_string(string_split(text, ' ')[i + 1:i + {n}], ' ')))"
+    )
+    return f"""
+WITH e AS (
+    SELECT DISTINCT source AS key, unnest({gram_list}) AS v
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {n}
+),
+hh AS (SELECT DISTINCT key,
+              CAST('0x' || substr(md5('kmv:' || v), 1, 12) AS BIGINT) AS h
+       FROM e),
+r AS (SELECT key, h,
+             row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+      FROM hh),
+bk AS (SELECT key, h, rn FROM r WHERE rn <= {k}),
+st AS (SELECT key,
+              CAST(COUNT(*) AS BIGINT) AS kmv_size,
+              CAST(CASE WHEN COUNT(*) < {k} THEN {full}
+                   ELSE MAX(CASE WHEN rn = {k} THEN h END)
+                   END AS BIGINT) AS theta
+       FROM bk GROUP BY key),
+est AS (SELECT key, kmv_size, theta,
+               CAST(CASE WHEN kmv_size < {k} THEN kmv_size
+                    ELSE {(k - 1) * full} // theta END AS BIGINT) AS est
+        FROM st),
+p AS (SELECT a.key AS key_a, b.key AS key_b, a.h
+      FROM bk a JOIN bk b ON a.h = b.h AND a.key < b.key),
+pj AS (SELECT p.key_a, p.key_b, p.h,
+             LEAST(sa.theta, sb.theta) AS theta_min,
+             sa.est AS est_a, sb.est AS est_b
+      FROM p JOIN est sa ON p.key_a = sa.key
+             JOIN est sb ON p.key_b = sb.key),
+agg AS (SELECT key_a, key_b, theta_min, est_a, est_b,
+               CAST(SUM(CASE WHEN h <= theta_min THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match
+        FROM pj GROUP BY 1, 2, 3, 4, 5),
+fin AS (SELECT key_a, key_b, n_match, theta_min, est_a, est_b,
+               CAST(CASE WHEN theta_min >= {full} THEN n_match
+                    ELSE n_match * {full} // theta_min
+                    END AS BIGINT) AS est_inter
+        FROM agg)
+SELECT key_a AS source_a, key_b AS source_b, n_match, theta_min,
+       est_a, est_b, est_inter,
+       CAST(est_a + est_b - est_inter AS BIGINT) AS est_union,
+       CAST(est_inter * 1000000
+            // (est_a + est_b - est_inter) AS BIGINT) AS jaccard_ppm
+FROM fin
+"""
+
+
+@register(
+    "source_shingle_kmv_overlap",
+    _src_kmv_oracle(),
+    doc=f"Pairwise CONTENT overlap between corpus sources from KMV "
+    f"bottom-{64} sketches over {SRC_KMV_N}-gram shingle sets — "
+    "'how much of source A appears in source B' (the datacard / "
+    "licensing / contamination triage question) answered from "
+    "k*8-byte state per source: theta-sketch intersection over shared "
+    "hashes below theta_min, union by inclusion-exclusion, Jaccard in "
+    "ppm. The sketch build is the only corpus-scale pass (one shingle "
+    "explode + one distinct); the pair math touches sketch-sized data "
+    "only. Same operator as the user-set entry applied to a different "
+    "keyed set — the point of making set-ops a primitive.",
+)
+def q_source_shingle_kmv_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+    from .operators.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        F.col("source").alias("key"),
+        F.explode(shingles("text", SRC_KMV_N)).alias("g"),
+    )
+    sk = S.kmv_sketch(grams, "key", "g")
+    return S.kmv_pair_overlap(sk).select(
+        F.col("key_a").alias("source_a"),
+        F.col("key_b").alias("source_b"),
+        "n_match",
+        "theta_min",
+        "est_a",
+        "est_b",
+        "est_inter",
+        "est_union",
+        "jaccard_ppm",
+    )
