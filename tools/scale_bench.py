@@ -162,6 +162,7 @@ SPOT = [
     # d=2 by the c_name re-derivation, outside the d<=1 radius).
     "events_user_kmv_distinct",
     "events_user_kmv_distinct_gated",
+    "source_shingle_kmv_overlap",
     "events_type_kmv_overlap",
     "parts_copurchase_bfs_3hop",
     "parts_copurchase_cheapest_3hop",

@@ -64,6 +64,7 @@ PROFILE = [
     # positional reassembly groupBy.
     "events_user_kmv_distinct",
     "events_user_kmv_distinct_gated",
+    "source_shingle_kmv_overlap",
     "events_type_kmv_overlap",
     "parts_copurchase_bfs_3hop",
     "multimodal_phash_near_dup_pairs",
