@@ -1978,3 +1978,133 @@ def q_source_shingle_kmv_overlap(
         "est_union",
         "jaccard_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users from HLL REGISTER ALGEBRA — the
+# composition dividend of mergeable sketches over TIME: per-hour
+# register grids are built once (the only corpus-scale pass), and ANY
+# window is the MAX-fold of its member hours' grids — distinct-users
+# per 3-hour sliding window here, but the same O(hours x m) state
+# answers any window width without rescanning events (the classic
+# "sliding HyperLogLog" construction).
+# ---------------------------------------------------------------------------
+
+HLL_WIN_HOURS = 3
+
+
+def _hll_sliding_oracle() -> str:
+    from .operators import sketches as S
+
+    m, wbits, win = S.HLL_M, S.HLL_W, HLL_WIN_HOURS
+    pw = 1 << wbits
+    lc = S._hll_lc_table(m)
+    lc_list = "[" + ", ".join(str(x) for x in lc) + "]"
+    return f"""
+WITH e AS (SELECT date_trunc('hour', ts) AS hr,
+                  CAST(user_id AS VARCHAR) AS v
+           FROM events),
+r AS (
+    SELECT hr,
+           CAST('0x' || substr(md5('hll:r:' || v), 1, 8) AS BIGINT) % {m}
+               AS j,
+           CAST('0x' || substr(md5('hll:v:' || v), 1, 8) AS BIGINT) % {pw}
+               AS w
+    FROM e
+),
+g AS (SELECT hr, j,
+             MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                 ELSE {wbits + 1} - length(bin(w)) END) AS mx
+      FROM r GROUP BY hr, j),
+hours AS (SELECT DISTINCT hr FROM e),
+fan AS (SELECT g.hr + to_hours(i.i) AS tgt, g.j, g.mx
+        FROM g, (SELECT unnest(range(0, {win})) AS i) i),
+g2 AS (SELECT f.tgt, f.j, MAX(f.mx) AS mx
+       FROM fan f JOIN hours h ON f.tgt = h.hr GROUP BY 1, 2),
+k AS (SELECT tgt,
+             CAST({m} - COUNT(*) AS BIGINT) AS n_zero_registers,
+             CAST(SUM(CAST(pow(2, {wbits} - mx) AS BIGINT))
+                  + ({m} - COUNT(*)) * {pw} AS BIGINT) AS s24
+      FROM g2 GROUP BY tgt),
+est AS (SELECT tgt, n_zero_registers, s24,
+               CAST({S.HLL_ALPHA_NUM} AS BIGINT) * {m * m} * {pw}
+                   // ({S.HLL_ALPHA_DEN} * s24) AS hll_raw_est
+        FROM k),
+du AS (SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events),
+tfan AS (SELECT du.hr + to_hours(i.i) AS tgt, du.user_id
+         FROM du, (SELECT unnest(range(0, {win})) AS i) i),
+tru AS (SELECT f.tgt, CAST(COUNT(DISTINCT f.user_id) AS BIGINT)
+                   AS true_distinct
+        FROM tfan f JOIN hours h ON f.tgt = h.hr GROUP BY f.tgt)
+SELECT est.tgt AS window_end_hour, est.n_zero_registers, est.s24,
+       CAST(est.hll_raw_est AS BIGINT) AS hll_raw_est,
+       CAST(CASE WHEN est.hll_raw_est <= {int(2.5 * m)}
+                  AND est.n_zero_registers > 0
+            THEN {lc_list}[est.n_zero_registers]
+            ELSE est.hll_raw_est END AS BIGINT) AS est,
+       tru.true_distinct
+FROM est JOIN tru ON est.tgt = tru.tgt
+"""
+
+
+@register(
+    "events_sliding_hll_windows",
+    _hll_sliding_oracle(),
+    doc=f"Distinct users per {HLL_WIN_HOURS}-hour SLIDING window from "
+    "HLL register ALGEBRA: per-hour register grids are built in the "
+    "one corpus-scale pass, and each window is the MAX-fold of its "
+    "member hours' grids (register union == set union) — the classic "
+    "sliding-HyperLogLog construction. O(hours x m) state answers any "
+    "window width; events are never rescanned per window. The "
+    "window fold is the same bounded fan-out shape as the EWMA entry "
+    "(hour grid -> <= 3 target windows, map-side-combinable MAX). "
+    "Small windows exercise the linear-counting branch through the "
+    "shared precomputed table; true_distinct carried per window for "
+    "the accuracy property.",
+)
+def q_events_sliding_hll_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts")).alias("hr")
+    grid = S.hll_registers(
+        ev.select(hr, "user_id"), "hr", "user_id"
+    ).withColumnsRenamed({"key": "hr"})
+    hours = ev.select(hr).distinct()
+    off = F.explode(F.sequence(F.lit(0), F.lit(HLL_WIN_HOURS - 1))).alias(
+        "i"
+    )
+    fan = grid.select("hr", "j", "mx", off).select(
+        F.expr("hr + make_interval(0, 0, 0, 0, i, 0, 0)").alias("tgt"),
+        "j",
+        "mx",
+    )
+    g2 = (
+        fan.join(hours.withColumnsRenamed({"hr": "tgt"}), "tgt")
+        .groupBy("tgt", "j")
+        .agg(F.max("mx").alias("mx"))
+        .withColumnsRenamed({"tgt": "key"})
+    )
+    est = S.hll_estimate(g2)
+    du = ev.select(hr, "user_id").distinct()
+    tfan = du.select("hr", "user_id", off).select(
+        F.expr("hr + make_interval(0, 0, 0, 0, i, 0, 0)").alias("tgt"),
+        "user_id",
+    )
+    tru = (
+        tfan.join(hours.withColumnsRenamed({"hr": "tgt"}), "tgt")
+        .groupBy("tgt")
+        .agg(F.countDistinct("user_id").alias("true_distinct"))
+    )
+    return est.join(tru, est.key == tru.tgt).select(
+        F.col("key").alias("window_end_hour"),
+        "n_zero_registers",
+        "s24",
+        "hll_raw_est",
+        "est",
+        "true_distinct",
+    )

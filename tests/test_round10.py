@@ -1258,3 +1258,48 @@ def test_kmv_gated_estimator_scales_up_undersized_sketches(spark):
     assert theta == (_S.KMV_FULL * ppm) // 1_000_000
     assert est == size * _S.KMV_FULL // theta
     assert abs(est - 120) / 120 < 0.75, gated["mid"]
+
+
+def test_sliding_hll_fold_equals_direct_window_build(spark):
+    """The sliding construction's algebraic core: MAX-folding per-hour
+    register grids over a window equals building the registers directly
+    from the window's events — register union IS set union."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(6):
+        for u in range(h * 10, h * 10 + 30):  # overlapping user ranges
+            rows.append((base + _dt.timedelta(hours=h, minutes=u % 60),
+                         f"u{u % 40}"))
+    df = spark.createDataFrame(rows, "ts timestamp, v string")
+    hr = F.date_trunc("hour", F.col("ts")).alias("hr")
+    hourly = _S.hll_registers(df.select(hr, "v"), "hr", "v")
+    # window = hours 2..4: fold the three hourly grids
+    import pyspark.sql.functions as _F
+
+    h2 = base + _dt.timedelta(hours=2)
+    h4 = base + _dt.timedelta(hours=4)
+    folded = {
+        (r.j, r.mx)
+        for r in hourly.where(
+            (F.col("key") >= h2) & (F.col("key") <= h4)
+        )
+        .groupBy("j")
+        .agg(_F.max("mx").alias("mx"))
+        .collect()
+    }
+    direct = {
+        (r.j, r.mx)
+        for r in _S.hll_registers(
+            df.where(
+                (F.date_trunc("hour", F.col("ts")) >= h2)
+                & (F.date_trunc("hour", F.col("ts")) <= h4)
+            ).select(F.lit("w").alias("k"), "v"),
+            "k",
+            "v",
+        )
+        .select("j", "mx")
+        .collect()
+    }
+    assert folded == direct
