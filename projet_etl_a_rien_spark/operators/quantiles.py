@@ -402,3 +402,54 @@ def quantile_sketch_query_keyed(
         .otherwise(hi.cast("long"))
         .alias("est_hi"),
     )
+
+
+def quantile_sketch_cdf(
+    sketch: DataFrame,
+    df: DataFrame,
+    value_col: str,
+    m: int = DEFAULT_M,
+) -> DataFrame:
+    """The INVERSE of the quantile query — value → rank (CDF) served
+    from the same state: for each input row, the ppm-rank bracket of
+    ``value_col`` against the sketched distribution. rank_lo counts
+    everything in strictly lower buckets, rank_hi adds the value's own
+    bucket (the within-bucket position is unknowable from a histogram
+    — the bracket width is the honest uncertainty, ≤ bucket mass).
+    Integer arithmetic end-to-end.
+
+    Shape: the sketch collapses to ONE bounded cell array (the same
+    1-row-scalar broadcast idiom as the quantile query) and each row
+    pays two folds over it — no shuffle, no sort, no self-join; this
+    is score normalization ("what percentile is this doc's length /
+    quality in the reference distribution") at scan cost."""
+    cells_df = sketch.agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias(
+            "cells"
+        )
+    )
+    b = bucket_expr(value_col, m)
+    both = df.crossJoin(F.broadcast(cells_df)).withColumn("_b", b)
+    n = F.expr("aggregate(cells, 0L, (a, c) -> a + c.cnt)")
+    below = F.expr(
+        "aggregate(cells, 0L, (a, c) ->"
+        " a + IF(c.bucket < _b, c.cnt, 0L))"
+    )
+    at = F.expr(
+        "aggregate(cells, 0L, (a, c) ->"
+        " a + IF(c.bucket = _b, c.cnt, 0L))"
+    )
+    return (
+        both.withColumn("_n", n)
+        .withColumn("_below", below)
+        .withColumn("_at", at)
+        .withColumn(
+            "rank_lo_ppm",
+            F.expr("_below * CAST(1000000 AS BIGINT) DIV _n"),
+        )
+        .withColumn(
+            "rank_hi_ppm",
+            F.expr("(_below + _at) * CAST(1000000 AS BIGINT) DIV _n"),
+        )
+        .drop("cells", "_b", "_n", "_below", "_at")
+    )

@@ -2108,3 +2108,69 @@ def q_events_sliding_hll_windows(
         "est",
         "true_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDF query from the quantile sketch — the inverse direction
+# (value -> rank) from the SAME state the quantile entries serve
+# (rank -> value): per-document percentile brackets against the
+# sketched corpus distribution, at scan cost (one bounded cell-array
+# broadcast + two folds per row; no sort, no self-join). This is score
+# NORMALIZATION — "what percentile is this doc in the reference
+# distribution" — the other half of what a percentile service does.
+# ---------------------------------------------------------------------------
+
+
+def _cdf_oracle(m: int) -> str:
+    from .operators.quantiles import _log2m
+
+    lm = _log2m(m)
+    g = "GREATEST(val, CAST(1 AS BIGINT))"
+    p2 = f"CAST(pow(2, length(bin({g})) - 1) AS BIGINT)"
+    bucket = f"""CASE WHEN val <= 0 THEN CAST(-1 AS BIGINT)
+           ELSE CAST(length(bin({g})) - 1 AS BIGINT) * {m}
+                + (CASE WHEN length(bin({g})) - 1 >= {lm}
+                   THEN ({g} - {p2}) // ({p2} // {m})
+                   ELSE ({g} - {p2}) * {m} // {p2} END)
+           END"""
+    return f"""
+WITH v AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS val FROM documents),
+b AS (SELECT doc_id, val, {bucket} AS bucket FROM v),
+s AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY bucket),
+c AS (SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT)
+                 AS below,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM s)
+SELECT b.doc_id, b.val AS n_chars,
+       CAST(c.below * 1000000 // c.n AS BIGINT) AS rank_lo_ppm,
+       CAST((c.below + c.cnt) * 1000000 // c.n AS BIGINT) AS rank_hi_ppm
+FROM b JOIN c ON b.bucket = c.bucket
+"""
+
+
+@register(
+    "doc_length_cdf_from_sketch",
+    _cdf_oracle(QSK_M),
+    doc="Per-document percentile BRACKET of document length against "
+    "the sketched corpus distribution — the quantile sketch queried in "
+    "the INVERSE direction (value -> rank): rank_lo counts strictly "
+    "lower buckets, rank_hi adds the value's own bucket (within-bucket "
+    "position is the histogram's honest uncertainty, <= bucket mass "
+    "<= ~1/m of the octave). One bounded cell-array broadcast + two "
+    "integer folds per row — score normalization at scan cost, no "
+    "sort, no self-join, same state table the quantile/rank entries "
+    "already serve. Oracle joins each doc's bucket to the grid's "
+    "running cumulative.",
+)
+def q_doc_length_cdf_from_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import quantiles as Q
+
+    docs = _docs(spark, sf_dir)
+    sk = Q.quantile_sketch_build(docs, "n_chars", QSK_M)
+    return Q.quantile_sketch_cdf(
+        sk, docs.select("doc_id", "n_chars"), "n_chars", QSK_M
+    ).select("doc_id", "n_chars", "rank_lo_ppm", "rank_hi_ppm")

@@ -182,6 +182,7 @@ SCALAR_BNLJ_OK = {
     "web_domain_stats",  # 1-row total_docs broadcast onto the domain table
     "corpus_epoch_oversample",  # 1-row corpus-total + 1-row normalizer
     "corpus_length_quantiles_sketch",  # 1-row bounded-cell-array broadcast
+    "doc_length_cdf_from_sketch",  # same 1-row cell-array broadcast, CDF side
 }
 
 

@@ -1303,3 +1303,31 @@ def test_sliding_hll_fold_equals_direct_window_build(spark):
         .collect()
     }
     assert folded == direct
+
+
+def test_cdf_bracket_contains_exact_rank(spark):
+    """The CDF bracket [rank_lo, rank_hi] must contain every value's
+    exact percentile rank, and brackets must be monotone in the
+    value."""
+    rows = [(i, v) for i, v in enumerate([1, 5, 9, 17, 33, 650, 651,
+                                          652, 100000, 7, 7, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    sk = _Q.quantile_sketch_build(df, "n_chars", 16)
+    out = {
+        r.doc_id: (r.n_chars, r.rank_lo_ppm, r.rank_hi_ppm)
+        for r in _Q.quantile_sketch_cdf(
+            sk, df, "n_chars", 16
+        ).collect()
+    }
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    for _id, (v, lo, hi) in out.items():
+        assert 0 <= lo <= hi <= 1_000_000
+        # exact rank band of v (ties give a band)
+        lo_true = sum(1 for x in vals if x < v) * 1_000_000 // n
+        hi_true = sum(1 for x in vals if x <= v) * 1_000_000 // n
+        assert lo <= lo_true and hi >= hi_true, (v, lo, hi, lo_true, hi_true)
+    # monotone: larger value never gets a smaller bracket start
+    by_val = sorted(out.values())
+    for (v1, lo1, _), (v2, lo2, _) in zip(by_val, by_val[1:]):
+        assert lo1 <= lo2
