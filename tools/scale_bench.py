@@ -168,6 +168,8 @@ SPOT = [
     "parts_copurchase_cheapest_3hop",
     "doc_length_quantiles_by_lang_sketch",
     "events_user_ewma",
+    "events_sliding_hll_windows",
+    "doc_length_cdf_from_sketch",
     "corpus_bbpe_roundtrip",
     "customer_entity_resolution",
     # phash near-dup: the codec stage is per-row (linear); the 4x14-bit

@@ -73,6 +73,8 @@ PROFILE = [
     "events_user_ewma",
     "doc_length_quantiles_by_lang_sketch",
     "parts_copurchase_cheapest_3hop",
+    "events_sliding_hll_windows",
+    "doc_length_cdf_from_sketch",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
