@@ -453,3 +453,63 @@ def quantile_sketch_cdf(
         )
         .drop("cells", "_b", "_n", "_below", "_at")
     )
+
+
+def quantile_sketch_ks(
+    sk_a: DataFrame, sk_b: DataFrame, m: int = DEFAULT_M
+) -> DataFrame:
+    """Kolmogorov-Smirnov distance between two sketched distributions,
+    computed purely from their bounded grids — the distribution-drift
+    alarm ("did this week's length/score distribution move?") served
+    from state, never rescanning either population. KS is evaluated at
+    bucket boundaries: max over buckets of |CDF_a - CDF_b| in ppm —
+    a LOWER bound on the true KS with error at most one bucket's mass
+    (<= ~1/m per octave), the histogram's honest resolution. Emits ONE
+    row: (n_a, n_b, ks_ppm, at_bucket) with at_bucket the smallest
+    bucket attaining the max (deterministic tie-break). All integer.
+
+    Shape: a full-outer cell join (grid-sized), one running-cumulative
+    window over <= 64·m+1 rows, one bounded top-1."""
+    a = sk_a.select("bucket", F.col("cnt").alias("cnt_a"))
+    b = sk_b.select("bucket", F.col("cnt").alias("cnt_b"))
+    cells = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "bucket",
+        F.sum("cnt_a").over(w).alias("cum_a"),
+        F.sum("cnt_b").over(w).alias("cum_b"),
+        F.sum("cnt_a").over(tot).alias("n_a"),
+        F.sum("cnt_b").over(tot).alias("n_b"),
+    ).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.expr("cum_a * CAST(1000000 AS BIGINT) DIV n_a")
+            - F.expr("cum_b * CAST(1000000 AS BIGINT) DIV n_b")
+        ).alias("diff_ppm"),
+    )
+    return (
+        cum.orderBy(F.desc("diff_ppm"), F.asc("bucket"))
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("diff_ppm").alias("ks_ppm"),
+            F.col("bucket").alias("at_bucket"),
+        )
+    )

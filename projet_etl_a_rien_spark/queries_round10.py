@@ -2174,3 +2174,90 @@ def q_doc_length_cdf_from_sketch(
     return Q.quantile_sketch_cdf(
         sk, docs.select("doc_id", "n_chars"), "n_chars", QSK_M
     ).select("doc_id", "n_chars", "rank_lo_ppm", "rank_hi_ppm")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift as a KS distance between two SKETCHES — the
+# monitoring query ("did this source's length distribution move vs the
+# rest of the corpus?") answered from two bounded grids: no rescans,
+# no sorts, integer CDFs in ppm, drift evaluated at bucket boundaries
+# (a lower bound with <= one-bucket-mass resolution — the histogram's
+# honest precision). Complements source_token_drift (exact TV distance
+# over the vocabulary) with the bounded-state twin over a NUMERIC
+# axis.
+# ---------------------------------------------------------------------------
+
+
+def _ks_oracle(m: int) -> str:
+    from .operators.quantiles import _log2m
+
+    lm = _log2m(m)
+    g = "GREATEST(val, CAST(1 AS BIGINT))"
+    p2 = f"CAST(pow(2, length(bin({g})) - 1) AS BIGINT)"
+    bucket = f"""CASE WHEN val <= 0 THEN CAST(-1 AS BIGINT)
+           ELSE CAST(length(bin({g})) - 1 AS BIGINT) * {m}
+                + (CASE WHEN length(bin({g})) - 1 >= {lm}
+                   THEN ({g} - {p2}) // ({p2} // {m})
+                   ELSE ({g} - {p2}) * {m} // {p2} END)
+           END"""
+    return f"""
+WITH v AS (SELECT CAST(n_chars AS BIGINT) AS val,
+                  source = (SELECT MIN(source) FROM documents) AS is_a
+           FROM documents),
+b AS (SELECT {bucket} AS bucket, is_a FROM v),
+s AS (SELECT bucket,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cnt_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                 AS cnt_b
+      FROM b GROUP BY bucket),
+c AS (SELECT bucket,
+             SUM(cnt_a) OVER (ORDER BY bucket) AS cum_a,
+             SUM(cnt_b) OVER (ORDER BY bucket) AS cum_b,
+             SUM(cnt_a) OVER () AS n_a,
+             SUM(cnt_b) OVER () AS n_b
+      FROM s),
+d AS (SELECT bucket, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             ABS(cum_a * CAST(1000000 AS BIGINT) // n_a
+                 - cum_b * CAST(1000000 AS BIGINT) // n_b) AS diff_ppm
+      FROM c)
+SELECT n_a, n_b, CAST(diff_ppm AS BIGINT) AS ks_ppm,
+       CAST(bucket AS BIGINT) AS at_bucket
+FROM d ORDER BY diff_ppm DESC, bucket ASC LIMIT 1
+"""
+
+
+@register(
+    "corpus_length_drift_ks_sketch",
+    _ks_oracle(QSK_M),
+    doc="Kolmogorov-Smirnov drift between the min-named source's "
+    "document-length distribution and the rest of the corpus, computed "
+    "ENTIRELY from two quantile-sketch grids: full-outer cell join, "
+    "integer ppm CDFs, max |CDF_a - CDF_b| at bucket boundaries (a "
+    "lower bound on true KS with <= one-bucket-mass resolution — the "
+    "histogram's honest precision), deterministic min-bucket "
+    "tie-break. This is the drift-alarm shape a 100 TB pipeline runs "
+    "hourly: both populations live as bounded mergeable state, the "
+    "comparison is grid-sized, and NO data is rescanned. Batch twin "
+    "of source_token_drift's exact TV distance, over a numeric axis.",
+)
+def q_corpus_length_drift_ks_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import quantiles as Q
+
+    docs = _docs(spark, sf_dir)
+    msrc = docs.agg(F.min("source").alias("min_src"))
+    flagged = docs.crossJoin(F.broadcast(msrc)).withColumn(
+        "is_a", F.col("source") == F.col("min_src")
+    )
+    sk_a = Q.quantile_sketch_build(
+        flagged.where(F.col("is_a")), "n_chars", QSK_M
+    )
+    sk_b = Q.quantile_sketch_build(
+        flagged.where(~F.col("is_a")), "n_chars", QSK_M
+    )
+    return Q.quantile_sketch_ks(sk_a, sk_b, QSK_M)

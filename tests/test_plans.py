@@ -183,6 +183,7 @@ SCALAR_BNLJ_OK = {
     "corpus_epoch_oversample",  # 1-row corpus-total + 1-row normalizer
     "corpus_length_quantiles_sketch",  # 1-row bounded-cell-array broadcast
     "doc_length_cdf_from_sketch",  # same 1-row cell-array broadcast, CDF side
+    "corpus_length_drift_ks_sketch",  # 1-row min-source scalar broadcast
 }
 
 

@@ -1331,3 +1331,23 @@ def test_cdf_bracket_contains_exact_rank(spark):
     by_val = sorted(out.values())
     for (v1, lo1, _), (v2, lo2, _) in zip(by_val, by_val[1:]):
         assert lo1 <= lo2
+
+
+def test_ks_sketch_identical_zero_and_shift_detected(spark):
+    """KS from sketches: identical distributions score 0; a clean
+    location shift scores near the true KS (within one-bucket-mass
+    resolution, the documented lower-bound contract)."""
+    a_rows = [(i, 100 + (i % 50)) for i in range(500)]
+    b_same = [(i, 100 + (i % 50)) for i in range(300)]
+    b_shift = [(i, 400 + (i % 50)) for i in range(300)]  # disjoint range
+    da = spark.createDataFrame(a_rows, "id long, v long")
+    for b_rows, want_lo, want_hi in [
+        (b_same, 0, 0),
+        (b_shift, 900_000, 1_000_000),  # disjoint => true KS = 1.0
+    ]:
+        db = spark.createDataFrame(b_rows, "id long, v long")
+        ka = _Q.quantile_sketch_build(da, "v", 16)
+        kb = _Q.quantile_sketch_build(db, "v", 16)
+        r = _Q.quantile_sketch_ks(ka, kb, 16).collect()[0]
+        assert r.n_a == 500 and r.n_b == 300
+        assert want_lo <= r.ks_ppm <= want_hi, (want_lo, r.ks_ppm)

@@ -170,6 +170,7 @@ SPOT = [
     "events_user_ewma",
     "events_sliding_hll_windows",
     "doc_length_cdf_from_sketch",
+    "corpus_length_drift_ks_sketch",
     "corpus_bbpe_roundtrip",
     "customer_entity_resolution",
     # phash near-dup: the codec stage is per-row (linear); the 4x14-bit

@@ -75,6 +75,7 @@ PROFILE = [
     "parts_copurchase_cheapest_3hop",
     "events_sliding_hll_windows",
     "doc_length_cdf_from_sketch",
+    "corpus_length_drift_ks_sketch",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
