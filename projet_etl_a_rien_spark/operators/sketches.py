@@ -694,3 +694,66 @@ def compact_cms(spark, path: str) -> int:
     )[:1]
     _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
     return max_b
+
+
+def kmv_adjacent_overlap(
+    paired: DataFrame,
+    hs_a_col: str = "hs_a",
+    hs_b_col: str = "hs_b",
+    k: int = KMV_K,
+) -> DataFrame:
+    """Theta-sketch set ops evaluated PER ROW over two sketch arrays
+    already joined side by side (the windowed/adjacent-pair shape:
+    yesterday's sketch vs today's) — no explode, no second shuffle:
+    everything is bounded array arithmetic on <= k-element columns.
+    Adds (theta_min, n_match, est_a, est_b, est_inter, est_union) to
+    the input row; estimators identical to :func:`kmv_pair_overlap`."""
+
+    def _theta(c):
+        return F.when(
+            F.size(c) < k, F.lit(KMV_FULL)
+        ).otherwise(F.element_at(c, k).cast("long"))
+
+    a, b = F.col(hs_a_col), F.col(hs_b_col)
+    out = (
+        paired.withColumn("theta_a", _theta(a))
+        .withColumn("theta_b", _theta(b))
+        .withColumn("theta_min", F.least("theta_a", "theta_b"))
+        .withColumn(
+            "n_match",
+            F.size(
+                F.filter(
+                    F.array_intersect(a, b),
+                    lambda h: h <= F.col("theta_min"),
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "est_a",
+            F.when(F.size(a) < k, F.size(a).cast("long")).otherwise(
+                F.expr(f"CAST({(k - 1) * KMV_FULL} AS BIGINT) DIV theta_a")
+            ),
+        )
+        .withColumn(
+            "est_b",
+            F.when(F.size(b) < k, F.size(b).cast("long")).otherwise(
+                F.expr(f"CAST({(k - 1) * KMV_FULL} AS BIGINT) DIV theta_b")
+            ),
+        )
+        .withColumn(
+            "est_inter",
+            F.when(
+                F.col("theta_min") >= KMV_FULL, F.col("n_match")
+            ).otherwise(
+                F.expr(
+                    f"n_match * CAST({KMV_FULL} AS BIGINT) DIV theta_min"
+                )
+            ),
+        )
+        .withColumn(
+            "est_union",
+            F.col("est_a") + F.col("est_b") - F.col("est_inter"),
+        )
+        .drop("theta_a", "theta_b")
+    )
+    return out

@@ -2261,3 +2261,142 @@ def q_corpus_length_drift_ks_sketch(
         flagged.where(~F.col("is_a")), "n_chars", QSK_M
     )
     return Q.quantile_sketch_ks(sk_a, sk_b, QSK_M)
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day user retention/churn from KMV set algebra — the product
+# metric ("how many of yesterday's users came back, how many are new")
+# answered from per-day sketches: retained = theta intersection of
+# adjacent days, churned = prev − retained, new = curr − retained. The
+# pair arithmetic runs PER ROW over the two <= k-element arrays
+# (operators/sketches.py kmv_adjacent_overlap — no explode, no second
+# shuffle), so serving any window pairing is sketch-sized work.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_churn_oracle() -> str:
+    from .operators import sketches as S
+
+    k, full = S.KMV_K, S.KMV_FULL
+    return f"""
+WITH e AS (SELECT date_trunc('day', ts) AS d,
+                  CAST(user_id AS VARCHAR) AS v
+           FROM events),
+hh AS (SELECT DISTINCT d,
+              CAST('0x' || substr(md5('kmv:' || v), 1, 12) AS BIGINT) AS h
+       FROM e),
+r AS (SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+      FROM hh),
+bk AS (SELECT d, h, rn FROM r WHERE rn <= {k}),
+st AS (SELECT d,
+              CAST(COUNT(*) AS BIGINT) AS sz,
+              CAST(CASE WHEN COUNT(*) < {k} THEN {full}
+                   ELSE MAX(CASE WHEN rn = {k} THEN h END)
+                   END AS BIGINT) AS theta,
+              CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                   ELSE {(k - 1) * full}
+                        // MAX(CASE WHEN rn = {k} THEN h END)
+                   END AS BIGINT) AS est
+       FROM bk GROUP BY d),
+pair AS (SELECT a.d AS day_prev, b.d AS day_curr,
+                a.theta AS ta, b.theta AS tb,
+                a.est AS est_prev, b.est AS est_curr
+         FROM st a JOIN st b ON b.d = a.d + INTERVAL 1 DAY),
+m AS (SELECT p.day_prev, p.day_curr, p.est_prev, p.est_curr,
+             LEAST(p.ta, p.tb) AS theta_min,
+             CAST(COUNT(CASE WHEN x.h <= LEAST(p.ta, p.tb)
+                        THEN 1 END) AS BIGINT) AS n_match
+      FROM pair p
+      LEFT JOIN (SELECT a.d, a.h FROM bk a JOIN bk b
+                   ON a.h = b.h AND b.d = a.d + INTERVAL 1 DAY) x
+        ON x.d = p.day_prev
+      GROUP BY 1, 2, 3, 4, 5),
+f AS (SELECT day_prev, day_curr, est_prev, est_curr,
+             CAST(CASE WHEN theta_min >= {full} THEN n_match
+                  ELSE n_match * {full} // theta_min
+                  END AS BIGINT) AS est_retained
+      FROM m),
+du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+tru AS (SELECT a.d AS day_prev,
+               CAST(COUNT(*) AS BIGINT) AS true_retained
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+        GROUP BY 1)
+SELECT f.day_prev, f.day_curr, f.est_prev, f.est_curr, f.est_retained,
+       CAST(GREATEST(f.est_prev - f.est_retained, 0) AS BIGINT)
+           AS est_churned,
+       CAST(GREATEST(f.est_curr - f.est_retained, 0) AS BIGINT)
+           AS est_new,
+       COALESCE(t.true_retained, 0) AS true_retained
+FROM f LEFT JOIN tru t ON f.day_prev = t.day_prev
+"""
+
+
+@register(
+    "events_user_churn_kmv",
+    _kmv_churn_oracle(),
+    doc="Day-over-day user retention/churn/new-user estimates from KMV "
+    "set algebra: one bottom-64 sketch per day (the only corpus-scale "
+    "pass), adjacent days paired by timestamp arithmetic, and "
+    "retained = theta intersection / churned = prev - retained / new "
+    "= curr - retained computed PER ROW over the two bounded arrays — "
+    "no explode, no second shuffle; serving any window pairing is "
+    "sketch-sized work. Estimates clamp at 0 (estimation error can "
+    "push a difference negative); true_retained carried per pair for "
+    "the accuracy property. This is the retention dashboard served "
+    "from the same per-day sketches the distinct-count entries "
+    "maintain — one state table, three product metrics.",
+)
+def q_events_user_churn_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("d")
+    sk = S.kmv_sketch(ev.select(day, "user_id"), "d", "user_id").select(
+        F.col("key").alias("d"), "hs"
+    )
+    a = sk.select(F.col("d").alias("day_prev"), F.col("hs").alias("hs_a"))
+    b = sk.select(
+        F.expr("d - make_interval(0, 0, 0, 1, 0, 0, 0)").alias("day_prev"),
+        F.col("d").alias("day_curr"),
+        F.col("hs").alias("hs_b"),
+    )
+    paired = a.join(b, "day_prev")
+    est = S.kmv_adjacent_overlap(paired).select(
+        "day_prev",
+        "day_curr",
+        F.col("est_a").alias("est_prev"),
+        F.col("est_b").alias("est_curr"),
+        F.col("est_inter").alias("est_retained"),
+        F.greatest(
+            F.col("est_a") - F.col("est_inter"), F.lit(0).cast("long")
+        ).alias("est_churned"),
+        F.greatest(
+            F.col("est_b") - F.col("est_inter"), F.lit(0).cast("long")
+        ).alias("est_new"),
+    )
+    du = ev.select(day, "user_id").distinct()
+    ua = du.select(F.col("d").alias("day_prev"), "user_id")
+    ub = du.select(
+        F.expr("d - make_interval(0, 0, 0, 1, 0, 0, 0)").alias("day_prev"),
+        "user_id",
+    )
+    tru = (
+        ua.join(ub, ["day_prev", "user_id"])
+        .groupBy("day_prev")
+        .agg(F.count("*").alias("true_retained"))
+    )
+    return est.join(tru, "day_prev", "left").select(
+        "day_prev",
+        "day_curr",
+        "est_prev",
+        "est_curr",
+        "est_retained",
+        "est_churned",
+        "est_new",
+        F.coalesce("true_retained", F.lit(0)).cast("long").alias(
+            "true_retained"
+        ),
+    )

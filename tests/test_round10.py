@@ -1351,3 +1351,36 @@ def test_ks_sketch_identical_zero_and_shift_detected(spark):
         r = _Q.quantile_sketch_ks(ka, kb, 16).collect()[0]
         assert r.n_a == 500 and r.n_b == 300
         assert want_lo <= r.ks_ppm <= want_hi, (want_lo, r.ks_ppm)
+
+
+def test_kmv_churn_exact_branch_matches_truth(spark):
+    """With < k distinct users per day the sketch IS the set, so
+    retained/churned/new are exact on constructed data with known
+    overlap: day0 = u0..u29, day1 = u20..u49 (10 retained, 20 churned,
+    20 new), day2 = u40..u44 (5 retained of day1)."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 3, 1)
+    rows = []
+    for u in range(30):
+        rows.append((base, u))
+    for u in range(20, 50):
+        rows.append((base + _dt.timedelta(days=1), u))
+    for u in range(40, 45):
+        rows.append((base + _dt.timedelta(days=2), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    day = F.date_trunc("day", F.col("ts")).alias("d")
+    sk = _S.kmv_sketch(df.select(day, "user_id"), "d", "user_id").select(
+        F.col("key").alias("d"), "hs"
+    )
+    a = sk.select(F.col("d").alias("day_prev"), F.col("hs").alias("hs_a"))
+    b = sk.select(
+        F.expr("d - make_interval(0, 0, 0, 1, 0, 0, 0)").alias("day_prev"),
+        F.col("hs").alias("hs_b"),
+    )
+    out = {
+        r.day_prev.day: (r.est_a, r.est_b, r.est_inter)
+        for r in _S.kmv_adjacent_overlap(a.join(b, "day_prev")).collect()
+    }
+    assert out[1] == (30, 30, 10)  # day0 -> day1
+    assert out[2] == (30, 5, 5)  # day1 -> day2

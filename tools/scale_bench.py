@@ -171,6 +171,7 @@ SPOT = [
     "events_sliding_hll_windows",
     "doc_length_cdf_from_sketch",
     "corpus_length_drift_ks_sketch",
+    "events_user_churn_kmv",
     "corpus_bbpe_roundtrip",
     "customer_entity_resolution",
     # phash near-dup: the codec stage is per-row (linear); the 4x14-bit

@@ -76,6 +76,7 @@ PROFILE = [
     "events_sliding_hll_windows",
     "doc_length_cdf_from_sketch",
     "corpus_length_drift_ks_sketch",
+    "events_user_churn_kmv",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
