@@ -439,17 +439,27 @@ def quantile_sketch_cdf(
         "aggregate(cells, 0L, (a, c) ->"
         " a + IF(c.bucket = _b, c.cnt, 0L))"
     )
+    # Empty-sketch guard (r10 ADVICE): _n = 0 (CDF queried before any
+    # build) must yield an EXPLICIT NULL bracket, not an engine-
+    # dependent divide-by-zero (NULL under default Spark, a runtime
+    # error under ANSI mode).
     return (
         both.withColumn("_n", n)
         .withColumn("_below", below)
         .withColumn("_at", at)
         .withColumn(
             "rank_lo_ppm",
-            F.expr("_below * CAST(1000000 AS BIGINT) DIV _n"),
+            F.when(
+                F.col("_n") > 0,
+                F.expr("_below * CAST(1000000 AS BIGINT) DIV _n"),
+            ).otherwise(F.lit(None).cast("long")),
         )
         .withColumn(
             "rank_hi_ppm",
-            F.expr("(_below + _at) * CAST(1000000 AS BIGINT) DIV _n"),
+            F.when(
+                F.col("_n") > 0,
+                F.expr("(_below + _at) * CAST(1000000 AS BIGINT) DIV _n"),
+            ).otherwise(F.lit(None).cast("long")),
         )
         .drop("cells", "_b", "_n", "_below", "_at")
     )
@@ -488,6 +498,12 @@ def quantile_sketch_ks(
     tot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # Empty-side guard (r10 ADVICE): a population with n = 0 (KS
+    # against a single-source corpus, or before any build) has no CDF —
+    # emit an EXPLICIT NULL distance for every boundary instead of an
+    # engine-dependent divide-by-zero, so the picked row surfaces the
+    # n_a/n_b evidence with ks_ppm = NULL. Both sides empty → zero
+    # cells → empty result (documented).
     cum = cells.select(
         "bucket",
         F.sum("cnt_a").over(w).alias("cum_a"),
@@ -498,10 +514,15 @@ def quantile_sketch_ks(
         "bucket",
         "n_a",
         "n_b",
-        F.abs(
-            F.expr("cum_a * CAST(1000000 AS BIGINT) DIV n_a")
-            - F.expr("cum_b * CAST(1000000 AS BIGINT) DIV n_b")
-        ).alias("diff_ppm"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.abs(
+                F.expr("cum_a * CAST(1000000 AS BIGINT) DIV n_a")
+                - F.expr("cum_b * CAST(1000000 AS BIGINT) DIV n_b")
+            ),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("diff_ppm"),
     )
     return (
         cum.orderBy(F.desc("diff_ppm"), F.asc("bucket"))

@@ -364,6 +364,79 @@ KMV_K = 64  # bottom-k size; relative error ~ 1/sqrt(k-2) ~ 13%
 KMV_BITS = 48  # hash width (12 md5 hex digits)
 KMV_FULL = 1 << KMV_BITS  # theta for a sketch that saw < k distinct
 
+# Bounded row probe for the auto-tier: reading this many rows decides
+# "small enough to build ungated" without a full count of a 100 TB
+# table (LocalLimit stops the scan at the threshold).
+KMV_PROBE_ROWS = 10_000_000
+
+
+def kmv_keep_policy(n_rows: int) -> int | None:
+    """Recommended ``keep_ppm`` gate as a function of input row count —
+    THE 100 TB knob for KMV builds, mirroring ``doulion_keep_policy``
+    (operators/graph.py): a fixed, deterministic tier ladder so the
+    gate stays a pure integer-threshold filter (replayable,
+    partition-independent, oracle-exact).
+
+    Why a policy and not "always gate": the UNGATED build's per-key
+    aggregation state is O(distinct values of that key) — a hot key on
+    a 100 TB table would blow the ``collect_set`` buffer before the
+    ``slice`` to k ever runs. The gate bounds survivors at
+    ≈ distinct·ppm/1e6 BEFORE the exchange; losslessness holds whenever
+    ≥ k hashes survive (everything above the gate is above h_(k)),
+    and the fixed-threshold estimator compensates exactly when fewer
+    do. Tier rule: one decade of rows per tier, ppm falling 10× per
+    decade from 200 000 (the profiled r10 operating point) with
+    ``ppm · tier_end = 2·10¹³`` held invariant — so the WORST-CASE
+    per-key state (one key owning every row, all values distinct,
+    survivors = n·ppm/1e6) is ≤ 2·10⁷ hashes (~160 MB, spillable)
+    anywhere inside any tier, and the EXPECTED state for real key
+    distributions is orders of magnitude below that. Keys with
+    ≥ 64·10⁶/ppm distinct values stay fully lossless (≥ k survivors);
+    smaller keys degrade smoothly to the scaled estimator with rel err
+    ~ 1/sqrt(survivors):
+
+    - n < 10⁷:            ungated (None) — exact bottom-k; worst-case
+                          state 10⁷ set entries (~80 MB) only if a
+                          single key owns every row;
+    - 10⁷ ≤ n < 10⁸:      200 000 ppm (keep 1/5);
+    - 10⁸ ≤ n < 10⁹:      20 000 ppm; … 10× down per decade …
+    - 10¹² ≤ n:           2 ppm floor (a 10¹³-row single-key table
+                          still leaves ~2·10⁷ survivors ≫ k).
+    """
+    if n_rows < 10_000_000:
+        return None
+    ppm, hi = 200_000, 100_000_000
+    while n_rows >= hi and ppm > 2:
+        ppm //= 10
+        hi *= 10
+    return ppm
+
+
+def _resolve_keep_ppm(
+    df: DataFrame, keep_ppm, n_rows: int | None
+) -> int | None:
+    """Resolve the build gate: an explicit int/None wins; ``"auto"``
+    (the default) applies :func:`kmv_keep_policy` to ``n_rows`` when
+    the caller knows it, else to a BOUNDED row probe
+    (``limit(KMV_PROBE_ROWS + 1).count()`` — reads at most one row past
+    the first tier boundary, never a full scan). A probe that hits the
+    cap proves only n > 10⁷, so the first gated tier applies; callers
+    at 10⁹+ rows should pass ``n_rows`` (table stats) to reach the
+    deeper tiers."""
+    if keep_ppm != "auto":
+        return keep_ppm
+    if n_rows is None:
+        n_rows = df.limit(KMV_PROBE_ROWS + 1).count()
+    return kmv_keep_policy(n_rows)
+
+
+def _gate_of(keep_ppm: int | None) -> int:
+    return (
+        KMV_FULL
+        if keep_ppm is None
+        else (KMV_FULL * keep_ppm) // 1_000_000
+    )
+
 
 def _kmv_hash(v, salt: str = "kmv"):
     """48-bit uniform hash: first 12 md5 hex digits of "salt:value" —
@@ -380,26 +453,40 @@ def kmv_sketch(
     value_col: str,
     k: int = KMV_K,
     salt: str = "kmv",
-    keep_ppm: int | None = None,
+    keep_ppm: int | None | str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Build per-key bottom-k sketches: (key, hs) with hs the sorted
-    array of the k smallest distinct 48-bit hashes — at most k longs per
-    key, ever. ``keep_ppm`` (parts-per-million) pre-filters hashes below
-    a fixed threshold before any aggregation — the corpus-independent
-    scale knob: survivors ≈ distinct·ppm/1e6, so the (key, h) distinct
-    exchange is bounded regardless of row count, and the sketch is
-    UNCHANGED as long as ≥ k hashes survive per key."""
+    """Build per-key bottom-k sketches: (key, hs, gate) with hs the
+    sorted array of the k smallest distinct 48-bit hashes — at most k
+    longs per key, ever — and gate the build threshold the sketch
+    retains hashes below (2^48 when ungated). ``keep_ppm``
+    (parts-per-million) pre-filters hashes below a fixed threshold
+    before any aggregation — the corpus-independent scale knob:
+    survivors ≈ distinct·ppm/1e6, so the (key, h) distinct exchange is
+    bounded regardless of row count, and the sketch is UNCHANGED as
+    long as ≥ k hashes survive per key.
+
+    The DEFAULT is ``keep_ppm="auto"``: :func:`kmv_keep_policy` picks
+    the tier from ``n_rows`` (or a bounded row probe), so the gated
+    build is the default path above 10⁷ rows and per-key state is
+    O(expected survivors), never O(distinct). The chosen gate travels
+    INSIDE the sketch as the ``gate`` column — every downstream
+    consumer (:func:`kmv_stats`, :func:`kmv_pair_overlap`,
+    :func:`kmv_adjacent_overlap`, the sink fold) reads the gate the
+    sketch was actually built with, so composing a gated build with
+    any estimator cannot silently under-scale."""
+    ppm = _resolve_keep_ppm(df, keep_ppm, n_rows)
+    gate = _gate_of(ppm)
     h = _kmv_hash(F.col(value_col).cast("string"), salt)
     rows = df.select(F.col(key_col).alias("key"), h.alias("h"))
-    if keep_ppm is not None:
-        rows = rows.where(
-            F.col("h") < F.lit((KMV_FULL * keep_ppm) // 1_000_000)
-        )
+    if ppm is not None:
+        rows = rows.where(F.col("h") < F.lit(gate))
     return (
         rows.groupBy("key")
         .agg(
             F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
         )
+        .withColumn("gate", F.lit(gate).cast("long"))
     )
 
 
@@ -407,21 +494,28 @@ def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     """Min-k fold of sketches — union the hash sets, keep the k
     smallest. Associative, commutative, IDEMPOTENT (set semantics), so
     merge(build(A), build(B)) == build(A ∪ B) exactly and replayed
-    partials are harmless — both property-pinned."""
+    partials are harmless — both property-pinned.
+
+    Gate algebra (the theta-sketch union rule): the merged gate is the
+    MIN of the input gates, and retained hashes are re-filtered below
+    it — a hash one input kept but another's tighter gate would have
+    dropped is not valid common evidence. With equal gates (the normal
+    case) both steps are no-ops."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return (
-        out.groupBy("key")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.array_distinct(F.flatten(F.collect_list("hs")))
-                ),
-                1,
-                k,
-            ).alias("hs")
-        )
+    folded = out.groupBy("key").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("hs")))
+        ).alias("hs_all"),
+        F.min("gate").alias("gate"),
+    )
+    return folded.select(
+        "key",
+        F.slice(
+            F.filter(F.col("hs_all"), lambda h: h < F.col("gate")), 1, k
+        ).alias("hs"),
+        "gate",
     )
 
 
@@ -434,21 +528,26 @@ def kmv_stats(
     GATE's threshold (2^48 when ungated — every hash was retained, so
     est = size·2^48 DIV 2^48 = size, EXACT); at k or more it is h_(k)
     and est = (k-1)·2^48 DIV h_(k), the classic KMV form. One integer
-    formula covers gated and ungated builds — pass the same
-    ``keep_ppm`` the sketch was built with."""
+    formula covers gated and ungated builds.
+
+    The gate is read from the sketch's own ``gate`` column (present on
+    every sketch :func:`kmv_sketch`/:func:`kmv_merge`/:func:`read_kmv`
+    produce — composition-safe by construction); ``keep_ppm`` is the
+    fallback only for a bare (key, hs) frame from an external source."""
     gate = (
-        KMV_FULL
-        if keep_ppm is None
-        else (KMV_FULL * keep_ppm) // 1_000_000
+        F.col("gate").cast("long")
+        if "gate" in sk.columns
+        else F.lit(_gate_of(keep_ppm)).cast("long")
     )
     size = F.size("hs")
-    theta = F.when(size < k, F.lit(gate)).otherwise(
+    theta = F.when(size < k, gate).otherwise(
         F.element_at("hs", k).cast("long")
     )
     return sk.select(
         "key",
         size.cast("long").alias("kmv_size"),
         theta.alias("theta"),
+        gate.alias("_gate"),
         "hs",
     ).select(
         "key",
@@ -456,9 +555,7 @@ def kmv_stats(
         "theta",
         F.when(
             F.col("kmv_size") < k,
-            F.expr(
-                f"kmv_size * CAST({KMV_FULL} AS BIGINT) DIV {gate}"
-            ),
+            F.expr(f"kmv_size * CAST({KMV_FULL} AS BIGINT) DIV _gate"),
         )
         .otherwise(
             F.expr(f"CAST({(k - 1) * KMV_FULL} AS BIGINT) DIV theta")
@@ -560,22 +657,30 @@ def write_kmv_partial(
     value_col: str,
     k: int = KMV_K,
     salt: str = "kmv",
-    keep_ppm: int | None = None,
+    keep_ppm: int | None | str = "auto",
+    n_rows: int | None = None,
 ) -> None:
     """Reduce one micro-batch to its bottom-k partial (stored FLAT as
-    (key, h) rows — ≤ k per key) and land it idempotently under
-    ``parts/batch_id=N`` (min-k is idempotent, so replays are exactly
-    harmless, like the HLL sink and unlike the additive ones)."""
-    kmv_sketch(batch_df, key_col, value_col, k, salt, keep_ppm).select(
-        "key", F.explode("hs").alias("h")
-    ).write.mode("overwrite").parquet(f"{path}/parts/batch_id={batch_id}")
+    (key, h, gate) rows — ≤ k per key, gate constant per partial) and
+    land it idempotently under ``parts/batch_id=N`` (min-k is
+    idempotent, so replays are exactly harmless, like the HLL sink and
+    unlike the additive ones). ``keep_ppm="auto"`` applies the
+    :func:`kmv_keep_policy` tier per batch — batch sizes differ, so
+    partials may carry different gates; the fold's min-gate algebra
+    reconciles them exactly."""
+    kmv_sketch(
+        batch_df, key_col, value_col, k, salt, keep_ppm, n_rows
+    ).select("key", F.explode("hs").alias("h"), "gate").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/parts/batch_id={batch_id}")
 
 
 def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
     """Current folded sketch: newest committed snapshot min-k-folded
     with committed partials above the watermark (same crash-safety
-    rules as the other sketch sinks). Returns the (key, hs) array
-    form."""
+    rules as the other sketch sinks). Returns the (key, hs, gate)
+    array form; the folded gate is the MIN over contributing partials
+    and hashes are re-filtered below it (theta-union rule)."""
     from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
@@ -587,13 +692,23 @@ def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
     if v >= 0:
         parts.append(f"{path}/snap/v={v}")
     if not parts:
-        return spark.createDataFrame([], "key string, hs array<bigint>")
-    return (
+        return spark.createDataFrame(
+            [], "key string, hs array<bigint>, gate bigint"
+        )
+    folded = (
         spark.read.parquet(*parts)
         .groupBy("key")
         .agg(
-            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+            F.array_sort(F.collect_set("h")).alias("hs_all"),
+            F.min("gate").alias("gate"),
         )
+    )
+    return folded.select(
+        "key",
+        F.slice(
+            F.filter(F.col("hs_all"), lambda h: h < F.col("gate")), 1, k
+        ).alias("hs"),
+        "gate",
     )
 
 
@@ -613,7 +728,7 @@ def compact_kmv(spark, path: str, k: int = KMV_K) -> int:
         return v
     fold = (
         read_kmv(spark, path, k)
-        .select("key", F.explode("hs").alias("h"))
+        .select("key", F.explode("hs").alias("h"), "gate")
         .localCheckpoint(eager=True)
     )
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
@@ -701,23 +816,39 @@ def kmv_adjacent_overlap(
     hs_a_col: str = "hs_a",
     hs_b_col: str = "hs_b",
     k: int = KMV_K,
+    gate_a_col: str | None = None,
+    gate_b_col: str | None = None,
 ) -> DataFrame:
     """Theta-sketch set ops evaluated PER ROW over two sketch arrays
     already joined side by side (the windowed/adjacent-pair shape:
     yesterday's sketch vs today's) — no explode, no second shuffle:
     everything is bounded array arithmetic on <= k-element columns.
     Adds (theta_min, n_match, est_a, est_b, est_inter, est_union) to
-    the input row; estimators identical to :func:`kmv_pair_overlap`."""
+    the input row; estimators identical to :func:`kmv_pair_overlap`.
 
-    def _theta(c):
-        return F.when(
-            F.size(c) < k, F.lit(KMV_FULL)
-        ).otherwise(F.element_at(c, k).cast("long"))
+    ``gate_a_col``/``gate_b_col`` name the per-side build-gate columns
+    (carry them alongside the hs arrays when pairing gated sketches) —
+    an under-full side's theta is then ITS gate, and its own estimate
+    scales by the inverse keep rate, exactly like :func:`kmv_stats`.
+    Omitted gates default to 2^48, valid ONLY for ungated builds."""
+
+    def _gate(col_name):
+        return (
+            F.col(col_name).cast("long")
+            if col_name is not None
+            else F.lit(KMV_FULL).cast("long")
+        )
+
+    def _theta(c, gate):
+        return F.when(F.size(c) < k, gate).otherwise(
+            F.element_at(c, k).cast("long")
+        )
 
     a, b = F.col(hs_a_col), F.col(hs_b_col)
+    ga, gb = _gate(gate_a_col), _gate(gate_b_col)
     out = (
-        paired.withColumn("theta_a", _theta(a))
-        .withColumn("theta_b", _theta(b))
+        paired.withColumn("theta_a", _theta(a, ga))
+        .withColumn("theta_b", _theta(b, gb))
         .withColumn("theta_min", F.least("theta_a", "theta_b"))
         .withColumn(
             "n_match",
@@ -730,13 +861,25 @@ def kmv_adjacent_overlap(
         )
         .withColumn(
             "est_a",
-            F.when(F.size(a) < k, F.size(a).cast("long")).otherwise(
+            F.when(
+                F.size(a) < k,
+                F.expr(
+                    f"size({hs_a_col}) * CAST({KMV_FULL} AS BIGINT)"
+                    " DIV theta_a"
+                ),
+            ).otherwise(
                 F.expr(f"CAST({(k - 1) * KMV_FULL} AS BIGINT) DIV theta_a")
             ),
         )
         .withColumn(
             "est_b",
-            F.when(F.size(b) < k, F.size(b).cast("long")).otherwise(
+            F.when(
+                F.size(b) < k,
+                F.expr(
+                    f"size({hs_b_col}) * CAST({KMV_FULL} AS BIGINT)"
+                    " DIV theta_b"
+                ),
+            ).otherwise(
                 F.expr(f"CAST({(k - 1) * KMV_FULL} AS BIGINT) DIV theta_b")
             ),
         )

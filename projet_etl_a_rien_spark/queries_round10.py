@@ -787,9 +787,14 @@ def _kmv_stats_with_truth(
     "hash set through the gate, not just the estimate. A sketch that "
     "saw < k distinct hashes is exact by construction (theta = 2^48). "
     "true_distinct carried for the accuracy property (rel err pinned "
-    "by test at ~1/sqrt(k-2)). The keep_ppm pre-filter gate is the "
-    "100 TB knob (survivors ~= distinct*ppm/1e6 bound the distinct "
-    "exchange; losslessness above k survivors property-pinned).",
+    "by test at ~1/sqrt(k-2)). Builds run through the DEFAULT "
+    "keep_ppm='auto' policy (kmv_keep_policy: ungated below 10^7 rows "
+    "— this fixture's tier, hence theta = 2^48 here — then decade "
+    "tiers falling 10x from 200000 ppm with ppm*tier_end = 2e13 "
+    "invariant) so per-key aggregation state is O(expected survivors) "
+    "at any scale, and the chosen gate travels inside the sketch "
+    "(gate column) to every downstream estimator (gated-vs-ungated "
+    "equality above k survivors property-pinned).",
 )
 def q_events_user_kmv_distinct(
     spark: SparkSession, sf_dir: str
@@ -1162,7 +1167,19 @@ def q_events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ewma_num",
             "ewma_den",
-            F.expr("ewma_num * 1000 DIV ewma_den").alias("ewma_milli"),
+            # FLOOR division, explicitly (r10 ADVICE): Spark's DIV
+            # truncates toward zero while the oracle's // floors — they
+            # agree only for non-negative numerators. ewma_den (a sum
+            # of powers of two) is always > 0, so floor(num·1000/den)
+            # = trunc - 1 exactly when the division is inexact and the
+            # numerator is negative; this form is sign-safe, the
+            # fixture's non-negative values are no longer load-bearing
+            # (signed parity pinned in tests/test_round11.py).
+            F.expr(
+                "ewma_num * 1000 DIV ewma_den"
+                " - CASE WHEN (ewma_num * 1000) % ewma_den != 0"
+                "        AND ewma_num < 0 THEN 1 ELSE 0 END"
+            ).alias("ewma_milli"),
         )
     )
 
@@ -2355,16 +2372,23 @@ def q_events_user_churn_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("d")
     sk = S.kmv_sketch(ev.select(day, "user_id"), "d", "user_id").select(
-        F.col("key").alias("d"), "hs"
+        F.col("key").alias("d"), "hs", "gate"
     )
-    a = sk.select(F.col("d").alias("day_prev"), F.col("hs").alias("hs_a"))
+    a = sk.select(
+        F.col("d").alias("day_prev"),
+        F.col("hs").alias("hs_a"),
+        F.col("gate").alias("gate_a"),
+    )
     b = sk.select(
         F.expr("d - make_interval(0, 0, 0, 1, 0, 0, 0)").alias("day_prev"),
         F.col("d").alias("day_curr"),
         F.col("hs").alias("hs_b"),
+        F.col("gate").alias("gate_b"),
     )
     paired = a.join(b, "day_prev")
-    est = S.kmv_adjacent_overlap(paired).select(
+    est = S.kmv_adjacent_overlap(
+        paired, gate_a_col="gate_a", gate_b_col="gate_b"
+    ).select(
         "day_prev",
         "day_curr",
         F.col("est_a").alias("est_prev"),
