@@ -102,6 +102,12 @@ HEADLINE = [
     "multimodal_phash_near_dup_pairs",
     "parts_copurchase_bfs_3hop",
     "customer_entity_resolution",
+    # r11: the sliding KMV window (720 window folds + adjacent
+    # intersections from O(hours x k) state) and the keyed KS drift
+    # dashboard (grid-sized per key; tracked so the serve-side
+    # join-free claim stays a measured fact)
+    "events_sliding_kmv_windows",
+    "source_length_drift_ks_by_lang",
 ]
 
 

@@ -534,3 +534,78 @@ def quantile_sketch_ks(
             F.col("bucket").alias("at_bucket"),
         )
     )
+
+
+def quantile_sketch_ks_keyed(
+    sk_a: DataFrame, sk_b: DataFrame, m: int = DEFAULT_M
+) -> DataFrame:
+    """KEYED two-sample KS — the per-source/per-language drift
+    DASHBOARD (the r10 verdict's #5 ask): one KS distance PER KEY
+    between two keyed sketches (:func:`quantile_sketch_build_keyed`
+    grids), with the same integer bucket-boundary evaluation, ppm
+    arithmetic, and min-bucket tie-break as the global
+    :func:`quantile_sketch_ks`. Emits one row per key present in
+    either sketch: (key, n_a, n_b, ks_ppm, at_bucket); a key missing
+    from one side has no CDF there — ks_ppm is an explicit NULL with
+    the n_a/n_b evidence visible (the empty-population guard).
+
+    Shape: a per-key full-outer cell join (≤ 64·m+1 cells per key —
+    grid-sized, never data-sized), one per-key running-cumulative
+    window, one per-key top-1 via row_number — serve-side join-free
+    over sketch state; neither population is rescanned. NULLS LAST is
+    explicit in the pick ordering so Spark and the SQL oracle agree
+    bit-for-bit even on guarded keys."""
+    from pyspark.sql.window import Window
+
+    a = sk_a.select("key", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sk_b.select("key", "bucket", F.col("cnt").alias("cnt_b"))
+    cells = a.join(b, ["key", "bucket"], "full_outer").select(
+        "key",
+        "bucket",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "key",
+        "bucket",
+        F.sum("cnt_a").over(w).alias("cum_a"),
+        F.sum("cnt_b").over(w).alias("cum_b"),
+        F.sum("cnt_a").over(tot).alias("n_a"),
+        F.sum("cnt_b").over(tot).alias("n_b"),
+    ).select(
+        "key",
+        "bucket",
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.abs(
+                F.expr("cum_a * CAST(1000000 AS BIGINT) DIV n_a")
+                - F.expr("cum_b * CAST(1000000 AS BIGINT) DIV n_b")
+            ),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("diff_ppm"),
+    )
+    pick = Window.partitionBy("key").orderBy(
+        F.desc_nulls_last("diff_ppm"), F.asc("bucket")
+    )
+    return (
+        cum.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "key",
+            "n_a",
+            "n_b",
+            F.col("diff_ppm").alias("ks_ppm"),
+            F.col("bucket").alias("at_bucket"),
+        )
+    )

@@ -184,6 +184,7 @@ SCALAR_BNLJ_OK = {
     "corpus_length_quantiles_sketch",  # 1-row bounded-cell-array broadcast
     "doc_length_cdf_from_sketch",  # same 1-row cell-array broadcast, CDF side
     "corpus_length_drift_ks_sketch",  # 1-row min-source scalar broadcast
+    "source_length_drift_ks_by_lang",  # same 1-row min-source broadcast, keyed
 }
 
 

@@ -196,6 +196,57 @@ def test_quantile_ks_empty_side_yields_null_distance(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_kmv_sliding_window_fold_equals_direct_build(spark):
+    """The sliding-window property the oracle relies on: min-k fold of
+    per-hour sketches over a window's member hours == one-shot bottom-k
+    over the window's rows (min-k associativity), exact whenever ≥ k
+    hashes survive — and exact below k too, where the sketch IS the
+    set."""
+    rows = [(h, f"u{(h * 37 + j) % 900}") for h in range(5) for j in range(300)]
+    df = spark.createDataFrame(rows, "hr int, v string")
+    hourly = _S.kmv_sketch(df, "hr", "v")
+    win = [0, 1, 2]
+    fold = _S.kmv_merge(
+        hourly.where(F.col("key").isin(win)).select(
+            F.lit("w").alias("key"), "hs", "gate"
+        )
+    ).collect()[0]
+    direct = _S.kmv_sketch(
+        df.where(F.col("hr").isin(win)).select(
+            F.lit("w").alias("key"), "v"
+        ),
+        "key",
+        "v",
+    ).collect()[0]
+    assert list(fold.hs) == list(direct.hs)
+    assert fold.gate == direct.gate
+
+
+def test_keyed_ks_missing_side_yields_null_for_that_key_only(spark):
+    """Keyed KS guard: a key present in only one sketch emits its
+    n_a/n_b evidence with ks_ppm = NULL; keys present in both get a
+    real distance — NULL never leaks across keys."""
+    a = _Q.quantile_sketch_build_keyed(
+        spark.createDataFrame(
+            [("x", i) for i in range(1, 100)], "k string, v long"
+        ),
+        "k",
+        "v",
+    )
+    b = _Q.quantile_sketch_build_keyed(
+        spark.createDataFrame(
+            [("x", i) for i in range(1000, 1100)]
+            + [("y", i) for i in range(1, 50)],
+            "k string, v long",
+        ),
+        "k",
+        "v",
+    )
+    rows = {r.key: r for r in _Q.quantile_sketch_ks_keyed(a, b).collect()}
+    assert rows["x"].ks_ppm is not None and rows["x"].ks_ppm > 900_000
+    assert rows["y"].n_a == 0 and rows["y"].ks_ppm is None
+
+
 def test_ewma_milli_floors_for_signed_values(spark):
     expr = (
         "ewma_num * 1000 DIV ewma_den"
