@@ -103,6 +103,89 @@ def documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(dups)
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer-training enrichment corpus (r10 verdict ask #3): the
+# synthetic documents table draws from a 61-pre-token vocabulary, so a
+# BBPE ladder learned over it alone exhausts at rank 127 — far below a
+# production table size. This deterministic enrichment widens the
+# TRAINING corpus's morphology (stem x suffix inflections), adds
+# code-like punctuation runs, digit runs, contractions, and
+# multilingual/multibyte words, so the exhaustion rank clears 500 and
+# the frozen production ladder is learned at a real-vocab plan width.
+#
+# Design rules:
+# - pure Python list builder (no RNG, no I/O) so the pure-Python
+#   provenance test re-learns over EXACTLY the same corpus;
+# - every line starts with the fixed word "x", so each enrichment form
+#   contributes exactly ONE pre-token type (the leading-space variant);
+# - the line set is emitted twice with reversed neighborhoods, so every
+#   pre-token type occurs exactly twice (>= min_pair_count) and every
+#   type fully collapses — the ladder is the complete merge curriculum
+#   of the widened vocabulary;
+# - total mass (~5 KB) stays tiny vs the sf0.01 corpus (~150 KB), so
+#   the high-count head of the ladder remains corpus-driven and the
+#   vocab-budget cut still reflects the corpus's own statistics.
+# ---------------------------------------------------------------------------
+
+_ENRICH_STEMS = [
+    "transform", "deploy", "token", "shard", "merge", "filter",
+    "cluster", "sample", "encode", "decode", "stream", "batch",
+    "index", "vector", "partition", "shuffle", "broadcast", "quantil",
+    "sketch", "bucket", "anchor", "window", "session", "replay",
+    "compact", "ingest", "parse", "rank", "split", "fold",
+]
+_ENRICH_SUFFIXES = ["", "s", "ed", "ing", "er", "ers", "ation", "ment"]
+_ENRICH_CODE = [
+    "x+=1;", "f(x,y)", "[0..9]", "{a:b}", "->>", "!=", "::", "&&",
+    "##", "()=>",
+]
+_ENRICH_NUMBERS = [str(1900 + 7 * i) for i in range(20)] + [
+    str(3 + 97 * i) for i in range(12)
+]
+_ENRICH_MULTILINGUAL = [
+    "café", "naïve", "übermäßig", "中文分词", "模型", "données",
+    "reseña", "straße",
+]
+_ENRICH_CONTRACTIONS = [
+    "we'll", "it's", "don't", "they're", "I've", "he'd", "I'm",
+]
+
+
+def enrichment_texts() -> list[str]:
+    """The deterministic tokenizer-training enrichment lines (pure
+    Python — shared verbatim by the Spark training corpus, the offline
+    ladder tool, and the pure-Python provenance test)."""
+    words = (
+        [s + x for s in _ENRICH_STEMS for x in _ENRICH_SUFFIXES]
+        + _ENRICH_CODE
+        + _ENRICH_NUMBERS
+        + _ENRICH_MULTILINGUAL
+        + _ENRICH_CONTRACTIONS
+    )
+    lines: list[str] = []
+    per = 8
+    for rep in range(2):
+        for i in range(0, len(words), per):
+            chunk = words[i : i + per]
+            if rep == 1:
+                chunk = list(reversed(chunk))
+            lines.append("x " + " ".join(chunk))
+    return lines
+
+
+def training_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-TRAINING corpus: the documents table's text plus
+    the enrichment lines (tools/learn_bbpe_ladder.py trains the frozen
+    production ladder over this; the registered encode entries apply
+    the frozen table to the plain corpus — train-wide, apply-anywhere,
+    exactly like a production tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    enrich = spark.createDataFrame(
+        [(t,) for t in enrichment_texts()], "text string"
+    )
+    return docs.unionByName(enrich)
+
+
 DOCUMENTS_WITH_DUPS_ORACLE_CTE = """
 docs_dup AS (
     SELECT doc_id, text, lang, source, n_chars FROM documents

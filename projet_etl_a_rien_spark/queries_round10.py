@@ -8,7 +8,7 @@ ladder as the plan-depth proof point.
 The r9 verdict's asks #1 and #4. The 10-merge v1 entries in
 queries_round9 stay registered as the engine-parity pins; these v2
 entries are what a production trainer's packing/budget/chunk layout
-would actually consume (English bytes/token ≈ 2.85 at the cut, pinned
+would actually consume (English bytes/token ≈ 2.86 at the cut, pinned
 in the 2-4 band by test, vs ~1.1 at 10 merges).
 
 Imported for its registration side effects by
@@ -34,9 +34,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # learn_bbpe_merges with pretoken_re=GPT2_PRETOKEN_RE) — the category
 # structure changes WHICH merges are learned (contraction suffixes and
 # punctuation runs pre-tokenize separately), so the learner gets its own
-# hash-exact pin at a bounded depth; the full exhaustion run (127
-# merges) is pinned by the pure-Python property test in
-# tests/test_round10.py.
+# hash-exact pin at a bounded depth; the full exhaustion run (rank 586
+# over the enriched training corpus, r11) is pinned by the pure-Python
+# provenance test in tests/test_round10.py.
 # ---------------------------------------------------------------------------
 
 GPT2_LEARN_MERGES = 32
@@ -83,14 +83,15 @@ def q_bpe_learn_merges_bytes_gpt2(
     ),
     doc="Tokenizer-application under the PRODUCTION-SIZED frozen table: "
     f"the rank-{bpe.DEFAULT_VOCAB_CUT} vocab-budget cut of the "
-    "exhaustion ladder (operators/bbpe_merges_v2.py — learned once at "
-    "sf0.01 with the GPT-2 pre-tokenizer, offered 500 slots, "
-    f"data-bounded at rank {bpe.EXHAUSTION_RANK}: the synthetic corpus "
-    "has a 61-pre-token vocabulary and fully collapses; merge count is "
-    "a property of the DATA — the encode chain itself is linear in "
-    "table size and plan-depth-pinned at 500 synthetic merges by "
-    "test). English bytes_per_token ≈ 2.85 at this cut — the 2-4 band "
-    "a real BPE vocab yields — vs ~1.1 at the 10-merge pin, so "
+    "exhaustion ladder (operators/bbpe_merges_v2.py — learned once "
+    "over sf0.01 + the deterministic morphology enrichment "
+    "(fixtures.enrichment_texts, the r10 verdict's #3 ask) with the "
+    "GPT-2 pre-tokenizer, offered 2000 slots, exhausted at rank "
+    f"{bpe.EXHAUSTION_RANK}; the ~3%-mass enrichment widens the "
+    "vocabulary past 500 merges while the cut region stays "
+    "corpus-driven — count ~900 at the cut vs 2-digit enrichment "
+    "pairs). English bytes_per_token ≈ 2.86 at this cut — the 2-4 "
+    "band a real BPE vocab yields — vs ~1.1 at the 10-merge pin, so "
     "downstream packing/budget/chunk numbers match what a trainer "
     "sees. Oracle: 80-step anchored replace chain, materialized every "
     "16 steps.",
@@ -107,9 +108,13 @@ def q_corpus_bbpe_encode_stats_v2(
 
 
 # ---------------------------------------------------------------------------
-# Encoding under the FULL exhaustion ladder (127 merges) — the deepest
-# merge chain this corpus can define, demonstrating the fold-chain +
-# localCheckpoint design at maximum data-supported depth.
+# Encoding under the FULL exhaustion ladder (586 merges) — the deepest
+# merge table the training data defines, exercising the encode path at
+# a REAL-VOCAB plan width (the r10 verdict's stress-test ask). At this
+# depth the chained-fold engine would pay ~45 s of pure plan
+# construction, so the auto engine takes the Arrow-batched encoder:
+# ONE mapInPandas over the vocab-sized distinct-pre-token table, plan
+# depth O(1), fold/arrow equality property-pinned.
 # ---------------------------------------------------------------------------
 
 
@@ -119,14 +124,16 @@ def q_corpus_bbpe_encode_stats_v2(
         bpe.BBPE_MERGES_V2, pretoken_re=bpe.GPT2_PRETOKEN_RE
     ),
     doc="Tokenizer-application under the FULL exhaustion ladder "
-    f"({bpe.EXHAUSTION_RANK} merges — every merge the corpus admits): "
-    "at this depth every pre-token is one token, so bytes_per_token "
-    "equals mean pre-token byte length (~5.5) — the memorization "
-    "asymptote that motivates shipping the rank-80 cut instead. "
-    "Registered to pin the encode path at the deepest data-supported "
-    "chain: 127 rank-ordered greedy folds over the distinct-pre-token "
-    "table, localCheckpoint-truncated, with a 127-step replace-chain "
-    "oracle (materialized every 16).",
+    f"({bpe.EXHAUSTION_RANK} merges — every merge the training corpus "
+    "admits): at this depth every pre-token is one token, so "
+    "bytes_per_token equals mean pre-token byte length (~5.5) — the "
+    "memorization asymptote that motivates shipping the rank-80 cut "
+    "instead. Registered to pin the encode path at PRODUCTION table "
+    "width: 586 rank-ordered greedy merges applied by the "
+    "Arrow-batched distinct-pre-token encoder (one mapInPandas stage, "
+    "plan depth O(1) — the fold-chain twin is property-pinned equal "
+    "and remains the engine for bounded tables), against a 586-step "
+    "replace-chain oracle (materialized every 16).",
 )
 def q_corpus_bbpe_encode_stats_ladder(
     spark: SparkSession, sf_dir: str

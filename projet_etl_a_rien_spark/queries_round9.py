@@ -127,9 +127,9 @@ def _bbpe_encode_oracle(
     separator is safe BY CONSTRUCTION here (the word-level oracle needs
     a corpus-alphabet assumption; the byte-level one does not). The
     chain length equals the merge-table size — at the production cut
-    (80) and the full exhaustion ladder (127) each merge is still one
-    replace CTE, materialized every 16 steps so DuckDB never inlines
-    the chain into one giant expression."""
+    (80) and the full exhaustion ladder (586, r11) each merge is still
+    one replace CTE, materialized every 16 steps so DuckDB never
+    inlines the chain into one giant expression."""
     S = "chr(30)"
 
     def q(s: str) -> str:

@@ -516,10 +516,13 @@ def _py_apply_merge(syms, left, right):
 
 def test_frozen_ladder_provenance_matches_python_exhaustion(spark):
     """The frozen BBPE_MERGES_V2 module IS the exhaustion run: a pure-
-    Python learner offered 500 slots over the same sf0.01 corpus stops
-    at the same rank with the identical merge sequence — the frozen
-    table is learned, not hand-made, and the 500-slot offer really was
-    data-bounded."""
+    Python learner offered 2000 slots over the same TRAINING corpus
+    (sf0.01 documents + fixtures.enrichment_texts(), r11) stops at the
+    same rank with the identical merge sequence — the frozen table is
+    learned, not hand-made, the 2000-slot offer really was
+    data-bounded, and the exhaustion rank clears the 500-merge
+    production width the r10 verdict asked for."""
+    from projet_etl_a_rien_spark.fixtures import enrichment_texts
     from projet_etl_a_rien_spark.operators.bbpe_merges_v2 import (
         BBPE_MERGES_V2,
         EXHAUSTION_RANK,
@@ -530,9 +533,10 @@ def test_frozen_ladder_provenance_matches_python_exhaustion(spark):
         for r in spark.read.parquet(
             "/root/testdata/sf0.01/documents.parquet"
         ).collect()
-    ]
-    want = _py_gpt2_bbpe_learn(texts, num_merges=500, min_count=2)
-    assert len(want) < 500  # genuinely exhausted, not budget-stopped
+    ] + enrichment_texts()
+    want = _py_gpt2_bbpe_learn(texts, num_merges=2000, min_count=2)
+    assert len(want) < 2000  # genuinely exhausted, not budget-stopped
+    assert len(want) >= 500  # production-width ladder (r10 verdict #3)
     assert want == BBPE_MERGES_V2
     assert EXHAUSTION_RANK == len(BBPE_MERGES_V2)
 
@@ -565,19 +569,18 @@ def test_v2_cut_bytes_per_token_in_band(spark):
 
 
 def test_encode_chain_plan_depth_500(spark):
-    """The encode path supports a ≥500-merge chain (the production
-    table size the data could not provide): the 127 real ladder merges
-    plus inert filler to 500, chained with a deeper-than-default
-    checkpoint cadence, still plans, runs, and matches the pure-Python
-    encode exactly."""
+    """The chained-FOLD encode engine supports a 500-merge chain at
+    real-vocab plan width (the first 500 ranks of the REAL r11 ladder
+    — no synthetic filler needed any more), chained with a
+    deeper-than-default checkpoint cadence: it still plans, runs, and
+    matches the pure-Python encode exactly. The fold chain stays the
+    declarative engine for bounded tables; production-depth encodes
+    take the Arrow path (equality pinned in tests/test_round11.py) —
+    this test keeps the fold engine's depth ceiling a proven fact."""
     from projet_etl_a_rien_spark.operators import bpe as bpe_
 
-    filler = [
-        (128 + i, f"{i % 251:02X}{(i * 7) % 251:02X}ZZ", "ZZZZ", 1)
-        for i in range(500 - len(bpe_.BBPE_MERGES_V2))
-    ]
-    merges = bpe_.BBPE_MERGES_V2 + filler
-    assert len(merges) == 500
+    merges = bpe_.BBPE_MERGES_V2[:500]
+    assert len(merges) == 500  # the r11 ladder exhausts past 500
     texts = [
         (1, "the customer table joins fast"),
         (2, "slow scan, big sort  window"),
@@ -591,6 +594,7 @@ def test_encode_chain_plan_depth_500(spark):
             merges,
             pretoken_re=bpe_.GPT2_PRETOKEN_RE,
             checkpoint_every=8,
+            engine="fold",
         ).collect()
     }
     for doc_id, text in texts:

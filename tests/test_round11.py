@@ -247,6 +247,57 @@ def test_keyed_ks_missing_side_yields_null_for_that_key_only(spark):
     assert rows["y"].n_a == 0 and rows["y"].ks_ppm is None
 
 
+# ---------------------------------------------------------------------------
+# BBPE encode engines (r10 verdict ask #3): the Arrow-batched
+# distinct-pre-token encoder must equal the chained-fold engine
+# merge-for-merge — one contract, two physical plans (fold = plan
+# depth per merge for bounded tables; arrow = one mapInPandas stage
+# for production-width tables like the 586-rank r11 ladder).
+# ---------------------------------------------------------------------------
+
+
+def test_bbpe_arrow_engine_equals_fold_engine(spark):
+    from projet_etl_a_rien_spark.operators import bpe as _bpe
+
+    texts = [
+        (1, "the customer table joins fast don't  stop"),
+        (2, "café 中文分词 x+=1; 1999 deployments"),
+        (3, "shuffling broadcast merges, I'm sure it's fine"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = _bpe.BBPE_MERGES_V2[:48]  # bounded: fold stays cheap
+    kw = dict(pretoken_re=_bpe.GPT2_PRETOKEN_RE, checkpoint_every=8)
+    fold = {
+        r.doc_id: (r.n_pretokens, r.n_bytes, r.n_bbpe_tokens)
+        for r in _bpe.apply_bbpe_merges(
+            df, merges, engine="fold", **kw
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: (r.n_pretokens, r.n_bytes, r.n_bbpe_tokens)
+        for r in _bpe.apply_bbpe_merges(
+            df, merges, engine="arrow", **kw
+        ).collect()
+    }
+    assert fold == arrow
+    # roundtrip identity through the arrow engine at FULL ladder width
+    dec = {
+        r.doc_id: r.decoded
+        for r in _bpe.bbpe_roundtrip(
+            df, _bpe.BBPE_MERGES_V2, engine="arrow", **kw
+        ).collect()
+    }
+    assert dec == {i: t for i, t in texts}
+
+
+def test_bbpe_auto_engine_dispatch():
+    from projet_etl_a_rien_spark.operators import bpe as _bpe
+
+    assert len(_bpe.FIXED_BYTE_MERGES) <= _bpe.FOLD_ENGINE_MAX_MERGES
+    assert len(_bpe.FIXED_BYTE_MERGES_V2) > _bpe.FOLD_ENGINE_MAX_MERGES
+    assert _bpe.EXHAUSTION_RANK >= 500
+
+
 def test_ewma_milli_floors_for_signed_values(spark):
     expr = (
         "ewma_num * 1000 DIV ewma_den"
