@@ -598,7 +598,24 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _correctness_evidence below) — never-checked names sample first, then
 # oldest evidence. _DRIVER_PRIORITY remains as a manual override slot for
 # names that must jump the queue in a given round (empty by default).
-_DRIVER_PRIORITY: list[str] = []
+# r11: every entry whose implementation materially changed this round
+# (KMV builds now default through kmv_keep_policy; the five
+# production-table BBPE entries run the regenerated 586-rank ladder
+# through the Arrow encode engine; pHash's inner loop vectorized) must
+# get a FRESH driver row in CORRECTNESS_r11 — their ledger entries are
+# r10-green, so without the override they would sample last. Budget:
+# 7 priority + 2 new (ledger 0) + the 38-name r5 staleness tail = 47
+# of the driver's ~50 slots, retiring the entire r5 bucket this round
+# (the r10 verdict's ask #2).
+_DRIVER_PRIORITY: list[str] = [
+    "events_user_kmv_distinct",
+    "corpus_bbpe_encode_stats_v2",
+    "corpus_bbpe_encode_stats_ladder",
+    "corpus_bbpe_fertility_by_lang_v2",
+    "corpus_stream_chunk_index_bbpe_v2",
+    "corpus_bbpe_roundtrip",
+    "multimodal_phash_near_dup_pairs",
+]
 
 
 def _correctness_evidence() -> dict[str, int]:

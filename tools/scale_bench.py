@@ -182,6 +182,16 @@ SPOT = [
     # DOULION-p). The growth ratio quantifies what the fixed width
     # costs at 10x.
     "multimodal_phash_near_dup_pairs",
+    # r11: sliding KMV — hour-sketch fan + min-k folds are O(hours x k)
+    # state; the corpus term is the per-hour distinct (hr, h) exchange
+    # -> scan-linear like the per-day churn entry. Keyed KS: two keyed
+    # grid builds (scan-linear) + a per-key grid-cell comparison
+    # (flat). Ladder encode: same explode + join as the cut entry —
+    # the 7x-deeper merge table must NOT move the growth ratio (the
+    # Arrow engine's per-type cost is corpus-independent).
+    "events_sliding_kmv_windows",
+    "source_length_drift_ks_by_lang",
+    "corpus_bbpe_encode_stats_ladder",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}

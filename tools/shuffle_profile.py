@@ -77,6 +77,14 @@ PROFILE = [
     "doc_length_cdf_from_sketch",
     "corpus_length_drift_ks_sketch",
     "events_user_churn_kmv",
+    # r11: the sliding KMV window (hour-sketch fan + min-k folds +
+    # adjacent intersections — exchanges stay O(hours x k)) and the
+    # keyed KS dashboard (per-key grid cells only); the full-ladder
+    # encode through the Arrow engine (same corpus-scale explode +
+    # join as the cut — the 586-merge table adds NO shuffle bytes)
+    "events_sliding_kmv_windows",
+    "source_length_drift_ks_by_lang",
+    "corpus_bbpe_encode_stats_ladder",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
