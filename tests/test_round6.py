@@ -915,10 +915,14 @@ def test_pareto_rank_equals_spec_order(spark, sf_dir):
 
 
 def test_driver_sampling_order_derives_from_artifacts():
-    """The rotation ledger reads CORRECTNESS_r*.json directly: every
-    name with a green row in any round sorts AFTER every name without
-    one, and within the checked set older evidence sorts first."""
+    """The rotation ledger reads CORRECTNESS_r*.json directly: after
+    the explicit _DRIVER_PRIORITY override block (entries whose
+    implementation changed this round and need a fresh driver row
+    despite fresh ledger evidence), every name with a green row in any
+    round sorts AFTER every name without one, and within the checked
+    set older evidence sorts first."""
     from projet_etl_a_rien_spark.queries import (
+        _DRIVER_PRIORITY,
         _correctness_evidence,
         _ordered_names,
     )
@@ -926,9 +930,12 @@ def test_driver_sampling_order_derives_from_artifacts():
     ledger = _correctness_evidence()
     assert ledger, "no CORRECTNESS artifacts found in the repo root"
     order = _ordered_names()
-    ranks = {n: i for i, n in enumerate(order)}
-    never = [n for n in order if ledger.get(n, 0) == 0]
-    checked = [n for n in order if ledger.get(n, 0) > 0]
+    pri = [n for n in _DRIVER_PRIORITY if n in order]
+    assert order[: len(pri)] == pri  # override block leads verbatim
+    rest = order[len(pri) :]
+    ranks = {n: i for i, n in enumerate(rest)}
+    never = [n for n in rest if ledger.get(n, 0) == 0]
+    checked = [n for n in rest if ledger.get(n, 0) > 0]
     # Full driver coverage (never == []) is the success state; the
     # never-before-checked ordering rule only applies while some
     # query still lacks a driver row.
@@ -936,5 +943,5 @@ def test_driver_sampling_order_derives_from_artifacts():
     if never:
         assert max(ranks[n] for n in never) < min(ranks[n] for n in checked)
     # monotone by freshest-green round within the checked set
-    rounds = [ledger[n] for n in order if n in ledger]
+    rounds = [ledger[n] for n in rest if n in ledger]
     assert rounds == sorted(rounds)
