@@ -108,6 +108,12 @@ HEADLINE = [
     # join-free claim stays a measured fact)
     "events_sliding_kmv_windows",
     "source_length_drift_ks_by_lang",
+    # r11 session 2: the trailing-window daily drift monitor (sketch
+    # additivity over time + keyed KS) and the gated shingle-overlap
+    # operating point (tracked beside the ungated twin so the
+    # keep-gate's cost cut stays a measured fact)
+    "events_value_drift_daily_ks",
+    "source_shingle_kmv_overlap_gated",
 ]
 
 

@@ -10,6 +10,13 @@ set-algebra window — the r10 verdict's asks #5 and #6.
   ``events_sliding_hll_windows``, additionally serving the
   window-over-window INTERSECTION (retained users), which register-MAX
   sketches cannot provide.
+- ``events_value_drift_daily_ks``: day-over-trailing-window drift of
+  the event value distribution — sketch ADDITIVITY composed over time
+  (trailing reference = SUM-merge of predecessor grids) feeding the
+  keyed KS.
+- ``source_shingle_kmv_overlap_gated``: the shingle overlap matrix at
+  the 50000 ppm operating point, sized to straddle k so every branch
+  of the gate-aware fixed-threshold estimator is oracle-checked.
 
 Imported for its registration side effects by
 ``queries._load_extensions``.
@@ -287,4 +294,274 @@ def q_events_sliding_kmv_windows(
             ),
             "true_distinct",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window daily drift monitor — sketch ADDITIVITY composed over
+# TIME, then keyed KS: per-day value grids are built once (the only
+# corpus-scale pass), each day's TRAILING-3-DAY reference distribution
+# is the SUM-merge of its three predecessors' grids (additive fold —
+# no event is rescanned), and the day-vs-trailing drift is the keyed
+# two-sample KS. This is the production "did today's ingest move vs
+# the trailing window" alarm: O(days x grid) state answers every day's
+# comparison, and both the window fold and the comparison are
+# grid-sized.
+# ---------------------------------------------------------------------------
+
+DRIFT_TRAIL_DAYS = 3
+
+
+def _daily_drift_oracle(m: int) -> str:
+    from .operators.quantiles import _log2m
+
+    lm = _log2m(m)
+    g = "GREATEST(val, CAST(1 AS BIGINT))"
+    p2 = f"CAST(pow(2, length(bin({g})) - 1) AS BIGINT)"
+    bucket = f"""CASE WHEN val <= 0 THEN CAST(-1 AS BIGINT)
+           ELSE CAST(length(bin({g})) - 1 AS BIGINT) * {m}
+                + (CASE WHEN length(bin({g})) - 1 >= {lm}
+                   THEN ({g} - {p2}) // ({p2} // {m})
+                   ELSE ({g} - {p2}) * {m} // {p2} END)
+           END"""
+    w = DRIFT_TRAIL_DAYS
+    return f"""
+WITH v AS (SELECT date_trunc('day', ts) AS d,
+                  CAST(ROUND(value * 100) AS BIGINT) AS val
+           FROM events),
+b AS (SELECT d, {bucket} AS bucket FROM v),
+s AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY d, bucket),
+days AS (SELECT DISTINCT d FROM v),
+valid AS (SELECT f.tgt FROM
+            (SELECT days.d + to_days(CAST(i.i AS INTEGER)) AS tgt, days.d AS src
+             FROM days, (SELECT unnest(range(1, {w + 1})) AS i) i) f
+          JOIN days x ON f.src = x.d
+          JOIN days y ON f.tgt = y.d
+          GROUP BY f.tgt HAVING COUNT(DISTINCT f.src) = {w}),
+trail AS (SELECT f.tgt AS key, s.bucket,
+                 CAST(SUM(s.cnt) AS BIGINT) AS cnt_a
+          FROM s, (SELECT unnest(range(1, {w + 1})) AS i) i,
+               LATERAL (SELECT s.d + to_days(CAST(i.i AS INTEGER)) AS tgt) f
+          WHERE f.tgt IN (SELECT tgt FROM valid)
+          GROUP BY 1, 2),
+cur AS (SELECT d AS key, bucket, cnt AS cnt_b FROM s
+        WHERE d IN (SELECT tgt FROM valid)),
+cells AS (SELECT COALESCE(t.key, c.key) AS key,
+                 COALESCE(t.bucket, c.bucket) AS bucket,
+                 COALESCE(t.cnt_a, 0) AS cnt_a,
+                 COALESCE(c.cnt_b, 0) AS cnt_b
+          FROM trail t FULL OUTER JOIN cur c
+            ON t.key = c.key AND t.bucket = c.bucket),
+cum AS (SELECT key, bucket,
+               SUM(cnt_a) OVER (PARTITION BY key ORDER BY bucket)
+                   AS cum_a,
+               SUM(cnt_b) OVER (PARTITION BY key ORDER BY bucket)
+                   AS cum_b,
+               SUM(cnt_a) OVER (PARTITION BY key) AS n_a,
+               SUM(cnt_b) OVER (PARTITION BY key) AS n_b
+        FROM cells),
+d2 AS (SELECT key, bucket, CAST(n_a AS BIGINT) AS n_a,
+              CAST(n_b AS BIGINT) AS n_b,
+              CASE WHEN n_a > 0 AND n_b > 0 THEN
+                ABS(cum_a * CAST(1000000 AS BIGINT) // n_a
+                    - cum_b * CAST(1000000 AS BIGINT) // n_b)
+              END AS diff_ppm
+       FROM cum),
+p AS (SELECT key, n_a, n_b, diff_ppm, bucket,
+             row_number() OVER (PARTITION BY key
+                 ORDER BY diff_ppm DESC NULLS LAST, bucket ASC) AS rn
+      FROM d2)
+SELECT key AS day, n_a AS n_trailing, n_b AS n_day,
+       CAST(diff_ppm AS BIGINT) AS ks_ppm,
+       CAST(bucket AS BIGINT) AS at_bucket
+FROM p WHERE rn = 1
+"""
+
+
+@register(
+    "events_value_drift_daily_ks",
+    _daily_drift_oracle(QSK_M),
+    doc=f"Day-over-trailing-{DRIFT_TRAIL_DAYS}-day drift of the event "
+    "VALUE distribution, one KS row per day: per-day quantile-sketch "
+    "grids are built in the one corpus-scale pass, each day's "
+    "trailing reference is the ADDITIVE SUM-merge of its three "
+    "predecessors' grids (sketch additivity composed over time — no "
+    "event rescanned, the same fan-out shape as the sliding HLL/KMV "
+    "windows), and day-vs-trailing drift is the keyed two-sample KS "
+    "(integer ppm CDFs, min-bucket tie-break, NULLS LAST). Only days "
+    "with a complete trailing window emit (contributing-day count "
+    "pinned = 3). This is the nightly ingest-monitoring alarm at "
+    "100 TB: O(days x grid) state serves every day's comparison and "
+    "the whole evaluation is grid-sized. Values enter as exact cents "
+    "so both engines bucket identically.",
+)
+def q_events_value_drift_daily_ks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import quantiles as Q
+
+    w = DRIFT_TRAIL_DAYS
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("val"),
+    )
+    grids = Q.quantile_sketch_build_keyed(rows, "d", "val", QSK_M)
+    days = rows.select("d").distinct()
+    off = F.explode(F.sequence(F.lit(1), F.lit(w))).alias("i")
+    # valid targets: days whose full trailing window exists
+    fan_days = days.select("d", off).select(
+        F.col("d").alias("src"),
+        F.expr("d + make_interval(0, 0, 0, i, 0, 0, 0)").alias("tgt"),
+    )
+    valid = (
+        fan_days.join(days.withColumnsRenamed({"d": "tgt"}), "tgt")
+        .groupBy("tgt")
+        .agg(F.countDistinct("src").alias("n_days"))
+        .where(F.col("n_days") == w)
+        .select("tgt")
+    )
+    trail = (
+        grids.select("key", "bucket", "cnt", off)
+        .select(
+            F.expr(
+                "key + make_interval(0, 0, 0, i, 0, 0, 0)"
+            ).alias("tgt"),
+            "bucket",
+            "cnt",
+        )
+        .join(valid, "tgt")
+        .groupBy(F.col("tgt").alias("key"), F.col("bucket"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cur = grids.join(
+        valid.withColumnsRenamed({"tgt": "key"}), "key"
+    ).select("key", "bucket", "cnt")
+    return Q.quantile_sketch_ks_keyed(trail, cur, QSK_M).select(
+        F.col("key").alias("day"),
+        F.col("n_a").alias("n_trailing"),
+        F.col("n_b").alias("n_day"),
+        "ks_ppm",
+        "at_bucket",
+    )
+
+
+# ---------------------------------------------------------------------------
+# The gated source-overlap matrix — the 100 TB operating point of
+# source_shingle_kmv_overlap, registered so the GATE-AWARE pair
+# arithmetic (the r10 ADVICE composition fix) sits inside the hash
+# gate end-to-end: at 50000 ppm the per-source shingle sketches
+# straddle k (some under-full, some full), so theta takes BOTH
+# branches (gate vs h_(k)), under-full estimates scale by the inverse
+# keep rate, and est_inter scales by full/theta_min — every branch of
+# the fixed-threshold estimator oracle-checked.
+# ---------------------------------------------------------------------------
+
+SRC_KMV_GATE_PPM = 50_000
+
+
+def _src_kmv_gated_oracle() -> str:
+    from .operators import sketches as S
+    from .queries_round10 import SRC_KMV_N
+
+    k, full, n = S.KMV_K, S.KMV_FULL, SRC_KMV_N
+    gate = (full * SRC_KMV_GATE_PPM) // 1_000_000
+    gram_list = (
+        f"list_distinct(list_transform("
+        f"range(len(string_split(text, ' ')) - {n - 1}),"
+        f" i -> array_to_string(string_split(text, ' ')[i + 1:i + {n}], ' ')))"
+    )
+    return f"""
+WITH e AS (
+    SELECT DISTINCT source AS key, unnest({gram_list}) AS v
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {n}
+),
+hh AS (SELECT DISTINCT key,
+              CAST('0x' || substr(md5('kmv:' || v), 1, 12) AS BIGINT) AS h
+       FROM e),
+gg AS (SELECT key, h FROM hh WHERE h < {gate}),
+r AS (SELECT key, h,
+             row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+      FROM gg),
+bk AS (SELECT key, h, rn FROM r WHERE rn <= {k}),
+st AS (SELECT key,
+              CAST(COUNT(*) AS BIGINT) AS kmv_size,
+              CAST(CASE WHEN COUNT(*) < {k} THEN {gate}
+                   ELSE MAX(CASE WHEN rn = {k} THEN h END)
+                   END AS BIGINT) AS theta
+       FROM bk GROUP BY key),
+est AS (SELECT key, kmv_size, theta,
+               CAST(CASE WHEN kmv_size < {k}
+                    THEN kmv_size * {full} // {gate}
+                    ELSE {(k - 1) * full} // theta END AS BIGINT) AS est
+        FROM st),
+p AS (SELECT a.key AS key_a, b.key AS key_b, a.h
+      FROM bk a JOIN bk b ON a.h = b.h AND a.key < b.key),
+pj AS (SELECT p.key_a, p.key_b, p.h,
+             LEAST(sa.theta, sb.theta) AS theta_min,
+             sa.est AS est_a, sb.est AS est_b
+      FROM p JOIN est sa ON p.key_a = sa.key
+             JOIN est sb ON p.key_b = sb.key),
+agg AS (SELECT key_a, key_b, theta_min, est_a, est_b,
+               CAST(SUM(CASE WHEN h <= theta_min THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match
+        FROM pj GROUP BY 1, 2, 3, 4, 5),
+fin AS (SELECT key_a, key_b, n_match, theta_min, est_a, est_b,
+               CAST(CASE WHEN theta_min >= {full} THEN n_match
+                    ELSE n_match * {full} // theta_min
+                    END AS BIGINT) AS est_inter
+        FROM agg)
+SELECT key_a AS source_a, key_b AS source_b, n_match, theta_min,
+       est_a, est_b, est_inter,
+       CAST(est_a + est_b - est_inter AS BIGINT) AS est_union,
+       CAST(est_inter * 1000000
+            // (est_a + est_b - est_inter) AS BIGINT) AS jaccard_ppm
+FROM fin
+"""
+
+
+@register(
+    "source_shingle_kmv_overlap_gated",
+    _src_kmv_gated_oracle(),
+    doc=f"The source-overlap shingle matrix at a {SRC_KMV_GATE_PPM} "
+    "ppm keep gate — the 100 TB operating point where only 1-in-20 "
+    "hashes reaches the distinct exchange. Deliberately sized so the "
+    "per-source sketches STRADDLE k: under-full sources take theta = "
+    "gate and est = size * 2^48 DIV gate (the inverse-keep-rate "
+    "scale-up), full sources take the classic h_(k) form, and the "
+    "pair intersection scales by 2^48 DIV theta_min — every branch "
+    "of the gate-aware fixed-threshold estimator (the r10 ADVICE "
+    "composition fix, gate carried inside the sketch) verified "
+    "hash-exact through the oracle. Ungated twin stays registered as "
+    "the exact-content baseline.",
+)
+def q_source_shingle_kmv_overlap_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+    from .operators.dedup import shingles
+    from .queries_round10 import SRC_KMV_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.col("source").alias("key"),
+        F.explode(shingles("text", SRC_KMV_N)).alias("g"),
+    )
+    sk = S.kmv_sketch(grams, "key", "g", keep_ppm=SRC_KMV_GATE_PPM)
+    return S.kmv_pair_overlap(sk).select(
+        F.col("key_a").alias("source_a"),
+        F.col("key_b").alias("source_b"),
+        "n_match",
+        "theta_min",
+        "est_a",
+        "est_b",
+        "est_inter",
+        "est_union",
+        "jaccard_ppm",
     )
