@@ -247,6 +247,51 @@ def test_keyed_ks_missing_side_yields_null_for_that_key_only(spark):
     assert rows["y"].n_a == 0 and rows["y"].ks_ppm is None
 
 
+def test_kmv_gated_build_matches_python_reference_randomized(spark):
+    """Differential sweep: for random value sets and random gates the
+    whole gated pipeline (build -> gate column -> stats) must equal a
+    pure-Python bottom-k-under-gate reference EXACTLY — sketch content,
+    theta, and the integer estimate, both estimator branches."""
+    import hashlib
+    import random
+
+    rng = random.Random(1106)
+    for trial in range(6):
+        n = rng.choice([15, 80, 400, 1500])
+        ppm = rng.choice([None, 200_000, 50_000, 20_000])
+        values = [f"t{trial}-v{i}" for i in range(n)]
+        df = spark.createDataFrame(
+            [("k", v) for v in values], "k string, v string"
+        )
+        sk = _S.kmv_sketch(df, "k", "v", keep_ppm=ppm).collect()[0]
+        st = _S.kmv_stats(
+            _S.kmv_sketch(df, "k", "v", keep_ppm=ppm)
+        ).collect()[0]
+        gate = (
+            _S.KMV_FULL
+            if ppm is None
+            else (_S.KMV_FULL * ppm) // 1_000_000
+        )
+        hs = sorted(
+            {
+                int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:12], 16)
+                for v in values
+            }
+        )
+        hs = [h for h in hs if h < gate][: _S.KMV_K]
+        assert list(sk.hs) == hs and sk.gate == gate, (trial, ppm)
+        if len(hs) < _S.KMV_K:
+            want_theta, want_est = gate, len(hs) * _S.KMV_FULL // gate
+        else:
+            want_theta = hs[_S.KMV_K - 1]
+            want_est = (_S.KMV_K - 1) * _S.KMV_FULL // want_theta
+        assert (st.kmv_size, st.theta, st.est) == (
+            len(hs),
+            want_theta,
+            want_est,
+        ), (trial, ppm)
+
+
 # ---------------------------------------------------------------------------
 # BBPE encode engines (r10 verdict ask #3): the Arrow-batched
 # distinct-pre-token encoder must equal the chained-fold engine
