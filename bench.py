@@ -114,6 +114,7 @@ HEADLINE = [
     # keep-gate's cost cut stays a measured fact)
     "events_value_drift_daily_ks",
     "source_shingle_kmv_overlap_gated",
+    "events_user_distinct_sample_kmv",
 ]
 
 

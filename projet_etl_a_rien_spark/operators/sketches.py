@@ -490,6 +490,76 @@ def kmv_sketch(
     )
 
 
+def kmv_sample(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    salt: str = "kmv",
+    keep_ppm: int | None | str = "auto",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """CONSISTENT uniform sample of DISTINCT values per key — the KMV
+    sketch keeping the VALUES alongside their hashes: (key, sample,
+    gate) with sample the array of (h, v) structs for the k smallest
+    distinct 48-bit hashes. Because membership is decided by a fixed
+    hash order (bottom-k / consistent sampling, Broder 1997 / Cohen &
+    Kaplan 2007), the sample is: uniform over each key's distinct
+    values; DETERMINISTIC across partitionings, replays, and engines;
+    COORDINATED across keys and across days (the same value keeps the
+    same hash, so samples stay comparable — resampling tomorrow's data
+    re-selects yesterday's survivors plus/minus real churn, never
+    reshuffling the pick); and MERGEABLE by the same min-k fold as the
+    counting sketch. This is the eval-set / human-inspection primitive:
+    'give me a stable uniform sample of distinct users (documents,
+    urls) per segment' served from sketch-sized state. Gate semantics
+    identical to :func:`kmv_sketch`."""
+    ppm = _resolve_keep_ppm(df, keep_ppm, n_rows)
+    gate = _gate_of(ppm)
+    v = F.col(value_col).cast("string")
+    rows = df.select(
+        F.col(key_col).alias("key"),
+        F.struct(
+            _kmv_hash(v, salt).alias("h"), v.alias("v")
+        ).alias("hv"),
+    )
+    if ppm is not None:
+        rows = rows.where(F.col("hv.h") < F.lit(gate))
+    return (
+        rows.groupBy("key")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("hv")), 1, k).alias(
+                "sample"
+            )
+        )
+        .withColumn("gate", F.lit(gate).cast("long"))
+    )
+
+
+def kmv_sample_merge(*samples: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Min-k fold of value samples — same algebra as :func:`kmv_merge`
+    (associative, commutative, idempotent; min gate + refilter), so
+    per-batch/per-shard samples fold to exactly the one-shot sample."""
+    out = samples[0]
+    for s in samples[1:]:
+        out = out.unionByName(s)
+    folded = out.groupBy("key").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("sample")))
+        ).alias("s_all"),
+        F.min("gate").alias("gate"),
+    )
+    return folded.select(
+        "key",
+        F.slice(
+            F.filter(F.col("s_all"), lambda s: s["h"] < F.col("gate")),
+            1,
+            k,
+        ).alias("sample"),
+        "gate",
+    )
+
+
 def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     """Min-k fold of sketches — union the hash sets, keep the k
     smallest. Associative, commutative, IDEMPOTENT (set semantics), so

@@ -604,9 +604,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through the Arrow encode engine; pHash's inner loop vectorized) must
 # get a FRESH driver row in CORRECTNESS_r11 — their ledger entries are
 # r10-green, so without the override they would sample last. Budget:
-# 7 priority + 4 new (ledger 0) + the 38-name r5 staleness tail = 49
-# of the driver's ~50 slots, retiring the entire r5 bucket this round
-# (the r10 verdict's ask #2).
+# 7 priority + 5 new (ledger 0) + the 38-name r5 staleness tail = 50
+# slots exactly (the driver has sampled exactly 50 every round since
+# r02), retiring the entire r5 bucket this round (r10 verdict ask #2).
 _DRIVER_PRIORITY: list[str] = [
     "events_user_kmv_distinct",
     "corpus_bbpe_encode_stats_v2",

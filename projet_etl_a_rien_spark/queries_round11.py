@@ -565,3 +565,82 @@ def q_source_shingle_kmv_overlap_gated(
         "est_union",
         "jaccard_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent distinct-value sampling — the KMV sketch keeping VALUES:
+# bottom-k hashing doubles as a coordinated uniform sample of each
+# key's distinct values (Broder 1997 min-wise sampling / Cohen-Kaplan
+# bottom-k sketches). Unlike TABLESAMPLE or rand()-based picks, the
+# sample is deterministic across partitionings/replays/engines,
+# uniform over DISTINCT values (not row-frequency-biased), stable
+# day-over-day (the same value keeps the same hash — re-sampling
+# reselects yesterday's survivors plus/minus real churn), and
+# mergeable by the same min-k fold as the counting sketch. This is how
+# a 100 TB pipeline maintains per-segment eval sets and inspection
+# samples from sketch-sized state.
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 16
+
+
+def _kmv_sample_oracle() -> str:
+    return f"""
+WITH e AS (SELECT event_type AS key, CAST(user_id AS VARCHAR) AS v
+           FROM events),
+hh AS (SELECT DISTINCT key, v,
+              CAST('0x' || substr(md5('kmv:' || v), 1, 12) AS BIGINT) AS h
+       FROM e),
+r AS (SELECT key, h, v,
+             row_number() OVER (PARTITION BY key ORDER BY h, v) AS rn
+      FROM hh)
+SELECT key AS event_type, CAST(rn AS BIGINT) AS rn, h,
+       v AS user_id
+FROM r WHERE rn <= {SAMPLE_K}
+"""
+
+
+@register(
+    "events_user_distinct_sample_kmv",
+    _kmv_sample_oracle(),
+    doc=f"Bottom-{SAMPLE_K} CONSISTENT uniform sample of distinct "
+    "users per event type (operators/sketches.py kmv_sample): "
+    "membership is decided by the fixed salted-md5 hash order, so the "
+    "sample is uniform over DISTINCT users (row frequency cannot bias "
+    "it), deterministic across partitionings/replays/engines, "
+    "COORDINATED across segments and across days (stable eval sets: "
+    "re-sampling tomorrow reselects today's survivors plus/minus real "
+    "churn), and mergeable by the same min-k fold as the counting "
+    "sketch (merge == one-shot, property-pinned). Emitted exploded as "
+    "(event_type, rn, h, user_id) with rn the hash-order position — "
+    "the whole sample is sketch-sized state, built in one corpus "
+    "pass. The same bottom-k arrays also serve the distinct COUNT and "
+    "set-operation entries: one structure, counter AND sample.",
+)
+def q_events_user_distinct_sample_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        S.kmv_sample(
+            ev.where(F.col("event_id") % 2 == b),
+            "event_type",
+            "user_id",
+            k=SAMPLE_K,
+        )
+        for b in range(2)
+    ]
+    merged = S.kmv_sample_merge(*parts, k=SAMPLE_K)
+    return merged.select(
+        F.col("key").alias("event_type"),
+        F.posexplode("sample").alias("pos", "hv"),
+    ).select(
+        "event_type",
+        (F.col("pos") + 1).cast("long").alias("rn"),
+        F.col("hv.h").alias("h"),
+        F.col("hv.v").alias("user_id"),
+    )

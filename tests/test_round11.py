@@ -247,6 +247,42 @@ def test_keyed_ks_missing_side_yields_null_for_that_key_only(spark):
     assert rows["y"].n_a == 0 and rows["y"].ks_ppm is None
 
 
+def test_kmv_sample_merge_equals_one_shot_and_keeps_values(spark):
+    """Consistent-sampling contract: per-batch bottom-k VALUE samples
+    min-k-fold to exactly the one-shot sample (same values, same hash
+    order), replays are harmless, and the sample is the k distinct
+    values with the smallest hashes — verified against a pure-Python
+    reference."""
+    import hashlib
+
+    rows = [(f"k{i % 2}", f"u{i % 300}") for i in range(1200)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    k = 12
+    parts = [
+        _S.kmv_sample(df.where(F.length("v") % 3 == b), "k", "v", k=k)
+        for b in range(3)
+    ]
+    merged = {
+        r.key: [(s["h"], s["v"]) for s in r.sample]
+        for r in _S.kmv_sample_merge(*parts, parts[1], k=k).collect()
+    }
+    direct = {
+        r.key: [(s["h"], s["v"]) for s in r.sample]
+        for r in _S.kmv_sample(df, "k", "v", k=k).collect()
+    }
+    assert merged == direct
+    for key in ("k0", "k1"):
+        vals = {v for kk, v in rows if kk == key}
+        want = sorted(
+            (
+                int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:12], 16),
+                v,
+            )
+            for v in vals
+        )[:k]
+        assert direct[key] == want
+
+
 def test_kmv_gated_build_matches_python_reference_randomized(spark):
     """Differential sweep: for random value sets and random gates the
     whole gated pipeline (build -> gate column -> stats) must equal a
