@@ -192,6 +192,12 @@ SPOT = [
     "events_sliding_kmv_windows",
     "source_length_drift_ks_by_lang",
     "corpus_bbpe_encode_stats_ladder",
+    # r11 session 2: per-day grids + grid compare (scan-linear), the
+    # gated gram exchange (1/20 keep), and the value-carrying KMV
+    # sample build (scan-linear like the counting build)
+    "events_value_drift_daily_ks",
+    "source_shingle_kmv_overlap_gated",
+    "events_user_distinct_sample_kmv",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}

@@ -85,6 +85,13 @@ PROFILE = [
     "events_sliding_kmv_windows",
     "source_length_drift_ks_by_lang",
     "corpus_bbpe_encode_stats_ladder",
+    # r11 session 2: trailing-drift (per-day grids + grid-cell compare),
+    # the gated shingle matrix (1/20 of the gram hashes reach the
+    # exchange), and the consistent distinct-value sample (the KMV
+    # build shape carrying (h, v) structs instead of bare hashes)
+    "events_value_drift_daily_ks",
+    "source_shingle_kmv_overlap_gated",
+    "events_user_distinct_sample_kmv",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
