@@ -2361,7 +2361,9 @@ tru AS (SELECT a.d AS day_prev,
         FROM du a JOIN du b
           ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
         GROUP BY 1)
-SELECT f.day_prev, f.day_curr, f.est_prev, f.est_curr, f.est_retained,
+SELECT CAST(f.day_prev AS TIMESTAMP) AS day_prev,
+       CAST(f.day_curr AS TIMESTAMP) AS day_curr,
+       f.est_prev, f.est_curr, f.est_retained,
        CAST(GREATEST(f.est_prev - f.est_retained, 0) AS BIGINT)
            AS est_churned,
        CAST(GREATEST(f.est_curr - f.est_retained, 0) AS BIGINT)
