@@ -371,6 +371,57 @@ def test_bbpe_arrow_engine_equals_fold_engine(spark):
     assert dec == {i: t for i, t in texts}
 
 
+def test_bbpe_one_pass_per_merge_semantics_pinned_across_engines(spark):
+    """The engine's merge-application contract is ONE pass per merge in
+    rank order (what the fold chain, the Arrow encoder, and the SQL
+    oracle all implement) — NOT the iterative lowest-rank-first loop
+    some BPE encoders use. The two diverge exactly when a later merge
+    CREATES an earlier merge's pair: rank 1 = ('61','6263') is absent
+    until rank 2 = ('62','63') forms '6263', and by then rank 1 has
+    already passed, so 'abc' must encode to TWO tokens ['61','6263'],
+    never one. Pin fold == arrow == 2 on that corner."""
+    from projet_etl_a_rien_spark.operators import bpe as _bpe
+
+    merges = [(1, "61", "6263", 9), (2, "62", "63", 9)]
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    for engine in ("fold", "arrow"):
+        row = _bpe.apply_bbpe_merges(
+            df,
+            merges,
+            pretoken_re=_bpe.GPT2_PRETOKEN_RE,
+            engine=engine,
+        ).collect()[0]
+        assert (row.n_pretokens, row.n_bytes, row.n_bbpe_tokens) == (
+            1,
+            3,
+            2,
+        ), engine
+
+
+def test_bbpe_arrow_engine_edge_inputs(spark):
+    """Arrow encoder totality: empty text (zero pre-tokens), a
+    whitespace-only doc, and a long single pre-token all encode without
+    error and preserve byte counts."""
+    from projet_etl_a_rien_spark.operators import bpe as _bpe
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a" * 500)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_bytes)
+        for r in _bpe.apply_bbpe_merges(
+            df,
+            _bpe.FIXED_BYTE_MERGES_V2,
+            pretoken_re=_bpe.GPT2_PRETOKEN_RE,
+            engine="arrow",
+        ).collect()
+    }
+    assert 1 not in got  # empty text yields no pre-tokens at all
+    assert got[2] == (1, 3)
+    assert got[3] == (1, 500)
+
+
 def test_bbpe_auto_engine_dispatch():
     from projet_etl_a_rien_spark.operators import bpe as _bpe
 
