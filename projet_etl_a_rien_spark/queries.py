@@ -607,6 +607,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 7 priority + 5 new (ledger 0) + the 38-name r5 staleness tail = 50
 # slots exactly (the driver has sampled exactly 50 every round since
 # r02), retiring the entire r5 bucket this round (r10 verdict ask #2).
+# ROUND-12 NOTE: clear (or re-populate) this list at session start —
+# once CORRECTNESS_r11 records these names green, keeping them here
+# only steals slots from the then-oldest (r6, 48-name) bucket.
 _DRIVER_PRIORITY: list[str] = [
     "events_user_kmv_distinct",
     "corpus_bbpe_encode_stats_v2",
