@@ -598,27 +598,16 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _correctness_evidence below) — never-checked names sample first, then
 # oldest evidence. _DRIVER_PRIORITY remains as a manual override slot for
 # names that must jump the queue in a given round (empty by default).
-# r11: every entry whose implementation materially changed this round
-# (KMV builds now default through kmv_keep_policy; the five
-# production-table BBPE entries run the regenerated 586-rank ladder
-# through the Arrow encode engine; pHash's inner loop vectorized) must
-# get a FRESH driver row in CORRECTNESS_r11 — their ledger entries are
-# r10-green, so without the override they would sample last. Budget:
-# 7 priority + 5 new (ledger 0) + the 38-name r5 staleness tail = 50
-# slots exactly (the driver has sampled exactly 50 every round since
-# r02), retiring the entire r5 bucket this round (r10 verdict ask #2).
-# ROUND-12 NOTE: clear (or re-populate) this list at session start —
-# once CORRECTNESS_r11 records these names green, keeping them here
-# only steals slots from the then-oldest (r6, 48-name) bucket.
-_DRIVER_PRIORITY: list[str] = [
-    "events_user_kmv_distinct",
-    "corpus_bbpe_encode_stats_v2",
-    "corpus_bbpe_encode_stats_ladder",
-    "corpus_bbpe_fertility_by_lang_v2",
-    "corpus_stream_chunk_index_bbpe_v2",
-    "corpus_bbpe_roundtrip",
-    "multimodal_phash_near_dup_pairs",
-]
+# r12: CLEARED per the r11 clearing rule (dc49492) — every r11 override
+# name is green in CORRECTNESS_r11, so the ledger now sorts them last
+# on its own. Budget this round: 2 new names (ledger 0 sorts first:
+# streaming_sliding_kmv_windows, parts_triangle_counts_auto) + the
+# entire 48-name r6 staleness bucket = 50 slots exactly — no name's
+# latest driver row will be older than r7 after CORRECTNESS_r12
+# (r11 verdict ask #2). Entries whose implementation materially changed
+# this round but sit in the r6 bucket (none outside it changed) get
+# fresh rows through the staleness sort itself.
+_DRIVER_PRIORITY: list[str] = []
 
 
 def _correctness_evidence() -> dict[str, int]:
