@@ -402,7 +402,16 @@ def kmv_keep_policy(n_rows: int) -> int | None:
     - 10⁸ ≤ n < 10⁹:      20 000 ppm; … 10× down per decade …
     - 10¹² ≤ n:           2 ppm floor (a 10¹³-row single-key table
                           still leaves ~2·10⁷ survivors ≫ k).
-    """
+
+    Scope of the ≤ 2·10⁷ worst-case bound: it holds for n ≤ 10¹³ —
+    the last decade the 2-ppm floor was sized for (ppm·tier_end =
+    2·10¹³ at tier_end = 10¹³). Beyond that the floor makes worst-case
+    survivors grow LINEARLY again (n·2/10⁶: 10¹⁵ rows → 2·10⁹ in the
+    pathological all-rows-one-key-all-distinct case); real key
+    distributions stay orders of magnitude below, but the hard bound
+    is scoped, not universal. 10¹³ rows ≈ 10 PB of 1 KB records — if
+    tables beyond that are in scope, extend the ladder below 2 ppm
+    (r11 ADVICE #4)."""
     if n_rows < 10_000_000:
         return None
     ppm, hi = 200_000, 100_000_000
@@ -412,19 +421,59 @@ def kmv_keep_policy(n_rows: int) -> int | None:
     return ppm
 
 
+def _stats_row_count(df: DataFrame) -> int | None:
+    """O(metadata) row count from parquet footers: sum ``num_rows``
+    over the plan's input files — no Spark job, no scan; a 100 TB
+    table answers from footer metadata alone. Returns None when the
+    plan is not file-backed (streaming batches, in-memory frames) or
+    any input is not parquet, so the caller can fall back.
+
+    The footer count is the INPUT-FILE cardinality — an UPPER bound
+    when the frame filters rows (filters only shrink n, and a larger n
+    picks a tighter gate, the conservative direction for state), and
+    an UNDER-count when the frame expands rows (explode/posexplode —
+    pass ``n_rows`` explicitly there, as the shingle-gram callers
+    do)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for uri in files:
+        path = uri[5:] if uri.startswith("file:") else uri
+        if "://" in path or not path.endswith(".parquet"):
+            return None  # non-local or non-parquet input: probe instead
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def _resolve_keep_ppm(
     df: DataFrame, keep_ppm, n_rows: int | None
 ) -> int | None:
     """Resolve the build gate: an explicit int/None wins; ``"auto"``
     (the default) applies :func:`kmv_keep_policy` to ``n_rows`` when
-    the caller knows it, else to a BOUNDED row probe
-    (``limit(KMV_PROBE_ROWS + 1).count()`` — reads at most one row past
-    the first tier boundary, never a full scan). A probe that hits the
-    cap proves only n > 10⁷, so the first gated tier applies; callers
-    at 10⁹+ rows should pass ``n_rows`` (table stats) to reach the
-    deeper tiers."""
+    the caller knows it, else to the parquet-footer row count of the
+    plan's input files (:func:`_stats_row_count` — O(metadata), no
+    scan, reaches EVERY tier: a 10¹²-row table resolves straight to
+    its deep-ppm tier without the caller passing ``n_rows``; r11
+    verdict task #3), else to a BOUNDED row probe
+    (``limit(KMV_PROBE_ROWS + 1).count()`` — reads at most one row
+    past the first tier boundary, never a full scan; the remaining
+    fallback for non-file-backed frames only). A probe that hits the
+    cap proves only n > 10⁷ (first gated tier); row-EXPANDING plans
+    (explode) under-count through footers, so those callers pass
+    ``n_rows``."""
     if keep_ppm != "auto":
         return keep_ppm
+    if n_rows is None:
+        n_rows = _stats_row_count(df)
     if n_rows is None:
         n_rows = df.limit(KMV_PROBE_ROWS + 1).count()
     return kmv_keep_policy(n_rows)
@@ -727,17 +776,25 @@ def write_kmv_partial(
     value_col: str,
     k: int = KMV_K,
     salt: str = "kmv",
-    keep_ppm: int | None | str = "auto",
+    keep_ppm: int | None = None,
     n_rows: int | None = None,
 ) -> None:
     """Reduce one micro-batch to its bottom-k partial (stored FLAT as
     (key, h, gate) rows — ≤ k per key, gate constant per partial) and
     land it idempotently under ``parts/batch_id=N`` (min-k is
     idempotent, so replays are exactly harmless, like the HLL sink and
-    unlike the additive ones). ``keep_ppm="auto"`` applies the
-    :func:`kmv_keep_policy` tier per batch — batch sizes differ, so
-    partials may carry different gates; the fold's min-gate algebra
-    reconciles them exactly."""
+    unlike the additive ones).
+
+    ``keep_ppm`` defaults to None (ungated), NOT "auto": a streaming
+    frame is not file-backed, so "auto" would fall through to the
+    bounded row probe — an extra pass over EVERY micro-batch, run
+    eagerly inside the sink (r11 ADVICE #2) — and a single micro-batch
+    at any sane trigger sits far below the 10⁷-row first tier anyway.
+    Callers whose batches do exceed 10⁷ rows pass an explicit ppm, or
+    ``keep_ppm="auto"`` with the batch row count threaded in as
+    ``n_rows`` (foreachBatch owners usually know it). All existing
+    sinks' partials are bit-identical under this default: their
+    batches probed under 10⁷ and resolved to ungated."""
     kmv_sketch(
         batch_df, key_col, value_col, k, salt, keep_ppm, n_rows
     ).select("key", F.explode("hs").alias("h"), "gate").write.mode(
@@ -765,13 +822,28 @@ def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
         return spark.createDataFrame(
             [], "key string, hs array<bigint>, gate bigint"
         )
-    folded = (
-        spark.read.parquet(*parts)
-        .groupBy("key")
-        .agg(
-            F.array_sort(F.collect_set("h")).alias("hs_all"),
-            F.min("gate").alias("gate"),
+    # mergeSchema: with mixed-generation partials, single-file schema
+    # inference could silently DROP the gate column (schema picked from
+    # a legacy file) — footer merge is O(metadata) and guarantees the
+    # union schema.
+    raw = spark.read.option("mergeSchema", "true").parquet(*parts)
+    # Legacy-sink migration (r11 ADVICE #3): partials written before
+    # the gate column existed are flat (key, h) rows — an ungated
+    # build by construction (the only kind that existed), so a missing
+    # gate column reads as KMV_FULL; under schema-merge with newer
+    # gated partials the legacy rows surface as NULL gates, which
+    # coalesce the same way. min(gate) then applies the theta-union
+    # rule across generations exactly.
+    if "gate" not in raw.columns:
+        raw = raw.withColumn("gate", F.lit(KMV_FULL).cast("long"))
+    else:
+        raw = raw.withColumn(
+            "gate",
+            F.coalesce(F.col("gate"), F.lit(KMV_FULL)).cast("long"),
         )
+    folded = raw.groupBy("key").agg(
+        F.array_sort(F.collect_set("h")).alias("hs_all"),
+        F.min("gate").alias("gate"),
     )
     return folded.select(
         "key",

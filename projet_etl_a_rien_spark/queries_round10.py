@@ -794,14 +794,15 @@ def _kmv_stats_with_truth(
     "hash set through the gate, not just the estimate. A sketch that "
     "saw < k distinct hashes is exact by construction (theta = 2^48). "
     "true_distinct carried for the accuracy property (rel err pinned "
-    "by test at ~1/sqrt(k-2)). Builds run through the DEFAULT "
-    "keep_ppm='auto' policy (kmv_keep_policy: ungated below 10^7 rows "
-    "— this fixture's tier, hence theta = 2^48 here — then decade "
-    "tiers falling 10x from 200000 ppm with ppm*tier_end = 2e13 "
-    "invariant) so per-key aggregation state is O(expected survivors) "
-    "at any scale, and the chosen gate travels inside the sketch "
-    "(gate column) to every downstream estimator (gated-vs-ungated "
-    "equality above k survivors property-pinned).",
+    "by test at ~1/sqrt(k-2)). Builds PIN keep_ppm=None so the result "
+    "matches this entry's ungated oracle SQL at every sf (r11 ADVICE "
+    "#1: 'auto' re-resolves per scale and would diverge from a static "
+    "oracle past 10^7 rows). The library default stays keep_ppm='auto' "
+    "(kmv_keep_policy decade tiers, resolved O(metadata) from parquet "
+    "footers so deep tiers are reached without caller row counts — "
+    "r11 verdict #3), the chosen gate travels inside the sketch (gate "
+    "column) to every downstream estimator, and the gated operating "
+    "point is its own oracled twin (events_user_kmv_distinct_gated).",
 )
 def q_events_user_kmv_distinct(
     spark: SparkSession, sf_dir: str
@@ -812,8 +813,17 @@ def q_events_user_kmv_distinct(
 
     ev = load_table(spark, sf_dir, "events")
     parts = [
+        # keep_ppm pinned: this entry's oracle SQL hard-codes the
+        # UNGATED build, so the build must not re-resolve through the
+        # scale-dependent "auto" policy at a larger sf (r11 ADVICE #1).
+        # The gated operating point has its own oracled twin
+        # (events_user_kmv_distinct_gated); the auto resolver itself is
+        # pinned by tests/test_round12.py.
         S.kmv_sketch(
-            ev.where(F.col("event_id") % 3 == k), "event_type", "user_id"
+            ev.where(F.col("event_id") % 3 == k),
+            "event_type",
+            "user_id",
+            keep_ppm=None,
         )
         for k in range(3)
     ]
@@ -845,7 +855,8 @@ def q_events_type_kmv_overlap(
     from .operators import sketches as S
 
     ev = load_table(spark, sf_dir, "events")
-    sk = S.kmv_sketch(ev, "event_type", "user_id")
+    # keep_ppm pinned to the oracle's ungated build (r11 ADVICE #1)
+    sk = S.kmv_sketch(ev, "event_type", "user_id", keep_ppm=None)
     pairs = S.kmv_pair_overlap(sk).withColumnsRenamed(
         {"key_a": "type_a", "key_b": "type_b"}
     )
@@ -2005,7 +2016,9 @@ def q_source_shingle_kmv_overlap(
         F.col("source").alias("key"),
         F.explode(shingles("text", SRC_KMV_N)).alias("g"),
     )
-    sk = S.kmv_sketch(grams, "key", "g")
+    # keep_ppm pinned to the oracle's ungated build (r11 ADVICE #1);
+    # the gated operating point is source_shingle_kmv_overlap_gated
+    sk = S.kmv_sketch(grams, "key", "g", keep_ppm=None)
     return S.kmv_pair_overlap(sk).select(
         F.col("key_a").alias("source_a"),
         F.col("key_b").alias("source_b"),
@@ -2395,7 +2408,10 @@ def q_events_user_churn_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("d")
-    sk = S.kmv_sketch(ev.select(day, "user_id"), "d", "user_id").select(
+    # keep_ppm pinned to the oracle's ungated build (r11 ADVICE #1)
+    sk = S.kmv_sketch(
+        ev.select(day, "user_id"), "d", "user_id", keep_ppm=None
+    ).select(
         F.col("key").alias("d"), "hs", "gate"
     )
     a = sk.select(

@@ -229,7 +229,10 @@ def q_events_sliding_kmv_windows(
 
     ev = load_table(spark, sf_dir, "events")
     hr = F.date_trunc("hour", F.col("ts")).alias("hr")
-    sk_h = S.kmv_sketch(ev.select(hr, "user_id"), "hr", "user_id")
+    # keep_ppm pinned to the oracle's ungated build (r11 ADVICE #1)
+    sk_h = S.kmv_sketch(
+        ev.select(hr, "user_id"), "hr", "user_id", keep_ppm=None
+    )
     hours = ev.select(hr).distinct()
     off = F.explode(
         F.sequence(F.lit(0), F.lit(KMV_WIN_HOURS - 1))
@@ -626,11 +629,13 @@ def q_events_user_distinct_sample_kmv(
 
     ev = load_table(spark, sf_dir, "events")
     parts = [
+        # keep_ppm pinned to the oracle's ungated build (ADVICE #1)
         S.kmv_sample(
             ev.where(F.col("event_id") % 2 == b),
             "event_type",
             "user_id",
             k=SAMPLE_K,
+            keep_ppm=None,
         )
         for b in range(2)
     ]

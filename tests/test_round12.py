@@ -1,0 +1,159 @@
+"""Round-12 tests: stats-driven KMV auto-tier resolution (r11 verdict
+ask #3 — parquet footer row counts reach every tier with no scan and
+no probe), the legacy-sink gate migration (r11 ADVICE #3), the ungated
+write_kmv_partial default (r11 ADVICE #2), and the scoped worst-case
+state bound (r11 ADVICE #4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_etl_a_rien_spark.operators import sketches as _S
+
+
+# ---------------------------------------------------------------------------
+# _stats_row_count — O(metadata) footer counting (verdict ask #3)
+# ---------------------------------------------------------------------------
+
+
+def test_stats_row_count_reads_parquet_footers(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(1234).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _S._stats_row_count(df) == 1234
+    # transformations keep the file lineage: the count is the INPUT
+    # cardinality (upper bound under filters — documented)
+    assert _S._stats_row_count(df.where("id < 10").select("id")) == 1234
+
+
+def test_stats_row_count_none_for_memory_frames(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    assert _S._stats_row_count(df) is None
+
+
+def test_resolve_auto_uses_stats_without_probe(monkeypatch):
+    """With footer stats available the auto resolver never touches the
+    frame — deep tiers are reached with zero Spark jobs. The sentinel
+    df would raise on ANY attribute access past inputFiles, so the
+    bounded probe is provably not taken."""
+
+    class _Sentinel:
+        def __getattr__(self, name):  # limit()/count() forbidden
+            raise AssertionError(f"resolver touched df.{name}")
+
+    monkeypatch.setattr(_S, "_stats_row_count", lambda df: 10**12)
+    assert _S._resolve_keep_ppm(_Sentinel(), "auto", None) == 2
+    monkeypatch.setattr(_S, "_stats_row_count", lambda df: 5 * 10**9)
+    assert _S._resolve_keep_ppm(_Sentinel(), "auto", None) == 2_000
+    # caller-supplied n_rows still wins over stats
+    monkeypatch.setattr(
+        _S, "_stats_row_count", lambda df: pytest.fail("stats consulted")
+    )
+    assert _S._resolve_keep_ppm(_Sentinel(), "auto", 20_000_000) == 200_000
+
+
+def test_resolve_auto_stats_reach_tier_from_real_footers(spark, tmp_path):
+    """End-to-end: a parquet-backed frame resolves its tier from the
+    footer count (small file → ungated) — and the resolved gate matches
+    kmv_keep_policy(footer count) exactly."""
+    p = str(tmp_path / "u.parquet")
+    spark.range(100).selectExpr(
+        "'k' AS k", "cast(id as string) AS v"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _S._resolve_keep_ppm(df, "auto", None) is None
+    sk = _S.kmv_sketch(df, "k", "v")
+    assert sk.collect()[0].gate == _S.KMV_FULL
+
+
+# ---------------------------------------------------------------------------
+# read_kmv legacy-sink migration (ADVICE #3): pre-r11 partials are flat
+# (key, h) rows with NO gate column — they must read as KMV_FULL, alone
+# and under schema merge with newer gated partials.
+# ---------------------------------------------------------------------------
+
+
+def _legacy_partial(spark, path, batch_id, rows):
+    spark.createDataFrame(rows, "key string, h long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/parts/batch_id={batch_id}")
+
+
+def test_read_kmv_legacy_partial_defaults_gate_full(spark, tmp_path):
+    path = str(tmp_path / "kmv_legacy")
+    _legacy_partial(spark, path, 0, [("a", 5), ("a", 3), ("b", 7)])
+    out = {r.key: (list(r.hs), r.gate) for r in _S.read_kmv(spark, path).collect()}
+    assert out == {"a": ([3, 5], _S.KMV_FULL), "b": ([7], _S.KMV_FULL)}
+
+
+def test_read_kmv_mixed_generations_min_gate(spark, tmp_path):
+    """Legacy (gate-less) + gated partials fold by the theta-union
+    rule: merged gate = min(KMV_FULL, new gate) = new gate, and legacy
+    hashes ABOVE it are re-filtered out as non-common evidence."""
+    path = str(tmp_path / "kmv_mixed")
+    gate = 1000
+    _legacy_partial(spark, path, 0, [("a", 5), ("a", 2_000)])
+    spark.createDataFrame(
+        [("a", 7, gate)], "key string, h long, gate long"
+    ).write.parquet(f"{path}/parts/batch_id=1")
+    out = {r.key: (list(r.hs), r.gate) for r in _S.read_kmv(spark, path).collect()}
+    assert out == {"a": ([5, 7], gate)}  # 2000 >= gate dropped
+
+
+def test_compact_kmv_migrates_legacy_partials(spark, tmp_path):
+    """Compaction folds a legacy sink into a gate-bearing snapshot —
+    the documented migration path: one compact_kmv call rewrites
+    pre-r11 state into the current schema."""
+    path = str(tmp_path / "kmv_compact")
+    _legacy_partial(spark, path, 0, [("a", 5)])
+    _legacy_partial(spark, path, 1, [("a", 3), ("b", 9)])
+    v = _S.compact_kmv(spark, path)
+    assert v == 1
+    snap = spark.read.parquet(f"{path}/snap/v=1")
+    assert set(snap.columns) == {"key", "h", "gate"}
+    out = {r.key: (list(r.hs), r.gate) for r in _S.read_kmv(spark, path).collect()}
+    assert out == {"a": ([3, 5], _S.KMV_FULL), "b": ([9], _S.KMV_FULL)}
+
+
+# ---------------------------------------------------------------------------
+# write_kmv_partial default (ADVICE #2): ungated, no per-batch probe
+# ---------------------------------------------------------------------------
+
+
+def test_write_kmv_partial_default_ungated(spark, tmp_path):
+    path = str(tmp_path / "kmv_sink")
+    df = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(50)], "k string, v string"
+    )
+    _S.write_kmv_partial(df, path, 0, "k", "v")
+    part = spark.read.parquet(f"{path}/parts/batch_id=0")
+    gates = {r.gate for r in part.select("gate").distinct().collect()}
+    assert gates == {_S.KMV_FULL}
+    # explicit auto + threaded row count still tiers (the documented
+    # path for >1e7-row batches) — no probe because n_rows is supplied
+    _S.write_kmv_partial(
+        df, path, 1, "k", "v", keep_ppm="auto", n_rows=20_000_000
+    )
+    part1 = spark.read.parquet(f"{path}/parts/batch_id=1")
+    want = (_S.KMV_FULL * 200_000) // 1_000_000
+    assert {r.gate for r in part1.select("gate").distinct().collect()} == {want}
+
+
+# ---------------------------------------------------------------------------
+# kmv_keep_policy bound scoping (ADVICE #4): the ≤2e7 worst-case claim
+# holds up to 1e13; past the floor's design decade state grows linearly
+# ---------------------------------------------------------------------------
+
+
+def test_keep_policy_bound_scoped_to_1e13():
+    for exp in range(7, 13):
+        n_hi = 10 ** (exp + 1) - 1
+        ppm = _S.kmv_keep_policy(n_hi)
+        assert n_hi * ppm // 1_000_000 <= 20_000_000
+    # beyond the scoped decade the 2-ppm floor grows linearly — the
+    # docstring now says so instead of claiming the bound universally
+    assert _S.kmv_keep_policy(10**15) == 2
+    assert 10**15 * 2 // 1_000_000 == 2 * 10**9  # documented escape
