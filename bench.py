@@ -33,6 +33,10 @@ PIPELINES = [
     "streaming_inverted_index_ingest",
     # r6: the full stream->index->rank loop (sink build + BM25 read-side)
     "streaming_index_bm25_topk",
+    # r12: the sliding-KMV dashboard served from foreachBatch sink
+    # state (a real checkpointed stream + compaction + serve-side fold
+    # — sink I/O dominates, so it totals with the pipelines)
+    "streaming_sliding_kmv_windows",
 ]
 
 # Headline set: flagship pipeline + heaviest relational, LLM-pipeline and
@@ -115,6 +119,11 @@ HEADLINE = [
     "events_value_drift_daily_ks",
     "source_shingle_kmv_overlap_gated",
     "events_user_distinct_sample_kmv",
+    # r12: the DOULION auto-tier default for triangle statistics (the
+    # policy resolution adds one raw-pair COUNT scan on top of the
+    # exact enumeration at this sf — tracked so that overhead stays a
+    # measured fact beside the exact/explicit-p twins)
+    "parts_triangle_counts_auto",
 ]
 
 

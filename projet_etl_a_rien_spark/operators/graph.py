@@ -491,6 +491,55 @@ def doulion_keep_policy(n_edges: int) -> tuple[int, int]:
     return (1, 32)
 
 
+def triangle_count_auto(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_edges: int | None = None,
+    salt: str = "tri8",
+) -> DataFrame:
+    """Global triangle count through the :func:`doulion_keep_policy`
+    auto-tier — the KMV ``keep_ppm="auto"`` pattern applied to the one
+    remaining registry operator whose exact path is super-linear at
+    scale (r11 verdict task #6): below 10⁷ edges the policy picks
+    p = 1 and :func:`triangle_count_estimate` degenerates to the EXACT
+    enumerator (coin < 1 keeps every edge, scale-up is ·1 — identical
+    plan and result); above it the DOULION tier applies. The chosen
+    policy travels in the OUTPUT as (policy_keep_num, policy_keep_den)
+    columns — the gate-in-the-sketch idiom — so every consumer sees
+    which estimator produced the number.
+
+    ``n_edges`` resolution mirrors the KMV auto-tier: caller-supplied
+    count wins (pass the edge-derivation's row count — for derived
+    graphs like co-purchase pairs the input-file footers measure the
+    SOURCE table, not the pair volume); else parquet-footer stats
+    (O(metadata), reaches every tier); else a bounded probe
+    (``limit(10⁷+1).count()`` — proves only E > 10⁷, first sampled
+    tier). The policy input may be the RAW (pre-distinct) pair count —
+    an upper bound on |E|, which only ever picks a more-sampled tier
+    (the conservative direction for work).
+
+    Returns one row: (policy_keep_num, policy_keep_den,
+    n_sampled_edges, n_sampled_triangles, est_triangles)."""
+    from .sketches import _stats_row_count
+
+    if n_edges is None:
+        n_edges = _stats_row_count(edges)
+    if n_edges is None:
+        n_edges = edges.limit(10_000_001).count()
+    keep_num, keep_den = doulion_keep_policy(n_edges)
+    est = triangle_count_estimate(
+        edges, src_col, dst_col, keep_num, keep_den, salt
+    )
+    return est.select(
+        F.lit(keep_num).cast("long").alias("policy_keep_num"),
+        F.lit(keep_den).cast("long").alias("policy_keep_den"),
+        "n_sampled_edges",
+        "n_sampled_triangles",
+        "est_triangles",
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int,

@@ -691,5 +691,6 @@ def _load_extensions() -> None:
     from . import queries_round9  # noqa: F401
     from . import queries_round10  # noqa: F401
     from . import queries_round11  # noqa: F401
+    from . import queries_round12  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_tpch_full  # noqa: F401

@@ -233,6 +233,23 @@ def q_events_sliding_kmv_windows(
     sk_h = S.kmv_sketch(
         ev.select(hr, "user_id"), "hr", "user_id", keep_ppm=None
     )
+    return sliding_kmv_dashboard(ev, sk_h)
+
+
+def sliding_kmv_dashboard(ev: DataFrame, sk_h: DataFrame) -> DataFrame:
+    """The sliding-window fold + window-over-window intersection served
+    from ANY per-hour KMV sketch frame (key = hour timestamp, hs,
+    gate) — shared by the batch build above and the r12 sink-state twin
+    (queries_round12: the sketches come from read_kmv over streamed
+    partials; min-k idempotence/associativity makes both equal the
+    one-shot build, so both run against the same oracle SQL). ``ev`` is
+    used only for the hour domain and the per-window true_distinct
+    accuracy column."""
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as S
+
+    hr = F.date_trunc("hour", F.col("ts")).alias("hr")
     hours = ev.select(hr).distinct()
     off = F.explode(
         F.sequence(F.lit(0), F.lit(KMV_WIN_HOURS - 1))

@@ -157,3 +157,63 @@ def test_keep_policy_bound_scoped_to_1e13():
     # docstring now says so instead of claiming the bound universally
     assert _S.kmv_keep_policy(10**15) == 2
     assert 10**15 * 2 // 1_000_000 == 2 * 10**9  # documented escape
+
+
+# ---------------------------------------------------------------------------
+# triangle_count_auto — the DOULION auto-tier default (verdict ask #6)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_auto_exact_below_threshold(spark):
+    """p=1 degenerates the estimator to the exact enumerator: the
+    policy columns record (1, 1) and est equals the true count."""
+    from projet_etl_a_rien_spark.operators import graph as _G
+
+    # K4 (4-clique): 4 triangles, 6 edges
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    row = _G.triangle_count_auto(edges, n_edges=6).collect()[0]
+    assert (row.policy_keep_num, row.policy_keep_den) == (1, 1)
+    assert row.n_sampled_edges == 6
+    assert row.n_sampled_triangles == 4
+    assert row.est_triangles == 4
+
+
+def test_triangle_auto_policy_tiers_and_sampled_branch(spark):
+    from projet_etl_a_rien_spark.operators import graph as _G
+
+    assert _G.doulion_keep_policy(6) == (1, 1)
+    assert _G.doulion_keep_policy(10**7) == (1, 2)
+    assert _G.doulion_keep_policy(10**9) == (1, 10)
+    assert _G.doulion_keep_policy(10**11) == (1, 32)
+    # declared-large edge count routes through the sampled twin and the
+    # output records the chosen coin — identical to the explicit call
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(a + 1, 8)],
+        "src long, dst long",
+    )
+    auto = _G.triangle_count_auto(edges, n_edges=10**7).collect()[0]
+    exp = _G.triangle_count_estimate(
+        edges, keep_num=1, keep_den=2
+    ).collect()[0]
+    assert (auto.policy_keep_num, auto.policy_keep_den) == (1, 2)
+    assert auto.n_sampled_edges == exp.n_sampled_edges
+    assert auto.n_sampled_triangles == exp.n_sampled_triangles
+    assert auto.est_triangles == exp.est_triangles
+
+
+def test_triangle_auto_resolves_from_footer_stats(spark, tmp_path):
+    """With no caller count the policy input comes from parquet
+    footers — O(metadata), no scan (same resolver as the KMV tier)."""
+    from projet_etl_a_rien_spark.operators import graph as _G
+
+    p = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    ).write.parquet(p)
+    row = _G.triangle_count_auto(spark.read.parquet(p)).collect()[0]
+    assert (row.policy_keep_num, row.policy_keep_den) == (1, 1)
+    assert row.est_triangles == 4
