@@ -198,6 +198,15 @@ SPOT = [
     "events_value_drift_daily_ks",
     "source_shingle_kmv_overlap_gated",
     "events_user_distinct_sample_kmv",
+    # r12: the DOULION auto-tier default — at sf0.1 the raw pair count
+    # sits below 1e7 (exact branch, p=1: growth tracks the exact
+    # enumerator + one extra COUNT scan); at the derived sf1 the count
+    # crosses 1e7 and the policy flips to p=1/2, so the ratio vs the
+    # exact twin MEASURES the ladder doing its job (the number that
+    # matters is sf1_sec vs parts_triangle_counts' sf1_sec, not the
+    # within-name ratio — the two scales run different estimators BY
+    # DESIGN, policy columns in the output say which)
+    "parts_triangle_counts_auto",
 ]
 
 # per-table key offsets: {table: [(col, stride), ...]}
@@ -334,9 +343,16 @@ def _time_pipelines(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
     return {n: round(t, 3) for n, t in best.items()}
 
 
-def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, dict]:
+    """Per-query minimum wall time over ``runs`` noop-sink executions,
+    PLUS the output row count (one extra untimed count() per query —
+    r11 verdict task #4: growth adjudication needs out_rows in the
+    artifact, because a super-linear wall ratio whose output grows the
+    same way is OUTPUT-bound, not plan-bound, and that distinction was
+    previously an inference)."""
     best: dict[str, float] = {}
-    for _ in range(runs):
+    out_rows: dict[str, int] = {}
+    for i in range(runs):
         for name in SPOT:
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -345,7 +361,13 @@ def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
             elapsed = time.perf_counter() - t0
             best[name] = min(best.get(name, elapsed), elapsed)
             spark.catalog.clearCache()
-    return {n: round(t, 3) for n, t in best.items()}
+            if i == 0:
+                out_rows[name] = REGISTRY[name].fn(spark, sf_dir).count()
+                spark.catalog.clearCache()
+    return {
+        n: {"sec": round(t, 3), "out_rows": out_rows[n]}
+        for n, t in best.items()
+    }
 
 
 def main() -> None:
@@ -360,14 +382,25 @@ def main() -> None:
     big = time_queries(spark, OUT)
     pipe_base = _time_pipelines(spark, BASE)
     pipe_big = _time_pipelines(spark, OUT)
-    report = {
-        name: {
-            "sf0.1_sec": base[name],
-            "sf1_sec": big[name],
-            "ratio": round(big[name] / base[name], 2) if base[name] else None,
+    report = {}
+    for name in SPOT:
+        b, g = base[name], big[name]
+        row = {
+            "sf0.1_sec": b["sec"],
+            "sf1_sec": g["sec"],
+            "ratio": round(g["sec"] / b["sec"], 2) if b["sec"] else None,
+            "sf0.1_out_rows": b["out_rows"],
+            "sf1_out_rows": g["out_rows"],
         }
-        for name in SPOT
-    }
+        # output-normalized throughput ratio: > ~1 means rows/sec held
+        # or improved at 10x — a super-linear wall ratio with flat-or-
+        # better rows/sec is OUTPUT-bound growth (the fixture's dup
+        # density inflation), not a plan defect
+        if b["sec"] and g["sec"] and b["out_rows"] and g["out_rows"]:
+            row["rows_per_sec_ratio"] = round(
+                (g["out_rows"] / g["sec"]) / (b["out_rows"] / b["sec"]), 2
+            )
+        report[name] = row
     pipelines = {
         name: {
             "sf0.1_sec": pipe_base[name],
