@@ -24,17 +24,20 @@ from .queries_round11 import _kmv_sliding_oracle, sliding_kmv_dashboard
 
 # ---------------------------------------------------------------------------
 # parts_triangle_counts_auto — the policy-routed DEFAULT for triangle
-# statistics. The policy input is the RAW (pre-distinct) co-purchase
-# pair count: one cheap scan both engines compute identically (vs the
-# Θ(E^1.5) enumeration it sizes), an upper bound on |E| that can only
-# pick a MORE-sampled tier — the conservative direction for work. At
-# every test sf the count sits below the 10⁷ exact threshold, so the
+# statistics. The policy input is the COMBINATORIAL pair bound
+# Σ_orders C(cnt, 2): one O(scan) keyed aggregate over lineitem — NO
+# self-join, so sizing the work never pays a slice of the work — that
+# both engines compute identically. It upper-bounds the raw pair
+# volume (equal-partkey lineitem pairs are counted here but excluded
+# by the join's strict <), and an upper bound can only pick a
+# MORE-sampled tier — the conservative direction for work. At the
+# correctness sf the bound sits below the 10⁷ exact threshold, so the
 # entry is hash-exact against the exact enumerator (p = 1 degenerates
-# triangle_count_estimate to it); past 10⁷ raw pairs both engines'
-# CASE ladders flip to the same DOULION coin, so the oracle stays
-# correct at ANY sf — the scale-dependence lives in the (shared,
-# deterministic) policy, never in an engine/oracle mismatch (the r11
-# ADVICE-#1 lesson applied from the start).
+# triangle_count_estimate to it); past 10⁷ both engines' CASE ladders
+# flip to the same DOULION coin, so the oracle stays correct at ANY
+# sf — the scale-dependence lives in the (shared, deterministic)
+# policy, never in an engine/oracle mismatch (the r11 ADVICE-#1
+# lesson applied from the start).
 # ---------------------------------------------------------------------------
 
 
@@ -43,21 +46,22 @@ def _tri_auto_oracle() -> str:
     # textually adjacent so a policy edit must touch both or the gate
     # catches it (tests/test_round12.py pins the Python ladder)
     return f"""
-WITH rawpairs AS (
-    SELECT a.l_partkey AS s, b.l_partkey AS d
-    FROM lineitem a JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+WITH ocnt AS (
+    SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
 ),
 pol AS (
     SELECT CAST(1 AS BIGINT) AS keep_num,
-           CAST(CASE WHEN COUNT(*) < 10000000 THEN 1
-                     WHEN COUNT(*) < 1000000000 THEN 2
-                     WHEN COUNT(*) < 100000000000 THEN 10
+           CAST(CASE WHEN SUM(c * (c - 1) // 2) < 10000000 THEN 1
+                     WHEN SUM(c * (c - 1) // 2) < 1000000000 THEN 2
+                     WHEN SUM(c * (c - 1) // 2) < 100000000000 THEN 10
                      ELSE 32 END AS BIGINT) AS keep_den
-    FROM rawpairs
+    FROM ocnt
 ),
 pairs AS (
-    SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM rawpairs
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                    GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
 sampled AS (
     SELECT u, v FROM pairs
@@ -88,7 +92,9 @@ SELECT (SELECT keep_num FROM pol) AS policy_keep_num,
     doc="Global triangle count through the doulion_keep_policy "
     "auto-tier (operators/graph.py:triangle_count_auto) — the "
     "KMV-gate pattern applied to triangle statistics (r11 verdict "
-    "task #6): the raw co-purchase pair count (one scan, identical in "
+    "task #6): the combinatorial pair bound sum-over-orders C(cnt,2) "
+    "(one O(scan) keyed aggregate over lineitem — no self-join, so "
+    "sizing the work never pays a slice of the work; identical in "
     "both engines) resolves the DOULION coin from the documented tier "
     "ladder (exact below 1e7 edges, p=1/2 then 1/10 then 1/32 per "
     "decade pair), the chosen policy travels in the OUTPUT as "
@@ -106,9 +112,24 @@ def q_parts_triangle_counts_auto(
     from .operators import graph
 
     edges = _copurchase_edges(spark, sf_dir)
-    # the policy input: raw pair rows, BEFORE canonicalization/dedup —
-    # the cheap upper bound on |E| the oracle's COUNT(*) reproduces
-    n_pairs = edges.count()
+    # the policy input: the combinatorial pair bound Σ C(cnt, 2) over
+    # orders — an O(scan) keyed aggregate (first SCALE_BENCH_r12 cut
+    # measured the naive self-join count at ~1/3 of the enumeration
+    # itself; sizing must stay metadata-priced). Upper-bounds raw
+    # pairs (equal-partkey lineitem pairs excluded by the join's
+    # strict <), so it can only pick a more-sampled tier. The oracle's
+    # pol CTE evaluates the same sum.
+    li = load_table(spark, sf_dir, "lineitem")
+    n_pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0)
+            ).alias("n")
+        )
+        .collect()[0]["n"]
+    )
     return graph.triangle_count_auto(
         edges, n_edges=n_pairs, salt=TRI_SALT
     )

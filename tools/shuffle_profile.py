@@ -92,6 +92,15 @@ PROFILE = [
     "events_value_drift_daily_ks",
     "source_shingle_kmv_overlap_gated",
     "events_user_distinct_sample_kmv",
+    # r12: the auto-tier triangle default (at sf0.1 the policy resolves
+    # to p=1 — bytes should match the exact enumerator's plus the raw
+    # pair-count scan's negligible agg; at the derived sf1 the flip to
+    # p=1/2 is what cuts the dedup exchange, mirroring the estimate
+    # twins) and the sink-served sliding dashboard (serve-side bytes
+    # must stay O(hours x k) — the corpus-scale exchange happened at
+    # ingest and is the foreachBatch build's, not the serve query's)
+    "parts_triangle_counts_auto",
+    "streaming_sliding_kmv_windows",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
