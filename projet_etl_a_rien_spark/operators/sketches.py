@@ -883,6 +883,132 @@ def compact_kmv(spark, path: str, k: int = KMV_K) -> int:
 
 
 # ---------------------------------------------------------------------------
+# KMV VALUE-SAMPLE sink — kmv_sample (the consistent distinct-value
+# sampler) maintained as sink-is-the-state, completing the family: the
+# counting sketch's sink (above) keeps bare hashes; this one keeps the
+# (h, v) pairs, so the sink continuously serves "a stable uniform
+# sample of each key's distinct values" without rescanning the corpus.
+# Same crash contract as every sketch sink (committed partials +
+# snapshot watermark), same min-k fold algebra (associative,
+# commutative, idempotent — replays harmless), same min-gate +
+# refilter theta-union rule, same legacy-gate migration as read_kmv.
+# Operator + pins landed in r12; the registry entry is deferred to r13
+# (the r12 driver-sample budget is exactly 2 new names + the 48-name
+# r6 staleness bucket — see queries.py:_DRIVER_PRIORITY).
+# ---------------------------------------------------------------------------
+
+
+def write_kmv_sample_partial(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    key_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    salt: str = "kmv",
+    keep_ppm: int | None = None,
+    n_rows: int | None = None,
+) -> None:
+    """Reduce one micro-batch to its bottom-k VALUE sample partial
+    (stored FLAT as (key, h, v, gate) rows — ≤ k per key) and land it
+    idempotently under ``parts/batch_id=N``. Gate default ungated for
+    the same reason as :func:`write_kmv_partial` (no per-batch probe;
+    thread ``n_rows`` for 10⁷+-row batches)."""
+    kmv_sample(
+        batch_df, key_col, value_col, k, salt, keep_ppm, n_rows
+    ).select(
+        "key", F.explode("sample").alias("hv"), "gate"
+    ).select(
+        "key", F.col("hv.h").alias("h"), F.col("hv.v").alias("v"), "gate"
+    ).write.mode("overwrite").parquet(f"{path}/parts/batch_id={batch_id}")
+
+
+def read_kmv_sample(spark, path: str, k: int = KMV_K) -> DataFrame:
+    """Current folded value sample: newest committed snapshot min-k-
+    folded with committed partials above the watermark. Returns the
+    (key, sample array<struct<h,v>>, gate) form of :func:`kmv_sample`;
+    folded gate = MIN over contributors, pairs re-filtered below it
+    (theta-union rule). Legacy gate-less partials read as KMV_FULL,
+    like :func:`read_kmv`."""
+    from .compaction import _committed_partitions, _snapshot_version
+
+    v = _snapshot_version(spark, path)
+    parts = [
+        f"{path}/parts/batch_id={b}"
+        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
+        if b > v
+    ]
+    if v >= 0:
+        parts.append(f"{path}/snap/v={v}")
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "key string, sample array<struct<h:bigint,v:string>>, "
+            "gate bigint",
+        )
+    raw = spark.read.option("mergeSchema", "true").parquet(*parts)
+    if "gate" not in raw.columns:
+        raw = raw.withColumn("gate", F.lit(KMV_FULL).cast("long"))
+    else:
+        raw = raw.withColumn(
+            "gate",
+            F.coalesce(F.col("gate"), F.lit(KMV_FULL)).cast("long"),
+        )
+    folded = (
+        raw.select("key", F.struct("h", "v").alias("hv"), "gate")
+        .groupBy("key")
+        .agg(
+            F.array_sort(F.collect_set("hv")).alias("s_all"),
+            F.min("gate").alias("gate"),
+        )
+    )
+    return folded.select(
+        "key",
+        F.slice(
+            F.filter(F.col("s_all"), lambda s: s["h"] < F.col("gate")),
+            1,
+            k,
+        ).alias("sample"),
+        "gate",
+    )
+
+
+def compact_kmv_sample(spark, path: str, k: int = KMV_K) -> int:
+    """Fold committed sample partials into ``snap/v=maxBatch`` (flat
+    (key, h, v, gate) rows) and vacuum the folded dirs — snapshot
+    commit first, deletes after (same crash rules as compact_kmv)."""
+    from .compaction import (
+        _committed_partitions,
+        _snapshot_version,
+        _vacuum_partitions,
+    )
+
+    v = _snapshot_version(spark, path)
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
+        return v
+    fold = (
+        read_kmv_sample(spark, path, k)
+        .select("key", F.explode("sample").alias("hv"), "gate")
+        .select(
+            "key",
+            F.col("hv.h").alias("h"),
+            F.col("hv.v").alias("v"),
+            "gate",
+        )
+        .localCheckpoint(eager=True)
+    )
+    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[:1]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
+    return max_b
+
+
+# ---------------------------------------------------------------------------
 # CMS sink-is-the-state maintenance — the count-min grid as an additive
 # MV (same crash contract as the other sketch sinks): per-batch partial
 # grids land idempotently, fold by cell-wise SUM, and the folded grid

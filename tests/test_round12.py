@@ -217,3 +217,104 @@ def test_triangle_auto_resolves_from_footer_stats(spark, tmp_path):
     row = _G.triangle_count_auto(spark.read.parquet(p)).collect()[0]
     assert (row.policy_keep_num, row.policy_keep_den) == (1, 1)
     assert row.est_triangles == 4
+
+
+# ---------------------------------------------------------------------------
+# KMV value-sample sink — sink-is-the-state for kmv_sample (operator
+# landed r12; registry entry deferred to r13 per the driver-sample
+# budget). Contract mirrors the counting sink: fold == one-shot,
+# replays harmless, min-gate + refilter, legacy gate migration.
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sample_sink_fold_equals_one_shot(spark, tmp_path):
+    path = str(tmp_path / "kmvs")
+    rows = [("seg", f"user{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    thirds = [df.where(F.crc32("v") % 3 == i) for i in range(3)]
+    for i, part in enumerate(thirds):
+        _S.write_kmv_sample_partial(part, path, i, "k", "v")
+    # replay batch 1 — min-k set algebra makes it exactly harmless
+    _S.write_kmv_sample_partial(thirds[1], path, 1, "k", "v")
+    folded = {
+        r.key: ([(s.h, s.v) for s in r.sample], r.gate)
+        for r in _S.read_kmv_sample(spark, path).collect()
+    }
+    oneshot = {
+        r.key: ([(s.h, s.v) for s in r.sample], r.gate)
+        for r in _S.kmv_sample(df, "k", "v", keep_ppm=None).collect()
+    }
+    assert folded == oneshot
+    assert len(folded["seg"][0]) == _S.KMV_K
+
+
+def test_kmv_sample_sink_compaction_preserves_fold(spark, tmp_path):
+    path = str(tmp_path / "kmvs_c")
+    df1 = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(40)], "k string, v string"
+    )
+    df2 = spark.createDataFrame(
+        [("a", f"y{i}") for i in range(40)], "k string, v string"
+    )
+    _S.write_kmv_sample_partial(df1, path, 0, "k", "v")
+    before = {
+        r.key: [(s.h, s.v) for s in r.sample]
+        for r in _S.read_kmv_sample(spark, path).collect()
+    }
+    v = _S.compact_kmv_sample(spark, path)
+    assert v == 0
+    after_compact = {
+        r.key: [(s.h, s.v) for s in r.sample]
+        for r in _S.read_kmv_sample(spark, path).collect()
+    }
+    assert after_compact == before
+    # post-snapshot partial folds in on read; a second compaction
+    # advances the watermark without changing the serve result
+    _S.write_kmv_sample_partial(df2, path, 1, "k", "v")
+    served = {
+        r.key: [(s.h, s.v) for s in r.sample]
+        for r in _S.read_kmv_sample(spark, path).collect()
+    }
+    both = df1.unionByName(df2)
+    oneshot = {
+        r.key: [(s.h, s.v) for s in r.sample]
+        for r in _S.kmv_sample(both, "k", "v", keep_ppm=None).collect()
+    }
+    assert served == oneshot
+    assert _S.compact_kmv_sample(spark, path) == 1
+    assert {
+        r.key: [(s.h, s.v) for s in r.sample]
+        for r in _S.read_kmv_sample(spark, path).collect()
+    } == oneshot
+
+
+def test_kmv_sample_sink_legacy_gateless_partial(spark, tmp_path):
+    path = str(tmp_path / "kmvs_l")
+    spark.createDataFrame(
+        [("a", 5, "v5"), ("a", 3, "v3")], "key string, h long, v string"
+    ).write.parquet(f"{path}/parts/batch_id=0")
+    out = {
+        r.key: ([(s.h, s.v) for s in r.sample], r.gate)
+        for r in _S.read_kmv_sample(spark, path).collect()
+    }
+    assert out == {"a": ([(3, "v3"), (5, "v5")], _S.KMV_FULL)}
+
+
+def test_kmv_sample_sink_min_gate_refilter(spark, tmp_path):
+    path = str(tmp_path / "kmvs_g")
+    spark.createDataFrame(
+        [("a", 5, "v5", 1000), ("a", 2000, "v2k", 1000)],
+        "key string, h long, v string, gate long",
+    ).write.parquet(f"{path}/parts/batch_id=0")
+    # a partial never carries h >= its OWN gate; the second partial is
+    # LOOSER (ungated), so its 1500 must drop under the merged gate
+    spark.createDataFrame(
+        [("a", 1500, "v15", _S.KMV_FULL)],
+        "key string, h long, v string, gate long",
+    ).write.parquet(f"{path}/parts/batch_id=1")
+    out = {
+        r.key: ([(s.h, s.v) for s in r.sample], r.gate)
+        for r in _S.read_kmv_sample(spark, path).collect()
+    }
+    # merged gate = 1000; 1500 and 2000 are not valid common evidence
+    assert out == {"a": ([(5, "v5")], 1000)}
