@@ -318,3 +318,45 @@ def test_kmv_sample_sink_min_gate_refilter(spark, tmp_path):
     }
     # merged gate = 1000; 1500 and 2000 are not valid common evidence
     assert out == {"a": ([(5, "v5")], 1000)}
+
+
+def test_kmv_sample_sink_from_real_stream(spark, tmp_path, sf_dir):
+    """End-to-end through Structured Streaming: a checkpointed
+    availableNow foreachBatch stream lands per-type value-sample
+    partials; the folded sink equals the one-shot batch sample —
+    the same stream-built == one-shot guarantee as the counting
+    sink's foreachBatch twin."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.streaming.windows import (
+        replay_events_stream,
+    )
+
+    path = str(tmp_path / "kmvs_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = (
+        replay_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(
+            lambda b, i: _S.write_kmv_sample_partial(
+                b, path, i, "event_type", "user_id"
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _S.compact_kmv_sample(spark, path)
+    served = {
+        r.key: [(s.h, s.v) for s in r.sample]
+        for r in _S.read_kmv_sample(spark, path).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    oneshot = {
+        r.key: [(s.h, s.v) for s in r.sample]
+        for r in _S.kmv_sample(
+            ev, "event_type", "user_id", keep_ppm=None
+        ).collect()
+    }
+    assert served == oneshot and len(served) > 0
