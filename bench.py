@@ -286,8 +286,25 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     next_round = (max(_bench_rounds()) + 1) if _bench_rounds() else 0
     detail_name = f"BENCH_DETAIL_r{next_round}.json"
+    # provenance: the round label comes from BENCH_r* artifacts only —
+    # intentional, so the driver's end-of-round run refreshes the SAME
+    # round's detail file — which leaves a window where a later session
+    # could overwrite a round's detail before its BENCH_r{N} wrapper
+    # lands. The commit sha makes any such clobber detectable.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = None
     detail = {
         "round": next_round,
+        "git_head": head or "unknown",
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",

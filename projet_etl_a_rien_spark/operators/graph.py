@@ -510,12 +510,15 @@ def triangle_count_auto(
     which estimator produced the number.
 
     ``n_edges`` resolution mirrors the KMV auto-tier: caller-supplied
-    count wins (pass the edge-derivation's row count — for derived
-    graphs like co-purchase pairs the input-file footers measure the
-    SOURCE table, not the pair volume); else parquet-footer stats
-    (O(metadata), reaches every tier); else a bounded probe
-    (``limit(10⁷+1).count()`` — proves only E > 10⁷, first sampled
-    tier). The policy input may be the RAW (pre-distinct) pair count —
+    count wins; else parquet-footer stats — which GUARD against
+    row-expanding plans (``_stats_row_count`` returns None when the
+    analyzed plan contains a Join/Generate/Expand node, because a
+    join-derived edge frame's footers measure the SOURCE table and
+    would under-gate by decades in the expensive direction); else the
+    bounded probe (``limit(10⁷+1).count()`` — proves only E > 10⁷,
+    first sampled tier). Registered derived-graph entries pass
+    ``n_edges`` (an O(scan) combinatorial bound) so neither fallback
+    runs. The policy input may be a RAW (pre-distinct) pair bound —
     an upper bound on |E|, which only ever picks a more-sampled tier
     (the conservative direction for work).
 

@@ -430,11 +430,22 @@ def _stats_row_count(df: DataFrame) -> int | None:
 
     The footer count is the INPUT-FILE cardinality — an UPPER bound
     when the frame filters rows (filters only shrink n, and a larger n
-    picks a tighter gate, the conservative direction for state), and
-    an UNDER-count when the frame expands rows (explode/posexplode —
-    pass ``n_rows`` explicitly there, as the shingle-gram callers
-    do)."""
+    picks a tighter gate, the conservative direction for state). For
+    plans that can EXPAND rows (joins, explode/posexplode) the footer
+    count under-counts — in the DANGEROUS direction for a sizing
+    policy (a join-derived edge frame could under-gate by decades) —
+    so this returns None whenever the analyzed plan contains a Join /
+    Generate / Expand node and the caller falls back to the bounded
+    probe (or passes ``n_rows``, as the registered derived-frame
+    callers all do).
+
+    Footers are read in a thread pool (metadata I/O releases the GIL;
+    a 10⁴-file table costs one parallel metadata sweep, not 10⁴
+    sequential opens)."""
     try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(tok in plan for tok in ("Join", "Generate", "Expand")):
+            return None
         files = df.inputFiles()
     except Exception:
         return None
@@ -442,16 +453,25 @@ def _stats_row_count(df: DataFrame) -> int | None:
         return None
     import pyarrow.parquet as pq
 
-    total = 0
+    paths = []
     for uri in files:
         path = uri[5:] if uri.startswith("file:") else uri
         if "://" in path or not path.endswith(".parquet"):
             return None  # non-local or non-parquet input: probe instead
-        try:
-            total += pq.ParquetFile(path).metadata.num_rows
-        except Exception:
-            return None
-    return total
+        paths.append(path)
+
+    def _num_rows(p: str) -> int:
+        return pq.ParquetFile(p).metadata.num_rows
+
+    try:
+        if len(paths) == 1:
+            return _num_rows(paths[0])
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+            return sum(ex.map(_num_rows, paths))
+    except Exception:
+        return None
 
 
 def _resolve_keep_ppm(
@@ -802,12 +822,17 @@ def write_kmv_partial(
     ).parquet(f"{path}/parts/batch_id={batch_id}")
 
 
-def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
-    """Current folded sketch: newest committed snapshot min-k-folded
-    with committed partials above the watermark (same crash-safety
-    rules as the other sketch sinks). Returns the (key, hs, gate)
-    array form; the folded gate is the MIN over contributing partials
-    and hashes are re-filtered below it (theta-union rule)."""
+def _kmv_sink_read_raw(spark, path: str) -> DataFrame | None:
+    """Shared KMV-sink read plumbing: list the newest committed
+    snapshot + committed partials above the watermark, mergeSchema-read
+    them (with mixed-generation partials, single-file schema inference
+    could silently DROP the gate column — footer merge is O(metadata)
+    and guarantees the union schema), and apply the legacy-gate
+    migration (r11 ADVICE #3): partials written before the gate column
+    existed are ungated builds by construction, so a missing gate
+    column — or NULL gates under schema merge — reads as KMV_FULL.
+    min(gate) downstream then applies the theta-union rule across
+    generations exactly. Returns None when the sink is empty."""
     from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
@@ -819,27 +844,44 @@ def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
     if v >= 0:
         parts.append(f"{path}/snap/v={v}")
     if not parts:
+        return None
+    raw = spark.read.option("mergeSchema", "true").parquet(*parts)
+    if "gate" not in raw.columns:
+        return raw.withColumn("gate", F.lit(KMV_FULL).cast("long"))
+    return raw.withColumn(
+        "gate", F.coalesce(F.col("gate"), F.lit(KMV_FULL)).cast("long")
+    )
+
+
+def _kmv_sink_compact(spark, path: str, fold_flat: DataFrame) -> int:
+    """Shared KMV-sink compaction: write ``fold_flat`` (the
+    localCheckpointed flat fold) as ``snap/v=maxBatch``, then vacuum
+    folded partials and superseded snapshots — snapshot commit FIRST,
+    deletes after (crash between the two leaves a readable sink).
+    Returns the new watermark. Callers must pre-check max_b > v."""
+    from .compaction import _committed_partitions, _vacuum_partitions
+
+    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
+    max_b = max(committed)
+    fold_flat.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
+    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
+    keep = sorted(
+        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
+    )[:1]
+    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
+    return max_b
+
+
+def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
+    """Current folded sketch: newest committed snapshot min-k-folded
+    with committed partials above the watermark (same crash-safety
+    rules as the other sketch sinks). Returns the (key, hs, gate)
+    array form; the folded gate is the MIN over contributing partials
+    and hashes are re-filtered below it (theta-union rule)."""
+    raw = _kmv_sink_read_raw(spark, path)
+    if raw is None:
         return spark.createDataFrame(
             [], "key string, hs array<bigint>, gate bigint"
-        )
-    # mergeSchema: with mixed-generation partials, single-file schema
-    # inference could silently DROP the gate column (schema picked from
-    # a legacy file) — footer merge is O(metadata) and guarantees the
-    # union schema.
-    raw = spark.read.option("mergeSchema", "true").parquet(*parts)
-    # Legacy-sink migration (r11 ADVICE #3): partials written before
-    # the gate column existed are flat (key, h) rows — an ungated
-    # build by construction (the only kind that existed), so a missing
-    # gate column reads as KMV_FULL; under schema-merge with newer
-    # gated partials the legacy rows surface as NULL gates, which
-    # coalesce the same way. min(gate) then applies the theta-union
-    # rule across generations exactly.
-    if "gate" not in raw.columns:
-        raw = raw.withColumn("gate", F.lit(KMV_FULL).cast("long"))
-    else:
-        raw = raw.withColumn(
-            "gate",
-            F.coalesce(F.col("gate"), F.lit(KMV_FULL)).cast("long"),
         )
     folded = raw.groupBy("key").agg(
         F.array_sort(F.collect_set("h")).alias("hs_all"),
@@ -857,29 +899,18 @@ def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
 def compact_kmv(spark, path: str, k: int = KMV_K) -> int:
     """Fold committed partials into ``snap/v=maxBatch`` (flat rows) and
     vacuum the folded dirs — snapshot commit first, deletes after."""
-    from .compaction import (
-        _committed_partitions,
-        _snapshot_version,
-        _vacuum_partitions,
-    )
+    from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
     committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
-    max_b = max(committed) if committed else -1
-    if max_b <= v:
+    if (max(committed) if committed else -1) <= v:
         return v
     fold = (
         read_kmv(spark, path, k)
         .select("key", F.explode("hs").alias("h"), "gate")
         .localCheckpoint(eager=True)
     )
-    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
-    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
-    keep = sorted(
-        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
-    )[:1]
-    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
-    return max_b
+    return _kmv_sink_compact(spark, path, fold)
 
 
 # ---------------------------------------------------------------------------
@@ -929,30 +960,13 @@ def read_kmv_sample(spark, path: str, k: int = KMV_K) -> DataFrame:
     (key, sample array<struct<h,v>>, gate) form of :func:`kmv_sample`;
     folded gate = MIN over contributors, pairs re-filtered below it
     (theta-union rule). Legacy gate-less partials read as KMV_FULL,
-    like :func:`read_kmv`."""
-    from .compaction import _committed_partitions, _snapshot_version
-
-    v = _snapshot_version(spark, path)
-    parts = [
-        f"{path}/parts/batch_id={b}"
-        for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
-        if b > v
-    ]
-    if v >= 0:
-        parts.append(f"{path}/snap/v={v}")
-    if not parts:
+    like :func:`read_kmv` (shared ``_kmv_sink_read_raw`` plumbing)."""
+    raw = _kmv_sink_read_raw(spark, path)
+    if raw is None:
         return spark.createDataFrame(
             [],
             "key string, sample array<struct<h:bigint,v:string>>, "
             "gate bigint",
-        )
-    raw = spark.read.option("mergeSchema", "true").parquet(*parts)
-    if "gate" not in raw.columns:
-        raw = raw.withColumn("gate", F.lit(KMV_FULL).cast("long"))
-    else:
-        raw = raw.withColumn(
-            "gate",
-            F.coalesce(F.col("gate"), F.lit(KMV_FULL)).cast("long"),
         )
     folded = (
         raw.select("key", F.struct("h", "v").alias("hv"), "gate")
@@ -976,17 +990,12 @@ def read_kmv_sample(spark, path: str, k: int = KMV_K) -> DataFrame:
 def compact_kmv_sample(spark, path: str, k: int = KMV_K) -> int:
     """Fold committed sample partials into ``snap/v=maxBatch`` (flat
     (key, h, v, gate) rows) and vacuum the folded dirs — snapshot
-    commit first, deletes after (same crash rules as compact_kmv)."""
-    from .compaction import (
-        _committed_partitions,
-        _snapshot_version,
-        _vacuum_partitions,
-    )
+    commit first, deletes after (shared ``_kmv_sink_compact`` rules)."""
+    from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
     committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
-    max_b = max(committed) if committed else -1
-    if max_b <= v:
+    if (max(committed) if committed else -1) <= v:
         return v
     fold = (
         read_kmv_sample(spark, path, k)
@@ -999,13 +1008,7 @@ def compact_kmv_sample(spark, path: str, k: int = KMV_K) -> int:
         )
         .localCheckpoint(eager=True)
     )
-    fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
-    _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
-    keep = sorted(
-        _committed_partitions(spark, f"{path}/snap", "v="), reverse=True
-    )[:1]
-    _vacuum_partitions(spark, f"{path}/snap", "v=", below=min(keep))
-    return max_b
+    return _kmv_sink_compact(spark, path, fold)
 
 
 # ---------------------------------------------------------------------------

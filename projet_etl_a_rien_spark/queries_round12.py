@@ -50,10 +50,17 @@ WITH ocnt AS (
     SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
 ),
 pol AS (
+    -- COALESCE mirrors the engine's F.coalesce(F.sum(...), 0): SUM
+    -- over zero groups is NULL, and NULL < x is NULL, so an empty
+    -- lineitem would fall through every WHEN to the 32 tier while
+    -- the engine picks (1, 1) — caught by review, pinned by test
     SELECT CAST(1 AS BIGINT) AS keep_num,
-           CAST(CASE WHEN SUM(c * (c - 1) // 2) < 10000000 THEN 1
-                     WHEN SUM(c * (c - 1) // 2) < 1000000000 THEN 2
-                     WHEN SUM(c * (c - 1) // 2) < 100000000000 THEN 10
+           CAST(CASE WHEN COALESCE(SUM(c * (c - 1) // 2), 0)
+                          < 10000000 THEN 1
+                     WHEN COALESCE(SUM(c * (c - 1) // 2), 0)
+                          < 1000000000 THEN 2
+                     WHEN COALESCE(SUM(c * (c - 1) // 2), 0)
+                          < 100000000000 THEN 10
                      ELSE 32 END AS BIGINT) AS keep_den
     FROM ocnt
 ),

@@ -360,3 +360,50 @@ def test_kmv_sample_sink_from_real_stream(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert served == oneshot and len(served) > 0
+
+
+def test_stats_row_count_guards_row_expanding_plans(spark, tmp_path):
+    """Join/Generate plans must NOT resolve from footers: their input
+    files measure the SOURCE cardinality, which under-counts the frame
+    by the expansion factor — the dangerous direction for a sizing
+    policy. The guard sends them to the bounded probe instead."""
+    p = str(tmp_path / "g.parquet")
+    spark.range(50).selectExpr(
+        "id AS k", "cast(id AS string) AS v"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _S._stats_row_count(df) == 50
+    joined = df.alias("a").join(df.alias("b"), "k")
+    assert _S._stats_row_count(joined) is None
+    exploded = df.select(F.explode(F.array("v", "v")).alias("v"))
+    assert _S._stats_row_count(exploded) is None
+
+
+def test_triangle_auto_empty_input_policy_parity(spark, tmp_path):
+    """Review-found edge: on an EMPTY lineitem the oracle's SUM over
+    zero groups is NULL, and NULL < x falls through every CASE branch
+    to the 32 tier, while the engine coalesces the pair bound to 0
+    (exact tier). Both sides must say (1, 1) with zero triangles."""
+    import duckdb
+
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    sf = tmp_path / "sf_empty"
+    sf.mkdir()
+    spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long"
+    ).write.parquet(str(sf / "lineitem.parquet"))
+    row = REGISTRY["parts_triangle_counts_auto"].fn(
+        spark, str(sf)
+    ).collect()[0]
+    assert (row.policy_keep_num, row.policy_keep_den) == (1, 1)
+    assert row.est_triangles == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet/*.parquet')"
+    )
+    o = con.execute(REGISTRY["parts_triangle_counts_auto"].oracle).fetchone()
+    assert (o[0], o[1]) == (1, 1)
+    assert o[4] == 0
