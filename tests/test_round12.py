@@ -407,3 +407,64 @@ def test_triangle_auto_empty_input_policy_parity(spark, tmp_path):
     o = con.execute(REGISTRY["parts_triangle_counts_auto"].oracle).fetchone()
     assert (o[0], o[1]) == (1, 1)
     assert o[4] == 0
+
+
+def test_resolve_auto_footer_path_on_real_fixture(spark, sf_dir):
+    """Verdict ask #3 end-to-end on the actual driver fixture: the
+    catalog loader's normalization is projection-only, so an events
+    frame resolves its tier from footers — no probe job — and the
+    resolved tier equals kmv_keep_policy(footer count) exactly."""
+    from projet_etl_a_rien_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = _S._stats_row_count(ev)
+    assert n is not None and n > 0
+    assert _S._resolve_keep_ppm(ev, "auto", None) == _S.kmv_keep_policy(n)
+
+
+def test_kmv_sample_sink_randomized_vs_reference(spark, tmp_path):
+    """Seeded randomized differential: random value sets split into
+    random partials with random per-partial gates; the folded sink
+    must match a pure-Python bottom-k reference applying the same
+    min-gate + refilter + slice-k algebra."""
+    import hashlib
+    import random
+
+    def ref_hash(v: str) -> int:
+        return int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:12], 16)
+
+    rng = random.Random(12)
+    for case in range(3):
+        path = str(tmp_path / f"rand{case}")
+        values = [f"v{rng.randrange(10_000)}" for _ in range(400)]
+        n_parts = rng.randrange(2, 5)
+        splits = [[] for _ in range(n_parts)]
+        for v in values:
+            splits[rng.randrange(n_parts)].append(v)
+        gates = [
+            rng.choice([None, 200_000, 20_000]) for _ in range(n_parts)
+        ]
+        for i, (vs, ppm) in enumerate(zip(splits, gates)):
+            df = spark.createDataFrame(
+                [("k", v) for v in vs] or [("k", "pad")],
+                "k string, v string",
+            )
+            _S.write_kmv_sample_partial(
+                df, path, i, "k", "v", keep_ppm=ppm
+            )
+        got = {
+            r.key: ([(s.h, s.v) for s in r.sample], r.gate)
+            for r in _S.read_kmv_sample(spark, path).collect()
+        }
+        # pure-Python reference: per-partial gate filter, union,
+        # min-gate refilter, sort by (h, v), slice k
+        all_vals = set()
+        for i, (vs, ppm) in enumerate(zip(splits, gates)):
+            use = vs or ["pad"]
+            g = _S._gate_of(ppm)
+            all_vals |= {(ref_hash(v), v) for v in use if ref_hash(v) < g}
+        min_gate = min(_S._gate_of(p) for p in gates)
+        keep = sorted(
+            {(h, v) for h, v in all_vals if h < min_gate}
+        )[: _S.KMV_K]
+        assert got == {"k": (keep, min_gate)}, f"case {case}"
