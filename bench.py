@@ -141,7 +141,7 @@ def _bench_rounds() -> list[int]:
     return sorted(rounds)
 
 
-def _load_prior_round() -> dict[str, float]:
+def _load_prior_round(sf: str) -> dict[str, float]:
     """Per-query timings for the solo re-measure comparison base:
     newest available measurement per name, walking rounds DESCENDING
     and, within a round, preferring the committed BENCH_DETAIL_r{N}.json
@@ -151,8 +151,19 @@ def _load_prior_round() -> dict[str, float]:
     or a detail file partial (BENCH_DETAIL_r11 is tail-reconstructed) —
     a name missing from the newest round still gets its most recent
     older measurement instead of silently dropping out of the
-    >1.3x-mover check."""
+    >1.3x-mover check.
+
+    Only artifacts recorded at the SAME scale factor as this run are
+    comparison-eligible: mixing scales would make every ratio a scale
+    artifact (an sf1 prior makes genuine sf0.1 regressions invisible at
+    ~0.1x; an sf0.01 prior flags every query as a mover). Artifacts
+    that predate the "sf" field were all recorded at the canonical
+    sf0.1, so they count only for an sf0.1 run."""
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
     merged: dict[str, float] = {}
     for rnd in reversed(_bench_rounds()):
         for fname in (f"BENCH_DETAIL_r{rnd}.json", f"BENCH_r{rnd}.json"):
@@ -165,6 +176,9 @@ def _load_prior_round() -> dict[str, float]:
                 d = d.get("parsed")  # driver wrapper; None if unparsed
             if not isinstance(d, dict):
                 continue
+            art_sf = d.get("sf", 0.1)  # pre-field artifacts were sf0.1
+            if sf_num is None or art_sf != sf_num:
+                break  # wrong scale: this round contributes nothing
             for name, t in {**d.get("queries", {}), **d.get("pipelines", {})}.items():
                 if isinstance(t, (int, float)) and name not in merged:
                     merged[name] = float(t)
@@ -243,7 +257,7 @@ def main() -> None:
     # regression can be told apart from recording-day VM noise without a
     # by-hand re-run.
     solo: dict[str, dict[str, float]] = {}
-    prior = _load_prior_round()
+    prior = _load_prior_round(sf)
     movers = [
         n
         for n, t in best.items()
@@ -285,7 +299,16 @@ def main() -> None:
     # everything else lives in BENCH_DETAIL_r{N}.json at the repo root.
     here = os.path.dirname(os.path.abspath(__file__))
     next_round = (max(_bench_rounds()) + 1) if _bench_rounds() else 0
-    detail_name = f"BENCH_DETAIL_r{next_round}.json"
+    # The round-numbered detail file is the canonical sf0.1 record the
+    # driver and the mover-base walk read; an ad-hoc run at any other
+    # scale writes a scale-suffixed scratch name instead, so it can
+    # never clobber the round artifact (and, being un-walked, never
+    # poisons the >1.3x comparison base either).
+    detail_name = (
+        f"BENCH_DETAIL_r{next_round}.json"
+        if sf == "0.1"
+        else f"BENCH_DETAIL_sf{sf}.json"
+    )
     # provenance: the round label comes from BENCH_r* artifacts only —
     # intentional, so the driver's end-of-round run refreshes the SAME
     # round's detail file — which leaves a window where a later session

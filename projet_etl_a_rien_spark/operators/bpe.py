@@ -686,19 +686,23 @@ def write_pretoken_counts_partial(
     part.write.mode("overwrite").parquet(f"{path}/parts/batch_id={batch_id}")
 
 
-def read_pretoken_counts(spark: SparkSession, path: str) -> DataFrame:
+def read_pretoken_counts(
+    spark: SparkSession, path: str, max_b: int | None = None
+) -> DataFrame:
     """Current folded (pt, cnt): newest committed snapshot + committed
     partials above the fold watermark, summed per pre-token. Same
     crash-safety rules as ``read_agg_sink`` (only _SUCCESS-committed
     dirs on either side; partials at or below the snapshot version are
-    skipped even if their dirs linger)."""
+    skipped even if their dirs linger). ``max_b`` is the compaction
+    fold bound — load-bearing for an additive fold (a mid-compaction
+    partial folded under a higher label would double-count)."""
     from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
     parts = [
         f"{path}/parts/batch_id={b}"
         for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
-        if b > v
+        if b > v and (max_b is None or b <= max_b)
     ]
     if v >= 0:
         parts.append(f"{path}/snap/v={v}")
@@ -726,7 +730,9 @@ def compact_pretoken_counts(spark: SparkSession, path: str) -> int:
     max_b = max(committed) if committed else -1
     if max_b <= v:
         return v
-    fold = read_pretoken_counts(spark, path).localCheckpoint(eager=True)
+    fold = read_pretoken_counts(spark, path, max_b=max_b).localCheckpoint(
+        eager=True
+    )
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
     keep = sorted(

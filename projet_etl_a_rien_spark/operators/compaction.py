@@ -294,7 +294,14 @@ def compact_agg_sink(
     max_b = max(committed) if committed else -1
     if max_b <= v:
         return v
-    fold = read_agg_sink(spark, path, key_col).localCheckpoint(eager=True)
+    # as_of=max_b bounds the fold to the batches this snapshot is
+    # labeled with: a partial landing mid-compaction stays above the
+    # new watermark instead of being folded-but-also-still-readable
+    # (additive fold => that overlap would double-count) and the
+    # vacuum below max_b+1 provably deletes only folded partials
+    fold = read_agg_sink(spark, path, key_col, as_of=max_b).localCheckpoint(
+        eager=True
+    )
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     # Space reclamation only — readers already filter batch_id <= max_b,
     # and always fold the NEWEST snapshot, so folded partials and
@@ -777,7 +784,12 @@ def compact_postings_sink(
     max_b = max(committed) if committed else -1
     if max_b <= v:
         return v
-    fold = read_postings_sink(spark, path).localCheckpoint(eager=True)
+    # as_of=max_b: same fold-bound rule as compact_agg_sink (postings
+    # union across batches is not idempotent — an overlap would
+    # duplicate a batch's postings)
+    fold = read_postings_sink(spark, path, as_of=max_b).localCheckpoint(
+        eager=True
+    )
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     # stats commit AFTER the snapshot (crash in between => serve path
     # falls back to the read-time derive for this version, never torn);

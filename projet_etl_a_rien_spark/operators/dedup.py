@@ -1359,17 +1359,20 @@ def write_bloom_partial(
     ).parquet(f"{path}/parts/batch_id={batch_id}")
 
 
-def read_bloom(spark, path: str) -> DataFrame:
+def read_bloom(spark, path: str, max_b: int | None = None) -> DataFrame:
     """Current folded bitmap: newest committed snapshot OR-folded with
     committed partials above the watermark (same crash-safety rules as
-    the other sketch sinks)."""
+    the other sketch sinks). ``max_b`` is the compaction fold bound:
+    it pins ``snap/v=N`` to exactly batches ≤ N (bit-OR is idempotent,
+    so the bound is about exact labeling and vacuum provenance, not
+    double-counting)."""
     from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
     parts = [
         f"{path}/parts/batch_id={b}"
         for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
-        if b > v
+        if b > v and (max_b is None or b <= max_b)
     ]
     if v >= 0:
         parts.append(f"{path}/snap/v={v}")
@@ -1396,7 +1399,7 @@ def compact_bloom(spark, path: str) -> int:
     max_b = max(committed) if committed else -1
     if max_b <= v:
         return v
-    fold = read_bloom(spark, path).localCheckpoint(eager=True)
+    fold = read_bloom(spark, path, max_b=max_b).localCheckpoint(eager=True)
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
     keep = sorted(

@@ -248,17 +248,20 @@ def write_sketch_partial(
     ).parquet(f"{path}/parts/batch_id={batch_id}")
 
 
-def read_sketch(spark, path: str) -> DataFrame:
+def read_sketch(spark, path: str, max_b: int | None = None) -> DataFrame:
     """Current folded sketch: newest committed snapshot + committed
     partials above the fold watermark, summed per bucket (same
-    crash-safety rules as read_agg_sink)."""
+    crash-safety rules as read_agg_sink). ``max_b`` is the compaction
+    fold bound — load-bearing for an additive fold: a partial landing
+    mid-compaction that got folded under a higher label would also be
+    read as still-unfolded afterwards and double-count."""
     from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
     parts = [
         f"{path}/parts/batch_id={b}"
         for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
-        if b > v
+        if b > v and (max_b is None or b <= max_b)
     ]
     if v >= 0:
         parts.append(f"{path}/snap/v={v}")
@@ -286,7 +289,7 @@ def compact_sketch(spark, path: str) -> int:
     max_b = max(committed) if committed else -1
     if max_b <= v:
         return v
-    fold = read_sketch(spark, path).localCheckpoint(eager=True)
+    fold = read_sketch(spark, path, max_b=max_b).localCheckpoint(eager=True)
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
     keep = sorted(

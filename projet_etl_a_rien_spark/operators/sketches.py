@@ -276,17 +276,20 @@ def write_hll_partial(
     ).parquet(f"{path}/parts/batch_id={batch_id}")
 
 
-def read_hll(spark, path: str) -> DataFrame:
+def read_hll(spark, path: str, max_b: int | None = None) -> DataFrame:
     """Current folded registers: newest committed snapshot MAX-folded
     with committed partials above the watermark (same crash-safety rules
-    as the additive sinks)."""
+    as the additive sinks). ``max_b`` is the compaction fold bound: it
+    pins ``snap/v=N`` to exactly batches ≤ N so a partial landing
+    mid-compaction is left above the new watermark instead of being
+    folded under a label that the next vacuum treats as covered."""
     from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
     parts = [
         f"{path}/parts/batch_id={b}"
         for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
-        if b > v
+        if b > v and (max_b is None or b <= max_b)
     ]
     if v >= 0:
         parts.append(f"{path}/snap/v={v}")
@@ -313,7 +316,7 @@ def compact_hll(spark, path: str) -> int:
     max_b = max(committed) if committed else -1
     if max_b <= v:
         return v
-    fold = read_hll(spark, path).localCheckpoint(eager=True)
+    fold = read_hll(spark, path, max_b=max_b).localCheckpoint(eager=True)
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
     keep = sorted(
@@ -435,23 +438,32 @@ def _stats_row_count(df: DataFrame) -> int | None:
     count under-counts — in the DANGEROUS direction for a sizing
     policy (a join-derived edge frame could under-gate by decades) —
     so this returns None whenever the analyzed plan contains a Join /
-    Generate / Expand node and the caller falls back to the bounded
-    probe (or passes ``n_rows``, as the registered derived-frame
-    callers all do).
+    Generate / Expand / Union node and the caller falls back to the
+    bounded probe (or passes ``n_rows``, as the registered
+    derived-frame callers all do). Union is in the list because
+    ``inputFiles()`` DEDUPLICATES paths: a union whose branches read
+    the same file (df.union(df), or two filters of one table) has
+    true cardinality up to branches× the deduplicated footer sum —
+    under-counting in the same dangerous direction as a join.
 
     Footers are read in a thread pool (metadata I/O releases the GIL;
     a 10⁴-file table costs one parallel metadata sweep, not 10⁴
     sequential opens)."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
-        if any(tok in plan for tok in ("Join", "Generate", "Expand")):
+        if any(
+            tok in plan for tok in ("Join", "Generate", "Expand", "Union")
+        ):
             return None
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    import pyarrow.parquet as pq
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None  # contract: degrade to the bounded probe, never raise
 
     paths = []
     for uri in files:
@@ -822,7 +834,9 @@ def write_kmv_partial(
     ).parquet(f"{path}/parts/batch_id={batch_id}")
 
 
-def _kmv_sink_read_raw(spark, path: str) -> DataFrame | None:
+def _kmv_sink_read_raw(
+    spark, path: str, max_b: int | None = None
+) -> DataFrame | None:
     """Shared KMV-sink read plumbing: list the newest committed
     snapshot + committed partials above the watermark, mergeSchema-read
     them (with mixed-generation partials, single-file schema inference
@@ -832,14 +846,20 @@ def _kmv_sink_read_raw(spark, path: str) -> DataFrame | None:
     existed are ungated builds by construction, so a missing gate
     column — or NULL gates under schema merge — reads as KMV_FULL.
     min(gate) downstream then applies the theta-union rule across
-    generations exactly. Returns None when the sink is empty."""
+    generations exactly. Returns None when the sink is empty.
+
+    ``max_b`` is the COMPACTION fold bound, not a time-travel point:
+    partials above it are excluded so ``snap/v=N`` contains exactly
+    batches ≤ N and the vacuum below N+1 can never delete a partial
+    the fold did not read (a partial landing mid-compaction stays on
+    disk, above the new watermark, and folds next time)."""
     from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
     parts = [
         f"{path}/parts/batch_id={b}"
         for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
-        if b > v
+        if b > v and (max_b is None or b <= max_b)
     ]
     if v >= 0:
         parts.append(f"{path}/snap/v={v}")
@@ -853,16 +873,20 @@ def _kmv_sink_read_raw(spark, path: str) -> DataFrame | None:
     )
 
 
-def _kmv_sink_compact(spark, path: str, fold_flat: DataFrame) -> int:
+def _kmv_sink_compact(
+    spark, path: str, fold_flat: DataFrame, max_b: int
+) -> int:
     """Shared KMV-sink compaction: write ``fold_flat`` (the
-    localCheckpointed flat fold) as ``snap/v=maxBatch``, then vacuum
+    localCheckpointed flat fold) as ``snap/v=max_b``, then vacuum
     folded partials and superseded snapshots — snapshot commit FIRST,
     deletes after (crash between the two leaves a readable sink).
-    Returns the new watermark. Callers must pre-check max_b > v."""
+    Returns the new watermark. Callers must pre-check max_b > v and
+    pass the SAME ``max_b`` that bounded the fold's partial listing
+    (``_kmv_sink_read_raw(..., max_b)``): re-listing here would let a
+    partial that landed after the fold was materialized be vacuumed
+    without ever being folded — permanent loss of its hashes."""
     from .compaction import _committed_partitions, _vacuum_partitions
 
-    committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
-    max_b = max(committed)
     fold_flat.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
     keep = sorted(
@@ -872,13 +896,16 @@ def _kmv_sink_compact(spark, path: str, fold_flat: DataFrame) -> int:
     return max_b
 
 
-def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
+def read_kmv(
+    spark, path: str, k: int = KMV_K, max_b: int | None = None
+) -> DataFrame:
     """Current folded sketch: newest committed snapshot min-k-folded
     with committed partials above the watermark (same crash-safety
     rules as the other sketch sinks). Returns the (key, hs, gate)
     array form; the folded gate is the MIN over contributing partials
-    and hashes are re-filtered below it (theta-union rule)."""
-    raw = _kmv_sink_read_raw(spark, path)
+    and hashes are re-filtered below it (theta-union rule). ``max_b``
+    is the compaction fold bound (see ``_kmv_sink_read_raw``)."""
+    raw = _kmv_sink_read_raw(spark, path, max_b)
     if raw is None:
         return spark.createDataFrame(
             [], "key string, hs array<bigint>, gate bigint"
@@ -903,14 +930,19 @@ def compact_kmv(spark, path: str, k: int = KMV_K) -> int:
 
     v = _snapshot_version(spark, path)
     committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
-    if (max(committed) if committed else -1) <= v:
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
         return v
+    # max_b is fixed BEFORE the fold and bounds both the fold's partial
+    # listing and the vacuum, so a partial landing mid-compaction can
+    # never be vacuumed unfolded (it stays above the new watermark and
+    # folds next time — min-k idempotence makes any overlap harmless)
     fold = (
-        read_kmv(spark, path, k)
+        read_kmv(spark, path, k, max_b=max_b)
         .select("key", F.explode("hs").alias("h"), "gate")
         .localCheckpoint(eager=True)
     )
-    return _kmv_sink_compact(spark, path, fold)
+    return _kmv_sink_compact(spark, path, fold, max_b)
 
 
 # ---------------------------------------------------------------------------
@@ -954,14 +986,17 @@ def write_kmv_sample_partial(
     ).write.mode("overwrite").parquet(f"{path}/parts/batch_id={batch_id}")
 
 
-def read_kmv_sample(spark, path: str, k: int = KMV_K) -> DataFrame:
+def read_kmv_sample(
+    spark, path: str, k: int = KMV_K, max_b: int | None = None
+) -> DataFrame:
     """Current folded value sample: newest committed snapshot min-k-
     folded with committed partials above the watermark. Returns the
     (key, sample array<struct<h,v>>, gate) form of :func:`kmv_sample`;
     folded gate = MIN over contributors, pairs re-filtered below it
     (theta-union rule). Legacy gate-less partials read as KMV_FULL,
-    like :func:`read_kmv` (shared ``_kmv_sink_read_raw`` plumbing)."""
-    raw = _kmv_sink_read_raw(spark, path)
+    like :func:`read_kmv` (shared ``_kmv_sink_read_raw`` plumbing);
+    ``max_b`` is the compaction fold bound."""
+    raw = _kmv_sink_read_raw(spark, path, max_b)
     if raw is None:
         return spark.createDataFrame(
             [],
@@ -995,10 +1030,13 @@ def compact_kmv_sample(spark, path: str, k: int = KMV_K) -> int:
 
     v = _snapshot_version(spark, path)
     committed = _committed_partitions(spark, f"{path}/parts", "batch_id=")
-    if (max(committed) if committed else -1) <= v:
+    max_b = max(committed) if committed else -1
+    if max_b <= v:
         return v
+    # same pre-fold max_b rule as compact_kmv: the bound makes the
+    # vacuum provably a subset of what was folded
     fold = (
-        read_kmv_sample(spark, path, k)
+        read_kmv_sample(spark, path, k, max_b=max_b)
         .select("key", F.explode("sample").alias("hv"), "gate")
         .select(
             "key",
@@ -1008,7 +1046,7 @@ def compact_kmv_sample(spark, path: str, k: int = KMV_K) -> int:
         )
         .localCheckpoint(eager=True)
     )
-    return _kmv_sink_compact(spark, path, fold)
+    return _kmv_sink_compact(spark, path, fold, max_b)
 
 
 # ---------------------------------------------------------------------------
@@ -1036,16 +1074,20 @@ def write_cms_partial(
     ).parquet(f"{path}/parts/batch_id={batch_id}")
 
 
-def read_cms(spark, path: str) -> DataFrame:
+def read_cms(spark, path: str, max_b: int | None = None) -> DataFrame:
     """Current folded grid: newest committed snapshot + committed
-    partials above the watermark, summed per cell."""
+    partials above the watermark, summed per cell. ``max_b`` is the
+    compaction fold bound — for an ADDITIVE fold it is load-bearing
+    for correctness, not just vacuum safety: a partial folded into
+    ``snap/v=N`` under a label above its batch id would ALSO be read
+    as a still-unfolded partial afterwards and double-count."""
     from .compaction import _committed_partitions, _snapshot_version
 
     v = _snapshot_version(spark, path)
     parts = [
         f"{path}/parts/batch_id={b}"
         for b in _committed_partitions(spark, f"{path}/parts", "batch_id=")
-        if b > v
+        if b > v and (max_b is None or b <= max_b)
     ]
     if v >= 0:
         parts.append(f"{path}/snap/v={v}")
@@ -1072,7 +1114,7 @@ def compact_cms(spark, path: str) -> int:
     max_b = max(committed) if committed else -1
     if max_b <= v:
         return v
-    fold = read_cms(spark, path).localCheckpoint(eager=True)
+    fold = read_cms(spark, path, max_b=max_b).localCheckpoint(eager=True)
     fold.write.mode("overwrite").parquet(f"{path}/snap/v={max_b}")
     _vacuum_partitions(spark, f"{path}/parts", "batch_id=", below=max_b + 1)
     keep = sorted(

@@ -468,3 +468,113 @@ def test_kmv_sample_sink_randomized_vs_reference(spark, tmp_path):
             {(h, v) for h, v in all_vals if h < min_gate}
         )[: _S.KMV_K]
         assert got == {"k": (keep, min_gate)}, f"case {case}"
+
+
+# ---------------------------------------------------------------------------
+# Mid-compaction landing safety (r12 review pass 2): the fold bound
+# max_b is fixed BEFORE the fold and shared with the vacuum, so a
+# partial landing between the fold's listing and the vacuum can never
+# be deleted unfolded (min-k sinks) or double-counted (additive sinks).
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_compact_spares_partial_landed_mid_compaction(spark, tmp_path):
+    """Race-window simulation for the shared _kmv_sink_compact: a
+    partial that lands AFTER the fold was materialized (but before the
+    vacuum) must survive the vacuum and serve on the next read — with a
+    re-listed max_b it would be vacuumed without ever being folded,
+    permanently losing its hashes."""
+    path = str(tmp_path / "kmv_race")
+    df0 = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(30)], "k string, v string"
+    )
+    df1 = spark.createDataFrame(
+        [("a", f"y{i}") for i in range(30)], "k string, v string"
+    )
+    late = spark.createDataFrame(
+        [("a", f"z{i}") for i in range(30)], "k string, v string"
+    )
+    _S.write_kmv_partial(df0, path, 0, "k", "v")
+    _S.write_kmv_partial(df1, path, 1, "k", "v")
+    # compact_kmv's internals, paused mid-flight: fold bounded to the
+    # pre-listed max_b=1, THEN batch 2 lands, THEN snapshot + vacuum
+    fold = (
+        _S.read_kmv(spark, path, max_b=1)
+        .select("key", F.explode("hs").alias("h"), "gate")
+        .localCheckpoint(eager=True)
+    )
+    _S.write_kmv_partial(late, path, 2, "k", "v")
+    assert _S._kmv_sink_compact(spark, path, fold, 1) == 1
+    # the late partial survived the vacuum, above the new watermark
+    assert os.path.isdir(f"{path}/parts/batch_id=2")
+    served = {
+        r.key: (list(r.hs), r.gate)
+        for r in _S.read_kmv(spark, path).collect()
+    }
+    oneshot = {
+        r.key: (list(r.hs), r.gate)
+        for r in _S.kmv_sketch(
+            df0.unionByName(df1).unionByName(late), "k", "v", keep_ppm=None
+        ).collect()
+    }
+    assert served == oneshot
+    # the next compaction folds it in and advances the watermark
+    assert _S.compact_kmv(spark, path) == 2
+    assert {
+        r.key: (list(r.hs), r.gate)
+        for r in _S.read_kmv(spark, path).collect()
+    } == oneshot
+
+
+def test_additive_reader_fold_bound_excludes_newer_partials(spark, tmp_path):
+    """For an ADDITIVE fold the bound is a correctness condition, not
+    just vacuum hygiene: a partial folded into snap/v=N under a label
+    above its batch id would ALSO be read as still-unfolded afterwards
+    and double-count. read_cms(max_b=N) must see exactly batches <= N."""
+    path = str(tmp_path / "cms_bound")
+    docs = spark.createDataFrame(
+        [("alpha beta",), ("beta gamma",)], "text string"
+    )
+    _S.write_cms_partial(docs, path, 0)
+    _S.write_cms_partial(docs, path, 1)
+    _S.write_cms_partial(docs, path, 2)
+    two = {
+        (r.j, r.b): r.cnt for r in _S.read_cms(spark, path, max_b=1).collect()
+    }
+    all3 = {(r.j, r.b): r.cnt for r in _S.read_cms(spark, path).collect()}
+    assert set(two) == set(all3)
+    assert all(all3[c] == 3 * two[c] // 2 for c in two)
+    assert all(two[c] * 3 == all3[c] * 2 for c in two)
+
+
+def test_stats_row_count_guards_union_plans(spark, tmp_path):
+    """Union joins the expansion-guard list: inputFiles() DEDUPLICATES
+    paths, so a union whose branches read the same file has true
+    cardinality up to branches x the footer sum — under-counting in
+    the dangerous (under-gating) direction, exactly like a join."""
+    p = str(tmp_path / "u.parquet")
+    spark.range(60).selectExpr("id AS k").write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _S._stats_row_count(df) == 60
+    both = df.where("k % 2 = 0").unionByName(df.where("k % 2 = 1"))
+    assert _S._stats_row_count(both) is None
+    assert _S._stats_row_count(df.union(df)) is None
+
+
+def test_bench_prior_round_is_scale_matched():
+    """The >1.3x mover base must compare same-scale measurements only:
+    an sf1 prior hides genuine sf0.1 regressions (~0.1x ratios), an
+    sf0.01 prior flags everything. All committed artifacts are sf0.1,
+    so any other scale gets an EMPTY comparison base."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    canonical = bench._load_prior_round("0.1")
+    assert canonical  # real artifacts exist and are sf0.1
+    assert bench._load_prior_round("1") == {}
+    assert bench._load_prior_round("0.01") == {}
