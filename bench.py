@@ -129,16 +129,31 @@ HEADLINE = [
 
 def _bench_rounds() -> list[int]:
     """Round numbers with a BENCH_r{N}.json artifact, ascending."""
+    return sorted(_bench_round_files())
+
+
+def _bench_round_files() -> dict[int, list[str]]:
+    """round → [detail_filename?, wrapper_filename?] from the ACTUAL
+    on-disk artifact names. Rounds 1-9 are committed zero-padded
+    (BENCH_r01.json) while 10+ are not; reconstructing names from ints
+    silently dropped the padded rounds from the mover-comparison base
+    (r12 ADVICE #2), so the walk now carries the globbed filenames."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = set()
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            rounds.add(int(m.group(1)))
-    return sorted(rounds)
+    files: dict[int, list[str]] = {}
+    for pat, pos in (("BENCH_DETAIL_r*.json", 0), ("BENCH_r*.json", 1)):
+        for p in glob.glob(os.path.join(here, pat)):
+            base = os.path.basename(p)
+            m = re.search(r"_r(\d+)\.json$", base)
+            if m:
+                slot = files.setdefault(int(m.group(1)), [None, None])
+                slot[pos] = base
+    return {
+        rnd: [f for f in pair if f is not None]
+        for rnd, pair in files.items()
+    }
 
 
 def _load_prior_round(sf: str) -> dict[str, float]:
@@ -163,10 +178,11 @@ def _load_prior_round(sf: str) -> dict[str, float]:
     try:
         sf_num = float(sf)
     except ValueError:
-        sf_num = None
+        return {}  # no comparable scale: every artifact is ineligible
     merged: dict[str, float] = {}
-    for rnd in reversed(_bench_rounds()):
-        for fname in (f"BENCH_DETAIL_r{rnd}.json", f"BENCH_r{rnd}.json"):
+    round_files = _bench_round_files()
+    for rnd in sorted(round_files, reverse=True):
+        for fname in round_files[rnd]:
             try:
                 with open(os.path.join(here, fname)) as f:
                     d = json.load(f)
@@ -177,13 +193,37 @@ def _load_prior_round(sf: str) -> dict[str, float]:
             if not isinstance(d, dict):
                 continue
             art_sf = d.get("sf", 0.1)  # pre-field artifacts were sf0.1
-            if sf_num is None or art_sf != sf_num:
-                break  # wrong scale: this round contributes nothing
+            if art_sf != sf_num:
+                # a DETAIL file at the wrong scale doesn't disqualify
+                # the round's wrapper (r12 ADVICE #1: a clobbered
+                # detail must not drop a valid wrapper measurement)
+                continue
             for name, t in {**d.get("queries", {}), **d.get("pipelines", {})}.items():
                 if isinstance(t, (int, float)) and name not in merged:
                     merged[name] = float(t)
-            break  # detail file found — don't double-read the wrapper
+            break  # matching file found — don't double-read the wrapper
     return merged
+
+
+def _load_r1_bar() -> dict[str, float]:
+    """Per-query r1 timings from the same-environment re-baseline
+    (BASELINE_LOCAL_r09.json) — the drift bar the >1.3x mover check
+    compares against IN ADDITION to the newest prior round, so slow
+    creep spread across rounds (invisible to a round-over-round-only
+    rule) still triggers a solo re-time (r12 verdict ask #5). The r1
+    bar was recorded at sf0.1; callers at any other scale skip it."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BASELINE_LOCAL_r09.json")) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out: dict[str, float] = {}
+    for name, row in (d.get("queries") or {}).items():
+        t = row.get("r1_sec") if isinstance(row, dict) else None
+        if isinstance(t, (int, float)) and t > 0:
+            out[name] = float(t)
+    return out
 
 
 def main() -> None:
@@ -258,11 +298,20 @@ def main() -> None:
     # by-hand re-run.
     solo: dict[str, dict[str, float]] = {}
     prior = _load_prior_round(sf)
-    movers = [
-        n
-        for n, t in best.items()
-        if n in prior and prior[n] > 0 and t / prior[n] > 1.3
-    ]
+    # Second comparison base: the r1 same-environment bar. A query can
+    # creep 1.05x per round for five rounds without ever tripping the
+    # vs-prior rule; comparing against r1 as well catches the
+    # accumulated drift (r12 verdict ask #5). sf0.1 only — the bar was
+    # recorded at the canonical scale.
+    r1_bar = _load_r1_bar() if sf == "0.1" else {}
+    movers = sorted(
+        {
+            n
+            for n, t in best.items()
+            if (n in prior and prior[n] > 0 and t / prior[n] > 1.3)
+            or (n in r1_bar and t / r1_bar[n] > 1.3)
+        }
+    )
     if movers:
         spark.stop()
         time.sleep(2)
@@ -280,15 +329,19 @@ def main() -> None:
                 spark.catalog.clearCache()
             solo[name] = {
                 "recorded": round(best[name], 4),
-                "prior": round(prior[name], 4),
                 "solo": round(solo_best, 4),
             }
+            if name in prior:
+                solo[name]["prior"] = round(prior[name], 4)
+            if name in r1_bar:
+                solo[name]["r1"] = round(r1_bar[name], 4)
     methodology = (
         f"per-query min of {runs} full plan executions"
         " (noop sink, cache cleared between runs; shared-VM"
         " CPU-steal makes single-shot timings +/-60%);"
         " value/queries exclude sink-bearing pipelines —"
-        " see pipelines/pipelines_total; >1.3x-vs-prior movers"
+        " see pipelines/pipelines_total; movers >1.3x vs the newest"
+        " prior round OR vs the r1 bar (BASELINE_LOCAL_r09)"
         " (queries AND pipelines) re-timed solo in solo_remeasured"
     )
     # Per-query detail goes to a COMMITTED file, not stdout: the r11
@@ -350,6 +403,13 @@ def main() -> None:
             n: round(t / prior[n], 3)
             for n, t in sorted(best.items())
             if n in prior and prior[n] > 0
+        },
+        # same rule against the r1 same-environment bar (r12 ask #5):
+        # slow cross-round creep trips this even when vs-prior is quiet
+        "r1_candidates": {
+            n: round(t / r1_bar[n], 3)
+            for n, t in sorted(best.items())
+            if n in r1_bar
         },
         "methodology": methodology,
     }

@@ -373,7 +373,7 @@ KMV_FULL = 1 << KMV_BITS  # theta for a sketch that saw < k distinct
 KMV_PROBE_ROWS = 10_000_000
 
 
-def kmv_keep_policy(n_rows: int) -> int | None:
+def kmv_keep_policy(n_rows: int) -> "int | Fraction | None":
     """Recommended ``keep_ppm`` gate as a function of input row count —
     THE 100 TB knob for KMV builds, mirroring ``doulion_keep_policy``
     (operators/graph.py): a fixed, deterministic tier ladder so the
@@ -403,24 +403,37 @@ def kmv_keep_policy(n_rows: int) -> int | None:
                           single key owns every row;
     - 10⁷ ≤ n < 10⁸:      200 000 ppm (keep 1/5);
     - 10⁸ ≤ n < 10⁹:      20 000 ppm; … 10× down per decade …
-    - 10¹² ≤ n:           2 ppm floor (a 10¹³-row single-key table
-                          still leaves ~2·10⁷ survivors ≫ k).
+    - 10¹² ≤ n < 10¹³:    2 ppm (a 10¹³-row single-key table still
+                          leaves ~2·10⁷ survivors ≫ k);
+    - 10¹³ ≤ n:           exact-Fraction sub-ppm tiers, one decade
+                          each, down to the 10²⁰ scope cap (below).
 
-    Scope of the ≤ 2·10⁷ worst-case bound: it holds for n ≤ 10¹³ —
-    the last decade the 2-ppm floor was sized for (ppm·tier_end =
-    2·10¹³ at tier_end = 10¹³). Beyond that the floor makes worst-case
-    survivors grow LINEARLY again (n·2/10⁶: 10¹⁵ rows → 2·10⁹ in the
-    pathological all-rows-one-key-all-distinct case); real key
-    distributions stay orders of magnitude below, but the hard bound
-    is scoped, not universal. 10¹³ rows ≈ 10 PB of 1 KB records — if
-    tables beyond that are in scope, extend the ladder below 2 ppm
-    (r11 ADVICE #4)."""
+    Sub-ppm continuation (r12 verdict ask #6): past the 2-ppm integer
+    floor the ladder keeps descending — 0.2 ppm at [10¹³, 10¹⁴),
+    0.02 ppm at [10¹⁴, 10¹⁵), … — expressed as an exact
+    ``fractions.Fraction`` so ``_gate_of``'s integer arithmetic
+    ((2⁴⁸·ppm) DIV 10⁶) stays bit-exact across engines (a float ppm
+    would drift). The ppm·tier_end = 2·10¹³ invariant therefore holds
+    at EVERY tier and the ≤ 2·10⁷ worst-case survivor bound is now
+    universal up to the ladder's own scope cap at tier_end = 10²⁰
+    (≈ 100 ZB of 1-byte rows — far past any table; the cap exists
+    because three decades later the GATE itself would floor toward 0,
+    and long before that the 48-bit hash width saturates: beyond
+    ~10¹⁴ DISTINCT values per key, widen KMV_BITS — the documented
+    production knob — before the ladder matters)."""
     if n_rows < 10_000_000:
         return None
     ppm, hi = 200_000, 100_000_000
     while n_rows >= hi and ppm > 2:
         ppm //= 10
         hi *= 10
+    if n_rows >= hi:
+        from fractions import Fraction
+
+        ppm = Fraction(ppm)
+        while n_rows >= hi and hi < 10**20:
+            ppm /= 10
+            hi *= 10
     return ppm
 
 
@@ -511,11 +524,14 @@ def _resolve_keep_ppm(
     return kmv_keep_policy(n_rows)
 
 
-def _gate_of(keep_ppm: int | None) -> int:
+def _gate_of(keep_ppm) -> int:
+    # keep_ppm: int, exact Fraction (the sub-ppm ladder tiers), or
+    # None; Fraction floor-div returns a plain int, so the gate stays
+    # an exact integer threshold in every case
     return (
         KMV_FULL
         if keep_ppm is None
-        else (KMV_FULL * keep_ppm) // 1_000_000
+        else int((KMV_FULL * keep_ppm) // 1_000_000)
     )
 
 

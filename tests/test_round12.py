@@ -148,15 +148,24 @@ def test_write_kmv_partial_default_ungated(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_keep_policy_bound_scoped_to_1e13():
-    for exp in range(7, 13):
+def test_keep_policy_bound_universal_to_ladder_cap():
+    """r13: the sub-ppm Fraction continuation (r12 verdict ask #6)
+    makes the ≤2e7 worst-case survivor bound hold at EVERY tier up to
+    the ladder's 1e20 scope cap, not just to 1e13 — and the gate the
+    tier implies stays a positive exact integer throughout."""
+    from fractions import Fraction
+
+    for exp in range(7, 20):
         n_hi = 10 ** (exp + 1) - 1
         ppm = _S.kmv_keep_policy(n_hi)
         assert n_hi * ppm // 1_000_000 <= 20_000_000
-    # beyond the scoped decade the 2-ppm floor grows linearly — the
-    # docstring now says so instead of claiming the bound universally
-    assert _S.kmv_keep_policy(10**15) == 2
-    assert 10**15 * 2 // 1_000_000 == 2 * 10**9  # documented escape
+        assert _S._gate_of(ppm) >= 1
+    # the sub-ppm tiers are exact rationals with the same invariant
+    assert _S.kmv_keep_policy(10**13) == Fraction(1, 5)  # 0.2 ppm
+    assert _S.kmv_keep_policy(10**14) == Fraction(1, 50)
+    assert _S._gate_of(Fraction(1, 5)) == _S.KMV_FULL // 5_000_000
+    # scope cap: at/ beyond tier_end=1e20 the ladder stops descending
+    assert _S.kmv_keep_policy(10**20) == _S.kmv_keep_policy(10**21)
 
 
 # ---------------------------------------------------------------------------

