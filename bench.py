@@ -37,6 +37,10 @@ PIPELINES = [
     # state (a real checkpointed stream + compaction + serve-side fold
     # — sink I/O dominates, so it totals with the pipelines)
     "streaming_sliding_kmv_windows",
+    # r13: the consistent distinct-value sampler served from
+    # foreachBatch sink state (value-sample partials + compaction +
+    # folded serve — the eval-set primitive, r12 verdict ask #1)
+    "streaming_user_value_sample_kmv",
 ]
 
 # Headline set: flagship pipeline + heaviest relational, LLM-pipeline and

@@ -598,15 +598,19 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _correctness_evidence below) — never-checked names sample first, then
 # oldest evidence. _DRIVER_PRIORITY remains as a manual override slot for
 # names that must jump the queue in a given round (empty by default).
-# r12: CLEARED per the r11 clearing rule (dc49492) — every r11 override
-# name is green in CORRECTNESS_r11, so the ledger now sorts them last
-# on its own. Budget this round: 2 new names (ledger 0 sorts first:
-# streaming_sliding_kmv_windows, parts_triangle_counts_auto) + the
-# entire 48-name r6 staleness bucket = 50 slots exactly — no name's
-# latest driver row will be older than r7 after CORRECTNESS_r12
-# (r11 verdict ask #2). Entries whose implementation materially changed
-# this round but sit in the r6 bucket (none outside it changed) get
-# fresh rows through the staleness sort itself.
+# r13 budget: the oldest evidence bucket entering this round is r7 with
+# EXACTLY 50 names against the driver's ~50-slot sample, so full
+# retirement and any new registration are mutually exclusive. The r12
+# verdict's top ask (register the KMV value-sample sink) wins: 1 new
+# name (streaming_user_value_sample_kmv, ledger 0 sorts first) + 49 of
+# the 50 r7 names = 50 slots; the one remaining r7 name (the last of
+# the bucket in registration order) retires in r14's sample. The
+# k-truss/k-core scale guard (ask #3) changes graph.py but is
+# policy-gated OFF below its edge budget, so the registered entries'
+# executed plans at driver scale are bit-identical (losslessness
+# pinned in tests/test_round13.py; both entries re-verified hash-exact
+# by this round's in-session mimic run) — they sit at r11 evidence and
+# rotate naturally rather than consuming override slots.
 _DRIVER_PRIORITY: list[str] = []
 
 
@@ -692,5 +696,6 @@ def _load_extensions() -> None:
     from . import queries_round10  # noqa: F401
     from . import queries_round11  # noqa: F401
     from . import queries_round12  # noqa: F401
+    from . import queries_round13  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_tpch_full  # noqa: F401

@@ -115,3 +115,28 @@ def test_r1_bar_loads_from_baseline_local():
 def test_r1_bar_absent_artifact_is_empty(tmp_path):
     bench = _load_bench(str(tmp_path))
     assert bench._load_r1_bar() == {}
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict ask #1: the KMV value-sample sink registered end-to-end —
+# stream-built sample == one-shot batch sample (min-k fold algebra)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_value_sample_equals_batch_twin(spark, sf_dir):
+    from projet_etl_a_rien_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["streaming_user_value_sample_kmv"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["events_user_distinct_sample_kmv"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert got == want and len(got) > 0
