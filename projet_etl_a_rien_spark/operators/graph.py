@@ -543,12 +543,56 @@ def triangle_count_auto(
     )
 
 
+# ---------------------------------------------------------------------------
+# Peel scale guards (r12 verdict ask #3). Unlike triangle COUNTING,
+# whose scale path is DOULION sampling (triangle_count_auto), the
+# truss/core output is an exact SET — sampling would change semantics,
+# not just variance — so the guards are (a) an explicit edge budget the
+# exact peel is sized for, priced against the ALREADY-MATERIALIZED
+# canonical edge checkpoint (a count over local checkpoint blocks: no
+# shuffle, no recompute — far below one peel round, per the
+# SCALE_NOTES §58 metadata-pricing rule), and (b) for k-truss a
+# LOSSLESS pre-filter: every node of the k-truss has within-truss
+# degree >= k-1 (an edge with support >= k-2 gives each endpoint k-2
+# common-neighbor edges plus the edge itself), and any subgraph with
+# min degree >= k-1 is contained in the maximal one, so
+# k-truss ⊆ (k-1)-core — peeling the Θ(E)-per-round core first can
+# only delete edges the Θ(E^1.5)-per-round support rounds would have
+# deleted anyway (pinned: tests/test_round13.py).
+# ---------------------------------------------------------------------------
+
+# Edge counts the single-node exact peels are sized for (measured r13,
+# SCALE_NOTES §59: kcore 1.2M edges → ~6 s for a 4-round peel at
+# local[32]; per-round cost is 3 keyed shuffles of Θ(E) rows, so the
+# budget scales linearly with executors — a 1000-executor cluster
+# re-sizes the knob accordingly). Exceeding the budget raises with
+# sizing guidance instead of silently starting an unbounded peel.
+KCORE_EXACT_EDGE_BUDGET = 1_000_000_000
+# k-truss's wedge join is Σ deg² — superlinear — so its exact budget
+# is lower and a (k-1)-core pre-filter engages a decade earlier.
+KTRUSS_PREFILTER_EDGES = 1_000_000
+KTRUSS_EXACT_EDGE_BUDGET = 100_000_000
+
+
+def _peel_guard(n_edges: int, budget: int, op: str) -> None:
+    if n_edges > budget:
+        raise RuntimeError(
+            f"{op}: {n_edges} edges exceeds the {budget}-edge budget "
+            "the exact peel is sized for (per-round cost model in the "
+            "docstring). The output is an exact set, so there is no "
+            "sampled fallback — raise exact_edge_budget consciously "
+            "after sizing the cluster, or pre-shrink the graph (for "
+            "counting questions use triangle_count_auto instead)."
+        )
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 30,
+    exact_edge_budget: int = KCORE_EXACT_EDGE_BUDGET,
 ) -> DataFrame:
     """Nodes of the k-core — the maximal subgraph where every node keeps
     degree >= ``k`` AFTER all lower-degree nodes are removed — by
@@ -572,6 +616,14 @@ def kcore(
 
     Returns (node, core_degree): survivors with their degree WITHIN the
     core (>= k by construction). Deterministic for any edge order.
+
+    ``exact_edge_budget`` (r12 verdict ask #3): the edge count the
+    exact peel is sized for — the guard counts the already-checkpointed
+    canonical edge set (local block scan, no shuffle — ≪ one peel
+    round) and raises past the budget instead of silently starting an
+    unbounded Θ(E)-per-round × rounds peel. The budget is a deployment
+    knob: it bounds per-round shuffle volume, so size it to the
+    cluster, not the data you wish you had.
     """
     e = (
         edges.select(
@@ -582,6 +634,7 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    _peel_guard(e.count(), exact_edge_budget, "kcore")
     alive = e
     # max_iter bounds the PEELS; the +1 probe confirms a fixpoint reached
     # on exactly the last allowed peel (without it, depth == max_iter
@@ -623,6 +676,8 @@ def ktruss(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    prefilter_edges: int = KTRUSS_PREFILTER_EDGES,
+    exact_edge_budget: int = KTRUSS_EXACT_EDGE_BUDGET,
 ) -> DataFrame:
     """Edges of the k-truss — the maximal subgraph where every edge is
     supported by at least ``k - 2`` triangles WITHIN the subgraph — by
@@ -648,6 +703,24 @@ def ktruss(
     Returns surviving edges as (u, v, support), u < v, support counted
     within the truss (>= k-2 by construction). Deterministic for any
     edge order.
+
+    Scale guards (r12 verdict ask #3), both priced against the
+    already-checkpointed edge set (local block count — no shuffle):
+
+    - ``prefilter_edges``: above this, the LOSSLESS (k-1)-core
+      pre-filter runs first — k-truss ⊆ (k-1)-core (every truss node
+      has within-truss degree >= k-1: k-2 common-neighbor edges per
+      supported edge plus the edge itself; any subgraph with min
+      degree >= k-1 is contained in the maximal one), so restricting
+      to core-member endpoints deletes only edges the exact support
+      rounds would delete anyway, at Θ(E) per core round instead of
+      the support rounds' Σ deg² wedge join. Losslessness is
+      property-pinned (tests/test_round13.py).
+    - ``exact_edge_budget``: the edge count the exact support rounds
+      are sized for, checked AFTER the pre-filter (the pre-filter may
+      shrink an over-budget graph back under it); past it the call
+      raises with sizing guidance — the truss is an exact set, so
+      there is no sampled fallback to degrade to.
     """
     e = (
         edges.select(
@@ -658,6 +731,26 @@ def ktruss(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_e = e.count()
+    if k > 2 and n_e > prefilter_edges:
+        core = kcore(
+            e,
+            k - 1,
+            src_col="u",
+            dst_col="v",
+            max_iter=max(max_iter, 200),
+            exact_edge_budget=max(
+                exact_edge_budget, KCORE_EXACT_EDGE_BUDGET
+            ),
+        ).select("node")
+        e = (
+            e.join(core.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(core.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_e = e.count()
+    _peel_guard(n_e, exact_edge_budget, "ktruss")
     bar = k - 2
     # max_iter bounds the PEELS; the +1 probe confirms a fixpoint reached
     # on exactly the last allowed peel (see kcore)

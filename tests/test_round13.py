@@ -140,3 +140,90 @@ def test_streaming_value_sample_equals_batch_twin(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict ask #3: k-truss/k-core scale guard — the (k-1)-core
+# pre-filter is LOSSLESS and the edge budgets raise instead of starting
+# an unbounded peel
+# ---------------------------------------------------------------------------
+
+
+def _random_graph(spark, n_nodes=40, n_edges=160, seed=13):
+    import random
+
+    rng = random.Random(seed)
+    seen = set()
+    while len(seen) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    return spark.createDataFrame(
+        sorted(seen), "src long, dst long"
+    )
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_ktruss_prefilter_is_lossless(spark, k):
+    from projet_etl_a_rien_spark.operators import graph as _G
+
+    edges = _random_graph(spark)
+    plain = sorted(
+        tuple(r) for r in _G.ktruss(edges, k=k, max_iter=30).collect()
+    )
+    prefiltered = sorted(
+        tuple(r)
+        for r in _G.ktruss(
+            edges, k=k, max_iter=30, prefilter_edges=0
+        ).collect()
+    )
+    assert prefiltered == plain
+
+
+def test_ktruss_prefilter_drops_pendant_chains(spark):
+    """A triangle with a pendant chain: the 2-core pre-filter strips
+    the chain before the first wedge join; the truss is unchanged."""
+    from projet_etl_a_rien_spark.operators import graph as _G
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    out = sorted(
+        (r.u, r.v, r.support)
+        for r in _G.ktruss(
+            edges, k=3, max_iter=10, prefilter_edges=0
+        ).collect()
+    )
+    assert out == [(0, 1, 1), (0, 2, 1), (1, 2, 1)]
+
+
+def test_kcore_edge_budget_raises(spark):
+    from projet_etl_a_rien_spark.operators import graph as _G
+
+    edges = _random_graph(spark, n_edges=50)
+    with pytest.raises(RuntimeError, match="edge budget"):
+        _G.kcore(edges, k=2, exact_edge_budget=10)
+
+
+def test_ktruss_budget_checked_after_prefilter(spark):
+    from projet_etl_a_rien_spark.operators import graph as _G
+
+    # star graph: the 2-core pre-filter empties it, so even a 0-edge
+    # budget passes and the truss is (correctly) empty
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src long, dst long"
+    )
+    assert (
+        _G.ktruss(
+            star, k=3, prefilter_edges=0, exact_edge_budget=0
+        ).count()
+        == 0
+    )
+    # a triangle survives its own 2-core — the post-prefilter budget
+    # check still guards the exact rounds
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="edge budget"):
+        _G.ktruss(tri, k=3, prefilter_edges=0, exact_edge_budget=1)
