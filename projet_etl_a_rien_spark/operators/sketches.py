@@ -463,9 +463,17 @@ def _stats_row_count(df: DataFrame) -> int | None:
     a 10⁴-file table costs one parallel metadata sweep, not 10⁴
     sequential opens)."""
     try:
+        import re
+
         plan = df._jdf.queryExecution().analyzed().toString()
-        if any(
-            tok in plan for tok in ("Join", "Generate", "Expand", "Union")
+        # match expansion operators at plan-NODE-HEAD position only
+        # (after the tree-drawing prefix): the r12 substring check
+        # false-positived on identifiers like `SubqueryAlias Joined`
+        # or a column named Union#3, which appear mid-line — only a
+        # node head starts a line after [-+: !*( ] tree characters,
+        # and \b keeps Join from matching Joined (r12 verdict nit)
+        if re.search(
+            r"(?m)^[\s:+\-!*(]*(Join|Generate|Expand|Union)\b", plan
         ):
             return None
         files = df.inputFiles()

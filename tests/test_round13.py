@@ -227,3 +227,36 @@ def test_ktruss_budget_checked_after_prefilter(spark):
     )
     with pytest.raises(RuntimeError, match="edge budget"):
         _G.ktruss(tri, k=3, prefilter_edges=0, exact_edge_budget=1)
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict nit: the footer-stats expansion guard matches plan-node
+# HEADS, not substrings — a relation/column named "Joined" must not
+# knock a plain scan back to the bounded probe, while real Join /
+# Generate / Union plans still return None
+# ---------------------------------------------------------------------------
+
+
+def test_stats_guard_ignores_join_like_identifiers(spark, tmp_path):
+    from projet_etl_a_rien_spark.operators import sketches as _S
+
+    p = str(tmp_path / "joined.parquet")
+    spark.range(77).selectExpr("id AS Joined", "id AS Unions").write.parquet(p)
+    df = spark.read.parquet(p).alias("Joined").select("Joined", "Unions")
+    assert _S._stats_row_count(df) == 77
+
+
+def test_stats_guard_still_rejects_real_expansion_nodes(spark, tmp_path):
+    from projet_etl_a_rien_spark.operators import sketches as _S
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(10).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _S._stats_row_count(df.join(df.selectExpr("id AS i2"), df.id == F.col("i2"))) is None
+    assert _S._stats_row_count(df.union(df)) is None
+    assert (
+        _S._stats_row_count(
+            df.select(F.explode(F.array("id", "id")).alias("x"))
+        )
+        is None
+    )
