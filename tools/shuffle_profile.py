@@ -106,6 +106,13 @@ PROFILE = [
     # shows up as this delta growing, not as the total moving.
     "parts_triangle_counts_auto",
     "streaming_sliding_kmv_windows",
+    # r13: the sink-served consistent value sample — same whole-fn
+    # caveat as the sliding row above (foreachBatch ingest +
+    # compaction + serve per run); its serve-side O(keys x k) claim is
+    # certified by the DELTA vs the batch twin
+    # events_user_distinct_sample_kmv (same build-scale exchange, no
+    # sink) — a serve-side regression grows that delta, not the total.
+    "streaming_user_value_sample_kmv",
 ]
 
 ZERO_EXPECTED = PROFILE[:3]
