@@ -26,11 +26,16 @@ def test_kmv_keep_policy_tiers():
     assert _S.kmv_keep_policy(1_000_000_000) == 2_000
     assert _S.kmv_keep_policy(10_000_000_000) == 200
     assert _S.kmv_keep_policy(10**12) == 2
-    assert _S.kmv_keep_policy(10**15) == 2  # floor
+    # r13: the 2-ppm INTEGER floor continues as exact-Fraction sub-ppm
+    # tiers past 1e13 (r12 verdict ask #6) — the invariant below now
+    # holds at every tier instead of breaking past the old floor
+    from fractions import Fraction
+
+    assert _S.kmv_keep_policy(10**15) == Fraction(1, 500)
     # invariant: worst-case single-hot-key survivors (n·ppm/1e6) stay
-    # ≤ 2e7 anywhere inside any tier up to the 2-ppm floor, and a
-    # tier-entry hot key keeps ≥ ~30x k survivors (estimate quality)
-    for exp in range(7, 13):
+    # ≤ 2e7 anywhere inside any tier (now including sub-ppm ones), and
+    # a tier-entry hot key keeps ≥ ~30x k survivors (estimate quality)
+    for exp in range(7, 19):
         n_lo, n_hi = 10**exp, 10 ** (exp + 1) - 1
         ppm = _S.kmv_keep_policy(n_lo)
         assert ppm == _S.kmv_keep_policy(n_hi)
