@@ -292,10 +292,13 @@ def triangle_counts(
 
     Returns (node, n_triangles) for nodes in >= 1 triangle, node type
     preserved from the input. Shuffles: edge normalization (one
-    distinct), degree aggregate, adjacency groupBy on the source, two
-    edge⋈adjacency equi-joins (adjacency is node-count-sized; AQE
-    broadcasts it when it fits, shuffles on the node key when it
-    doesn't), and the corner-count groupBy over triangle rows only.
+    distinct), degree aggregate, adjacency groupBy on the source, ONE
+    edge⋈adjacency equi-join (r14: the edge side with its N+(x) array
+    is re-derived from the adjacency table itself via explode, so only
+    N+(y) needs a join — see ``_edge_adjacency_pairs``; adjacency is
+    node-count-sized, AQE broadcasts it when it fits and shuffles on
+    the node key when it doesn't), and the corner-count groupBy over
+    triangle rows only.
     """
     if assume_normalized:
         # caller certifies edges are already canonical (u<v), loop-free,
@@ -318,9 +321,50 @@ def triangle_counts(
             # recomputed
             .persist()
         )
+    _, pairs = _edge_adjacency_pairs(und)
+    tri = pairs.select(
+        "x",
+        "y",
+        F.explode(F.array_intersect("na", "nb")).alias("z"),
+    )
+    out = (
+        # one explode over the three corners of each found triangle
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .localCheckpoint(eager=True)
+    )
+    if not assume_normalized:
+        und.unpersist()
+    return out
+
+
+def _edge_adjacency_pairs(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared enumeration core: degree-orient the canonical edge set,
+    build the out-adjacency arrays, and return ``(adj, pairs)`` where
+    ``pairs`` is one row per oriented edge (x, y) carrying BOTH
+    endpoint adjacency arrays (na = N+(x), nb = N+(y)).
+
+    The (x, y, na) side is re-derived from the adjacency table itself —
+    ``explode(nbrs)`` regenerates each oriented edge exactly once (the
+    edge set is distinct, so collect_list holds no duplicates) and
+    carries na along for free — so only ONE join (attaching nb)
+    materializes arrays onto edge rows, instead of the previous two.
+    Measured at sf0.1 (1.2M edges): intersect+totals 1.02 s -> 0.70 s,
+    intersect+per-node corners 1.41 s -> 0.96 s (guide §2.3: the join
+    was re-attaching ~0.5 GB of adjacency payload a second time).
+
+    ``adj`` is materialized once (eager ``localCheckpoint``, the
+    module's standard truncation: it is node-count-sized — one row per
+    source with its O(sqrt(|E|)) out-neighbors — and BOTH subtrees of
+    ``pairs`` consume it, so a lazy persist could compute its whole
+    upstream twice when AQE materializes the two exchange stages
+    concurrently). ``pairs`` rows whose head y has no out-neighbors
+    are dropped by the inner join — they cannot close a triangle
+    (N+(y) is empty), so both the per-node and the total counts are
+    unaffected."""
     deg = (
-        und.select(F.col("u").alias("n"))
-        .unionAll(und.select(F.col("v").alias("n")))
+        und.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
@@ -336,38 +380,25 @@ def triangle_counts(
         )
         .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
         .alias("e")
-    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b")).persist()
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
     # Out-adjacency arrays: bounded at O(sqrt(|E|)) entries per node by
     # the orientation, so no array is ever hub-sized.
-    adj = oriented.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
-    # array_intersect is order-insensitive (hash-set build per row), so
-    # collect_list's nondeterministic order cannot affect the result.
-    tri = (
-        oriented.join(
-            adj.withColumnRenamed("a", "xk"), F.col("a") == F.col("xk")
-        )
-        .withColumnRenamed("nbrs", "na")
-        .drop("xk")
-        .join(adj.withColumnRenamed("a", "yk"), F.col("b") == F.col("yk"))
-        .withColumnRenamed("nbrs", "nb")
-        .drop("yk")
-        .select(
-            F.col("a").alias("x"),
-            F.col("b").alias("y"),
-            F.explode(F.array_intersect("na", "nb")).alias("z"),
-        )
-    )
-    out = (
-        # one explode over the three corners of each found triangle
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_triangles"))
+    adj = (
+        oriented.groupBy("a")
+        .agg(F.collect_list("b").alias("nbrs"))
         .localCheckpoint(eager=True)
     )
-    oriented.unpersist()
-    if not assume_normalized:
-        und.unpersist()
-    return out
+    # array_intersect is order-insensitive (hash-set build per row), so
+    # collect_list's nondeterministic order cannot affect the result.
+    pairs = adj.select(
+        F.col("a").alias("x"),
+        F.col("nbrs").alias("na"),
+        F.explode("nbrs").alias("y"),
+    ).join(
+        adj.select(F.col("a").alias("yk"), F.col("nbrs").alias("nb")),
+        F.col("y") == F.col("yk"),
+    )
+    return adj, pairs
 
 
 def triangle_count_estimate(
@@ -400,46 +431,59 @@ def triangle_count_estimate(
         F.least(F.col(src_col), F.col(dst_col)).alias("u"),
         F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
     ).where(F.col("u") != F.col("v"))
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("u").cast("string"),
-                        F.lit(":"),
-                        F.col("v").cast("string"),
-                        F.lit(":"),
-                        F.lit(salt),
-                    )
+    if keep_num < keep_den:
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("u").cast("string"),
+                            F.lit(":"),
+                            F.col("v").cast("string"),
+                            F.lit(":"),
+                            F.lit(salt),
+                        )
+                    ),
+                    1,
+                    8,
                 ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % keep_den
-    )
-    # the coin is a pure function of the canonical pair, so filtering
-    # BEFORE the dedup exchange keeps the same sampled edge set while
-    # the distinct shuffles only p of the raw pair volume — on a dense
-    # co-occurrence derivation the dedup exchange is the biggest
-    # fixed cost the estimator shares with the exact operator
-    sampled = und.where(coin < keep_num).distinct().persist()
-    tri_per_node = triangle_counts(
-        sampled, "u", "v", assume_normalized=True
-    )
-    # integer arithmetic end to end: `/` in Spark is DOUBLE division, and
-    # above ~2^53 scaled triangles the double's floor drifts from the
-    # exact quotient — at the 100 TB scale this estimator exists for.
-    # DIV is the integral-division operator (exact for the full int64
-    # range); the corner count is always divisible by 3 so DIV 3 is the
-    # exact quotient, and the 1/p**3 scale-up stays a BIGINT product
-    # followed by an exact integral divide.
-    n_tris = tri_per_node.agg(
-        F.coalesce(F.sum("n_triangles"), F.lit(0)).alias("corner_sum")
-    ).select(
-        F.expr("corner_sum DIV 3").alias("n_sampled_triangles")
+                16,
+                10,
+            ).cast("long")
+            % keep_den
+        )
+        # the coin is a pure function of the canonical pair, so filtering
+        # BEFORE the dedup exchange keeps the same sampled edge set while
+        # the distinct shuffles only p of the raw pair volume — on a dense
+        # co-occurrence derivation the dedup exchange is the biggest
+        # fixed cost the estimator shares with the exact operator
+        und = und.where(coin < keep_num)
+    # else p >= 1: the coin (hash % keep_den, always in [0, keep_den))
+    # passes EVERY row, so evaluating it is pure expression cost — at
+    # the p = 1 tier triangle_count_auto resolves below 10^7 edges the
+    # md5 coin alone measured 2.6 s on 1.2M sf0.1 pairs (r14 decompose;
+    # guide §2.3 "don't compute what you throw away"). The kept set is
+    # identical by construction, so the result hash cannot move.
+    sampled = und.distinct().persist()
+    # The estimator needs only the GLOBAL count: SUM of per-base-edge
+    # intersection sizes — every triangle is found exactly once at its
+    # base edge, so this equals the corner-count/3 of the previous
+    # per-node detour without materializing 3 corner rows per triangle
+    # or grouping them by node (r14 decompose: the per-node corner path
+    # cost 1.41 s vs 0.70 s for the size-sum at sf0.1 p=1, plus a
+    # 20k-row checkpoint job this path no longer runs at all).
+    # Integer arithmetic end to end: `/` in Spark is DOUBLE division,
+    # and above ~2^53 scaled triangles the double's floor drifts from
+    # the exact quotient — at the 100 TB scale this estimator exists
+    # for. DIV stays the integral-division operator and the 1/p**3
+    # scale-up a BIGINT product followed by an exact integral divide.
+    _, pairs = _edge_adjacency_pairs(sampled)
+    n_tris = pairs.select(
+        F.size(F.array_intersect("na", "nb")).alias("c")
+    ).agg(
+        F.coalesce(F.sum("c"), F.lit(0))
+        .cast("long")
+        .alias("n_sampled_triangles")
     )
     n_edges = sampled.agg(F.count("*").alias("n_sampled_edges"))
     out = (
@@ -859,15 +903,29 @@ def bounded_bfs(
     the first level it appears.
 
     Unreachable-within-k nodes are absent by contract (callers
-    left-join if they need NULL-distance rows)."""
-    sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            edges.select(
-                F.col(dst_col).alias("u"), F.col(src_col).alias("v")
-            )
+    left-join if they need NULL-distance rows).
+
+    r14 plan shape: the symmetrized edge list is deduped in CANONICAL
+    form first (half the distinct's exchange volume — the two swapped
+    copies of one undirected edge are distinct rows by construction, so
+    dedup-then-swap-union equals swap-union-then-dedup) and materialized
+    ONCE with the module's eager localCheckpoint — it is consumed by
+    every hop's frontier join, and leaving it lazy re-ran the whole
+    upstream edge derivation per hop (the before-plan carried 114
+    Exchange nodes for a 3-hop walk; guide §2.4)."""
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
         )
+        .where(F.col("u") != F.col("v"))
         .distinct()
+    )
+    sym = (
+        canon.unionByName(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .localCheckpoint(eager=True)
     )
     visited = seeds.select(F.col(seed_col).alias("node")).distinct().select(
         "node", F.lit(0).alias("dist")
@@ -881,6 +939,12 @@ def bounded_bfs(
             .select(F.col("v").alias("node"))
             .distinct()
             .join(out.select("node"), "node", "left_anti")
+            # each level is node-bounded (<= new-frontier rows); without
+            # truncation level h's subtree appears TWICE inside level
+            # h+1 (as its frontier and inside its visited anti-join), so
+            # the lazy plan grew exponentially in the hop bound — the
+            # same lineage-truncation contract as kcore's peel rounds
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(
             nxt.select("node", F.lit(h).alias("dist"))

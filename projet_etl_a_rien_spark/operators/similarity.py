@@ -122,15 +122,39 @@ def _sq_dist(q: Column, centroid: list[int]) -> Column:
     )
 
 
+def _dist_pairs(q: Column, centroids: list[list[int]]) -> Column:
+    """(squared-distance, cluster-id) struct array against every centroid,
+    as ONE ``transform`` loop over a constant-folded centroid MATRIX
+    literal. The r14 rewrite: the previous form unrolled k separate
+    ``aggregate(zip_with(...))`` folds (k x dim literals each) into the
+    plan, and because every Lloyd iteration changes the centroid
+    literals, every iteration's stage re-compiled that monster through
+    Janino — the kNN decompose measured the 2000-row FIT at ~6.5 s warm,
+    dominated by compile time, not arithmetic. One data-driven loop over
+    an array<array<long>> literal keeps codegen size independent of k
+    while the per-row work stays the same O(k*dim) exact-int64 fold —
+    distances, tie-break (lexicographic (d, c), c = array index =
+    cluster id) and dtypes (d long, c int) are bit-identical."""
+    m = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
+    )
+    return F.transform(
+        m,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("c"),
+        ),
+    )
+
+
 def _assign(q_df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """argmin over literal centroids; ties break to the smallest cluster id
     via array_min over (dist, cluster) structs (lexicographic order)."""
-    pairs = F.array(
-        *[
-            F.struct(_sq_dist(F.col("q"), m).alias("d"), F.lit(c).alias("c"))
-            for c, m in enumerate(centroids)
-        ]
-    )
+    pairs = _dist_pairs(F.col("q"), centroids)
     return q_df.select("id", "q", F.array_min(pairs)["c"].alias("cluster"))
 
 
@@ -139,12 +163,7 @@ def _probe_cells(q_df: DataFrame, centroids: list[list[int]], probes: int) -> Da
     (dist, cluster) struct array — exact int64 distances, ties to the
     smaller cluster id — and slice the head. Returns (id, q, probe_cells
     array<int>); element 0 is the home cell, so probes=1 == `_assign`."""
-    pairs = F.array(
-        *[
-            F.struct(_sq_dist(F.col("q"), m).alias("d"), F.lit(c).alias("c"))
-            for c, m in enumerate(centroids)
-        ]
-    )
+    pairs = _dist_pairs(F.col("q"), centroids)
     ranked = F.slice(F.array_sort(pairs), 1, probes)
     return q_df.select(
         "id", "q", F.transform(ranked, lambda s: s["c"]).alias("probe_cells")

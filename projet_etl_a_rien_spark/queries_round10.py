@@ -1346,7 +1346,7 @@ def q_parts_copurchase_bfs_3hop(
     from pyspark.sql import functions as F
 
     from .operators.graph import bounded_bfs
-    from .queries_round8 import _copurchase_edges
+    from .queries_round8 import _copurchase_edge_pairs_canonical
 
     li = load_table(spark, sf_dir, "lineitem")
     seeds = (
@@ -1355,7 +1355,9 @@ def q_parts_copurchase_bfs_3hop(
         .distinct()
     )
     return bounded_bfs(
-        _copurchase_edges(spark, sf_dir), seeds, max_hops=BFS_HOPS
+        _copurchase_edge_pairs_canonical(spark, sf_dir),
+        seeds,
+        max_hops=BFS_HOPS,
     ).select(
         F.col("node").alias("part_id"), F.col("dist").cast("long").alias("dist")
     )

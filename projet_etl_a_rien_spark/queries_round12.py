@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .queries import register
-from .queries_round8 import TRI_SALT, _copurchase_edges
+from .queries_round8 import TRI_SALT, _copurchase_edge_pairs_canonical
 from .queries_round11 import _kmv_sliding_oracle, sliding_kmv_dashboard
 
 # ---------------------------------------------------------------------------
@@ -118,7 +118,7 @@ def q_parts_triangle_counts_auto(
 ) -> DataFrame:
     from .operators import graph
 
-    edges = _copurchase_edges(spark, sf_dir)
+    edges = _copurchase_edge_pairs_canonical(spark, sf_dir)
     # the policy input: the combinatorial pair bound Σ C(cnt, 2) over
     # orders — an O(scan) keyed aggregate (first SCALE_BENCH_r12 cut
     # measured the naive self-join count at ~1/3 of the enumeration

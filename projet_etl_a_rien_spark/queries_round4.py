@@ -1018,18 +1018,12 @@ FROM nodes GROUP BY node
     "the count is exactly what the hash gate certifies.",
 )
 def q_parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-    )
+    # r14: canonical pair derivation (one keyed aggregation, no
+    # self-join); triangle_counts' normalization dedups to the same
+    # edge set — see queries_round8._copurchase_edge_pairs_canonical
+    from .queries_round8 import _copurchase_edge_pairs_canonical
+
+    edges = _copurchase_edge_pairs_canonical(spark, sf_dir)
     return graph.triangle_counts(edges).withColumnRenamed("node", "part_id")
 
 
@@ -1162,18 +1156,12 @@ GROUP BY node
     "degree counts. Survivors carry their within-core degree.",
 )
 def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-    )
+    # r14: canonical pair derivation (one keyed aggregation, no
+    # self-join); kcore dedups to the same edge set — see
+    # queries_round8._copurchase_edge_pairs_canonical
+    from .queries_round8 import _copurchase_edge_pairs_canonical
+
+    edges = _copurchase_edge_pairs_canonical(spark, sf_dir)
     return graph.kcore(edges, k=KCORE_K, max_iter=KCORE_ITERS).withColumnRenamed(
         "node", "part_id"
     )

@@ -246,10 +246,10 @@ def q_parts_triangle_estimate_p10(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from .operators import graph as _g
-    from .queries_round8 import _copurchase_edges
+    from .queries_round8 import _copurchase_edge_pairs_canonical
 
     return _g.triangle_count_estimate(
-        _copurchase_edges(spark, sf_dir),
+        _copurchase_edge_pairs_canonical(spark, sf_dir),
         keep_num=TRI10_KEEP_NUM,
         keep_den=TRI10_KEEP_DEN,
         salt=TRI10_SALT,
