@@ -339,7 +339,9 @@ def triangle_counts(
     return out
 
 
-def _edge_adjacency_pairs(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _edge_adjacency_pairs(
+    und: DataFrame, keep_all_edges: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Shared enumeration core: degree-orient the canonical edge set,
     build the out-adjacency arrays, and return ``(adj, pairs)`` where
     ``pairs`` is one row per oriented edge (x, y) carrying BOTH
@@ -362,7 +364,11 @@ def _edge_adjacency_pairs(und: DataFrame) -> tuple[DataFrame, DataFrame]:
     concurrently). ``pairs`` rows whose head y has no out-neighbors
     are dropped by the inner join — they cannot close a triangle
     (N+(y) is empty), so both the per-node and the total counts are
-    unaffected."""
+    unaffected. With ``keep_all_edges=True`` the join is LEFT instead
+    (nb null for such rows): every oriented edge appears exactly once,
+    so ``count(*)`` over pairs equals |E| — letting the DOULION
+    estimator fold its edge count and its triangle total into ONE
+    aggregate pass instead of a separate count job plus a crossJoin."""
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
@@ -397,6 +403,7 @@ def _edge_adjacency_pairs(und: DataFrame) -> tuple[DataFrame, DataFrame]:
     ).join(
         adj.select(F.col("a").alias("yk"), F.col("nbrs").alias("nb")),
         F.col("y") == F.col("yk"),
+        "left" if keep_all_edges else "inner",
     )
     return adj, pairs
 
@@ -477,17 +484,23 @@ def triangle_count_estimate(
     # the exact quotient — at the 100 TB scale this estimator exists
     # for. DIV stays the integral-division operator and the 1/p**3
     # scale-up a BIGINT product followed by an exact integral divide.
-    _, pairs = _edge_adjacency_pairs(sampled)
-    n_tris = pairs.select(
-        F.size(F.array_intersect("na", "nb")).alias("c")
-    ).agg(
-        F.coalesce(F.sum("c"), F.lit(0))
-        .cast("long")
-        .alias("n_sampled_triangles")
-    )
-    n_edges = sampled.agg(F.count("*").alias("n_sampled_edges"))
+    # keep_all_edges: the LEFT join keeps y-sink edge rows (nb null, 0
+    # closing triangles), so one aggregate pass yields BOTH outputs —
+    # count(*) = |sampled| because every oriented edge appears exactly
+    # once — replacing the previous separate count job + crossJoin.
+    _, pairs = _edge_adjacency_pairs(sampled, keep_all_edges=True)
     out = (
-        n_edges.crossJoin(F.broadcast(n_tris))
+        pairs.select(
+            F.when(F.col("nb").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("na", "nb")))
+            .alias("c")
+        )
+        .agg(
+            F.count("*").alias("n_sampled_edges"),
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("n_sampled_triangles"),
+        )
         .select(
             "n_sampled_edges",
             "n_sampled_triangles",

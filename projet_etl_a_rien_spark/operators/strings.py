@@ -213,21 +213,29 @@ def _cands_fastss_d1(
     s: DataFrame, cached: list[DataFrame], compute_splits: int | None = None
 ) -> DataFrame:
     """Candidate pairs for d=1 via the deletion-neighborhood join
-    (FastSS, Bocek et al. 2007): emit md5 digests of the string itself
-    and of every single-character deletion — n+1 keys per string — and
-    self-join on the digest. Complete for d=1: a substitution at i makes
-    del(s,i) = del(t,i); an insertion makes the shorter string itself a
-    deletion variant of the longer. Far tighter blocking than segment
-    pieces: two strings share a variant only if they are within edit
-    distance 2 of each other, so candidate volume is bounded by the
-    NEAR-MATCH volume — an ID-like corpus never builds a corpus-sized
-    bucket. Exchange payload is (id, 16-byte digest); the variant
-    strings themselves never leave the map side.
+    (FastSS, Bocek et al. 2007): emit xxhash64 digests of the string
+    itself and of every single-character deletion — n+1 keys per string
+    — and self-join on the digest. Complete for d=1: a substitution at
+    i makes del(s,i) = del(t,i); an insertion makes the shorter string
+    itself a deletion variant of the longer. Far tighter blocking than
+    segment pieces: two strings share a variant only if they are within
+    edit distance 2 of each other, so candidate volume is bounded by
+    the NEAR-MATCH volume — an ID-like corpus never builds a
+    corpus-sized bucket. Exchange payload is (id, 8-byte digest); the
+    variant strings themselves never leave the map side.
+
+    The digest is INTERNAL blocking state, never oracled (the
+    registered entries' oracles are the all-pairs levenshtein
+    definition), so r14 swapped md5 (hex-string output, ~40-byte rows
+    across the exchange, MessageDigest per variant) for xxhash64 (one
+    long, guide §2.3 narrower-types + §4 cheaper per-row work). A hash
+    collision can only ADD a candidate pair, and every candidate passes
+    the exact levenshtein verify — output identical by construction.
     """
     variants = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.col("n")),
-            lambda i: F.md5(
+            lambda i: F.xxhash64(
                 F.when(i == 0, F.col("v")).otherwise(
                     F.concat(
                         F.substring(F.col("v"), 1, (i - 1).cast("int")),
