@@ -301,28 +301,19 @@ def triangle_counts(
     triangle rows only.
     """
     if assume_normalized:
-        # caller certifies edges are already canonical (u<v), loop-free,
-        # distinct AND persisted (triangle_count_estimate's sampled set):
-        # re-normalizing would add a full extra exchange over the edge
-        # set for nothing, and the caller owns the persistence
+        # caller certifies edges are already canonical (u<v) and
+        # loop-free; duplicates are harmless either way (the adjacency
+        # collect_set dedups), so this only skips the least/greatest
+        # projection
         und = edges.select(
             F.col(src_col).alias("u"), F.col(dst_col).alias("v")
         )
     else:
-        und = (
-            edges.select(
-                F.least(F.col(src_col), F.col(dst_col)).alias("u"),
-                F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
-            )
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-            # consumed twice (degree aggregate + orientation join):
-            # persist so an expensive upstream edge derivation is not
-            # recomputed
-            .persist()
-        )
-    _, pairs = _edge_adjacency_pairs(und)
-    tri = pairs.select(
+        und = edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        ).where(F.col("u") != F.col("v"))
+    tri = _edge_adjacency_pairs(und).select(
         "x",
         "y",
         F.explode(F.array_intersect("na", "nb")).alias("z"),
@@ -334,78 +325,102 @@ def triangle_counts(
         .agg(F.count("*").alias("n_triangles"))
         .localCheckpoint(eager=True)
     )
-    if not assume_normalized:
-        und.unpersist()
     return out
 
 
 def _edge_adjacency_pairs(
     und: DataFrame, keep_all_edges: bool = False
-) -> tuple[DataFrame, DataFrame]:
-    """Shared enumeration core: degree-orient the canonical edge set,
-    build the out-adjacency arrays, and return ``(adj, pairs)`` where
-    ``pairs`` is one row per oriented edge (x, y) carrying BOTH
-    endpoint adjacency arrays (na = N+(x), nb = N+(y)).
+) -> DataFrame:
+    """Shared enumeration core: dedup + degree-orient the canonical
+    (u < v, loop-free, possibly duplicated) pair stream and return
+    ``pairs`` — one row per oriented edge (x, y) carrying BOTH endpoint
+    out-adjacency arrays (na = N+(x), nb = N+(y)).
 
-    The (x, y, na) side is re-derived from the adjacency table itself —
-    ``explode(nbrs)`` regenerates each oriented edge exactly once (the
-    edge set is distinct, so collect_list holds no duplicates) and
-    carries na along for free — so only ONE join (attaching nb)
-    materializes arrays onto edge rows, instead of the previous two.
-    Measured at sf0.1 (1.2M edges): intersect+totals 1.02 s -> 0.70 s,
-    intersect+per-node corners 1.41 s -> 0.96 s (guide §2.3: the join
-    was re-attaching ~0.5 GB of adjacency payload a second time).
+    r14 shape, in order of what it removed (guide §2.4):
 
-    ``adj`` is materialized once (eager ``localCheckpoint``, the
-    module's standard truncation: it is node-count-sized — one row per
-    source with its O(sqrt(|E|)) out-neighbors — and BOTH subtrees of
-    ``pairs`` consume it, so a lazy persist could compute its whole
-    upstream twice when AQE materializes the two exchange stages
-    concurrently). ``pairs`` rows whose head y has no out-neighbors
-    are dropped by the inner join — they cannot close a triangle
-    (N+(y) is empty), so both the per-node and the total counts are
-    unaffected. With ``keep_all_edges=True`` the join is LEFT instead
-    (nb null for such rows): every oriented edge appears exactly once,
-    so ``count(*)`` over pairs equals |E| — letting the DOULION
-    estimator fold its edge count and its triangle total into ONE
-    aggregate pass instead of a separate count job plus a crossJoin."""
-    deg = (
-        und.select(F.explode(F.array("u", "v")).alias("n"))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
+    - NO standalone ``distinct`` exchange and no persist of the edge
+      set: the FULL undirected adjacency ``ns`` is built directly from
+      the raw canonical pairs with one explode + ``collect_set`` —
+      dedup happens inside the aggregation hash map on the only
+      corpus-scale exchange this core needs — and degree falls out as
+      ``size(nbrs)`` instead of a second aggregation over the edge
+      list (measured at sf0.1, whole per-node operator: 7.1 s -> 5.7 s
+      min-of-3 vs the distinct+persist+degree-join form).
+    - Orientation ((deg, id)-smaller endpoint first) is an explode of
+      ``ns`` joined against its own (node, degree) projection — the
+      degree table is node-count-sized, AQE broadcasts it when it
+      fits.
+    - The (x, y, na) side of the intersection is re-derived from the
+      out-adjacency table itself (``explode(nbrs)`` regenerates each
+      oriented edge exactly once and carries na along for free), so
+      only ONE join (attaching nb) materializes arrays onto edge rows
+      instead of two (measured: intersect+totals 1.02 s -> 0.70 s,
+      intersect+per-node corners 1.41 s -> 0.96 s — the second join
+      was re-attaching ~0.5 GB of adjacency payload).
+
+    ``ns`` and ``adj`` are materialized once each (eager
+    ``localCheckpoint``, the module's standard truncation: both are
+    node-count-sized, and both feed two consumers — a lazy persist can
+    compute its upstream twice when AQE materializes two exchange
+    stages concurrently). Out-degrees stay O(sqrt(|E|)) under the
+    orientation, so no out-adjacency array is ever hub-sized; the FULL
+    adjacency rows of ``ns`` are hub-degree-sized — the same O(Δ)
+    per-node payload the previous degree aggregation already shuffled,
+    now kept once per node instead of exploded per edge.
+
+    ``pairs`` rows whose head y has no out-neighbors are dropped by the
+    inner join — they cannot close a triangle (N+(y) is empty), so both
+    the per-node and the total counts are unaffected. With
+    ``keep_all_edges=True`` the join is LEFT instead (nb null for such
+    rows): every oriented edge appears exactly once, so ``count(*)``
+    over pairs equals |E| — letting the DOULION estimator fold its edge
+    count and its triangle total into ONE aggregate pass instead of a
+    separate count job plus a crossJoin."""
+    both = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("n"), F.col("v").alias("o")),
+                F.struct(F.col("v").alias("n"), F.col("u").alias("o")),
+            )
+        ).alias("e")
+    ).select("e.n", "e.o")
+    ns = (
+        both.groupBy("n")
+        .agg(F.collect_set("o").alias("nbrs"))
+        .withColumn("d", F.size("nbrs"))
+        .localCheckpoint(eager=True)
     )
-    withdeg = (
-        und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
-    )
-    oriented = withdeg.select(
-        F.when(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+    oriented = (
+        ns.select(
+            F.col("n").alias("x"),
+            F.col("d").alias("dx"),
+            F.explode("nbrs").alias("y"),
         )
-        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
-        .alias("e")
-    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .join(ns.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+        .where(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("x", "y")
+    )
     # Out-adjacency arrays: bounded at O(sqrt(|E|)) entries per node by
     # the orientation, so no array is ever hub-sized.
     adj = (
-        oriented.groupBy("a")
-        .agg(F.collect_list("b").alias("nbrs"))
+        oriented.groupBy("x")
+        .agg(F.collect_list("y").alias("nbrs"))
         .localCheckpoint(eager=True)
     )
     # array_intersect is order-insensitive (hash-set build per row), so
     # collect_list's nondeterministic order cannot affect the result.
-    pairs = adj.select(
-        F.col("a").alias("x"),
+    return adj.select(
+        F.col("x"),
         F.col("nbrs").alias("na"),
         F.explode("nbrs").alias("y"),
     ).join(
-        adj.select(F.col("a").alias("yk"), F.col("nbrs").alias("nb")),
+        adj.select(F.col("x").alias("yk"), F.col("nbrs").alias("nb")),
         F.col("y") == F.col("yk"),
         "left" if keep_all_edges else "inner",
     )
-    return adj, pairs
 
 
 def triangle_count_estimate(
@@ -471,14 +486,16 @@ def triangle_count_estimate(
     # md5 coin alone measured 2.6 s on 1.2M sf0.1 pairs (r14 decompose;
     # guide §2.3 "don't compute what you throw away"). The kept set is
     # identical by construction, so the result hash cannot move.
-    sampled = und.distinct().persist()
     # The estimator needs only the GLOBAL count: SUM of per-base-edge
     # intersection sizes — every triangle is found exactly once at its
     # base edge, so this equals the corner-count/3 of the previous
     # per-node detour without materializing 3 corner rows per triangle
     # or grouping them by node (r14 decompose: the per-node corner path
     # cost 1.41 s vs 0.70 s for the size-sum at sf0.1 p=1, plus a
-    # 20k-row checkpoint job this path no longer runs at all).
+    # 20k-row checkpoint job this path no longer runs at all). The
+    # sampled pair stream goes to the core UNDEDUPED — its adjacency
+    # collect_set is the dedup, so the previous distinct+persist of the
+    # sampled edge set is gone with it.
     # Integer arithmetic end to end: `/` in Spark is DOUBLE division,
     # and above ~2^53 scaled triangles the double's floor drifts from
     # the exact quotient — at the 100 TB scale this estimator exists
@@ -486,9 +503,9 @@ def triangle_count_estimate(
     # scale-up a BIGINT product followed by an exact integral divide.
     # keep_all_edges: the LEFT join keeps y-sink edge rows (nb null, 0
     # closing triangles), so one aggregate pass yields BOTH outputs —
-    # count(*) = |sampled| because every oriented edge appears exactly
-    # once — replacing the previous separate count job + crossJoin.
-    _, pairs = _edge_adjacency_pairs(sampled, keep_all_edges=True)
+    # count(*) = |sampled distinct edges| because every oriented edge
+    # appears exactly once — replacing a separate count job + crossJoin.
+    pairs = _edge_adjacency_pairs(und, keep_all_edges=True)
     out = (
         pairs.select(
             F.when(F.col("nb").isNull(), F.lit(0))
@@ -513,7 +530,6 @@ def triangle_count_estimate(
         )
         .localCheckpoint(eager=True)
     )
-    sampled.unpersist()
     return out
 
 
