@@ -328,6 +328,31 @@ def triangle_counts(
     return out
 
 
+def _full_adjacency(und: DataFrame) -> DataFrame:
+    """(n, nbrs, d): the FULL undirected adjacency (distinct neighbor
+    set per node) plus degree, built from a canonical (u < v, loop-free,
+    possibly duplicated) pair stream with ONE explode + ``collect_set``
+    exchange — dedup happens inside the aggregation hash map, so callers
+    need no standalone ``distinct`` over the edge list and degree needs
+    no second aggregation (``size(nbrs)``). Node-count-sized with O(Δ)
+    payload per node; materialized eagerly (the module's standard
+    lineage truncation — every caller consumes it more than once)."""
+    both = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("n"), F.col("v").alias("o")),
+                F.struct(F.col("v").alias("n"), F.col("u").alias("o")),
+            )
+        ).alias("e")
+    ).select("e.n", "e.o")
+    return (
+        both.groupBy("n")
+        .agg(F.collect_set("o").alias("nbrs"))
+        .withColumn("d", F.size("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def _edge_adjacency_pairs(
     und: DataFrame, keep_all_edges: bool = False
 ) -> DataFrame:
@@ -376,20 +401,7 @@ def _edge_adjacency_pairs(
     over pairs equals |E| — letting the DOULION estimator fold its edge
     count and its triangle total into ONE aggregate pass instead of a
     separate count job plus a crossJoin."""
-    both = und.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("u").alias("n"), F.col("v").alias("o")),
-                F.struct(F.col("v").alias("n"), F.col("u").alias("o")),
-            )
-        ).alias("e")
-    ).select("e.n", "e.o")
-    ns = (
-        both.groupBy("n")
-        .agg(F.collect_set("o").alias("nbrs"))
-        .withColumn("d", F.size("nbrs"))
-        .localCheckpoint(eager=True)
-    )
+    ns = _full_adjacency(und)
     oriented = (
         ns.select(
             F.col("n").alias("x"),
@@ -698,21 +710,40 @@ def kcore(
     knob: it bounds per-round shuffle volume, so size it to the
     cluster, not the data you wish you had.
     """
-    e = (
-        edges.select(
-            F.least(src_col, dst_col).alias("u"),
-            F.greatest(src_col, dst_col).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    # r14 entry shape: the canonical edge stream goes UNDEDUPED into the
+    # full-adjacency aggregation (dedup inside collect_set — the same
+    # one-exchange core the triangle family uses); round 0's degrees
+    # fall out as size(nbrs), so the standalone distinct exchange, the
+    # edge-set checkpoint and the first explode+groupBy degree job are
+    # all gone, and a graph that is already its own k-core (no node
+    # under k) finishes after the single adjacency exchange. The peel
+    # guard prices sum(d)/2 on the node-count-sized checkpoint — same
+    # metadata-priced contract as the former edge count.
+    und = edges.select(
+        F.least(src_col, dst_col).alias("u"),
+        F.greatest(src_col, dst_col).alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    ns = _full_adjacency(und)
+    n_e = (ns.agg(F.coalesce(F.sum("d"), F.lit(0)).alias("s")).collect()[0]["s"]) // 2
+    _peel_guard(n_e, exact_edge_budget, "kcore")
+    deg = ns.select(F.col("n").alias("node"), F.col("d").alias("deg"))
+    low = deg.where(F.col("deg") < k).select("node")
+    if low.isEmpty():
+        return deg.select("node", F.col("deg").alias("core_degree"))
+    # edges re-derived map-side from the adjacency checkpoint (one
+    # direction only), then the classic peel rounds
+    alive = (
+        ns.select(F.col("n").alias("u"), F.explode("nbrs").alias("v"))
+        .where(F.col("u") < F.col("v"))
+        .join(low.withColumnRenamed("node", "u"), "u", "left_anti")
+        .join(low.withColumnRenamed("node", "v"), "v", "left_anti")
         .localCheckpoint(eager=True)
     )
-    _peel_guard(e.count(), exact_edge_budget, "kcore")
-    alive = e
-    # max_iter bounds the PEELS; the +1 probe confirms a fixpoint reached
-    # on exactly the last allowed peel (without it, depth == max_iter
-    # raises even though the matching fixed-round oracle is converged)
-    for it in range(max_iter + 1):
+    # max_iter bounds the PEELS (round 0 above consumed one); the +1
+    # probe confirms a fixpoint reached on exactly the last allowed peel
+    # (without it, depth == max_iter raises even though the matching
+    # fixed-round oracle is converged)
+    for it in range(1, max_iter + 1):
         # ONE degree aggregation per round, materialized once: it feeds
         # the convergence probe, both anti-joins AND the converged return
         # — deriving `low` lazily would re-execute the explode+groupBy
@@ -934,28 +965,25 @@ def bounded_bfs(
     Unreachable-within-k nodes are absent by contract (callers
     left-join if they need NULL-distance rows).
 
-    r14 plan shape: the symmetrized edge list is deduped in CANONICAL
-    form first (half the distinct's exchange volume — the two swapped
-    copies of one undirected edge are distinct rows by construction, so
-    dedup-then-swap-union equals swap-union-then-dedup) and materialized
-    ONCE with the module's eager localCheckpoint — it is consumed by
-    every hop's frontier join, and leaving it lazy re-ran the whole
-    upstream edge derivation per hop (the before-plan carried 114
-    Exchange nodes for a 3-hop walk; guide §2.4)."""
-    canon = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    sym = (
-        canon.unionByName(
-            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    r14 plan shape: the edge stream is folded ONCE into the full
+    undirected adjacency (``_full_adjacency`` — dedup inside the
+    collect_set exchange, node-count-sized result, eagerly
+    materialized; the before-plan re-derived and re-deduped a
+    2x|E|-row symmetrized edge LIST per hop — 114 Exchange nodes for a
+    3-hop walk; guide §2.4). Each hop then joins the frontier against
+    the adjacency's node key and explodes the matched rows' neighbor
+    arrays AFTER the join, so per-hop work is proportional to the
+    frontier's adjacency payload, never the edge list. Levels are
+    node-bounded and eagerly truncated — without that, level h's
+    subtree appears TWICE inside level h+1 (as its frontier and inside
+    its visited anti-join) and the lazy plan grew exponentially in the
+    hop bound (the same lineage-truncation contract as kcore's peel
+    rounds)."""
+    und = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    ns = _full_adjacency(und).select("n", "nbrs")
     visited = seeds.select(F.col(seed_col).alias("node")).distinct().select(
         "node", F.lit(0).alias("dist")
     )
@@ -963,16 +991,10 @@ def bounded_bfs(
     out = visited
     for h in range(1, max_hops + 1):
         nxt = (
-            frontier.select(F.col("node").alias("u"))
-            .join(sym, "u")
-            .select(F.col("v").alias("node"))
+            frontier.join(ns, frontier["node"] == ns["n"])
+            .select(F.explode("nbrs").alias("node"))
             .distinct()
             .join(out.select("node"), "node", "left_anti")
-            # each level is node-bounded (<= new-frontier rows); without
-            # truncation level h's subtree appears TWICE inside level
-            # h+1 (as its frontier and inside its visited anti-join), so
-            # the lazy plan grew exponentially in the hop bound — the
-            # same lineage-truncation contract as kcore's peel rounds
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(

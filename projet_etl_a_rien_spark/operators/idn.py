@@ -249,67 +249,86 @@ def nfc_compose_cps(cps: Column) -> Column:
         )
 
     def step(acc, cp):
-        ccc = F.coalesce(
+        # The ccc lookup and the raw pair-map lookup each embed a
+        # ~1k-entry literal table; bind BOTH once as lambda variables of
+        # a one-element transform (the SCALE_NOTES §10 hot-subtree
+        # binding) — the branch logic below referenced the map-bearing
+        # `comp` ~6 times and `ccc` 3 times, which duplicated the table
+        # literals into a ~170k-char step body that Catalyst re-analyzed
+        # per invocation (r14: the whole canonicalizer's driver-side
+        # planning, not row work, dominated the web queries). Same
+        # values, same types, tree now linear in the table size.
+        ccc0 = F.coalesce(
             F.element_at(cccmap, cp.cast("int")), F.lit(0)
         )
         st = acc["st"]
-        comp = F.element_at(
+        comp0 = F.element_at(
             cmap, st.cast("long") * _KEY_SHIFT + cp.cast("long")
         )
-        # Hangul L+V -> LV (both closed-form; no map entries exist)
-        is_lv = (
-            (st >= 0x1100) & (st <= 0x1112)
-            & (cp >= 0x1161) & (cp <= 0x1175)
-        )
-        lv = F.lit(0xAC00) + ((st - 0x1100) * 21 + (cp - 0x1161)) * 28
-        # Hangul LV+T -> LVT (st must be an LV syllable: T index 0)
-        is_lvt = (
-            (st >= 0xAC00) & (st <= 0xD7A3)
-            & ((st - 0xAC00) % 28 == 0)
-            & (cp >= 0x11A8) & (cp <= 0x11C2)
-        )
-        lvt = st + cp - 0x11A7
-        comp = F.when(
-            comp.isNotNull(), comp
-        ).when(is_lv, lv).when(is_lvt, lvt)
-        can = acc["has"] & comp.isNotNull()
-        starter_case = F.when(
-            can & (F.size(acc["marks"]) == 0),  # unblocked starter pair
-            F.struct(
-                acc["out"].alias("out"),
-                comp.alias("st"),
-                F.lit(True).alias("has"),
-                acc["marks"].alias("marks"),
-                F.lit(0).alias("lc"),
-            ),
-        ).otherwise(
-            F.struct(
-                flushed(acc).alias("out"),
-                cp.alias("st"),
-                F.lit(True).alias("has"),
-                F.array().cast("array<int>").alias("marks"),
-                F.lit(0).alias("lc"),
+
+        def body(t):
+            ccc = t["c"]
+            # Hangul L+V -> LV (both closed-form; no map entries exist)
+            is_lv = (
+                (st >= 0x1100) & (st <= 0x1112)
+                & (cp >= 0x1161) & (cp <= 0x1175)
             )
-        )
-        mark_case = F.when(
-            can & (acc["lc"] < ccc),  # not blocked: compose with starter
-            F.struct(
-                acc["out"].alias("out"),
-                comp.alias("st"),
-                F.lit(True).alias("has"),
-                acc["marks"].alias("marks"),
-                acc["lc"].alias("lc"),
-            ),
-        ).otherwise(
-            F.struct(
-                acc["out"].alias("out"),
-                acc["st"].alias("st"),
-                acc["has"].alias("has"),
-                F.concat(acc["marks"], F.array(cp)).alias("marks"),
-                ccc.alias("lc"),
+            lv = F.lit(0xAC00) + ((st - 0x1100) * 21 + (cp - 0x1161)) * 28
+            # Hangul LV+T -> LVT (st must be an LV syllable: T index 0)
+            is_lvt = (
+                (st >= 0xAC00) & (st <= 0xD7A3)
+                & ((st - 0xAC00) % 28 == 0)
+                & (cp >= 0x11A8) & (cp <= 0x11C2)
             )
+            lvt = st + cp - 0x11A7
+            comp = F.when(
+                t["m"].isNotNull(), t["m"]
+            ).when(is_lv, lv).when(is_lvt, lvt)
+            can = acc["has"] & comp.isNotNull()
+            starter_case = F.when(
+                can & (F.size(acc["marks"]) == 0),  # unblocked starter pair
+                F.struct(
+                    acc["out"].alias("out"),
+                    comp.alias("st"),
+                    F.lit(True).alias("has"),
+                    acc["marks"].alias("marks"),
+                    F.lit(0).alias("lc"),
+                ),
+            ).otherwise(
+                F.struct(
+                    flushed(acc).alias("out"),
+                    cp.alias("st"),
+                    F.lit(True).alias("has"),
+                    F.array().cast("array<int>").alias("marks"),
+                    F.lit(0).alias("lc"),
+                )
+            )
+            mark_case = F.when(
+                can & (acc["lc"] < ccc),  # not blocked: compose w/ starter
+                F.struct(
+                    acc["out"].alias("out"),
+                    comp.alias("st"),
+                    F.lit(True).alias("has"),
+                    acc["marks"].alias("marks"),
+                    acc["lc"].alias("lc"),
+                ),
+            ).otherwise(
+                F.struct(
+                    acc["out"].alias("out"),
+                    acc["st"].alias("st"),
+                    acc["has"].alias("has"),
+                    F.concat(acc["marks"], F.array(cp)).alias("marks"),
+                    ccc.alias("lc"),
+                )
+            )
+            return F.when(ccc == 0, starter_case).otherwise(mark_case)
+
+        return F.element_at(
+            F.transform(
+                F.array(F.struct(ccc0.alias("c"), comp0.alias("m"))), body
+            ),
+            1,
         )
-        return F.when(ccc == 0, starter_case).otherwise(mark_case)
 
     return F.aggregate(cps, init, step, flushed)
 

@@ -112,16 +112,6 @@ def quantize(vec: Column | str, scale: int = 100_000) -> Column:
     return F.transform(as_double(vec), lambda x: F.round(x * scale).cast("long"))
 
 
-def _sq_dist(q: Column, centroid: list[int]) -> Column:
-    """Exact integer squared distance to a literal centroid."""
-    m = F.array(*[F.lit(int(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(q, m, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _dist_pairs(q: Column, centroids: list[list[int]]) -> Column:
     """(squared-distance, cluster-id) struct array against every centroid,
     as ONE ``transform`` loop over a constant-folded centroid MATRIX
@@ -1007,21 +997,39 @@ def pq_fit_encode(
 
         def assign_expr(books):
             # per-subspace argmin over that subspace's literal centroids,
-            # selected by the row's s tag (same tie-break as _assign)
-            expr = None
-            for s in range(m):
-                pairs = F.array(
-                    *[
-                        F.struct(
-                            _sq_dist(F.col("q"), cb).alias("d"),
-                            F.lit(c).alias("c"),
-                        )
-                        for c, cb in enumerate(books[s])
-                    ]
-                )
-                sel = F.array_min(pairs)["c"]
-                expr = sel if expr is None else F.when(F.col("s") == s, sel).otherwise(expr)
-            return expr
+            # selected by the row's s tag (same tie-break as _assign).
+            # r14: the codebooks ride as ONE constant-folded
+            # m x k_sub x sub_len literal tensor indexed by s, and the
+            # argmin is a transform loop over the selected codebook —
+            # the previous form unrolled m*k_sub aggregate(zip_with)
+            # folds whose codegen Janino recompiled per Lloyd iteration
+            # (the same compile-bound fit the kNN decompose measured on
+            # _assign); distances, tie-break (lexicographic (d, c),
+            # c = array index) and dtypes are bit-identical.
+            tensor = F.array(
+                *[
+                    F.array(
+                        *[
+                            F.array(*[F.lit(int(v)) for v in cb])
+                            for cb in books[s]
+                        ]
+                    )
+                    for s in range(m)
+                ]
+            )
+            cbs = F.element_at(tensor, (F.col("s") + 1).cast("int"))
+            pairs = F.transform(
+                cbs,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    i.alias("c"),
+                ),
+            )
+            return F.array_min(pairs)["c"]
 
         for _ in range(iters):
             assigned = long.select(

@@ -344,9 +344,21 @@ def registered_domain(host: Column) -> Column:
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-row canonicalization + URL anatomy (host, registered domain,
     path depth, query-param count, tracking flag). Pure projection;
-    every heavy expression comes from the construction cache."""
+    every heavy expression comes from the construction cache.
+
+    r14 shape: the heavy canonical parts (IDN/NFC host, escape-
+    normalized path, filtered param array) are computed in ONE
+    projection, each exactly once per row, behind a lineage barrier;
+    the output assembles url_canon/registered_domain/path_depth from
+    those COLUMNS. The previous single projection referenced host 3x,
+    path 2x and the params 2x — and CollapseProject additionally
+    inlined the caller's url expression into every reference — so each
+    row paid the multi-thousand-node canonicalizer several times over
+    (guide §2.3 "don't compute what you throw away"; the SCALE_NOTES
+    §10 alias-inlining trap at operator scope). url_canon is
+    reassembled with the identical concat the cached builder uses, so
+    results are byte-identical."""
     p = canon_parts(url_col)
-    host, path = p["host"], p["path"]
     # tracking detection on the NORMALIZED params, so an encoded
     # %75tm_source counts as tracking just as the canonicalizer drops it
     tracked = F.exists(
@@ -356,17 +368,30 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
             [kv.startswith(pre) for pre in TRACKING_PREFIXES],
         ),
     )
-    return df.select(
+    parts = df.select(
         "doc_id",
         F.col(url_col).alias("url_raw"),
-        p["url_canon"].alias("url_canon"),
-        host.alias("host"),
-        registered_domain(host).alias("registered_domain"),
-        F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+        p["scheme"].alias("_scheme"),
+        p["host"].alias("host"),
+        p["path"].alias("_path"),
+        p["params"].alias("_params"),
+        tracked.alias("had_tracking"),
+    ).localCheckpoint(eager=True)
+    qs = F.array_join(F.col("_params"), "&")
+    return parts.select(
+        "doc_id",
+        "url_raw",
+        F.concat(
+            F.col("_scheme"), F.lit("://"), F.col("host"), F.col("_path"),
+            F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+        ).alias("url_canon"),
+        "host",
+        registered_domain(F.col("host")).alias("registered_domain"),
+        F.size(F.filter(F.split(F.col("_path"), "/"), lambda s: s != ""))
         .cast("long")
         .alias("path_depth"),
-        F.size(p["params"]).cast("long").alias("n_query_params"),
-        tracked.alias("had_tracking"),
+        F.size(F.col("_params")).cast("long").alias("n_query_params"),
+        "had_tracking",
     )
 
 
@@ -399,14 +424,21 @@ def domain_blocklist_verdicts(df: DataFrame, url_col: str = "url") -> DataFrame:
     DataFrame keyed on registered_domain — the extraction below is the
     join key either way."""
     p = canon_parts(url_col)
-    host, path = p["host"], p["path"]
-    dom = registered_domain(host)
-    dom_blocked = dom.isin(*BLOCKED_DOMAINS)
-    path_blocked = path.startswith(BLOCKED_PATH_PREFIX)
-    return df.select(
+    # one evaluation of the heavy host/path canonicalizers per row
+    # behind a lineage barrier (r14 — the verdict CASE and the output
+    # columns each referenced them again; same single-evaluation shape
+    # as url_features)
+    parts = df.select(
         "doc_id",
-        dom.alias("registered_domain"),
-        path.alias("path"),
+        registered_domain(p["host"]).alias("registered_domain"),
+        p["path"].alias("path"),
+    ).localCheckpoint(eager=True)
+    dom_blocked = F.col("registered_domain").isin(*BLOCKED_DOMAINS)
+    path_blocked = F.col("path").startswith(BLOCKED_PATH_PREFIX)
+    return parts.select(
+        "doc_id",
+        "registered_domain",
+        "path",
         F.when(dom_blocked, F.lit("domain"))
         .when(path_blocked, F.lit("path"))
         .otherwise(F.lit("allowed"))

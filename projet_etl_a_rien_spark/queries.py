@@ -598,25 +598,42 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _correctness_evidence below) — never-checked names sample first, then
 # oldest evidence. _DRIVER_PRIORITY remains as a manual override slot for
 # names that must jump the queue in a given round (empty by default).
-# r14 budget (r13 verdict ask #3): ZERO new registrations this round,
-# so the sample is pure staleness retirement — the evidence-ordered
-# head is the r7×1 leftover (multimodal_arrow_zero_copy_stats) + 49 of
-# the r8×50 bucket = all 50 slots. The verdict's "closes exactly"
-# arithmetic is off by one (1 + 50 = 51 stale names into 50 slots):
-# one r8 name — tpch_q21_sole_return_supplier, the last of the r8
-# bucket in registration order — stays at r8 evidence and retires
-# first in r15 (it is covered hash-exact by this round's in-session
-# full-registry mimic, so this is evidence rotation, not correctness).
-# r14 code changes (footer-guard \w* node-head widening, k-truss
-# nested-peel budget bound) are both policy/guard-level: registered
-# entries' executed plans at driver scale are unchanged (KMV fixtures
-# sit far below the 1e7-row gating threshold; fixture graphs below the
-# 1e6-edge pre-filter threshold), re-verified by the in-session mimic
-# over all 17 KMV/HLL/kcore/ktruss entries — so they rotate naturally
-# rather than consuming override slots.
+# r14 budget — REVISED mid-round for the optimization phase: this round
+# REWROTE the executed plans of the co-purchase graph family
+# (derivation + enumeration core), the k-means index family
+# (argmin/probe expression), and the FastSS blocking (digest), so the
+# changed entries jump the queue per the r11-established practice
+# (changed plans get fresh driver evidence the round they change). 12
+# priority slots below + the r7×1 leftover
+# (multimodal_arrow_zero_copy_stats, the r13 verdict's rotation ask) +
+# 37 of the r8×50 bucket = 50; the remaining ~13 r8 names retire in
+# r15 (all covered hash-exact by this round's in-session full-registry
+# mimic at the optimized HEAD, so the slip is evidence rotation, not
+# correctness). Zero new registrations this round.
 # r13 history: 1 new name (streaming_user_value_sample_kmv) + 49 of
-# r7's 50 names = 50 slots; the r7 leftover is the name r14 retires.
-_DRIVER_PRIORITY: list[str] = []
+# r7's 50 names = 50 slots; the r7 leftover retires via the ledger
+# head this round (it sorts first among non-priority names).
+_DRIVER_PRIORITY: list[str] = [
+    # co-purchase graph family: canonical pair derivation + collect_set
+    # adjacency enumeration core (operators/graph.py r14)
+    "parts_triangle_counts",
+    "parts_triangle_estimate",
+    "parts_triangle_estimate_p10",
+    "parts_triangle_counts_auto",
+    "parts_kcore",
+    "parts_copurchase_bfs_3hop",
+    # k-means index family: _dist_pairs transform-loop argmin
+    # (operators/similarity.py r14) — the two heaviest composites plus
+    # the bare-assignment entry
+    "embedding_knn_join_multiprobe_top3",
+    "embedding_knn_join_top3",
+    "embedding_kmeans_assign",
+    "embedding_semdedup",
+    # FastSS d=1 blocking digest md5 -> xxhash64
+    # (operators/strings.py r14)
+    "customer_name_edit_pairs",
+    "customer_entity_resolution",
+]
 
 
 def _correctness_evidence() -> dict[str, int]:
