@@ -528,6 +528,7 @@ def _collapsed_candidates(
     cell_col: str,
     probe_assignments: DataFrame | None,
     probe_col: str,
+    compute_splits: int | None = None,
 ) -> DataFrame:
     """Duplicate-collapsed candidate generation for :func:`ann_knn_join` —
     the hot-cell skew bound (r3 VERDICT #4). A cell dominated by repeated
@@ -618,9 +619,27 @@ def _collapsed_candidates(
             F.col("members").alias("q_members"),
         )
     ngroups = ngroups.drop("members", "vkey")
+    join_on = F.col(f"l.{cell_col}") == F.col(f"r.{cell_col}")
+    if compute_splits is not None and compute_splits > 1:
+        # same salt as ann_knn_join's naive path (r14 — this path had
+        # none): the grouped pair stage is quadratic in rows but tiny
+        # in bytes, so AQE's byte-based coalescing lumps the whole
+        # Σ|distinct(cell)|² dot-product stage onto one task when cells
+        # are few; the explicit user repartition on (cell, salt) spreads
+        # it and the join reuses the layout. Each (query-group,
+        # neighbor-group) pair still meets exactly once — at the query
+        # group's salt — so the candidate set is unchanged.
+        s = F.lit(compute_splits)
+        qgroups = qgroups.withColumn(
+            "_cs", F.pmod(F.hash(F.col("q_rep")), s)
+        ).repartition(compute_splits * 2, cell_col, "_cs")
+        ngroups = ngroups.withColumn(
+            "_cs", F.explode(F.sequence(F.lit(0), s - F.lit(1)))
+        ).repartition(compute_splits * 2, cell_col, "_cs")
+        join_on = join_on & (F.col("l._cs") == F.col("r._cs"))
     pairs = (
         qgroups.alias("l")
-        .join(ngroups.alias("r"), F.col(f"l.{cell_col}") == F.col(f"r.{cell_col}"))
+        .join(ngroups.alias("r"), join_on)
         .select(
             F.col("l.q_rep").alias("q_rep"),
             F.col("l.q_members").alias("q_members"),
@@ -729,7 +748,7 @@ def ann_knn_join(
     if collapse_duplicates:
         sims = _collapsed_candidates(
             df, assignments, k, id_col, vec_col, cell_col,
-            probe_assignments, probe_col,
+            probe_assignments, probe_col, compute_splits,
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), F.asc("neighbor_id")
@@ -848,6 +867,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 100_000,
+    compute_splits: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and pruning within-cluster
@@ -886,13 +906,27 @@ def semdedup(
         .persist()
     )
     try:
-        l, r = base.alias("l"), base.alias("r")
+        lhs, rhs = base, base
+        join_on = (F.col("l.cluster") == F.col("r.cluster")) & (
+            F.col("l.id") < F.col("r.id")
+        )
+        if compute_splits is not None and compute_splits > 1:
+            # same task-layout salt as ann_knn_join's pair stage (r14 —
+            # this self-join had none, so AQE's byte-based coalescing
+            # serialized the Σ|cell|² dot-product stage when cells are
+            # few); each unordered pair still meets exactly once, at
+            # the left row's salt, so the verified pair set is unchanged
+            s = F.lit(compute_splits)
+            lhs = base.withColumn(
+                "_cs", F.pmod(F.hash(F.col("id")), s)
+            ).repartition(compute_splits * 2, "cluster", "_cs")
+            rhs = base.withColumn(
+                "_cs", F.explode(F.sequence(F.lit(0), s - F.lit(1)))
+            ).repartition(compute_splits * 2, "cluster", "_cs")
+            join_on = join_on & (F.col("l._cs") == F.col("r._cs"))
+        l, r = lhs.alias("l"), rhs.alias("r")
         pairs = (
-            l.join(
-                r,
-                (F.col("l.cluster") == F.col("r.cluster"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
+            l.join(r, join_on)
             .where(
                 F.round(
                     dot(F.col("l.vec"), F.col("r.vec"))

@@ -675,12 +675,15 @@ FROM wc LEFT JOIN comps c ON wc.id = c.node
     "pairing, and the connected-component keeper rule bit-for-bit.",
 )
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compute_splits: local[32] task-layout salt (r14) — see the kNN
+    # entries; leave None at scale where cells give parallelism
     return similarity.semdedup(
         load_table(spark, sf_dir, "embeddings"),
         k=KMEANS_K,
         iters=KMEANS_ITERS,
         threshold=SEMDEDUP_T,
         scale=KMEANS_SCALE,
+        compute_splits=32,
     )
 
 
@@ -1195,7 +1198,12 @@ def q_embedding_knn_join_dedup_top3(spark: SparkSession, sf_dir: str) -> DataFra
     assign, _, _ = similarity.kmeans_index(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
     )
-    return similarity.ann_knn_join(emb, assign, k=3, collapse_duplicates=True)
+    # compute_splits: same local[32] task-layout salt as the sibling
+    # entries (r14 — this path had none, so AQE serialized the grouped
+    # pair stage; leave None at scale where cells give parallelism)
+    return similarity.ann_knn_join(
+        emb, assign, k=3, collapse_duplicates=True, compute_splits=32
+    )
 
 
 KNN_PROBES = 2
