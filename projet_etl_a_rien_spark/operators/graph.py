@@ -400,15 +400,37 @@ def _edge_adjacency_pairs(
     rows): every oriented edge appears exactly once, so ``count(*)``
     over pairs equals |E| — letting the DOULION estimator fold its edge
     count and its triangle total into ONE aggregate pass instead of a
-    separate count job plus a crossJoin."""
+    separate count job plus a crossJoin.
+
+    Join strategy is decided from MEASURED sizes, not estimates
+    (guide §3.1): a checkpointed DataFrame carries no usable plan-time
+    statistics, so the planner defaulted the nb-attachment to a
+    SortMergeJoin that shuffled 1.2M array-carrying rows
+    (SHUFFLE_PROFILE: estimate 27 MB -> 76 MB after the first r14 cut).
+    ``ns`` is already materialized, so one cheap aggregate over it gives
+    the exact node and entry counts; the node-table and out-adjacency
+    byte sizes derived from those decide an explicit broadcast of the
+    small side against the session's own autoBroadcastJoinThreshold —
+    the same scale rule AQE would apply if it had the stats (at 100 TB
+    node tables exceed the threshold and both joins stay shuffled, as
+    they must)."""
     ns = _full_adjacency(und)
+    srow = ns.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("d"), F.lit(0)).alias("e2"),
+    ).collect()[0]
+    n_nodes, n_entries = int(srow["n"]), int(srow["e2"])
+    thresh = _broadcast_threshold(und.sparkSession)
+    deg_side = ns.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    if 0 <= n_nodes * 28 <= thresh:
+        deg_side = F.broadcast(deg_side)
     oriented = (
         ns.select(
             F.col("n").alias("x"),
             F.col("d").alias("dx"),
             F.explode("nbrs").alias("y"),
         )
-        .join(ns.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+        .join(deg_side, "y")
         .where(
             (F.col("dx") < F.col("dy"))
             | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
@@ -424,15 +446,43 @@ def _edge_adjacency_pairs(
     )
     # array_intersect is order-insensitive (hash-set build per row), so
     # collect_list's nondeterministic order cannot affect the result.
+    nb_side = adj.select(F.col("x").alias("yk"), F.col("nbrs").alias("nb"))
+    # out-adjacency holds each undirected edge once: entries/2 longs
+    if 0 <= n_nodes * 32 + (n_entries // 2) * 8 <= thresh:
+        nb_side = F.broadcast(nb_side)
     return adj.select(
         F.col("x"),
         F.col("nbrs").alias("na"),
         F.explode("nbrs").alias("y"),
     ).join(
-        adj.select(F.col("x").alias("yk"), F.col("nbrs").alias("nb")),
+        nb_side,
         F.col("y") == F.col("yk"),
         "left" if keep_all_edges else "inner",
     )
+
+
+def _broadcast_threshold(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (-1 = disabled
+    -> 0 so no explicit broadcast fires). Used where a materialized
+    (checkpointed) table's true size is KNOWN but invisible to the
+    planner — the explicit hint applies the same byte rule the
+    optimizer itself would."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.endswith(suf + "b"):
+            raw, mult = raw[:-2], m
+            break
+        if raw.endswith(suf):
+            raw, mult = raw[:-1], m
+            break
+    try:
+        val = int(raw) * mult
+    except ValueError:
+        val = 10 << 20
+    return max(val, 0)
 
 
 def triangle_count_estimate(
