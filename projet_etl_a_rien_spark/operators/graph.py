@@ -1020,30 +1020,55 @@ def bounded_bfs(
     collect_set exchange, node-count-sized result, eagerly
     materialized; the before-plan re-derived and re-deduped a
     2x|E|-row symmetrized edge LIST per hop — 114 Exchange nodes for a
-    3-hop walk; guide §2.4). Each hop then joins the frontier against
-    the adjacency's node key and explodes the matched rows' neighbor
-    arrays AFTER the join, so per-hop work is proportional to the
-    frontier's adjacency payload, never the edge list. Levels are
-    node-bounded and eagerly truncated — without that, level h's
-    subtree appears TWICE inside level h+1 (as its frontier and inside
-    its visited anti-join) and the lazy plan grew exponentially in the
-    hop bound (the same lineage-truncation contract as kcore's peel
-    rounds)."""
+    3-hop walk; guide §2.4). Frontiers are node-bounded, so when the
+    node count (measured on the materialized adjacency — the frontier
+    can never exceed it) fits the session's broadcast threshold, each
+    hop BROADCASTS the frontier and streams the adjacency map-side:
+    zero per-hop exchanges of graph data (the first r14 cut instead
+    joined shuffle-side, which re-exchanged hub-sized adjacency ARRAY
+    rows per hop and regressed the 10x-scale wall 1.3x — caught by the
+    sf1 A/B). Past the threshold the hops join a flat symmetrized edge
+    list derived map-side from the adjacency and materialized once —
+    flat rows shuffle evenly where array rows cannot split. Levels are
+    eagerly truncated — without that, level h's subtree appears TWICE
+    inside level h+1 (as its frontier and inside its visited anti-join)
+    and the lazy plan grew exponentially in the hop bound (the same
+    lineage-truncation contract as kcore's peel rounds)."""
     und = edges.select(
         F.least(F.col(src_col), F.col(dst_col)).alias("u"),
         F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
     ).where(F.col("u") != F.col("v"))
     ns = _full_adjacency(und).select("n", "nbrs")
+    n_nodes = ns.count()  # cheap block count on the checkpoint
+    bcast_frontier = 0 <= n_nodes * 24 <= _broadcast_threshold(
+        edges.sparkSession
+    )
+    if not bcast_frontier:
+        # big-graph regime: one flat symmetrized edge list, derived
+        # map-side from the adjacency (no second corpus exchange) and
+        # materialized once for every hop's shuffle join
+        sym = (
+            ns.select(F.col("n").alias("u"), F.explode("nbrs").alias("v"))
+            .localCheckpoint(eager=True)
+        )
     visited = seeds.select(F.col(seed_col).alias("node")).distinct().select(
         "node", F.lit(0).alias("dist")
     )
     frontier = visited.select("node")
     out = visited
     for h in range(1, max_hops + 1):
+        if bcast_frontier:
+            nxt = ns.join(
+                F.broadcast(frontier), ns["n"] == frontier["node"]
+            ).select(F.explode("nbrs").alias("node"))
+        else:
+            nxt = (
+                frontier.select(F.col("node").alias("u"))
+                .join(sym, "u")
+                .select(F.col("v").alias("node"))
+            )
         nxt = (
-            frontier.join(ns, frontier["node"] == ns["n"])
-            .select(F.explode("nbrs").alias("node"))
-            .distinct()
+            nxt.distinct()
             .join(out.select("node"), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
