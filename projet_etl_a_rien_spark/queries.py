@@ -606,10 +606,13 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (changed plans get fresh driver evidence the round they change). 12
 # priority slots below + the r7×1 leftover
 # (multimodal_arrow_zero_copy_stats, the r13 verdict's rotation ask) +
-# 37 of the r8×50 bucket = 50; the remaining ~13 r8 names retire in
-# r15 (all covered hash-exact by this round's in-session full-registry
-# mimic at the optimized HEAD, so the slip is evidence rotation, not
-# correctness). Zero new registrations this round.
+# 37 ledger-ordered r8 names = 50 (two priority names carry r8
+# evidence themselves, so 39 r8 names get fresh rows and ~11 retire in
+# r15 — verified with the Counter one-liner over the first 50 of
+# _ordered_names(); all are covered hash-exact by this round's
+# in-session full-registry mimic at the optimized HEAD, so the slip is
+# evidence rotation, not correctness). Zero new registrations this
+# round.
 # r13 history: 1 new name (streaming_user_value_sample_kmv) + 49 of
 # r7's 50 names = 50 slots; the r7 leftover retires via the ledger
 # head this round (it sorts first among non-priority names).
