@@ -495,40 +495,61 @@ def main() -> None:
         pass  # read-only checkout: the compact stdout line still lands
 
     # Compact stdout line. Budget: the driver keeps the LAST 2000 chars
-    # of stdout; target <= 1800 to leave margin. Drop fields largest-
-    # first until it fits — totals and movers are the irreducible core.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    )
+    # of stdout; target <= 1800 to leave margin. The per-name maps are
+    # the driver contract's attribution source (PERF_r14 came out with
+    # per_query {} / geomean null / bench_ok false because the r11-era
+    # compact line had dropped them for the stdout-tail budget — r14
+    # verdict ask #1), so "queries"/"pipelines" are now IRREDUCIBLE:
+    # emitted at 2-decimal precision with compact separators (~1.7 kB
+    # for 48 names; full 4-decimal precision stays in the detail file),
+    # and the drop-largest-first loop only ever sheds the auxiliary
+    # fields around them.
     compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "queries": {n: round(t, 2) for n, t in sorted(timings.items())},
+        "pipelines": {
+            n: round(t, 2) for n, t in sorted(pipe_timings.items())
+        },
         "pipelines_total": round(sum(pipe_timings.values()), 4),
         "n_pipelines": len(pipe_timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "solo_remeasured": solo,
         "movers_checked": len(detail["solo_candidates"]),
-        "slowest5": slowest,
         "detail": detail_name,
-        "methodology": methodology,
+        # full methodology prose lives in the detail file; the line
+        # carries the short form so the tail budget holds
+        "method": f"min-of-{runs} noop-sink sweeps; movers solo-retimed",
     }
-    line = json.dumps(compact)
-    for drop in ("methodology", "slowest5", "solo_remeasured"):
-        if len(line) <= 1800:
+
+    def _dump(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    line = _dump(compact)
+    # Drop auxiliary fields largest-first until the line fits the
+    # driver's 2000-char stdout tail; the per-name queries/pipelines
+    # maps are never dropped (they ARE the contract).
+    for step in ("method", "movers_checked", "solo_trunc", "solo_drop"):
+        if len(line) <= 1900:
             break
-        if drop == "solo_remeasured":
-            # never drop movers silently — truncate to the 5 worst
+        if step == "solo_trunc":
+            # never drop movers silently — truncate to the 3 worst
             worst = sorted(
                 solo.items(),
-                key=lambda kv: -(kv[1]["solo"] / max(kv[1]["prior"], 1e-9)),
-            )[:5]
+                key=lambda kv: -(
+                    kv[1]["solo"] / max(kv[1].get("prior", 1e-9), 1e-9)
+                ),
+            )[:3]
             compact["solo_remeasured"] = dict(worst)
             compact["solo_truncated"] = len(solo) - len(worst)
+        elif step == "solo_drop":
+            compact.pop("solo_remeasured", None)
+            compact["solo_truncated"] = len(solo)
         else:
-            compact.pop(drop, None)
-        line = json.dumps(compact)
+            compact.pop(step, None)
+        line = _dump(compact)
     print(line)
     spark.stop()
 

@@ -265,6 +265,7 @@ def triangle_counts(
     src_col: str = "src",
     dst_col: str = "dst",
     assume_normalized: bool = False,
+    max_degree_bound: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts via DEGREE-ORDERED edge orientation plus
     per-edge adjacency-array intersection (the compact-forward flavor of
@@ -313,7 +314,9 @@ def triangle_counts(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
         ).where(F.col("u") != F.col("v"))
-    tri = _edge_adjacency_pairs(und).select(
+    tri = _edge_adjacency_pairs(
+        und, max_degree_bound=max_degree_bound
+    ).select(
         "x",
         "y",
         F.explode(F.array_intersect("na", "nb")).alias("z"),
@@ -328,15 +331,52 @@ def triangle_counts(
     return out
 
 
-def _full_adjacency(und: DataFrame) -> DataFrame:
-    """(n, nbrs, d): the FULL undirected adjacency (distinct neighbor
-    set per node) plus degree, built from a canonical (u < v, loop-free,
-    possibly duplicated) pair stream with ONE explode + ``collect_set``
-    exchange — dedup happens inside the aggregation hash map, so callers
-    need no standalone ``distinct`` over the edge list and degree needs
-    no second aggregation (``size(nbrs)``). Node-count-sized with O(Δ)
-    payload per node; materialized eagerly (the module's standard
-    lineage truncation — every caller consumes it more than once)."""
+# Entries per adjacency row the single-exchange collect_set build is
+# sized for (8M longs ≈ 64 MB per hub buffer/row — comfortably inside
+# one task's execution memory). Past it, a power-law hub's neighbor set
+# would grow without bound in ONE aggregation buffer and land as ONE
+# multi-GB row (r14 ADVICE, medium): the build then switches to bounded
+# (node, chunk) segments, which every consumer tolerates (they explode
+# or re-aggregate; only the node-sized (n, d) projections need a
+# distinct in that regime).
+ADJ_HUB_DEGREE_BUDGET = 8_000_000
+
+
+def _full_adjacency(
+    und: DataFrame,
+    max_degree_bound: int | None = None,
+    hub_budget: int | None = None,
+) -> tuple[DataFrame, bool]:
+    """(n, nbrs, d) plus a ``chunked`` flag: the FULL undirected
+    adjacency (distinct neighbor set per node) and degree, built from a
+    canonical (u < v, loop-free, possibly duplicated) pair stream with
+    ONE explode + ``collect_set`` exchange — dedup happens inside the
+    aggregation hash map, so callers need no standalone ``distinct``
+    over the edge list and degree needs no second aggregation
+    (``size(nbrs)``). Node-count-sized with O(Δ) payload per node;
+    materialized eagerly (the module's standard lineage truncation —
+    every caller consumes it more than once).
+
+    Hub guard (r14 ADVICE, medium): one adjacency row is O(Δ), so a
+    power-law hub at 100 TB could build a multi-GB single aggregation
+    buffer/row — a failure mode the flat-edge plans could not hit.
+    ``max_degree_bound`` is the caller's O(metadata) certificate that no
+    node can exceed it (registered co-purchase entries pass the part
+    table's parquet-footer row count: degree < |node domain|, no job);
+    when the bound fits ``hub_budget`` the plain build runs untouched.
+    Otherwise ONE narrow partial-aggregated pass measures the max
+    multiplicity degree (an upper bound on the distinct degree — the
+    conservative direction), and past the budget the build switches to
+    bounded segments: ``collect_set`` per (node, pmod(xxhash64(nbr),
+    nseg)) — every buffer and every row ≤ ~``hub_budget`` entries — with
+    the TOTAL degree attached to every segment row. Consumers already
+    explode or re-aggregate ``nbrs``, and segments partition the
+    neighbor set, so each (node, neighbor) still appears exactly once;
+    the returned flag tells them to dedupe node-level (n, d)
+    projections. Results are identical either way (pinned in
+    tests/test_round15.py with a forced tiny budget)."""
+    if hub_budget is None:
+        hub_budget = ADJ_HUB_DEGREE_BUDGET  # module constant: patchable
     both = und.select(
         F.explode(
             F.array(
@@ -345,16 +385,54 @@ def _full_adjacency(und: DataFrame) -> DataFrame:
             )
         ).alias("e")
     ).select("e.n", "e.o")
-    return (
-        both.groupBy("n")
-        .agg(F.collect_set("o").alias("nbrs"))
-        .withColumn("d", F.size("nbrs"))
+    max_mult: int | None = None
+    if max_degree_bound is not None and 0 <= max_degree_bound <= hub_budget:
+        chunked = False
+    else:
+        # no (usable) certificate: measure. Multiplicity degree needs no
+        # distinct — partial map-side aggregation keeps the pass narrow
+        # — and can only exceed the distinct degree, so the trigger errs
+        # toward chunking. This re-executes the pair derivation once; at
+        # the scales where the certificate is absent or exceeded, that
+        # is noise next to the protected aggregation.
+        row = (
+            both.groupBy("n")
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c").alias("m"))
+            .collect()[0]
+        )
+        max_mult = int(row["m"]) if row["m"] is not None else 0
+        chunked = max_mult > hub_budget
+    if not chunked:
+        ns = (
+            both.groupBy("n")
+            .agg(F.collect_set("o").alias("nbrs"))
+            .withColumn("d", F.size("nbrs"))
+            .localCheckpoint(eager=True)
+        )
+        return ns, False
+    # 2× headroom over the ceil: hash bucketing bounds segment sizes in
+    # expectation, not worst case — the doubled segment count keeps the
+    # expected row at budget/2 so collision tails stay inside budget
+    nseg = max(2, 2 * -(-max_mult // hub_budget))
+    seg = both.groupBy(
+        "n", F.pmod(F.xxhash64("o"), F.lit(nseg)).alias("_sg")
+    ).agg(F.collect_set("o").alias("nbrs"))
+    dtot = seg.groupBy("n").agg(
+        F.sum(F.size("nbrs")).cast("int").alias("d")
+    )
+    ns = (
+        seg.join(dtot, "n")
+        .select("n", "nbrs", "d")
         .localCheckpoint(eager=True)
     )
+    return ns, True
 
 
 def _edge_adjacency_pairs(
-    und: DataFrame, keep_all_edges: bool = False
+    und: DataFrame,
+    keep_all_edges: bool = False,
+    max_degree_bound: int | None = None,
 ) -> DataFrame:
     """Shared enumeration core: dedup + degree-orient the canonical
     (u < v, loop-free, possibly duplicated) pair stream and return
@@ -414,14 +492,31 @@ def _edge_adjacency_pairs(
     the same scale rule AQE would apply if it had the stats (at 100 TB
     node tables exceed the threshold and both joins stay shuffled, as
     they must)."""
-    ns = _full_adjacency(und)
-    srow = ns.agg(
+    ns, chunked = _full_adjacency(und, max_degree_bound)
+    nd = ns.select("n", "d")
+    if chunked:
+        # segment rows repeat (n, d) per chunk — node-level projections
+        # must collapse back to one row per node (node-sized, cheap in
+        # the only regime that pays it)
+        nd = nd.distinct()
+    srow = nd.agg(
         F.count("*").alias("n"),
         F.coalesce(F.sum("d"), F.lit(0)).alias("e2"),
     ).collect()[0]
     n_nodes, n_entries = int(srow["n"]), int(srow["e2"])
-    thresh = _broadcast_threshold(und.sparkSession)
-    deg_side = ns.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    # The byte estimates below assume fixed-width numeric node keys; a
+    # string-keyed graph (hosts, entity keys) would underestimate the
+    # broadcast side several-fold, so the explicit hint — which bypasses
+    # the planner's own size check — only fires for integral keys
+    # (r14 ADVICE #2). Non-numeric graphs fall back to the planner.
+    numeric_keys = isinstance(
+        ns.schema["n"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    thresh = (
+        _broadcast_threshold(und.sparkSession) if numeric_keys else 0
+    )
+    deg_side = nd.select(F.col("n").alias("y"), F.col("d").alias("dy"))
     if 0 <= n_nodes * 28 <= thresh:
         deg_side = F.broadcast(deg_side)
     oriented = (
@@ -466,22 +561,42 @@ def _broadcast_threshold(spark) -> int:
     -> 0 so no explicit broadcast fires). Used where a materialized
     (checkpointed) table's true size is KNOWN but invisible to the
     planner — the explicit hint applies the same byte rule the
-    optimizer itself would."""
+    optimizer itself would.
+
+    Parsing delegates to Spark's own byte-string parser (JavaUtils.
+    byteStringAsBytes — the exact code the planner applies to this
+    conf), so every suffix Spark accepts is accepted here; the Python
+    fallback only covers sessions where the JVM gateway is unreachable.
+    Unparseable values resolve to 0 — NO explicit broadcast — rather
+    than a silent 10 MB default that could re-enable broadcasts on a
+    session whose operator set the conf to something this code merely
+    failed to read (r14 ADVICE #3)."""
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).strip().lower()
+    ).strip()
+    try:
+        jvm = spark.sparkContext._jvm
+        val = int(
+            jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                raw
+            )
+        )
+        return max(val, 0)
+    except Exception:
+        pass
+    low = raw.lower()
     mult = 1
     for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
-        if raw.endswith(suf + "b"):
-            raw, mult = raw[:-2], m
+        if low.endswith(suf + "b"):
+            low, mult = low[:-2], m
             break
-        if raw.endswith(suf):
-            raw, mult = raw[:-1], m
+        if low.endswith(suf):
+            low, mult = low[:-1], m
             break
     try:
-        val = int(raw) * mult
+        val = int(low) * mult
     except ValueError:
-        val = 10 << 20
+        val = 0  # unparseable: disable explicit broadcasts
     return max(val, 0)
 
 
@@ -492,6 +607,7 @@ def triangle_count_estimate(
     keep_num: int = 1,
     keep_den: int = 2,
     salt: str = "tri8",
+    max_degree_bound: int | None = None,
 ) -> DataFrame:
     """DOULION-style approximate GLOBAL triangle count (Tsourakakis,
     Kang, Miller, Faloutsos, KDD'09): toss a p = keep_num/keep_den coin
@@ -567,7 +683,9 @@ def triangle_count_estimate(
     # closing triangles), so one aggregate pass yields BOTH outputs —
     # count(*) = |sampled distinct edges| because every oriented edge
     # appears exactly once — replacing a separate count job + crossJoin.
-    pairs = _edge_adjacency_pairs(und, keep_all_edges=True)
+    pairs = _edge_adjacency_pairs(
+        und, keep_all_edges=True, max_degree_bound=max_degree_bound
+    )
     out = (
         pairs.select(
             F.when(F.col("nb").isNull(), F.lit(0))
@@ -632,6 +750,7 @@ def triangle_count_auto(
     dst_col: str = "dst",
     n_edges: int | None = None,
     salt: str = "tri8",
+    max_degree_bound: int | None = None,
 ) -> DataFrame:
     """Global triangle count through the :func:`doulion_keep_policy`
     auto-tier — the KMV ``keep_ppm="auto"`` pattern applied to the one
@@ -666,8 +785,13 @@ def triangle_count_auto(
     if n_edges is None:
         n_edges = edges.limit(10_000_001).count()
     keep_num, keep_den = doulion_keep_policy(n_edges)
+    if max_degree_bound is None:
+        # a node's degree cannot exceed the edge count: the resolved
+        # pair bound doubles as a free hub certificate
+        max_degree_bound = n_edges
     est = triangle_count_estimate(
-        edges, src_col, dst_col, keep_num, keep_den, salt
+        edges, src_col, dst_col, keep_num, keep_den, salt,
+        max_degree_bound=max_degree_bound,
     )
     return est.select(
         F.lit(keep_num).cast("long").alias("policy_keep_num"),
@@ -728,6 +852,7 @@ def kcore(
     dst_col: str = "dst",
     max_iter: int = 30,
     exact_edge_budget: int = KCORE_EXACT_EDGE_BUDGET,
+    max_degree_bound: int | None = None,
 ) -> DataFrame:
     """Nodes of the k-core — the maximal subgraph where every node keeps
     degree >= ``k`` AFTER all lower-degree nodes are removed — by
@@ -773,10 +898,15 @@ def kcore(
         F.least(src_col, dst_col).alias("u"),
         F.greatest(src_col, dst_col).alias("v"),
     ).where(F.col("u") != F.col("v"))
-    ns = _full_adjacency(und)
-    n_e = (ns.agg(F.coalesce(F.sum("d"), F.lit(0)).alias("s")).collect()[0]["s"]) // 2
+    ns, chunked = _full_adjacency(und, max_degree_bound)
+    nd = ns.select("n", "d")
+    if chunked:
+        # hub regime: segment rows repeat (n, d) — collapse node-level
+        # projections so degrees and the guard sum count each node once
+        nd = nd.distinct()
+    n_e = (nd.agg(F.coalesce(F.sum("d"), F.lit(0)).alias("s")).collect()[0]["s"]) // 2
     _peel_guard(n_e, exact_edge_budget, "kcore")
-    deg = ns.select(F.col("n").alias("node"), F.col("d").alias("deg"))
+    deg = nd.select(F.col("n").alias("node"), F.col("d").alias("deg"))
     low = deg.where(F.col("deg") < k).select("node")
     if low.isEmpty():
         return deg.select("node", F.col("deg").alias("core_degree"))
@@ -1000,6 +1130,7 @@ def bounded_bfs(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "node",
+    max_degree_bound: int | None = None,
 ) -> DataFrame:
     """(node, dist) — minimum hop distance from the seed set over the
     undirected graph, bounded at ``max_hops`` (k-hop neighborhood /
@@ -1038,9 +1169,22 @@ def bounded_bfs(
         F.least(F.col(src_col), F.col(dst_col)).alias("u"),
         F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
     ).where(F.col("u") != F.col("v"))
-    ns = _full_adjacency(und).select("n", "nbrs")
-    n_nodes = ns.count()  # cheap block count on the checkpoint
-    bcast_frontier = 0 <= n_nodes * 24 <= _broadcast_threshold(
+    ns, chunked = _full_adjacency(und, max_degree_bound)
+    ns = ns.select("n", "nbrs")
+    if chunked:
+        # hub-segment rows inflate the block count; distinct keys give
+        # the true node count (node-sized, only in the hub regime)
+        n_nodes = ns.select("n").distinct().count()
+    else:
+        n_nodes = ns.count()  # cheap block count on the checkpoint
+    # the n_nodes*24 estimate assumes fixed-width numeric node ids; for
+    # string-keyed graphs it can underestimate severalfold, so the
+    # explicit broadcast only fires for integral keys (r14 ADVICE #2)
+    numeric_keys = isinstance(
+        ns.schema["n"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    bcast_frontier = numeric_keys and 0 <= n_nodes * 24 <= _broadcast_threshold(
         edges.sparkSession
     )
     if not bcast_frontier:

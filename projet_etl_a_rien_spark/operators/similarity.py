@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import resolve_splits
+
 
 def as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
@@ -466,7 +468,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
-    compute_splits: int | None = None,
+    compute_splits: int | str | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold within a blocking key.
 
@@ -475,7 +477,9 @@ def embedding_near_dup_pairs(
     quadratic pair stage onto one task; S salts the left side per block
     and replicates the right ×S for an identical pair set on blocks×S
     evenly sized tasks. Use when #blocks < cores; leave None at scale.
+    ``"auto"`` derives S from the session's parallelism (r14 ask #5).
     """
+    compute_splits = resolve_splits(df, compute_splits)
     # Norms are per-vector, not per-pair: computing them before the join
     # turns 3 array folds per joined row (dot + two norms) into 1 — the
     # pair stage is the quadratic one, so this is a ~3× compute cut with
@@ -703,7 +707,7 @@ def ann_knn_join(
     probe_assignments: DataFrame | None = None,
     probe_col: str = "probe_cells",
     collapse_duplicates: bool = False,
-    compute_splits: int | None = None,
+    compute_splits: int | str | None = None,
 ) -> DataFrame:
     """Batch kNN self-join: every vector's top-k neighbors, searched
     within its IVF cell — the corpus-wide form of similarity search
@@ -742,8 +746,12 @@ def ann_knn_join(
     Set it when #cells < cores (the r4→r5 bench fix: 8 cells on a
     32-core runner); leave None at scale, where thousands of cells give
     natural parallelism and ×S neighbor replication would be pure cost.
+    ``"auto"`` derives S from the session's own parallelism — the
+    right width for the few-cells regime on any box (r14 ask #5).
     """
     from pyspark.sql.window import Window
+
+    compute_splits = resolve_splits(df, compute_splits)
 
     if collapse_duplicates:
         sims = _collapsed_candidates(
@@ -867,7 +875,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 100_000,
-    compute_splits: int | None = None,
+    compute_splits: int | str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and pruning within-cluster
@@ -895,6 +903,7 @@ def semdedup(
     """
     from .graph import connected_components
 
+    compute_splits = resolve_splits(df, compute_splits)
     q_all, centroids = kmeans_fit(df, k, iters, id_col, vec_col, scale)
     cells = _assign(q_all, centroids).select("id", "cluster")
     base = (
@@ -1186,6 +1195,169 @@ def _adc_dist_expr(
     return adc
 
 
+def _ivfadc_fused_fit(
+    df: DataFrame,
+    dim: int,
+    n_cells: int,
+    m: int,
+    k_sub: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """The coarse IVF fit and the m PQ subspace fits fused into ONE
+    driver-job chain (r14 verdict ask #3: ivfadc ran kmeans_fit then
+    pq_fit_encode back to back — two persisted tables and two
+    sequential 1+iters collect chains for fits over the SAME corpus).
+
+    One long-form table holds every fit's training rows, tagged by
+    subspace: s = -1 is the full quantized vector (the coarse fit's
+    input), s = 0..m-1 the PQ subvectors — exactly ``pq_fit_encode``'s
+    fusion idea extended one level up. Seeds (one window job),
+    per-iteration statistics (one aggregate), and the final
+    assign+encode (one pass, pivoted wide) each serve BOTH quantizers,
+    so the driver chain is 1 + iters + 1 jobs total instead of
+    (1 + iters) + (1 + iters + 1). Per-fit arithmetic is unchanged —
+    same min-id seeds per s partition, same exact-int argmin with the
+    (d, c) lexicographic tie-break, same round-half-away centroid
+    update — so every value is bit-identical to the sequential fits
+    and the per-fit oracle CTEs replay it exactly (pinned in
+    tests/test_round15.py against the unfused pair).
+
+    Returns ``(wide, codebooks)``: wide = (id, cell, c0..c{m-1}) — the
+    coarse cell and the PQ code per vector, eagerly checkpointed — and
+    the PQ codebook tensor as driver literals."""
+    from pyspark.sql.window import Window
+
+    sub_len = dim // m
+    q_full = df.select(
+        F.col(id_col).alias("id"), quantize(vec_col, scale).alias("qv")
+    )
+    long = q_full.select(
+        "id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(-1).alias("s"), F.col("qv").alias("q")),
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("qv", s * sub_len + 1, sub_len).alias("q"),
+                    )
+                    for s in range(m)
+                ],
+            )
+        ).alias("x"),
+    ).select("id", F.col("x.s").alias("s"), F.col("x.q").alias("q"))
+    long = _widen(long, df, "s", "id").persist()
+    try:
+        w = Window.partitionBy("s").orderBy("id")
+        seed_rows = (
+            long.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= max(n_cells, k_sub))
+            .select("s", "rn", "q")
+            .collect()
+        )
+        coarse: list[list[int]] = [None] * n_cells
+        codebooks: list[list[list[int]]] = [[None] * k_sub for _ in range(m)]
+        for r in seed_rows:
+            if r.s == -1:
+                if r.rn <= n_cells:
+                    coarse[r.rn - 1] = list(r.q)
+            elif r.rn <= k_sub:
+                codebooks[r.s][r.rn - 1] = list(r.q)
+
+        def assign_expr(coarse_b, books):
+            # one ragged literal tensor: index 1 = the coarse codebook
+            # (dim-long rows), 2..m+1 the subspace codebooks — selected
+            # by the row's s tag; argmin identical to _dist_pairs
+            tensor = F.array(
+                F.array(
+                    *[F.array(*[F.lit(int(v)) for v in cb]) for cb in coarse_b]
+                ),
+                *[
+                    F.array(
+                        *[
+                            F.array(*[F.lit(int(v)) for v in cb])
+                            for cb in books[s]
+                        ]
+                    )
+                    for s in range(m)
+                ],
+            )
+            cbs = F.element_at(tensor, (F.col("s") + 2).cast("int"))
+            pairs = F.transform(
+                cbs,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    i.alias("c"),
+                ),
+            )
+            return F.array_min(pairs)["c"]
+
+        for _ in range(iters):
+            assigned = long.select(
+                "s", "q", assign_expr(coarse, codebooks).alias("cluster")
+            )
+            stats = (
+                assigned.select(
+                    "s", "cluster", F.posexplode("q").alias("pos", "val")
+                )
+                .groupBy("s", "cluster", "pos")
+                .agg(F.sum("val").alias("sv"), F.count("*").alias("n"))
+                .collect()
+            )
+            by_key: dict = {}
+            for r in stats:
+                by_key.setdefault((r.s, r.cluster), {})[r.pos] = (r.sv, r.n)
+            coarse = [
+                [
+                    _round_half_away(sn[pos][0] / sn[pos][1])
+                    for pos in range(dim)
+                ]
+                if (sn := by_key.get((-1, c)))
+                else coarse[c]
+                for c in range(n_cells)
+            ]
+            codebooks = [
+                [
+                    [
+                        _round_half_away(sn[pos][0] / sn[pos][1])
+                        for pos in range(sub_len)
+                    ]
+                    if (sn := by_key.get((s, c)))
+                    else codebooks[s][c]
+                    for c in range(k_sub)
+                ]
+                for s in range(m)
+            ]
+        final = long.select(
+            "id", "s", assign_expr(coarse, codebooks).alias("cluster")
+        )
+        wide = (
+            final.groupBy("id")
+            .agg(
+                F.max(F.when(F.col("s") == -1, F.col("cluster"))).alias(
+                    "cell"
+                ),
+                *[
+                    F.max(F.when(F.col("s") == s, F.col("cluster"))).alias(
+                        f"c{s}"
+                    )
+                    for s in range(m)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        long.unpersist()
+    return wide, codebooks
+
+
 def ivfadc_topk(
     df: DataFrame,
     query_id: int,
@@ -1216,18 +1388,24 @@ def ivfadc_topk(
     ``cluster``, so the candidate fetch is partition pruning, the ADC
     pass is a narrow projection, and the top-k is TakeOrderedAndProject
     — no stage shuffles anything wider than k rows.
-    """
-    q_all, coarse = kmeans_fit(df, n_cells, iters, id_col, vec_col, scale)
-    cells = _assign(q_all, coarse).select("id", "cluster")
-    qcell = cells.where(F.col("id") == query_id).select("cluster")
-    cand = cells.join(F.broadcast(qcell), "cluster").select("id")
 
-    codes, codebooks = pq_fit_encode(
-        df, dim, m, k_sub, iters, id_col, vec_col, scale
+    r15 (guide §2.1 fewer jobs): the coarse and PQ fits run as ONE
+    fused driver-job chain over one persisted long-form table
+    (:func:`_ivfadc_fused_fit` — 1 + iters + 1 collects instead of two
+    back-to-back 1+iters chains plus a separate encode), and the cell
+    filter is a predicate on the fused (id, cell, codes) table rather
+    than a join of two separately derived frames. Bit-identical
+    results; only the job chain shrank.
+    """
+    wide, codebooks = _ivfadc_fused_fit(
+        df, dim, n_cells, m, k_sub, iters, id_col, vec_col, scale
+    )
+    qcell = wide.where(F.col("id") == query_id).select(
+        F.col("cell").alias("qc")
     )
     adc = _adc_dist_expr(df, codebooks, query_id, dim, m, id_col, vec_col, scale)
     return (
-        codes.join(cand, "id", "left_semi")
+        wide.join(F.broadcast(qcell), wide["cell"] == qcell["qc"])
         .where(F.col("id") != query_id)
         .select(F.col("id").alias(id_col), adc.alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
@@ -1339,7 +1517,7 @@ def cross_set_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
-    compute_splits: int | None = None,
+    compute_splits: int | str | None = None,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: train vectors whose
     cosine similarity to ANY eval vector reaches ``threshold``, with the
@@ -1361,6 +1539,7 @@ def cross_set_contamination(
             as_double(vec_col).alias(f"{tag}_vec"),
         ).withColumn(f"{tag}_nrm", norm(F.col(f"{tag}_vec")))
 
+    compute_splits = resolve_splits(train, compute_splits)
     t, e = side(train, "t"), side(eval_df, "e")
     join_on = F.col("l.blk") == F.col("r.blk")
     if compute_splits is not None and compute_splits > 1:

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import resolve_splits
+
 
 def _seg_bounds(n: Column, i: int, k: int) -> tuple[Column, Column]:
     """(start, length) of 0-based segment ``i`` of a length-``n`` string
@@ -271,7 +273,7 @@ def edit_distance_pairs(
     id_col: str = "id",
     hot_threshold: int = 64,
     max_depth: int = 3,
-    compute_splits: int | None = None,
+    compute_splits: int | str | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose ``str_col`` values are within
     Levenshtein distance ``d`` — EXACTLY the all-pairs join's output,
@@ -292,6 +294,7 @@ def edit_distance_pairs(
     whatever is still hot at the terminal depth is near-identical
     short tails — true-match volume, not blocking failure.
     """
+    compute_splits = resolve_splits(df, compute_splits)
     s = df.select(
         F.col(id_col).alias("id"),
         F.col(str_col).alias("v"),

@@ -598,42 +598,38 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _correctness_evidence below) — never-checked names sample first, then
 # oldest evidence. _DRIVER_PRIORITY remains as a manual override slot for
 # names that must jump the queue in a given round (empty by default).
-# r14 budget — REVISED mid-round for the optimization phase: this round
-# REWROTE the executed plans of the co-purchase graph family
-# (derivation + enumeration core), the k-means index family
-# (argmin/probe expression), and the FastSS blocking (digest), so the
-# changed entries jump the queue per the r11-established practice
-# (changed plans get fresh driver evidence the round they change). 12
-# priority slots below + the r7×1 leftover
-# (multimodal_arrow_zero_copy_stats, the r13 verdict's rotation ask) +
-# 37 ledger-ordered r8 names = 50 (two priority names carry r8
-# evidence themselves, so 39 r8 names get fresh rows and ~11 retire in
-# r15 — verified with the Counter one-liner over the first 50 of
-# _ordered_names(); all are covered hash-exact by this round's
-# in-session full-registry mimic at the optimized HEAD, so the slip is
-# evidence rotation, not correctness). Zero new registrations this
-# round.
-# r13 history: 1 new name (streaming_user_value_sample_kmv) + 49 of
-# r7's 50 names = 50 slots; the r7 leftover retires via the ledger
-# head this round (it sorts first among non-priority names).
+# r15 budget (second optimization round): the r14 verdict's ask #2
+# leads — the 8 r14-changed plans that missed the r14 sample get the
+# first slots; any plan r15 itself rewrites is appended behind them
+# (same r11 rule: changed plans get fresh driver evidence the round
+# they change). The remaining ~30+ slots drain the ledger head (the
+# r8-evidence leftovers that didn't fit the r14 window). Zero new
+# registrations this round.
+# r14 history: 12 priority slots (triangle family ×6, kNN/kmeans ×4,
+# FastSS ×2 — the r14-rewritten plans) + the r7×1 leftover + 37
+# ledger-ordered r8 names = 50, all green in CORRECTNESS_r14.
 _DRIVER_PRIORITY: list[str] = [
-    # co-purchase graph family: canonical pair derivation + collect_set
-    # adjacency enumeration core (operators/graph.py r14)
-    "parts_triangle_counts",
-    "parts_triangle_estimate",
-    "parts_triangle_estimate_p10",
-    "parts_triangle_counts_auto",
-    "parts_kcore",
-    "parts_copurchase_bfs_3hop",
-    # k-means index family: _dist_pairs transform-loop argmin
-    # (operators/similarity.py r14) — the two heaviest composites plus
-    # the bare-assignment entry
-    "embedding_knn_join_multiprobe_top3",
-    "embedding_knn_join_top3",
-    "embedding_kmeans_assign",
-    "embedding_semdedup",
-    # FastSS d=1 blocking digest md5 -> xxhash64
-    # (operators/strings.py r14)
+    # r15 slot 1 (r14 verdict ask #2): the 8 r14-changed plans that got
+    # NO fresh driver-oracle row in the r14 sample — 4 web (the
+    # url_features/IDN checkpoint restructure) + the PQ/dedup-kNN family
+    # (_dist_pairs tensor argmin + the salted pair stage). These must
+    # verify before anything else this round.
+    "web_url_canonicalize",
+    "web_domain_blocklist",
+    "web_url_dedup_keepers",
+    "web_domain_stats",
+    "embedding_pq_codes",
+    "embedding_pq_adc_topk",
+    "embedding_ivfadc_topk",
+    "embedding_knn_join_dedup_top3",
+    # r15 changed plans: compute_splits literal 16 → "auto" (session-
+    # parallelism-derived salt, 32 on this box) — a wider task layout
+    # with an identical pair set; results are salt-invariant by
+    # construction (tests pin equality across widths) but the executed
+    # plan changed, so the r11 rule applies. (The sibling sites that
+    # were already 32 resolve to the same plan on the 32-core driver.)
+    "embedding_near_dup_pairs",
+    "embedding_cross_set_contamination",
     "customer_name_edit_pairs",
     "customer_entity_resolution",
 ]

@@ -472,7 +472,7 @@ WHERE ROUND(list_dot_product(l.vec, r.vec)
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4,
-        compute_splits=16,  # 5 label blocks on a 32-core runner
+        compute_splits="auto",  # few label blocks: salt from session parallelism
     )
 
 
@@ -675,15 +675,16 @@ FROM wc LEFT JOIN comps c ON wc.id = c.node
     "pairing, and the connected-component keeper rule bit-for-bit.",
 )
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # compute_splits: local[32] task-layout salt (r14) — see the kNN
-    # entries; leave None at scale where cells give parallelism
+    # compute_splits: task-layout salt derived from the session's own
+    # parallelism (r15 — was a local[32] literal); None at scale where
+    # cells give parallelism
     return similarity.semdedup(
         load_table(spark, sf_dir, "embeddings"),
         k=KMEANS_K,
         iters=KMEANS_ITERS,
         threshold=SEMDEDUP_T,
         scale=KMEANS_SCALE,
-        compute_splits=32,
+        compute_splits="auto",
     )
 
 
@@ -1156,10 +1157,10 @@ def q_embedding_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign, _, _ = similarity.kmeans_index(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
     )
-    # compute_splits: 8 cells on a 32-core local runner — salt the
-    # quadratic pair stage so AQE's byte-based coalescing can't serialize
-    # the whole sum(|cell|^2) onto one task
-    return similarity.ann_knn_join(emb, assign, k=3, compute_splits=32)
+    # compute_splits: few cells vs many cores — salt the quadratic pair
+    # stage (width = session parallelism) so AQE's byte-based coalescing
+    # can't serialize the whole sum(|cell|^2) onto one task
+    return similarity.ann_knn_join(emb, assign, k=3, compute_splits="auto")
 
 
 @register(
@@ -1198,11 +1199,11 @@ def q_embedding_knn_join_dedup_top3(spark: SparkSession, sf_dir: str) -> DataFra
     assign, _, _ = similarity.kmeans_index(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
     )
-    # compute_splits: same local[32] task-layout salt as the sibling
+    # compute_splits: same parallelism-derived salt as the sibling
     # entries (r14 — this path had none, so AQE serialized the grouped
     # pair stage; leave None at scale where cells give parallelism)
     return similarity.ann_knn_join(
-        emb, assign, k=3, collapse_duplicates=True, compute_splits=32
+        emb, assign, k=3, collapse_duplicates=True, compute_splits="auto"
     )
 
 
@@ -1256,7 +1257,7 @@ def q_embedding_knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFra
         probes=KNN_PROBES,
     )
     return similarity.ann_knn_join(
-        emb, assign, k=3, probe_assignments=probe, compute_splits=32
+        emb, assign, k=3, probe_assignments=probe, compute_splits="auto"
     )
 
 

@@ -1346,7 +1346,10 @@ def q_parts_copurchase_bfs_3hop(
     from pyspark.sql import functions as F
 
     from .operators.graph import bounded_bfs
-    from .queries_round8 import _copurchase_edge_pairs_canonical
+    from .queries_round8 import (
+        _copurchase_degree_bound,
+        _copurchase_edge_pairs_canonical,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     seeds = (
@@ -1358,6 +1361,7 @@ def q_parts_copurchase_bfs_3hop(
         _copurchase_edge_pairs_canonical(spark, sf_dir),
         seeds,
         max_hops=BFS_HOPS,
+        max_degree_bound=_copurchase_degree_bound(spark, sf_dir),
     ).select(
         F.col("node").alias("part_id"), F.col("dist").cast("long").alias("dist")
     )
@@ -1441,7 +1445,7 @@ def q_customer_entity_resolution(
     )
     pairs = (
         _strings.edit_distance_pairs(
-            names, d=1, str_col="name", id_col="id", compute_splits=16
+            names, d=1, str_col="name", id_col="id", compute_splits="auto"
         )
         .select("id_a", "id_b")
         .join(nat.withColumnsRenamed({"id": "id_a", "nat": "na"}), "id_a")

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .queries import register
-from .queries_round8 import TRI_SALT, _copurchase_edge_pairs_canonical
+from .queries_round8 import (
+    TRI_SALT,
+    _copurchase_degree_bound,
+    _copurchase_edge_pairs_canonical,
+)
 from .queries_round11 import _kmv_sliding_oracle, sliding_kmv_dashboard
 
 # ---------------------------------------------------------------------------
@@ -138,7 +142,8 @@ def q_parts_triangle_counts_auto(
         .collect()[0]["n"]
     )
     return graph.triangle_count_auto(
-        edges, n_edges=n_pairs, salt=TRI_SALT
+        edges, n_edges=n_pairs, salt=TRI_SALT,
+        max_degree_bound=_copurchase_degree_bound(spark, sf_dir),
     )
 
 

@@ -978,7 +978,7 @@ def q_customer_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
     return _strings.edit_distance_pairs(
-        c, d=1, str_col="name", id_col="id", compute_splits=16
+        c, d=1, str_col="name", id_col="id", compute_splits="auto"
     )
 
 
@@ -1021,10 +1021,15 @@ def q_parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: canonical pair derivation (one keyed aggregation, no
     # self-join); triangle_counts' normalization dedups to the same
     # edge set — see queries_round8._copurchase_edge_pairs_canonical
-    from .queries_round8 import _copurchase_edge_pairs_canonical
+    from .queries_round8 import (
+        _copurchase_degree_bound,
+        _copurchase_edge_pairs_canonical,
+    )
 
     edges = _copurchase_edge_pairs_canonical(spark, sf_dir)
-    return graph.triangle_counts(edges).withColumnRenamed("node", "part_id")
+    return graph.triangle_counts(
+        edges, max_degree_bound=_copurchase_degree_bound(spark, sf_dir)
+    ).withColumnRenamed("node", "part_id")
 
 
 @register(
@@ -1159,10 +1164,16 @@ def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: canonical pair derivation (one keyed aggregation, no
     # self-join); kcore dedups to the same edge set — see
     # queries_round8._copurchase_edge_pairs_canonical
-    from .queries_round8 import _copurchase_edge_pairs_canonical
+    from .queries_round8 import (
+        _copurchase_degree_bound,
+        _copurchase_edge_pairs_canonical,
+    )
 
     edges = _copurchase_edge_pairs_canonical(spark, sf_dir)
-    return graph.kcore(edges, k=KCORE_K, max_iter=KCORE_ITERS).withColumnRenamed(
+    return graph.kcore(
+        edges, k=KCORE_K, max_iter=KCORE_ITERS,
+        max_degree_bound=_copurchase_degree_bound(spark, sf_dir),
+    ).withColumnRenamed(
         "node", "part_id"
     )
 

@@ -824,7 +824,7 @@ def q_embedding_cross_set_contamination(
         emb.where(F.col("vec_id") % 10 != 0),
         emb.where(F.col("vec_id") % 10 == 0),
         threshold=EMB_CONTAM_THRESHOLD,
-        compute_splits=16,
+        compute_splits="auto",
     )
 
 

@@ -48,6 +48,19 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_degree_bound(
+    spark: SparkSession, sf_dir: str
+) -> int | None:
+    """O(metadata) hub certificate for the co-purchase graph consumers
+    (graph._full_adjacency's r15 hub guard): a part's degree is
+    < |distinct parts|, bounded by the part table's parquet-footer row
+    count — no Spark job. None (footers unavailable) makes the operator
+    fall back to its measured degree pass."""
+    from .operators.sketches import _stats_row_count
+
+    return _stats_row_count(load_table(spark, sf_dir, "part"))
+
+
 def _copurchase_edge_pairs_canonical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -131,6 +144,7 @@ def q_parts_triangle_estimate(
         keep_num=TRI_KEEP_NUM,
         keep_den=TRI_KEEP_DEN,
         salt=TRI_SALT,
+        max_degree_bound=_copurchase_degree_bound(spark, sf_dir),
     )
 
 

@@ -246,13 +246,17 @@ def q_parts_triangle_estimate_p10(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from .operators import graph as _g
-    from .queries_round8 import _copurchase_edge_pairs_canonical
+    from .queries_round8 import (
+        _copurchase_degree_bound,
+        _copurchase_edge_pairs_canonical,
+    )
 
     return _g.triangle_count_estimate(
         _copurchase_edge_pairs_canonical(spark, sf_dir),
         keep_num=TRI10_KEEP_NUM,
         keep_den=TRI10_KEEP_DEN,
         salt=TRI10_SALT,
+        max_degree_bound=_copurchase_degree_bound(spark, sf_dir),
     )
 
 
