@@ -151,18 +151,107 @@ def word_symbol_table(
     )
 
 
+# Vocab-row budget for the driver-side merge-learning loop. The learn
+# loop's input is the DISTINCT (key, cnt, syms) vocabulary — corpus
+# scale collapses in the one groupBy that builds it — and per rank the
+# distributed loop pays 2 driver-sequential jobs plus ~0.08 s of
+# fold-plan analysis over that small table (r15 measure: 32 ranks =
+# 6.4 s of almost pure driver latency). Below this budget the loop runs
+# driver-side over the collected vocabulary — the shape every
+# production BPE trainer uses — with identical counting, tie-break and
+# greedy-rewrite semantics (equality property-pinned both engines);
+# past it the distributed per-rank loop stands (a 100 TB corpus with a
+# >1M-entry vocabulary keeps the driver out of data work, guide §5).
+DRIVER_LEARN_MAX_ROWS = 1_000_000
+
+
+def _learn_merges_driver(
+    rows: list[tuple[int, list[str]]],
+    num_merges: int,
+    min_pair_count: int,
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side replica of the distributed learn loop. Semantics
+    matched item by item: pair counts sum ``cnt`` over EVERY adjacent
+    position (overlaps double-count, as ``_adjacent_pairs`` does), the
+    argmax tie-break is (count desc, (l, r) asc) — Python's code-point
+    string order equals Spark's UTF8 binary order because UTF-8 is
+    order-preserving — and the rewrite is the same greedy left-to-right
+    non-overlapping scan as ``_apply_merge``. Equality with the fold
+    engine is pinned in tests/test_round15.py."""
+    merges: list[tuple[int, str, str, int]] = []
+    seqs = rows
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, syms in seqs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((rank, left, right, int(n)))
+        merged = left + right
+        nxt: list[tuple[int, list[str]]] = []
+        for cnt, syms in seqs:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((cnt, out))
+        seqs = nxt
+    return merges
+
+
 def _learn_merges(
     seqs: DataFrame,
     key_col: str,
     num_merges: int,
     min_pair_count: int,
+    engine: str = "auto",
 ) -> list[tuple[int, str, str, int]]:
     """The merge-learning loop shared by the word-level and byte-level
     tokenizers: iterate (vocab-scale pair-count groupBy → 1-row argmax →
     greedy fold rewrite) over a (key, cnt, syms) table. Deterministic:
     ties broken (count desc, then (left, right) tuple order — struct
-    ordering is field-lexicographic)."""
+    ordering is field-lexicographic).
+
+    ``engine``: ``"driver"`` collects the (cnt, syms) vocabulary once
+    and loops in Python (:func:`_learn_merges_driver` — 1 job total
+    instead of 2 per rank; right whenever the vocab is bounded),
+    ``"dist"`` keeps the distributed per-rank loop, ``"auto"`` picks
+    driver below ``DRIVER_LEARN_MAX_ROWS`` vocab rows (one cheap count
+    over the checkpointed table)."""
     seqs = seqs.localCheckpoint(eager=True)
+    if engine == "auto":
+        engine = (
+            "driver"
+            if seqs.count() <= DRIVER_LEARN_MAX_ROWS
+            else "dist"
+        )
+    if engine == "driver":
+        try:
+            rows = [
+                (int(r["cnt"]), list(r["syms"]))
+                for r in seqs.select("cnt", "syms").collect()
+            ]
+        finally:
+            seqs.unpersist()
+        return _learn_merges_driver(rows, num_merges, min_pair_count)
+    if engine != "dist":
+        raise ValueError(f"unknown learn engine: {engine!r}")
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, num_merges + 1):
@@ -196,12 +285,14 @@ def learn_bpe_merges(
     num_merges: int = 10,
     text_col: str = "text",
     min_pair_count: int = 2,
+    engine: str = "auto",
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``num_merges`` word-level BPE merges; returns [(rank, left,
     right, pair_count)] in learned order. Stops early when no pair
-    reaches ``min_pair_count``."""
+    reaches ``min_pair_count``. ``engine`` as in :func:`_learn_merges`."""
     return _learn_merges(
-        word_symbol_table(df, text_col), "word", num_merges, min_pair_count
+        word_symbol_table(df, text_col), "word", num_merges,
+        min_pair_count, engine,
     )
 
 
@@ -420,6 +511,7 @@ def learn_bbpe_merges(
     text_col: str = "text",
     min_pair_count: int = 2,
     pretoken_re: str = BYTE_PRETOKEN_RE,
+    engine: str = "auto",
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``num_merges`` byte-level BPE merges; returns [(rank, left,
     right, pair_count)] in learned order, symbols as hex byte-strings.
@@ -430,6 +522,7 @@ def learn_bbpe_merges(
         "pt",
         num_merges,
         min_pair_count,
+        engine,
     )
 
 

@@ -724,7 +724,19 @@ def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
     pattern as compaction), so a crash mid-way leaves some dirs erased
     and some not — re-running the same erasure completes it. No reader
     ever sees a torn dir (_SUCCESS-gated, same as compaction).
+
+    Dir rewrites run through a small driver thread pool (guide §2.6 —
+    overlap independent jobs so one dir's commit tail backfills with
+    the next dir's scan): the dirs are mutually independent by the
+    per-dir contract above, each task keeps its own read → filter →
+    checkpoint → overwrite (→ stats rebuild) sequence strictly ordered
+    within the dir, and a crash still just leaves a subset of dirs
+    rewritten — the idempotent re-run story is unchanged. Only the
+    wall-clock of the driver-sequential job chain shrinks (measured
+    sf0.1: the 4-dir erasure section ~2x).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     ids_df = (
         ids.select(F.col("id"))
         if isinstance(ids, DataFrame)
@@ -733,32 +745,33 @@ def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
     from .retrieval import postings_token_stats
 
     stat_versions = set(_committed_partitions(spark, f"{path}/stats", "v="))
-    removed = 0
-    for prefix, key in ((f"{path}/snap", "v="), (f"{path}/parts", "batch_id=")):
-        for n in _committed_partitions(spark, prefix, key):
-            sub = f"{prefix}/{key}{n}"
-            cur = spark.read.parquet(sub)
-            n_before = cur.count()
-            kept = cur.join(ids_df, "id", "left_anti").localCheckpoint(
-                eager=True
-            )
-            n_after = kept.count()
-            if n_after != n_before:
-                kept.write.mode("overwrite").parquet(sub)
-                removed += n_before - n_after
-            if key == "v=" and n in stat_versions:
-                # unconditional, NOT gated on n_after != n_before: a
-                # crash between a prior run's postings overwrite and its
-                # stats rewrite leaves ghost stats that a change-gated
-                # re-run would never repair (the postings no longer
-                # change). Recomputing from the post-erase snapshot every
-                # run makes the erasure converge under any crash point.
-                postings_token_stats(kept).write.mode(
-                    "overwrite"
-                ).parquet(f"{path}/stats/v={n}")
-    # the materialized per-doc length tables carry the erased ids as
-    # whole rows — drop them the same idempotent rewrite way
-    for n in _committed_partitions(spark, f"{path}/dlen", "v="):
+
+    def _erase_dir(task) -> int:
+        prefix, key, n = task
+        sub = f"{prefix}/{key}{n}"
+        cur = spark.read.parquet(sub)
+        n_before = cur.count()
+        kept = cur.join(ids_df, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_after = kept.count()
+        dropped = 0
+        if n_after != n_before:
+            kept.write.mode("overwrite").parquet(sub)
+            dropped = n_before - n_after
+        if key == "v=" and n in stat_versions:
+            # unconditional, NOT gated on n_after != n_before: a
+            # crash between a prior run's postings overwrite and its
+            # stats rewrite leaves ghost stats that a change-gated
+            # re-run would never repair (the postings no longer
+            # change). Recomputing from the post-erase snapshot every
+            # run makes the erasure converge under any crash point.
+            postings_token_stats(kept).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/stats/v={n}")
+        return dropped
+
+    def _erase_dlen(n) -> int:
         sub = f"{path}/dlen/v={n}"
         cur = spark.read.parquet(sub)
         kept = cur.join(ids_df, "id", "left_anti").localCheckpoint(
@@ -766,6 +779,27 @@ def postings_erase_ids(spark: SparkSession, path: str, ids) -> int:
         )
         if kept.count() != cur.count():
             kept.write.mode("overwrite").parquet(sub)
+        return 0
+
+    tasks = [
+        (prefix, key, n)
+        for prefix, key in (
+            (f"{path}/snap", "v="),
+            (f"{path}/parts", "batch_id="),
+        )
+        for n in _committed_partitions(spark, prefix, key)
+    ]
+    dlen_versions = _committed_partitions(spark, f"{path}/dlen", "v=")
+    removed = 0
+    # 3 in flight: enough to fill a dir's commit tail, not enough to
+    # fight for executors (guide §2.6's sizing rule)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(_erase_dir, t) for t in tasks]
+        # the materialized per-doc length tables carry the erased ids
+        # as whole rows — drop them the same idempotent rewrite way
+        futs += [pool.submit(_erase_dlen, n) for n in dlen_versions]
+        for f in futs:
+            removed += f.result()
     return removed
 
 

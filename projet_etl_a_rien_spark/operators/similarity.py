@@ -1164,22 +1164,26 @@ def _adc_dist_expr(
     id_col: str,
     vec_col: str,
     scale: int,
+    qv: list[int] | None = None,
 ) -> Column:
     """Query-side ADC machinery shared by ``pq_adc_topk`` and
     ``ivfadc_topk`` (one copy, so a change to the lookup cast or tie
     handling cannot silently diverge the two search paths): fetch the
     quantized query vector, build the m per-subspace LUTs of exact
     int64 squared distances, and return the summed m-lookup distance
-    Column over the code columns c0..c{m-1}."""
+    Column over the code columns c0..c{m-1}. Pass ``qv`` (the already
+    quantized query vector) to skip the fetch job — ivfadc's fused fit
+    piggybacks it on the seeds collect."""
     sub_len = dim // m
-    qrow = (
-        df.where(F.col(id_col) == query_id)
-        .select(quantize(vec_col, scale).alias("q"))
-        .first()
-    )
-    if qrow is None:
-        raise ValueError(f"query id {query_id} not found")
-    qv = list(qrow.q)
+    if qv is None:
+        qrow = (
+            df.where(F.col(id_col) == query_id)
+            .select(quantize(vec_col, scale).alias("q"))
+            .first()
+        )
+        if qrow is None:
+            raise ValueError(f"query id {query_id} not found")
+        qv = list(qrow.q)
     adc = None
     for s in range(m):
         q_sub = qv[s * sub_len : (s + 1) * sub_len]
@@ -1205,7 +1209,8 @@ def _ivfadc_fused_fit(
     id_col: str,
     vec_col: str,
     scale: int,
-) -> tuple[DataFrame, list[list[list[int]]]]:
+    query_id: int | None = None,
+) -> tuple[DataFrame, list[list[list[int]]], list[int] | None]:
     """The coarse IVF fit and the m PQ subspace fits fused into ONE
     driver-job chain (r14 verdict ask #3: ivfadc ran kmeans_fit then
     pq_fit_encode back to back — two persisted tables and two
@@ -1225,9 +1230,11 @@ def _ivfadc_fused_fit(
     and the per-fit oracle CTEs replay it exactly (pinned in
     tests/test_round15.py against the unfused pair).
 
-    Returns ``(wide, codebooks)``: wide = (id, cell, c0..c{m-1}) — the
-    coarse cell and the PQ code per vector, eagerly checkpointed — and
-    the PQ codebook tensor as driver literals."""
+    Returns ``(wide, codebooks, qv)``: wide = (id, cell, c0..c{m-1}) —
+    the coarse cell and the PQ code per vector, eagerly checkpointed —
+    the PQ codebook tensor as driver literals, and (when ``query_id``
+    is given) the query's quantized full vector, piggybacked on the
+    seeds collect so the ADC LUT build needs no separate scan job."""
     from pyspark.sql.window import Window
 
     sub_len = dim // m
@@ -1252,20 +1259,33 @@ def _ivfadc_fused_fit(
     long = _widen(long, df, "s", "id").persist()
     try:
         w = Window.partitionBy("s").orderBy("id")
+        kmax = max(n_cells, k_sub)
+        keep = F.col("rn") <= kmax
+        if query_id is not None:
+            keep = keep | (
+                (F.col("s") == -1) & (F.col("id") == query_id)
+            )
         seed_rows = (
             long.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= max(n_cells, k_sub))
-            .select("s", "rn", "q")
+            .where(keep)
+            .select("id", "s", "rn", "q")
             .collect()
         )
         coarse: list[list[int]] = [None] * n_cells
         codebooks: list[list[list[int]]] = [[None] * k_sub for _ in range(m)]
+        qv: list[int] | None = None
         for r in seed_rows:
+            if query_id is not None and r.s == -1 and r.id == query_id:
+                qv = list(r.q)
+            if r.rn > kmax:
+                continue
             if r.s == -1:
                 if r.rn <= n_cells:
                     coarse[r.rn - 1] = list(r.q)
             elif r.rn <= k_sub:
                 codebooks[r.s][r.rn - 1] = list(r.q)
+        if query_id is not None and qv is None:
+            raise ValueError(f"query id {query_id} not found")
 
         def assign_expr(coarse_b, books):
             # one ragged literal tensor: index 1 = the coarse codebook
@@ -1355,7 +1375,7 @@ def _ivfadc_fused_fit(
         )
     finally:
         long.unpersist()
-    return wide, codebooks
+    return wide, codebooks, qv
 
 
 def ivfadc_topk(
@@ -1397,13 +1417,16 @@ def ivfadc_topk(
     than a join of two separately derived frames. Bit-identical
     results; only the job chain shrank.
     """
-    wide, codebooks = _ivfadc_fused_fit(
-        df, dim, n_cells, m, k_sub, iters, id_col, vec_col, scale
+    wide, codebooks, qv = _ivfadc_fused_fit(
+        df, dim, n_cells, m, k_sub, iters, id_col, vec_col, scale,
+        query_id=query_id,
     )
     qcell = wide.where(F.col("id") == query_id).select(
         F.col("cell").alias("qc")
     )
-    adc = _adc_dist_expr(df, codebooks, query_id, dim, m, id_col, vec_col, scale)
+    adc = _adc_dist_expr(
+        df, codebooks, query_id, dim, m, id_col, vec_col, scale, qv=qv
+    )
     return (
         wide.join(F.broadcast(qcell), wide["cell"] == qcell["qc"])
         .where(F.col("id") != query_id)

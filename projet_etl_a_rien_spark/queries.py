@@ -632,7 +632,25 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_cross_set_contamination",
     "customer_name_edit_pairs",
     "customer_entity_resolution",
+    # r15 changed computation: the BPE merge-learning loop runs
+    # driver-side below DRIVER_LEARN_MAX_ROWS vocab rows (the returned
+    # merge table was always a driver-built LocalRelation; the loop
+    # that computes it changed engines, so fresh evidence per r11 rule)
+    "bpe_learn_merges",
+    "bpe_learn_merges_bytes",
+    "bpe_learn_merges_bytes_gpt2",
+    "streaming_bbpe_learn_mv",
 ]
+
+
+# (filename, mtime) fingerprint → parsed ledger. The driver calls
+# queries()/oracle_sql() repeatedly and each call re-globbed and
+# re-parsed every CORRECTNESS_r*.json (r14 verdict, minor #6 — on the
+# driver's import path and growing by one file per round); the ledger
+# is pure metadata derived from committed artifacts, so a
+# fingerprint-keyed memo is exact: any new/edited artifact changes the
+# fingerprint and re-parses.
+_EVIDENCE_CACHE: tuple[tuple, dict[str, int]] | None = None
 
 
 def _correctness_evidence() -> dict[str, int]:
@@ -644,14 +662,21 @@ def _correctness_evidence() -> dict[str, int]:
     sampling automatically. Rows must be fully green to count — a
     mismatch keeps the name at its previous evidence level, so it
     re-sorts toward the front of the window."""
+    global _EVIDENCE_CACHE
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    fingerprint = tuple(
+        (f, os.path.getmtime(f)) for f in files if os.path.exists(f)
+    )
+    if _EVIDENCE_CACHE is not None and _EVIDENCE_CACHE[0] == fingerprint:
+        return _EVIDENCE_CACHE[1]
     ledger: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for f in files:
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(f))
         if not m:
             continue
@@ -669,6 +694,7 @@ def _correctness_evidence() -> dict[str, int]:
             ) and bool(v.get("hash_match", True))
             if green:
                 ledger[name] = max(ledger.get(name, 0), rnd)
+    _EVIDENCE_CACHE = (fingerprint, ledger)
     return ledger
 
 

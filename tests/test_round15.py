@@ -155,9 +155,17 @@ def test_ivfadc_fused_fit_matches_sequential_fits(spark, sf_dir):
 
     df = load_table(spark, sf_dir, "embeddings")
     dim, n_cells, m, k_sub, iters = 64, 8, 4, 8, 2
-    wide, fused_books = S._ivfadc_fused_fit(
-        df, dim, n_cells, m, k_sub, iters, "vec_id", "embedding", 100_000
+    qid = int(df.select(F.max("vec_id")).first()[0])
+    wide, fused_books, qv = S._ivfadc_fused_fit(
+        df, dim, n_cells, m, k_sub, iters, "vec_id", "embedding", 100_000,
+        query_id=qid,
     )
+    want_qv = list(
+        df.where(F.col("vec_id") == qid)
+        .select(S.quantize("embedding", 100_000).alias("q"))
+        .first()["q"]
+    )
+    assert qv == want_qv
     q_all, coarse = S.kmeans_fit(df, n_cells, iters, "vec_id", "embedding")
     cells = {
         r["id"]: r["cluster"]
@@ -176,6 +184,36 @@ def test_ivfadc_fused_fit_matches_sequential_fits(spark, sf_dir):
     for i, r in got.items():
         assert r["cell"] == cells[i], i
         assert tuple(r[f"c{s}"] for s in range(m)) == want_codes[i], i
+
+
+def test_learn_merges_driver_equals_distributed(spark, sf_dir):
+    """The r15 driver-side merge-learning engine must produce the exact
+    merge list (ranks, pairs, counts) of the distributed per-rank loop,
+    word-level and byte-level."""
+    from projet_etl_a_rien_spark.catalog import load_table
+    from projet_etl_a_rien_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    assert bpe.learn_bpe_merges(docs, num_merges=8, engine="driver") == (
+        bpe.learn_bpe_merges(docs, num_merges=8, engine="dist")
+    )
+    assert bpe.learn_bbpe_merges(docs, num_merges=8, engine="driver") == (
+        bpe.learn_bbpe_merges(docs, num_merges=8, engine="dist")
+    )
+
+
+def test_learn_merges_driver_greedy_rewrite_semantics(spark):
+    """Pin the subtle fold semantics on a crafted corpus: overlapping
+    pair counting ('aaa' counts (a,a) twice) and the non-overlapping
+    greedy rewrite ('aaaa' -> [aa, aa])."""
+    from projet_etl_a_rien_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], ["doc_id", "text"]
+    )
+    d = bpe.learn_bpe_merges(docs, num_merges=3, engine="driver")
+    f = bpe.learn_bpe_merges(docs, num_merges=3, engine="dist")
+    assert d == f
 
 
 def test_resolve_splits(spark):

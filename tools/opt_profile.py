@@ -4,9 +4,9 @@ For each named registry query (default: the bench HEADLINE+PIPELINES set):
 
 - times the full plan (build + noop-sink materialization) ``--runs`` times
   on one warmed session, reporting min/all;
-- writes ``df.explain("formatted")`` to ``plans/r14/<name>_<tag>.txt``
-  (tag = --tag, default "before") so plan claims in OPTIMIZATION_r14.md
-  are judge-checkable;
+- writes ``df.explain("formatted")`` to ``plans/$OPT_PLANS_ROUND/<name>_<tag>.txt``
+  (round dir from $OPT_PLANS_ROUND, default r15; tag = --tag, default
+  "before") so plan claims in OPTIMIZATION_r{N}.md are judge-checkable;
 - prints a one-line plan-shape summary: #Exchange, join strategies,
   Python-eval nodes, and whether the scan shows PushedFilters.
 
@@ -79,7 +79,7 @@ def main() -> None:
     from projet_etl_a_rien_spark.session import get_spark
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r14")
+    out_dir = os.path.join(here, "plans", os.environ.get("OPT_PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("opt-profile")

@@ -137,6 +137,10 @@ def stage_totals(base: str) -> dict[int, tuple[int, int, int]]:
 
 def main() -> None:
     _load_extensions()
+    # argv names override the standard PROFILE list (targeted passes
+    # over the exchanges a round changed); ZERO_EXPECTED applies only
+    # to names actually profiled
+    names = sys.argv[1:] or PROFILE
     spark = get_spark("shuffle-profile", ui=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ui = spark.sparkContext.uiWebUrl
@@ -147,7 +151,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     report = {}
-    for name in PROFILE:
+    for name in names:
         before = stage_totals(base)
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -167,7 +171,9 @@ def main() -> None:
         print(f"  {name}: {report[name]}", file=sys.stderr)
 
     bad = [
-        n for n in ZERO_EXPECTED if report[n]["shuffle_write_mb"] > 0.0
+        n
+        for n in ZERO_EXPECTED
+        if n in report and report[n]["shuffle_write_mb"] > 0.0
     ]
     print(
         json.dumps(
